@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Tables are one parquet file per name under the scale-factor dir.
+  * All reads go through here so scan options stay consistent.
+  */
+object Tables {
+  val starSchema: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extension: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = starSchema ++ extension
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+      // ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and truncate to
+      // micros — exactly what DuckDB does when it loads TIMESTAMP_NS.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` queries (needed for
+    * exact null-aware NOT IN semantics, SURVEY §2 J4) resolve by name.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Local session with the settings this engine is designed around:
+    * AQE on, shuffle partitions sized for local[32], UTC timezone.
+    */
+  def localSession(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

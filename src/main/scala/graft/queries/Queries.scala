@@ -1,0 +1,14 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregation point for every query module; SparkEntry delegates here. */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def all: Map[String, Q] =
+    CoreQueries.defs
+
+  def allOracles: Map[String, String] =
+    CoreQueries.oracles
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.pipeline.ReplayPipeline
+import graft.store.TableStore
+import java.nio.file.{Files, Paths}
+
+/** CLI entry driving the full reference-parity flow on saved pages:
+  *
+  *   runMain graft.ReplayDemo <listing.html> <replay.html> <replay.json> <replayId> [storeDir]
+  *
+  * discovery poll → ingest (5 tables) → 9 analytic queries → message
+  * document → delivery pick → posted flag. Prints each stage's outcome;
+  * the final line is the rendered text_data JSON.
+  */
+object ReplayDemo {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: ReplayDemo <listing.html> <replay.html> <replay.json> <replayId> [storeDir]")
+    val Array(listingPath, htmlPath, jsonPath, replayStr) = args.take(4)
+    val storeDir = args.lift(4).getOrElse(
+      Files.createTempDirectory("graft-demo-store").toString)
+    val replay = replayStr.toInt
+    def slurp(p: String) =
+      new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+    val spark = Tables.localSession("graft-replay-demo", cores = 4)
+    import spark.implicits._
+    val store = new TableStore(spark, storeDir)
+    val pipeline = new ReplayPipeline(spark, store)
+
+    val discovered = pipeline.discover(Seq(slurp(listingPath)).toDF("html"))
+    println(s"[demo] discover → $discovered")
+    val loaded = pipeline.ingest(replay, slurp(htmlPath), slurp(jsonPath))
+    println(s"[demo] ingest replay $replay → loaded=$loaded")
+    Seq("replay_main", "vehicles", "players", "d_players", "frags").foreach { t =>
+      println(s"[demo] $t rows=${store.read(t).count()}")
+    }
+    if (loaded) pipeline.createMessage(replay)
+    pipeline.nextUnposted() match {
+      case Some((n, textData)) =>
+        println(s"[demo] unposted message for replay $n")
+        store.markPosted(n)
+        println(s"[demo] after markPosted: nextUnposted=${pipeline.nextUnposted()}")
+        println(textData)
+      case None => println("[demo] no unposted message")
+    }
+    spark.stop()
+  }
+}

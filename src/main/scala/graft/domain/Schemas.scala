@@ -1,0 +1,98 @@
+package graft.domain
+
+import org.apache.spark.sql.types._
+
+/** Schemas for the reference's 6-table relational model and its ingest
+  * JSON document (reference DDL: create_tables.sql:1-68; JSON shape
+  * reconstructed from main.py:92-113,132-173 — see FIXTURES.md).
+  *
+  * PG `time` columns are modeled as "HH:mm:ss" strings: Spark has no
+  * TimeType, and zero-padded wall-clock strings sort identically
+  * (SURVEY §7.4.1). All leaf arrays in the ingest JSON are read as
+  * array<string>; numeric fields are cast at flatten time so that JSON
+  * nulls survive (`frags.killer`/`distance` are nullable, queries.py
+  * depends on it).
+  */
+object Schemas {
+
+  /** Ingest JSON (stats site replay-data.json). playersDead is keyed by
+    * epoch-seconds then victim id; the 6-element leaf is
+    * [victim_vehicle, killer, killer_vehicle, gun, distance, is_tk(0/1)]
+    * (column order fixed by the INSERT at main.py:169-172, where the
+    * inner map key becomes `victim`). */
+  val replayJson: StructType = StructType(Seq(
+    StructField("factions", MapType(StringType, ArrayType(LongType))),
+    StructField("vehiclesUnits", MapType(StringType, ArrayType(StringType))),
+    StructField("players", MapType(StringType, ArrayType(StringType))),
+    StructField("playersDead",
+      MapType(StringType, MapType(StringType, ArrayType(StringType)))),
+  ))
+
+  /** replay_main (create_tables.sql:2-23). */
+  val replayMain: StructType = StructType(Seq(
+    StructField("replay_number", IntegerType, nullable = false),
+    StructField("start_time", StringType),
+    StructField("end_time", StringType),
+    StructField("date", DateType),
+    StructField("name_mission", StringType),
+    StructField("island", StringType),
+    StructField("commander_east", StringType),
+    StructField("commander_west", StringType),
+    StructField("commander_guer", StringType),
+    StructField("commander_civ", StringType),
+    StructField("winner", StringType),
+    StructField("count_players_east", IntegerType),
+    StructField("count_players_west", IntegerType),
+    StructField("count_players_guer", IntegerType),
+    StructField("count_players_civ", IntegerType),
+    StructField("count_players_slots", IntegerType),
+    StructField("count_players_active", IntegerType),
+    StructField("duration", StringType),
+    StructField("replay_url", StringType),
+  ))
+
+  /** vehicles (create_tables.sql:25-31). */
+  val vehicles: StructType = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("replay_number", IntegerType),
+    StructField("name", StringType),
+    StructField("type", StringType),
+  ))
+
+  /** players (create_tables.sql:33-40). */
+  val players: StructType = StructType(Seq(
+    StructField("id_from_json", IntegerType),
+    StructField("replay_number", IntegerType),
+    StructField("side", IntegerType),
+    StructField("slot", StringType),
+  ))
+
+  /** d_players (create_tables.sql:42-46): unique on id_from_json,
+    * last-write-wins on nickname. */
+  val dPlayers: StructType = StructType(Seq(
+    StructField("id_from_json", IntegerType),
+    StructField("nickname", StringType),
+  ))
+
+  /** frags (create_tables.sql:48-60). */
+  val frags: StructType = StructType(Seq(
+    StructField("replay_number", IntegerType),
+    StructField("time", StringType),
+    StructField("victim", IntegerType),
+    StructField("victim_vehicle", StringType),
+    StructField("killer", IntegerType),
+    StructField("killer_vehicle", StringType),
+    StructField("gun", StringType),
+    StructField("distance", IntegerType),
+    StructField("is_tk", BooleanType),
+  ))
+
+  /** messages (create_tables.sql:62-68): posted is nullable — NULL means
+    * unposted (bot/botrun.py:297 `posted IS NOT TRUE`). */
+  val messages: StructType = StructType(Seq(
+    StructField("replay_number", IntegerType),
+    StructField("message", StringType),
+    StructField("text_data", StringType),
+    StructField("posted", BooleanType),
+  ))
+}

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.commons.text.StringEscapeUtils
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML entity unescape (`&quot;` → `"`) as a native Catalyst expression.
+  *
+  * The reference calls Python `html.unescape` on scraped island names
+  * (main.py:72); Spark has no builtin for it (SURVEY §2 F5). A unary
+  * expression keeps it inside the plan (null handling + constant folding
+  * for free) instead of an opaque Scala UDF.
+  */
+case class HtmlUnescapeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(StringEscapeUtils.unescapeHtml4(input.toString))
+  override protected def withNewChildInternal(newChild: Expression): HtmlUnescapeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "html_unescape"
+}
+
+object HtmlUnescape {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def html_unescape(c: Column): Column =
+    ColumnBridge.column(HtmlUnescapeExpr(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,88 @@
+package graft.ingest
+
+import graft.functions.HtmlUnescape.html_unescape
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Extracts the replay_main scalar fields from scraped replay pages and
+  * (id, players) pairs from the listing page — the reference's HTML
+  * parsing re-expressed as one `select` of codegen'd regex extracts
+  * (reference behavior: main.py:57-89, functions.py:12-17).
+  *
+  * Input: DataFrame (replay_number int, html string), one row per page.
+  * Fully distributed — at 100 TB of pages this is an embarrassingly
+  * parallel map with every regex inside whole-stage codegen.
+  */
+object ReplayHtml {
+
+  /** Tab/newline strip applied before any pattern matching
+    * (main.py:67 `.replace('\t','').replace('\n','')`). */
+  def normalize(html: Column): Column = regexp_replace(html, "[\\t\\n]", "")
+
+  /** Commander of one faction; the reference interpolates the scraped
+    * faction name into the pattern (main.py:74-75). The stored key set
+    * is fixed to EAST/WEST/GUER/CIV with 'None' for absent factions
+    * (main.py:78-81), so unrolling over the 4 keys stays in builtins
+    * (SURVEY §7.3). */
+  private def commander(h: Column, faction: String): Column = {
+    val pat = faction +
+      "</span></th><td><div class=\"position-relative\" data-toggle=\"current\">" +
+      "<a href=\"/projects/wog-a3/players/\\d+/\">(.*?)</a>"
+    val x = regexp_extract(h, pat, 1)
+    when(x === "", "None").otherwise(x)
+  }
+
+  /** One row per replay page → the HTML-sourced replay_main columns.
+    * Patterns mirror main.py:69-88 (group 1 extracts). */
+  def parse(raw: DataFrame): DataFrame = {
+    val h = normalize(col("html"))
+    raw.select(
+      col("replay_number"),
+      regexp_extract(h, "<th>Дата и время старта миссии</th><td>.*?, (.*?)</td>", 1)
+        .as("start_time"),
+      regexp_extract(h, "<th>Дата и время окончания миссии</th><td>.*?, (.*?)</td>", 1)
+        .as("end_time"),
+      to_date(
+        regexp_extract(h, "от (.*?) / WOG Stats</title>", 1), "dd.MM.yyyy")
+        .as("date"),
+      regexp_extract(h, "href=\"/missions/\\d+/\">(.*?)</a>", 1)
+        .as("name_mission"),
+      html_unescape(regexp_extract(h, "<th>Остров</th><td>(.*?)</td>", 1))
+        .as("island"),
+      commander(h, "EAST").as("commander_east"),
+      commander(h, "WEST").as("commander_west"),
+      commander(h, "GUER").as("commander_guer"),
+      commander(h, "CIV").as("commander_civ"),
+      regexp_extract(h,
+        "<th>Сторона-победитель</th><td><span style=\"color: #.*?\">(.*?)</span></td>", 1)
+        .as("winner"),
+      regexp_extract(h, "<th>Количество игроков / слотов</th><td>.*? / (.*?)</td>", 1)
+        .cast("int").as("count_players_slots"),
+      regexp_extract(h, "<th>Количество игроков / слотов</th><td>(.*?) / .*?</td>", 1)
+        .cast("int").as("count_players_active"),
+      regexp_extract(h, "<th>Длительность миссии</th><td>(.*?)</td>", 1)
+        .as("duration"),
+      concat(lit("https://stats.wogames.info/games/"),
+        col("replay_number"), lit("/")).as("replay_url"),
+      regexp_extract_all(h, lit("Командир стороны <.*?>(.*?)</span></th>"), lit(1))
+        .as("factions"))
+  }
+
+  /** Listing page → (id_replay int, players int) rows in page order
+    * (functions.py:17 `/games/(\d+)/.*?(\d+) / \d+` findall). Page order
+    * matters for the cold-start watermark quirk (SURVEY §7.4.3), so a
+    * position column is kept. */
+  def parseListing(raw: DataFrame): DataFrame = {
+    val h = normalize(col("html"))
+    raw
+      .select(posexplode(
+        arrays_zip(
+          regexp_extract_all(h, lit("/games/(\\d+)/.*?(\\d+) / \\d+"), lit(1)),
+          regexp_extract_all(h, lit("/games/(\\d+)/.*?(\\d+) / \\d+"), lit(2))))
+        .as(Seq("pos", "z")))
+      .select(
+        col("pos"),
+        col("z").getField("0").cast("int").as("id_replay"),
+        col("z").getField("1").cast("int").as("players"))
+  }
+}

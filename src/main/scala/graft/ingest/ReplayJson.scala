@@ -1,0 +1,89 @@
+package graft.ingest
+
+import graft.domain.Schemas
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Flattens raw replay JSON documents into the 4 fact/dim tables plus
+  * the per-side player counts for replay_main (reference behavior:
+  * main.py:92-173, functions.py:124-205).
+  *
+  * Input: DataFrame with (replay_number int, json string) — one row per
+  * replay. All outputs are pure column transforms over `from_json` +
+  * `explode`: fully distributed, no driver-side loops (the reference's
+  * row-at-a-time Python loops E1-E4 become generator expressions inside
+  * whole-stage codegen).
+  */
+object ReplayJson {
+
+  /** Parsed nested column added once; downstream flatteners reuse it. */
+  def parsed(raw: DataFrame): DataFrame =
+    raw.withColumn("j", from_json(col("json"), Schemas.replayJson))
+
+  /** Strip single/double quotes — the reference's SQL-injection band-aid
+    * applied to vehicle names and nicknames (functions.py:166,176). It
+    * changes stored values, so it is correctness-visible. */
+  private def stripQuotes(c: org.apache.spark.sql.Column) =
+    translate(c, "'\"", "")
+
+  /** E1: vehiclesUnits map → vehicles rows (id, replay_number, name, type).
+    * Leaf is [type, name] (main.py:133). */
+  def vehicles(p: DataFrame): DataFrame =
+    p.select(col("replay_number"), explode(col("j.vehiclesUnits")).as(Seq("id", "v")))
+      .select(
+        col("id").cast("int").as("id"),
+        col("replay_number"),
+        stripQuotes(col("v").getItem(1)).as("name"),
+        col("v").getItem(0).as("type"))
+
+  /** E2: players map → d_players rows (id_from_json, nickname).
+    * Leaf is [side, nickname, slot, squad] (main.py:143). */
+  def dPlayers(p: DataFrame): DataFrame =
+    p.select(explode(col("j.players")).as(Seq("id", "v")))
+      .select(
+        col("id").cast("int").as("id_from_json"),
+        stripQuotes(col("v").getItem(1)).as("nickname"))
+
+  /** E3: players map → players rows (id_from_json, replay_number, side, slot). */
+  def players(p: DataFrame): DataFrame =
+    p.select(col("replay_number"), explode(col("j.players")).as(Seq("id", "v")))
+      .select(
+        col("id").cast("int").as("id_from_json"),
+        col("replay_number"),
+        col("v").getItem(0).cast("int").as("side"),
+        col("v").getItem(2).as("slot"))
+
+  /** E4: playersDead nested map double-explode → frags rows. Outer key is
+    * epoch seconds (stored as "HH:mm:ss" wall-clock, UTC — main.py:171
+    * `to_char(to_timestamp(%s),'HH24:MI:SS')::time`), inner key is the
+    * victim id, 6-element leaf is
+    * [victim_vehicle, killer, killer_vehicle, gun, distance, is_tk]. */
+  def frags(p: DataFrame): DataFrame =
+    p.select(col("replay_number"), explode(col("j.playersDead")).as(Seq("t", "inner")))
+      .select(col("replay_number"), col("t"), explode(col("inner")).as(Seq("victim", "v")))
+      .select(
+        col("replay_number"),
+        date_format(to_timestamp(col("t").cast("long")), "HH:mm:ss").as("time"),
+        col("victim").cast("int").as("victim"),
+        col("v").getItem(0).as("victim_vehicle"),
+        col("v").getItem(1).cast("int").as("killer"),
+        col("v").getItem(2).as("killer_vehicle"),
+        col("v").getItem(3).as("gun"),
+        col("v").getItem(4).cast("int").as("distance"),
+        (col("v").getItem(5).cast("int") === 1).as("is_tk"))
+
+  /** Per-side active player counts for replay_main: factions map keys
+    * "1".."4" = EAST/WEST/GUER/CIV, element index 2 (0-based) is the
+    * count, absent factions default to 0 (main.py:106-109). */
+  def sideCounts(p: DataFrame): DataFrame = {
+    def cnt(key: String, name: String) =
+      coalesce(col("j.factions").getItem(key).getItem(2), lit(0L))
+        .cast("int").as(name)
+    p.select(
+      col("replay_number"),
+      cnt("1", "count_players_east"),
+      cnt("2", "count_players_west"),
+      cnt("3", "count_players_guer"),
+      cnt("4", "count_players_civ"))
+  }
+}

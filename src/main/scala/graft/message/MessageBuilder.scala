@@ -1,0 +1,72 @@
+package graft.message
+
+import graft.queries.{ReplayQueries => RQ, ReplayTables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Assembles the denormalized message document — the reference's
+  * `data_message` (functions.py:234-274): ROW_TO_JSON of the replay_main
+  * row plus the results of all analytic queries, serialized to one JSON
+  * string in `messages.text_data`, `posted = false`.
+  *
+  * Unlike the reference's 9 sequential JDBC round-trips that each rescan
+  * `frags`, the per-replay frags slice is cached once and shared by every
+  * leaderboard/top-1 query (the cross-query reuse SURVEY §4 flags as the
+  * obvious win).
+  */
+object MessageBuilder {
+
+  /** Query results serialized as JSON arrays-of-rows, mirroring the
+    * reference's `sql_to_db` list-of-tuples → json.dumps shape (arrays,
+    * not objects, per row). */
+  /** Null fields are kept (`"killer":null`), matching the reference's
+    * json.dumps — Spark's to_json drops them by default. */
+  private val keepNulls = Map("ignoreNullFields" -> "false")
+
+  private def rowsAsJsonArray(df: DataFrame): String = {
+    val cols = df.columns.map(col).toIndexedSeq
+    val rows = df.select(to_json(struct(cols: _*), keepNulls.asJava).as("j"))
+      .collect().map(_.getString(0))
+    rows.mkString("[", ",", "]")
+  }
+
+  /** Build the text_data JSON for one replay. Returns (replay, json). */
+  def buildTextData(spark: SparkSession, t: ReplayTables, replay: Int): String = {
+    val fragsSlice = t.frags.filter(col("replay_number") === replay).cache()
+    val shared = t.copy(frags = fragsSlice)
+    try {
+      val base = t.replayMain
+        .filter(col("replay_number") === replay)
+        .select(to_json(struct(t.replayMain.columns.map(col).toIndexedSeq: _*),
+          keepNulls.asJava))
+        .collect()
+      require(base.nonEmpty, s"No data found for replay number: $replay")
+      val parts = Seq(
+        "vehicles" -> rowsAsJsonArray(RQ.fsVehicles(shared, replay)),
+        "grouped_vehicles" -> rowsAsJsonArray(RQ.groupVehicles(shared, replay)),
+        "cutlets" -> rowsAsJsonArray(RQ.fsCutlets(shared, replay)),
+        "tks" -> rowsAsJsonArray(RQ.fsTks(shared, replay)),
+        "fb" -> rowsAsJsonArray(RQ.fsFb(shared, replay)),
+        "lh" -> rowsAsJsonArray(RQ.fsLh(shared, replay)),
+        "ls" -> rowsAsJsonArray(RQ.fsLs(shared, replay)),
+        // survivors' NOT IN scans frags of ALL replays (reference quirk,
+        // SURVEY §7.4.3) — so these two use the full frags table, not the
+        // cached slice.
+        "survivors" -> rowsAsJsonArray(RQ.fsSurvivors(t, replay)),
+        "survivors_group" -> rowsAsJsonArray(RQ.fsSurvivorsGroup(t, replay)))
+      val extras = parts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val baseJson = base(0).getString(0)
+      baseJson.dropRight(1) + "," + extras + s""","replay_number":$replay}"""
+    } finally fragsSlice.unpersist()
+  }
+
+  /** messages row for the built document (K4, functions.py:268-272). */
+  def messageRow(spark: SparkSession, t: ReplayTables, replay: Int): DataFrame = {
+    import spark.implicits._
+    Seq((replay, null.asInstanceOf[String], buildTextData(spark, t, replay),
+      null.asInstanceOf[java.lang.Boolean]))
+      .toDF("replay_number", "message", "text_data", "posted")
+      .withColumn("posted", lit(false))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's 8 analytic queries (queries.py:1-74) over the replay
+  * tables, re-expressed as DataFrame programs.
+  *
+  * Semantics preserved exactly (SURVEY §7.4.2-3):
+  *  - `d_players` is dimension-sized → always broadcast;
+  *  - survivors' NOT IN subquery scans frags of ALL replays (the
+  *    reference quirk) and is null-aware: one NULL victim empties the
+  *    result — expressed through spark.sql so Catalyst plans the
+  *    null-aware anti join (DataFrame left_anti is not null-aware);
+  *  - ranked LIMIT 5 cuts rows, not ranks, like the reference;
+  *  - `ORDER BY distance IS NULL, distance DESC` keeps the boolean
+  *    sort-key form for NULLS LAST.
+  *
+  * `time` is "HH:mm:ss" strings, which order lexicographically exactly
+  * like PG `time` (Schemas.scala).
+  */
+case class ReplayTables(
+    replayMain: DataFrame,
+    vehicles: DataFrame,
+    players: DataFrame,
+    dPlayers: DataFrame,
+    frags: DataFrame,
+    messages: DataFrame)
+
+object ReplayQueries {
+
+  /** fs_vehicles (queries.py:4-8): vehicle roster with counts. */
+  def fsVehicles(t: ReplayTables, replay: Int): DataFrame =
+    t.vehicles
+      .filter(col("replay_number") === replay)
+      .groupBy(col("name"), col("type"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("type"), col("name"))
+
+  private def leaderboard(t: ReplayTables, replay: Int, tk: Boolean): DataFrame = {
+    val f = t.frags
+      .filter(col("is_tk") === tk && col("replay_number") === replay)
+    f.join(broadcast(t.dPlayers), f("killer") === t.dPlayers("id_from_json"))
+      .groupBy(col("killer"), col("nickname"))
+      .agg(count(col("killer")).as("count"))
+      .withColumn("rank", dense_rank().over(Window.orderBy(col("count").desc)))
+      .orderBy(col("rank"))
+      .limit(5)
+  }
+
+  /** fs_cutlets (queries.py:11-17): top-5 killers, dense-ranked. */
+  def fsCutlets(t: ReplayTables, replay: Int): DataFrame =
+    leaderboard(t, replay, tk = false)
+
+  /** fs_tks (queries.py:20-26): top-5 teamkillers. */
+  def fsTks(t: ReplayTables, replay: Int): DataFrame =
+    leaderboard(t, replay, tk = true)
+
+  /** Shared frame of fs_fb / fs_lh / fs_ls (queries.py:29-53): frags with
+    * killer and victim nicknames resolved via two left joins against the
+    * same broadcast dimension. */
+  private def fragsNamed(t: ReplayTables, replay: Int): DataFrame = {
+    val f = t.frags.filter(col("replay_number") === replay)
+    val dp = broadcast(t.dPlayers.as("dp"))
+    val dp2 = broadcast(t.dPlayers.as("dp2"))
+    f.join(dp, f("killer") === col("dp.id_from_json"), "left")
+      .join(dp2, f("victim") === col("dp2.id_from_json"), "left")
+      .select(
+        f("time"),
+        f("killer"),
+        f("victim"),
+        col("dp.nickname").as("killer_nickname"),
+        col("dp2.nickname").as("victim_nickname"),
+        f("killer_vehicle"),
+        f("victim_vehicle"),
+        f("distance"),
+        f("is_tk"),
+        f("gun"))
+  }
+
+  /** fs_fb (queries.py:29-35): first blood. */
+  def fsFb(t: ReplayTables, replay: Int): DataFrame =
+    fragsNamed(t, replay).orderBy(col("time")).limit(1)
+
+  /** fs_lh (queries.py:38-44): last hit. */
+  def fsLh(t: ReplayTables, replay: Int): DataFrame =
+    fragsNamed(t, replay).orderBy(col("time").desc).limit(1)
+
+  /** fs_ls (queries.py:47-53): farthest kill, NULL distances last. */
+  def fsLs(t: ReplayTables, replay: Int): DataFrame =
+    fragsNamed(t, replay)
+      .orderBy(col("distance").isNull, col("distance").desc)
+      .limit(1)
+
+  private def registerSurvivorViews(t: ReplayTables): Unit = {
+    t.players.createOrReplaceTempView("graft_players")
+    t.dPlayers.createOrReplaceTempView("graft_d_players")
+    t.frags.createOrReplaceTempView("graft_frags")
+  }
+
+  /** fs_survivors (queries.py:56-59): players never seen as a victim.
+    * The subquery deliberately scans frags of ALL replays, and NOT IN is
+    * null-aware (a NULL victim empties the result) — both reference
+    * quirks kept by running the query as SQL. */
+  def fsSurvivors(t: ReplayTables, replay: Int): DataFrame = {
+    registerSurvivorViews(t)
+    t.players.sparkSession.sql(
+      s"""SELECT p.id_from_json, dp.nickname, side
+          FROM graft_players p
+          JOIN graft_d_players dp ON p.id_from_json = dp.id_from_json
+          WHERE p.id_from_json NOT IN (SELECT victim FROM graft_frags f)
+            AND p.replay_number = $replay""")
+  }
+
+  /** fs_survivors_group (queries.py:62-74): survivors per side with the
+    * emoji CASE decode. `GROUP BY side` resolves to the INPUT column
+    * (PG and Spark agree), so grouping is on the raw side int. */
+  def fsSurvivorsGroup(t: ReplayTables, replay: Int): DataFrame = {
+    registerSurvivorViews(t)
+    t.players.sparkSession.sql(
+      s"""SELECT CASE
+                WHEN side = 1 THEN ':red_square: EAST'
+                WHEN side = 2 THEN ':blue_square: WEST'
+                WHEN side = 3 THEN ':green_square: GUER'
+                WHEN side = 4 THEN ':purple_square: CIV'
+                END AS side,
+                count(p.id_from_json) AS count
+          FROM graft_players p
+          JOIN graft_d_players dp ON p.id_from_json = dp.id_from_json
+          WHERE p.id_from_json NOT IN (SELECT victim FROM graft_frags f)
+            AND p.replay_number = $replay
+          GROUP BY side
+          ORDER BY count DESC""")
+  }
+
+  /** group_vehicles (functions.py:208-231): vehicle type → RU label via a
+    * 10-entry broadcast map (absent keys pass through), then
+    * group-collect of (name, quantity) — the reference's driver-side
+    * dict loop as a distributed agg (SURVEY §2 J5+A5). */
+  private val typeLabels: Column = typedlit(Map(
+    "static-mortar" -> "Миномет",
+    "static-weapon" -> "Стационарное",
+    "apc" -> "БМП/БТР",
+    "car" -> "Автомобиль",
+    "tank" -> "Танк",
+    "truck" -> "Грузовик",
+    "parachute" -> "Парашют",
+    "plane" -> "Авиация",
+    "heli" -> "Вертолет",
+    "sea" -> "Флот",
+  ))
+
+  def groupVehicles(t: ReplayTables, replay: Int): DataFrame =
+    fsVehicles(t, replay)
+      .withColumn("type_label",
+        coalesce(element_at(typeLabels, col("type")), col("type")))
+      .groupBy(col("type_label"))
+      .agg(sort_array(collect_list(struct(col("name"), col("count"))))
+        .as("vehicles"))
+}

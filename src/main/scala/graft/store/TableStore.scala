@@ -1,0 +1,109 @@
+package graft.store
+
+import graft.domain.Schemas
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Parquet-backed table store for the replay schema.
+  *
+  * Maps the reference's PostgreSQL storage (create_tables.sql) onto
+  * columnar parquet:
+  *  - K1/K2 INSERTs → plain appends (fact tables partitioned by
+  *    `replay_number`, so P2's `WHERE replay_number = n` becomes
+  *    partition pruning — at 100 TB the per-replay analytics read one
+  *    partition, not the table);
+  *  - K3 `ON CONFLICT DO UPDATE` upsert → last-write-wins merge with a
+  *    snapshot swap (plain parquet cannot overwrite a path it reads;
+  *    Delta MERGE would replace this on a lake deployment);
+  *  - K5 `UPDATE messages SET posted` → read-modify-swap of the small
+  *    messages table.
+  */
+class TableStore(spark: SparkSession, root: String) {
+
+  private val partitioned = Map(
+    "vehicles" -> Seq("replay_number"),
+    "players" -> Seq("replay_number"),
+    "frags" -> Seq("replay_number"))
+
+  private val schemas: Map[String, StructType] = Map(
+    "replay_main" -> Schemas.replayMain,
+    "vehicles" -> Schemas.vehicles,
+    "players" -> Schemas.players,
+    "d_players" -> Schemas.dPlayers,
+    "frags" -> Schemas.frags,
+    "messages" -> Schemas.messages)
+
+  def path(table: String): String = s"$root/$table"
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(table: String): Boolean = fs.exists(new Path(path(table)))
+
+  /** Read a table; empty-with-schema when nothing has been written yet. */
+  def read(table: String): DataFrame =
+    if (exists(table)) {
+      val df = spark.read.schema(schemas(table)).parquet(path(table))
+      // partition columns come back last; restore declared column order
+      df.select(schemas(table).fieldNames.map(col).toIndexedSeq: _*)
+    } else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(table))
+
+  /** K1/K2: append rows (column order normalized to the declared schema). */
+  def append(table: String, df: DataFrame): Unit = {
+    val w = df
+      .select(schemas(table).fieldNames.map(col).toIndexedSeq: _*)
+      .write
+      .mode(SaveMode.Append)
+    partitioned.get(table).fold(w)(p => w.partitionBy(p: _*))
+      .parquet(path(table))
+  }
+
+  /** Atomic-ish snapshot replace: write to a side dir, swap via rename.
+    * Needed because Spark cannot overwrite a parquet path that feeds the
+    * same plan (the reference's in-place UPDATE has no parquet analog). */
+  private def replace(table: String, df: DataFrame): Unit = {
+    val target = new Path(path(table))
+    val tmp = new Path(path(table) + ".swap")
+    val old = new Path(path(table) + ".old")
+    df.select(schemas(table).fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+  }
+
+  /** K3: d_players upsert — `INSERT … ON CONFLICT (id_from_json) DO
+    * UPDATE SET nickname = EXCLUDED.nickname` (main.py:146-151):
+    * incoming rows win over stored ones, last incoming wins within the
+    * batch. */
+  def upsertDPlayers(updates: DataFrame): Unit = {
+    val incoming = updates
+      .select(col("id_from_json"), col("nickname"))
+      .withColumn("graft_pri", lit(1))
+    val current = read("d_players").withColumn("graft_pri", lit(0))
+    val w = Window.partitionBy(col("id_from_json")).orderBy(col("graft_pri").desc)
+    val merged = current
+      .unionByName(incoming)
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_pri", "graft_rn")
+    replace("d_players", merged)
+  }
+
+  /** K5: `UPDATE messages SET posted = TRUE WHERE replay_number = n`
+    * (bot/botrun.py:308-309). */
+  def markPosted(replay: Int): Unit =
+    replace("messages", read("messages")
+      .withColumn("posted",
+        when(col("replay_number") === replay, lit(true)).otherwise(col("posted"))))
+
+  /** P7: existence probe — distributed form of main.py:47-54. */
+  def replayExists(replay: Int): Boolean =
+    exists("replay_main") &&
+      !read("replay_main").filter(col("replay_number") === replay).isEmpty
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made the Column ↔ catalyst Expression conversion
+  * `private[sql]` (the Column API was decoupled from catalyst for Spark
+  * Connect). Custom native expressions still need the classic bridge, so
+  * expose it from inside the sql package tree — the standard technique
+  * for Catalyst-level extension libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

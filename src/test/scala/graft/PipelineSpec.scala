@@ -1,0 +1,72 @@
+package graft
+
+import graft.pipeline.ReplayPipeline
+import graft.store.TableStore
+import java.nio.file.Files
+
+/** End-to-end batch pipeline over the fixture replay: ingest → store →
+  * message document, plus the discovery watermark quirks (SURVEY §7.4.3).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPipeline(): (ReplayPipeline, TableStore) = {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new TableStore(spark, root)
+    (new ReplayPipeline(spark, store), store)
+  }
+
+  test("ingest loads all five tables and is idempotent") {
+    val (p, store) = freshPipeline()
+    val html = SparkSpec.resource("replay.html")
+    val json = SparkSpec.resource("replay-data.json")
+    assert(p.ingest(500, html, json))
+    assert(store.read("replay_main").count() == 1)
+    assert(store.read("vehicles").count() == 3)
+    assert(store.read("players").count() == 4)
+    assert(store.read("d_players").count() == 4)
+    assert(store.read("frags").count() == 3)
+    // duplicate load short-circuits (is_exists, ST3)
+    assert(!p.ingest(500, html, json))
+    assert(store.read("frags").count() == 3)
+  }
+
+  test("d_players upsert is last-write-wins on id_from_json") {
+    val (_, store) = freshPipeline()
+    store.upsertDPlayers(Seq((1, "Old"), (2, "Two")).toDF("id_from_json", "nickname"))
+    store.upsertDPlayers(Seq((1, "New"), (3, "Three")).toDF("id_from_json", "nickname"))
+    val got = rowSet(store.read("d_players"))
+    assert(got == Seq(Seq(1, "New"), Seq(2, "Two"), Seq(3, "Three")))
+  }
+
+  test("message document carries base row + all query results") {
+    val (p, store) = freshPipeline()
+    p.ingest(500, SparkSpec.resource("replay.html"), SparkSpec.resource("replay-data.json"))
+    p.createMessage(500)
+    val (replay, textData) = p.nextUnposted().get
+    assert(replay == 500)
+    for (key <- Seq("name_mission", "vehicles", "grouped_vehicles", "cutlets",
+        "tks", "fb", "lh", "ls", "survivors", "survivors_group", "replay_number"))
+      assert(textData.contains(s""""$key""""), s"missing $key in $textData")
+    assert(textData.contains(""""cutlets":[{"killer":1,"nickname":"Alpha","count":1,"rank":1}]"""))
+    assert(textData.contains(""""survivors":[{"id_from_json":1,"nickname":"Alpha","side":1}]"""))
+    // null fields stay present, like the reference's json.dumps
+    assert(textData.contains(""""lh":[{"time":"22:16:40","killer":null"""))
+    // posted flag flip ends delivery (K5 + P4 null-safe filter)
+    store.markPosted(500)
+    assert(p.nextUnposted().isEmpty)
+  }
+
+  test("discover: >99 filter, cold-start second-entry fallback, watermark") {
+    val (p, store) = freshPipeline()
+    val listing = Seq(SparkSpec.resource("listing.html")).toDF("html")
+    // empty store: filtered page order = [501,500,499]; fallback watermark
+    // = second entry (500) → first id above it is 501 (functions.py:29-36)
+    assert(p.discover(listing).contains(501))
+    // after 501 is posted, nothing newer is listed
+    p.ingest(501, SparkSpec.resource("replay.html"), SparkSpec.resource("replay-data.json"))
+    p.createMessage(501)
+    store.markPosted(501)
+    assert(p.discover(listing).isEmpty)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.domain.Schemas
+import graft.ingest.ReplayJson
+import graft.queries.{ReplayQueries => RQ, ReplayTables}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** The 8 analytic queries over the fixture replay, expected rows computed
+  * by hand from queries.py semantics — including the null edge cases
+  * SURVEY §7.4.2 calls out (null killer dropped by inner join, null
+  * distance sorted last, null-aware NOT IN).
+  */
+class ReplayQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tables: ReplayTables = {
+    val p = ReplayJson.parsed(
+      Seq((500, SparkSpec.resource("replay-data.json"))).toDF("replay_number", "json"))
+    ReplayTables(
+      replayMain = spark.emptyDataFrame,
+      vehicles = ReplayJson.vehicles(p),
+      players = ReplayJson.players(p),
+      dPlayers = ReplayJson.dPlayers(p),
+      frags = ReplayJson.frags(p),
+      messages = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], Schemas.messages))
+  }
+
+  test("fs_vehicles: counts ordered by type, name") {
+    assert(rowList(RQ.fsVehicles(tables, 500)) == Seq(
+      Seq("UAZ open", "car", 1L), Seq("T-72", "tank", 1L), Seq("T-80", "tank", 1L)))
+  }
+
+  test("fs_cutlets: null killer dropped by inner join, dense rank") {
+    assert(rowList(RQ.fsCutlets(tables, 500)) == Seq(Seq(1, "Alpha", 1L, 1)))
+  }
+
+  test("fs_tks: teamkill leaderboard") {
+    assert(rowList(RQ.fsTks(tables, 500)) == Seq(Seq(1, "Alpha", 1L, 1)))
+  }
+
+  test("fs_fb: earliest frag with both nicknames resolved") {
+    assert(rowList(RQ.fsFb(tables, 500)) == Seq(
+      Seq("22:13:20", 1, 2, "Alpha", "Bravo", "veh1", "veh2", 350, false, "AK")))
+  }
+
+  test("fs_lh: latest frag; unknown killer → null nickname survives left join") {
+    assert(rowList(RQ.fsLh(tables, 500)) == Seq(
+      Seq("22:16:40", null, 4, null, "Delta", "veh5", "veh4", 120, false, "mine")))
+  }
+
+  test("fs_ls: farthest kill, null distance sorted last") {
+    assert(rowList(RQ.fsLs(tables, 500)) == Seq(
+      Seq("22:13:20", 1, 2, "Alpha", "Bravo", "veh1", "veh2", 350, false, "AK")))
+  }
+
+  test("fs_survivors: players minus victims of ANY replay") {
+    assert(rowList(RQ.fsSurvivors(tables, 500)) == Seq(Seq(1, "Alpha", 1)))
+  }
+
+  test("fs_survivors: NOT IN is null-aware — one NULL victim empties the result") {
+    val fragsWithNullVictim = tables.frags.union(
+      Seq((999, "00:00:01", null.asInstanceOf[Integer], "v", Integer.valueOf(1),
+        "k", "g", Integer.valueOf(5), false))
+        .toDF(tables.frags.columns: _*))
+    val t2 = tables.copy(frags = fragsWithNullVictim)
+    assert(RQ.fsSurvivors(t2, 500).isEmpty)
+  }
+
+  test("fs_survivors_group: CASE side labels, grouped on raw side") {
+    assert(rowList(RQ.fsSurvivorsGroup(tables, 500)) == Seq(
+      Seq(":red_square: EAST", 1L)))
+  }
+
+  test("group_vehicles: RU type labels, unknown types pass through") {
+    val got = rowList(RQ.groupVehicles(tables, 500).orderBy("type_label"))
+    assert(got == Seq(
+      Seq("Автомобиль", Seq(Row("UAZ open", 1L))),
+      Seq("Танк", Seq(Row("T-72", 1L), Row("T-80", 1L)))))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.store.TableStore
+import graft.streaming.ReplayStream
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming wrapper: file-dropped replay docs drive the pipeline with
+  * exactly-once table loads across micro-batches and duplicates.
+  */
+class ReplayStreamSpec extends SparkSpec {
+
+  private def writeDoc(dir: String, name: String, replay: Int): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val obj = mapper.createObjectNode()
+    obj.put("replay_number", replay)
+    obj.put("html", SparkSpec.resource("replay.html"))
+    obj.put("json", SparkSpec.resource("replay-data.json"))
+    Files.write(Paths.get(dir, name),
+      mapper.writeValueAsString(obj).getBytes("UTF-8"))
+  }
+
+  test("stream ingests new replays once, dedups replays across batches") {
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val root = Files.createTempDirectory("graft-stream-store").toString
+    val store = new TableStore(spark, root)
+
+    writeDoc(in, "a.json", 600)
+    val q = ReplayStream.start(spark, store, in, ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(store.read("replay_main").count() == 1)
+    assert(store.read("messages").count() == 1)
+
+    // second batch: one duplicate + one new replay
+    writeDoc(in, "b.json", 600)
+    writeDoc(in, "c.json", 601)
+    val q2 = ReplayStream.start(spark, store, in, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(store.read("replay_main").count() == 2)
+    assert(store.read("messages").count() == 2)
+    assert(store.read("frags").count() == 6)
+  }
+}

@@ -18,10 +18,14 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
       // ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and truncate to
       // micros — exactly what DuckDB does when it loads TIMESTAMP_NS.
+      // timestamp_ntz so downstream writes stay naive-micros like the
+      // source data (and like DuckDB's read) — session TZ is UTC, so the
+      // wall-clock value is unchanged.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read
         .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", org.apache.spark.sql.functions
+          .expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` queries (needed for

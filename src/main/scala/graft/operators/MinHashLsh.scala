@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection over a text column — the
+  * standard training-data dedup pipeline (shingle → minhash → band →
+  * bucket-join → exact-Jaccard verify) built from codegen'd builtins.
+  *
+  * Hash family: `md5(seed || ':' || shingle)` with the min taken over
+  * the hex strings. md5 is available and bit-identical in every engine,
+  * which makes the whole pipeline oracle-checkable in DuckDB — a
+  * deliberate choice over xxhash64, whose seeds Spark fixes.
+  *
+  * Scale design (100 TB corpus):
+  *  - signatures are one explode + partial-aggregated groupBy
+  *    (map-side min per (doc, seed) before the shuffle);
+  *  - the LSH band join shuffles only (band, bucket) keys — docs
+  *    sharing no band never meet, so the quadratic verify runs on the
+  *    candidate set only;
+  *  - degenerate buckets (boilerplate-heavy corpora) skew the
+  *    pair-join; AQE skew-join splitting handles moderate skew, and a
+  *    bucket-size cap (`maxBucketSize`) drops pathological buckets the
+  *    way production dedup pipelines do.
+  */
+object MinHashLsh {
+
+  /** k-word shingles of a whitespace-tokenized text column (empty when
+    * the doc has fewer than k words). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ",
+          (0 until k).map(o => element_at(toks, (i + lit(o)).cast("int"))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, seed, minhash) signatures, numHashes rows per doc. */
+  def signatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh"))))
+        .as("minhash"))
+
+  /** Band signatures: rows-per-band consecutive minhashes concatenated
+    * and hashed → (doc_id, band, bucket). */
+  def bandBuckets(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame =
+    sigs
+      .groupBy(col("doc_id"),
+        floor(col("seed") / rowsPerBand).cast("bigint").as("band"))
+      .agg(md5(array_join(
+        expr("transform(array_sort(collect_list(struct(seed, minhash))), s -> s.minhash)"),
+        "|")).as("bucket"))
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
+    * Buckets larger than maxBucketSize are dropped before the self-join
+    * (quadratic blowup guard for boilerplate buckets). */
+  def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val sized = buckets
+      .withColumn("bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+    val a = sized.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = sized.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for the candidate pairs (the verify step:
+    * LSH recalls, Jaccard decides). */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** The full near-dup pipeline: candidates via LSH, exact Jaccard,
+    * thresholded. */
+  def nearDuplicates(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.2): DataFrame =
+    jaccardVerify(docs,
+      candidatePairs(bandBuckets(signatures(docs, numHashes), rowsPerBand)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads as opaque `binary`
+  * columns with a typed metadata struct, plus a feature-extraction
+  * stage shaped like a real decoder pipeline.
+  *
+  * The decode itself is STUBBED (no image/audio codecs in this
+  * environment): `fakeDecode` derives a deterministic 4-bucket byte
+  * histogram so tests are exact. The Spark-side plumbing is the real
+  * thing — schema, per-partition batching, and the typed mapPartitions
+  * seam where a JNI/FFmpeg/Pillow-style decoder would sit. At 100 TB
+  * the payload column stays columnar-compressed in parquet and the
+  * decode stage is a map-only pass whose parallelism is file-split
+  * driven (`spark.sql.files.maxPartitionBytes` is the knob, not a
+  * shuffle).
+  */
+object Multimodal {
+
+  case class Media(doc_id: Long, payload: Array[Byte], media_type: String)
+  case class MediaFeatures(
+      doc_id: Long, feat_dim: Int, features: Array[Double])
+
+  /** Wrap a text corpus as binary media rows with metadata — the shape
+    * an image/audio table would have. */
+  def toMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("text/plain").as("media_type"),
+      struct(
+        octet_length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
+        md5(col("text")).as("content_hash"),
+        col("source")).as("meta"))
+
+  /** ??? in spirit — the deterministic stand-in for a media decoder:
+    * a 4-bucket byte histogram normalized by payload length. */
+  private[operators] def fakeDecode(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](4)
+    payload.foreach(b => hist((b & 0xff) / 64) += 1.0)
+    if (payload.nonEmpty) (0 until 4).foreach(i => hist(i) /= payload.length)
+    hist
+  }
+
+  /** Decode/feature-extract stage: typed mapPartitions so a real
+    * decoder could amortize per-partition init (model load, codec
+    * context) across the rows of each batch. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    implicit val inEnc = Encoders.product[Media]
+    media.select(col("doc_id"), col("payload"), col("media_type")).as[Media]
+      .mapPartitions { rows =>
+        // per-partition init would go here (decoder handle, model, …)
+        rows.map { m =>
+          val f = fakeDecode(m.payload)
+          MediaFeatures(m.doc_id, f.length, f)
+        }
+      }
+  }
+}

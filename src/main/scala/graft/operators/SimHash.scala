@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SimHash document fingerprinting: 32-bit frequency-weighted token
+  * simhash. Near-dup docs land within small Hamming distance of each
+  * other, so a corpus can be deduped by fingerprint-prefix blocking
+  * without any pairwise scan.
+  *
+  * Bit source: the low bit of each hex digit of `md5(token)` — 32
+  * independent bits, identical in every engine, keeping the operator
+  * DuckDB-oracle-checkable (same rationale as [[MinHashLsh]]).
+  *
+  * Scale: one explode to (doc, token) × 32 bit positions, partial-agg
+  * sum per (doc, bit), then one 32-row-per-doc rollup — two shuffles on
+  * doc_id, each combiner-friendly; no pairwise work.
+  */
+object SimHash {
+
+  private val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  /** (doc_id, simhash bigint) per document. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("contrib",
+        when(expr("substr(md5(w), j + 1, 1)").isin(oddHex: _*), lit(1))
+          .otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(
+        when(col("score") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+          .otherwise(lit(0L))).as("simhash"))
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *    query set against the corpus, one scan, no shuffle of the corpus.
+  *    The correctness baseline and the right plan whenever |queries| is
+  *    driver-size.
+  *  - [[ivfTopK]]: IVF-style two-stage search — centroids per cluster,
+  *    route each query to its nearest centroid, then search only that
+  *    cluster's members. At 100 TB the corpus is hash-partitioned by
+  *    cluster id, so a probe touches 1/k of the data; nprobe>1 extends
+  *    recall the usual way.
+  *
+  * All arithmetic in double via `zip_with` + `aggregate` (codegen'd
+  * higher-order functions, no UDF). Similarities are rounded to 6
+  * decimals BEFORE ranking so that float summation order can never flip
+  * a rank across engines (DuckDB-oracle determinism).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a column expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector.
+    * Output: (q_id, vec_id, sim, rank). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-cluster mean vectors: (label, centroid array<double>). */
+  def centroids(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(collect_list(struct(col("pos"), col("cx"))).as("pc"))
+      .select(col("label"),
+        expr("transform(array_sort(pc), s -> s.cx)").as("centroid"))
+
+  /** IVF search: route each query to its nearest centroid (nprobe=1),
+    * then exact top-k within that cluster only.
+    * Output: (q_id, probe_label, vec_id, sim, rank). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    val cent = centroids(corpus)
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("qv"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("label"),
+        round(cosine(col("qv"), col("centroid")), 6).as("csim"))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") === 1)
+      .select(col("q_id"), col("qv"), col("label").as("probe_label"))
+    val c = corpus.select(col("label").as("probe_label"), col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(probes), Seq("probe_label"))
+      .select(col("q_id"), col("probe_label"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by cluster label
+    * (vectors in different clusters are never compared). */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val e = corpus.select(col("label"), col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

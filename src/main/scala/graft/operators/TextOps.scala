@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, and canonical
+  * fingerprinting. All pure column expressions (whole-stage codegen,
+  * no UDFs) — at 100 TB these are scan-bound map stages.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column = size(split(text, " ")).cast("bigint")
+
+  /** BPE-ish token count: letter runs, digit runs, or single other
+    * non-space chars — the cheap proxy for subword token budgeting. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])"), lit(1)))
+      .cast("bigint")
+
+  /** Quality features + a composite score (length/punct/stopword ratios —
+    * the standard cheap quality heuristics). Ratios are reported in
+    * basis points via floor(x·10⁴): float division is bit-identical
+    * across engines but round() half-way semantics are not (Spark
+    * HALF_UP vs half-even), so floor keeps the oracle exact. */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val n = wordCount(col("text"))
+    val chars = length(col("text")).cast("bigint")
+    val punct = size(regexp_extract_all(col("text"),
+      lit("""([.,!?;:'"()\[\]{}-])"""), lit(1))).cast("bigint")
+    val stop = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|and|is|to|in)\\b"), lit(0))).cast("bigint")
+    def bp(c: Column): Column = floor(c * 10000).cast("bigint")
+    docs.select(
+      col("doc_id"),
+      chars.as("n_chars"),
+      n.as("n_words"),
+      bp((chars - (n - lit(1))).cast("double") / n).as("avg_word_len_bp"),
+      bp(punct.cast("double") / chars).as("punct_ratio_bp"),
+      bp(stop.cast("double") / n).as("stopword_ratio_bp"),
+      bp(
+        least(n.cast("double") / 100, lit(1.0)) * 0.5
+          + least(stop.cast("double") / n * 10, lit(1.0)) * 0.3
+          + (lit(1.0) - least(punct.cast("double") / chars * 20, lit(1.0))) * 0.2)
+        .as("quality_score_bp"))
+  }
+
+  private def hits(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("bigint")
+
+  /** Stopword-lexicon language ID (n-gram heuristic): per-language hit
+    * counts + a deterministic argmax. CJK is detected first via
+    * non-ASCII density. */
+  def langId(docs: DataFrame): DataFrame = {
+    val en = hits(col("text"), "\\b(the|a|of|and|is)\\b")
+    val de = hits(col("text"), "\\b(der|die|das|und|ist)\\b")
+    val es = hits(col("text"), "\\b(el|los|una|y|es)\\b")
+    val fr = hits(col("text"), "\\b(le|la|et|les|des)\\b")
+    val nonAscii = length(regexp_replace(col("text"), "[ -~]", "")).cast("bigint")
+    docs.select(
+      col("doc_id"), col("lang"),
+      en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+      nonAscii.as("n_nonascii"),
+      when(nonAscii > 0, "zh")
+        .when(en === lit(0) && de === lit(0) && es === lit(0) && fr === lit(0),
+          "unknown")
+        .when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+        .as("pred_lang"))
+  }
+
+  /** Canonical document fingerprint: md5 of the lowercased,
+    * whitespace-collapsed text, plus a 8-hex-char blocking prefix. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+      .withColumn("block", substring(col("fingerprint"), 1, 8))
+}

@@ -91,7 +91,8 @@ object CoreQueries {
     t(s, dir, "customer").createOrReplaceTempView("customer")
     t(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql("""SELECT c_custkey, c_name FROM customer
-             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""")
+             WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)""")
   }
 
   /** A3+F12: CASE/WHEN decode then group-count (ref `queries.py:62-74`
@@ -269,7 +270,8 @@ object CoreQueries {
          ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 1""",
     "q05_antijoin_notin" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)""",
     "q06_case_agg" ->
       """SELECT CASE WHEN o_orderstatus = 'O' THEN 'open'
                      WHEN o_orderstatus = 'F' THEN 'finished'

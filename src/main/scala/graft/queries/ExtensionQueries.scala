@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal / streaming-shaped aggregation) exposed as driver-checkable
+  * queries over `documents`, `embeddings`, and `events`.
+  *
+  * Hash-dependent operators (minhash, simhash, fingerprints) are built
+  * on md5 so every pipeline stage is bit-identical in DuckDB — the
+  * oracles below check the actual near-dup math, not just row counts.
+  */
+object ExtensionQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Token counting: whitespace words + BPE-ish regex tokens. */
+  val q20TokenStats: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.wordCount(col("text")).as("n_words"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("bigint").as("n_chars"))
+
+  /** Quality scoring (length/punct/stopword ratios + composite). */
+  val q21Quality: Q = (s, dir) => TextOps.qualityFeatures(t(s, dir, "documents"))
+
+  /** Language-ID heuristic over stopword lexicons. */
+  val q22Langid: Q = (s, dir) => TextOps.langId(t(s, dir, "documents"))
+
+  /** Canonical fingerprint + blocking prefix. */
+  val q23Fingerprint: Q = (s, dir) => TextOps.fingerprints(t(s, dir, "documents"))
+
+  /** Exact dedup: hash-groupBy, min doc_id is the keeper. */
+  val q24DedupExact: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+
+  /** MinHash signatures (8 hashes over 3-word shingles). */
+  val q25MinhashSig: Q = (s, dir) =>
+    MinHashLsh.signatures(t(s, dir, "documents"))
+      .select(col("doc_id"), col("seed").cast("bigint").as("seed"), col("minhash"))
+
+  /** Full near-dup pipeline: LSH candidates + exact Jaccard ≥ 0.2. */
+  val q26LshNeardup: Q = (s, dir) =>
+    MinHashLsh.nearDuplicates(t(s, dir, "documents"), threshold = 0.2)
+
+  /** 32-bit SimHash fingerprints. */
+  val q27Simhash: Q = (s, dir) => SimHash.fingerprints(t(s, dir, "documents"))
+
+  /** Embedding-cosine near-dup pairs, blocked by cluster label. */
+  val q28EmbedNeardup: Q = (s, dir) =>
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.3)
+
+  /** Brute-force exact ANN baseline: top-10 for query vectors id<5. */
+  val q29AnnBrute: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
+  }
+
+  /** IVF-routed ANN: nearest centroid, search that cluster only. */
+  val q30AnnIvf: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10)
+  }
+
+  /** Multimodal media wrap: binary payload + typed metadata. */
+  val q31Multimodal: Q = (s, dir) =>
+    Multimodal.toMedia(t(s, dir, "documents"))
+      .select(col("doc_id"), col("payload"), col("media_type"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.content_hash").as("content_hash"),
+        col("meta.source").as("source"))
+
+  /** Stub decode / feature extraction (typed mapPartitions, deterministic
+    * fake decoder) — not SQL-expressible, rows-only check. */
+  val q32MultimodalFeatures: Q = (s, dir) =>
+    Multimodal.extractFeatures(Multimodal.toMedia(t(s, dir, "documents")))
+      .toDF()
+
+  /** Streaming-shaped hourly rollup of the events table (batch-equivalent
+    * of the windowed streaming agg; see StreamingAggSpec for the
+    * readStream form). */
+  val q33StreamHourly: Q = (s, dir) =>
+    t(s, dir, "events")
+      // date_trunc yields session-TZ timestamps even for NTZ input; cast
+      // back so the parquet stays naive-micros like DuckDB's
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  val defs: Map[String, Q] = Map(
+    "q20_token_stats" -> q20TokenStats,
+    "q21_quality" -> q21Quality,
+    "q22_langid" -> q22Langid,
+    "q23_fingerprint" -> q23Fingerprint,
+    "q24_dedup_exact" -> q24DedupExact,
+    "q25_minhash_sig" -> q25MinhashSig,
+    "q26_lsh_neardup" -> q26LshNeardup,
+    "q27_simhash" -> q27Simhash,
+    "q28_embed_neardup" -> q28EmbedNeardup,
+    "q29_ann_brute" -> q29AnnBrute,
+    "q30_ann_ivf" -> q30AnnIvf,
+    "q31_multimodal" -> q31Multimodal,
+    "q32_multimodal_features" -> q32MultimodalFeatures,
+    "q33_stream_hourly" -> q33StreamHourly,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS BIGINT) AS n_tokens,
+                CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents""",
+    "q21_quality" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(floor(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(string_split(text, ' ')) * 10000) AS BIGINT) AS avg_word_len_bp,
+                CAST(floor(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+                      / length(text) * 10000) AS BIGINT) AS punct_ratio_bp,
+                CAST(floor(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+                      / len(string_split(text, ' ')) * 10000) AS BIGINT) AS stopword_ratio_bp,
+                CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+                      + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+                              / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+                      + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+                                     / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS quality_score_bp
+         FROM documents""",
+    "q22_langid" ->
+      """SELECT doc_id, lang,
+                CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_hits,
+                CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS BIGINT) AS de_hits,
+                CAST(len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) AS BIGINT) AS es_hits,
+                CAST(len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_hits,
+                CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS BIGINT) AS n_nonascii,
+                CASE WHEN length(regexp_replace(text, '[ -~]', '', 'g')) > 0 THEN 'zh'
+                     WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) = 0
+                          AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) = 0
+                          AND len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) = 0
+                          AND len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) = 0 THEN 'unknown'
+                     WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))
+                          AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(el|los|una|y|es)\b'))
+                          AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'en'
+                     WHEN len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(text, '\b(el|los|una|y|es)\b'))
+                          AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'de'
+                     WHEN len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+         FROM documents""",
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+                md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+                substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS block
+         FROM documents""",
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_copies,
+                CAST(min(doc_id) AS BIGINT) AS keeper
+         FROM documents GROUP BY 1""",
+    "q25_minhash_sig" ->
+      """SELECT doc_id, j AS seed,
+                min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS minhash
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(1, len(s) - 1),
+                             i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS sh
+               FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+              (SELECT unnest(range(0, 8)) AS j)
+         GROUP BY doc_id, j""",
+    "q26_lsh_neardup" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 1),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         sig AS (
+           SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j),
+         band AS (
+           SELECT doc_id, j // 2 AS band,
+                  md5(string_agg(mh, '|' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2
+           QUALIFY count(*) OVER (PARTITION BY j // 2, md5(string_agg(mh, '|' ORDER BY j))) <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS i
+           FROM cand c
+           JOIN shd x ON x.doc_id = c.doc_a
+           JOIN shd y ON y.doc_id = c.doc_b AND x.sh = y.sh
+           GROUP BY c.doc_a, c.doc_b),
+         sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id)
+         SELECT doc_a, doc_b,
+                round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2""",
+    "q27_simhash" ->
+      """SELECT doc_id,
+                CAST(sum(CASE WHEN score > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
+         FROM (SELECT doc_id, j,
+                      sum(CASE WHEN substr(md5(w), CAST(j AS INT) + 1, 1)
+                               IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS score
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+                    (SELECT unnest(range(0, 32)) AS j)
+               GROUP BY doc_id, j)
+         GROUP BY doc_id""",
+    "q28_embed_neardup" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings)
+         SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3""",
+    "q29_ann_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, vec_id,
+                      round(list_cosine_similarity(qv, v), 6) AS sim
+               FROM q, e)
+         SELECT q_id, vec_id, sim, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, vec_id) AS rank FROM s)
+         WHERE rank <= 10""",
+    "q30_ann_ivf" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         probes AS (
+           SELECT q_id, qv, label AS probe_label FROM (
+             SELECT q.q_id, q.qv, c.label,
+                    ROW_NUMBER() OVER (PARTITION BY q.q_id
+                      ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+                               c.label) AS prn
+             FROM q, cent c)
+           WHERE prn = 1),
+         s AS (SELECT p.q_id, p.probe_label, e.vec_id,
+                      round(list_cosine_similarity(p.qv, e.v), 6) AS sim
+               FROM probes p JOIN e ON e.label = p.probe_label)
+         SELECT q_id, probe_label, vec_id, sim, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, vec_id) AS rank FROM s)
+         WHERE rank <= 10""",
+    "q31_multimodal" ->
+      """SELECT doc_id, CAST(text AS BLOB) AS payload,
+                'text/plain' AS media_type,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_hash, source
+         FROM documents""",
+    "q33_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+  )
+}

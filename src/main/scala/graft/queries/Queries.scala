@@ -7,8 +7,8 @@ object Queries {
   type Q = (SparkSession, String) => DataFrame
 
   def all: Map[String, Q] =
-    CoreQueries.defs
+    CoreQueries.defs ++ ExtensionQueries.defs
 
   def allOracles: Map[String, String] =
-    CoreQueries.oracles
+    CoreQueries.oracles ++ ExtensionQueries.oracles
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Hand-computed unit checks for the training-data operators (the
+  * sf0.01 DuckDB oracle covers them at scale; these pin the semantics
+  * on tiny inputs).
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1", 43L),
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "s1", 43L),
+    (3L, "completely different words entirely here now", "en", "s2", 44L),
+    (4L, "ab", "en", "s2", 2L)) // fewer than 3 words → no shingles
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("shingles: 3-word windows; short docs yield empty") {
+    val got = docs.select(col("doc_id"),
+      MinHashLsh.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L).take(2) == Seq("the quick brown", "quick brown fox"))
+    assert(got(1L).size == 7)
+    assert(got(4L).isEmpty)
+  }
+
+  test("minhash near-dup finds the one-word-changed pair, not the unrelated doc") {
+    val pairs = MinHashLsh.nearDuplicates(docs, threshold = 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // 6 of 7+7 distinct shingles shared → jaccard 6/8
+    val j = MinHashLsh.jaccardVerify(docs,
+      Seq((1L, 2L)).toDF("doc_a", "doc_b")).select("jaccard")
+      .as[Double].head
+    assert(math.abs(j - 0.75) < 1e-12)
+  }
+
+  test("identical texts share a simhash; fingerprint fits in 32 bits") {
+    val dup = Seq((1L, "same text here today"), (2L, "same text here today"),
+      (3L, "other words entirely now")).toDF("doc_id", "text")
+    val fp = SimHash.fingerprints(dup).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("token stats and langid") {
+    val one = Seq((1L, "the cat is on the mat", "en", "s", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = one.select(
+      TextOps.wordCount(col("text")),
+      TextOps.tokenCount(col("text"))).head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 6)
+    val zh = Seq((2L, "这是中文", "zh", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.langId(zh).select("pred_lang").as[String].head == "zh")
+    assert(TextOps.langId(one).select("pred_lang").as[String].head == "en")
+  }
+
+  test("cosine: orthogonal → 0, parallel → 1; brute-force ranks by similarity") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(2.0f, 0.0f), 1), (3L, Array(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .bruteForceTopK(corpus.filter(col("vec_id") === 0), corpus, k = 4)
+      .orderBy("rank").select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 2L, 3L, 1L))
+    assert(got(0)._2 == 1.0 && got(1)._2 == 1.0)
+    assert(math.abs(got(2)._2 - 0.707107) < 1e-6)
+    assert(got(3)._2 == 0.0)
+  }
+
+  test("ivf routes the query to its own tight cluster") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.1f), 1), (3L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .ivfTopK(corpus.filter(col("vec_id") === 2), corpus, k = 10)
+    assert(got.select("probe_label").distinct().as[Int].head == 1)
+    assert(got.select("vec_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("multimodal: metadata + deterministic stub features") {
+    val media = Multimodal.toMedia(docs)
+    val m = media.filter(col("doc_id") === 4).select("meta.n_bytes").head
+    assert(m.getLong(0) == 2)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(4L).feat_dim == 4)
+    // "ab" = bytes 97,98 → both in bucket 1 of 4
+    assert(feats(4L).features.toSeq == Seq(0.0, 1.0, 0.0, 0.0))
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+/** Plan inspector: prints the formatted physical plan of one or more
+  * SparkEntry queries (all of them with no args).
+  *
+  *   runMain graft.Explain [queryName ...]
+  *
+  * Used to audit scan pruning (PushedFilters / ReadSchema), join
+  * strategies (broadcast vs sort-merge), and WholeStageCodegen spans.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = Tables.localSession("graft-explain", cores = 4)
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        case None => println(s"unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -25,26 +25,47 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** k-word shingles of a whitespace-tokenized text column (empty when
-    * the doc has fewer than k words). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
+  /** k-word shingles over an ALREADY-MATERIALIZED token-array column.
+    * The tokens must be a bound attribute, not `split(...)` inline —
+    * expressions inside a higher-order-function lambda are re-evaluated
+    * per element, which turns an inline split into O(words²) work per
+    * document. */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ",
           (0 until k).map(o => element_at(toks, (i + lit(o)).cast("int"))): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, sh) exploded shingle rows for a documents frame. */
+  private def shingleRows(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("graft_toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("graft_toks"), k)).as("sh"))
+
+  /** Back-compat convenience used by specs: shingles of a text column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    shinglesFromTokens(toks, k)
   }
 
-  /** (doc_id, seed, minhash) signatures, numHashes rows per doc. */
-  def signatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
-    docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh"))))
-        .as("minhash"))
+  /** (doc_id, seed, minhash) signatures, numHashes rows per doc.
+    *
+    * The shingle set is exploded ONCE and all seeds are aggregated as
+    * parallel min columns in the same partial-agg pass (then unpivoted)
+    * — an 8× row reduction versus exploding per seed, which dominates
+    * at corpus scale. */
+  def signatures(docs: DataFrame, numHashes: Int = 8): DataFrame = {
+    val mins = (0 until numHashes).map(j =>
+      min(md5(concat_ws(":", lit(j.toString), col("sh")))).as(s"m$j"))
+    val stackArgs = (0 until numHashes)
+      .map(j => s"$j, m$j").mkString(", ")
+    shingleRows(docs)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .selectExpr("doc_id",
+        s"stack($numHashes, $stackArgs) AS (seed, minhash)")
+  }
 
   /** Band signatures: rows-per-band consecutive minhashes concatenated
     * and hashed → (doc_id, band, bucket). */
@@ -74,10 +95,14 @@ object MinHashLsh {
   }
 
   /** Exact shingle-set Jaccard for the candidate pairs (the verify step:
-    * LSH recalls, Jaccard decides). */
+    * LSH recalls, Jaccard decides). Only candidate docs are re-shingled —
+    * a semi-join keeps the quadratic verify off the 99% of a deduped
+    * corpus that no bucket ever paired. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sh = shingleRows(docs.join(candDocs, Seq("doc_id"), "left_semi"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
@@ -95,14 +120,21 @@ object MinHashLsh {
   }
 
   /** The full near-dup pipeline: candidates via LSH, exact Jaccard,
-    * thresholded. */
+    * thresholded. The candidate-pair frame is persisted: it is
+    * dimension-sized (LSH already pruned the corpus) but its subtree is
+    * the whole signature pipeline, and the verify step references it
+    * three times — without the persist Spark re-runs signing per
+    * reference. */
   def nearDuplicates(
       docs: DataFrame,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      threshold: Double = 0.2): DataFrame =
-    jaccardVerify(docs,
-      candidatePairs(bandBuckets(signatures(docs, numHashes), rowsPerBand)))
+      threshold: Double = 0.2): DataFrame = {
+    val pairs = candidatePairs(
+      bandBuckets(signatures(docs, numHashes), rowsPerBand)).persist()
+    pairs.count() // materialize before the multi-reference verify plan
+    jaccardVerify(docs, pairs)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 }

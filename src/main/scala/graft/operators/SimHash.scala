@@ -20,19 +20,25 @@ object SimHash {
 
   private val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
-  /** (doc_id, simhash bigint) per document. */
-  def fingerprints(docs: DataFrame): DataFrame =
+  /** (doc_id, simhash bigint) per document.
+    *
+    * One explode to (doc, token), the token hashed once (`md5` lifted to
+    * a column so subexpression elimination shares it across all 32 bit
+    * positions), 32 ±1 sums aggregated in a single partial-agg pass,
+    * and the fingerprint assembled in one projection — no 32× row
+    * blowup and a single shuffle on doc_id. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val scores = (0 until 32).map(j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(oddHex: _*), lit(1))
+        .otherwise(lit(-1))).as(s"s$j"))
+    val fp = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), lit(31))).as("j"))
-      .withColumn("contrib",
-        when(expr("substr(md5(w), j + 1, 1)").isin(oddHex: _*), lit(1))
-          .otherwise(lit(-1)))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("score"))
+      .withColumn("h", md5(col("w")))
       .groupBy(col("doc_id"))
-      .agg(sum(
-        when(col("score") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-          .otherwise(lit(0L))).as("simhash"))
+      .agg(scores.head, scores.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
 }

@@ -24,26 +24,39 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a column expression. */
+  /** Σ aᵢ·bᵢ — native expression (graft.functions.DotProductExpr); the
+    * higher-order-function form interprets its lambda per element and is
+    * an order of magnitude slower on 64-dim vectors. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.vec_dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Unit-normalize once per vector so every pairwise similarity is a
+    * single dot product (3× less arithmetic than cosine per pair — the
+    * difference between one corpus scan and three at 100 TB). */
+  private def withUnit(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("graft_nrm", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn(outCol, transform(col(vecCol), x => x / col("graft_nrm")))
+      .drop("graft_nrm")
+
   /** Exact top-k neighbors for each query vector.
     * Output: (q_id, vec_id, sim, rank). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"),
-      asDouble(col("embedding")).as("qv"))
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = withUnit(
+      queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
+      "qv", "qn")
+    val c = withUnit(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      "v", "vn")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     c.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(dot(col("qn"), col("vn")), 6).as("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
@@ -64,23 +77,26 @@ object Similarity {
     * Output: (q_id, probe_label, vec_id, sim, rank). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
     val cent = centroids(corpus)
-    val q = queries.select(col("vec_id").as("q_id"),
-      asDouble(col("embedding")).as("qv"))
+    val q = withUnit(
+      queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
+      "qv", "qn")
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("label"))
     val probes = q.crossJoin(broadcast(cent))
-      .select(col("q_id"), col("qv"), col("label"),
-        round(cosine(col("qv"), col("centroid")), 6).as("csim"))
+      .select(col("q_id"), col("qn"), col("label"),
+        round(cosine(col("qn"), col("centroid")), 6).as("csim"))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") === 1)
-      .select(col("q_id"), col("qv"), col("label").as("probe_label"))
-    val c = corpus.select(col("label").as("probe_label"), col("vec_id"),
-      asDouble(col("embedding")).as("v"))
+      .select(col("q_id"), col("qn"), col("label").as("probe_label"))
+    val c = withUnit(
+      corpus.select(col("label").as("probe_label"), col("vec_id"),
+        asDouble(col("embedding")).as("v")),
+      "v", "vn")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     c.join(broadcast(probes), Seq("probe_label"))
       .select(col("q_id"), col("probe_label"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(dot(col("qn"), col("vn")), 6).as("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
@@ -88,14 +104,18 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs, blocked by cluster label
     * (vectors in different clusters are never compared). */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val e = corpus.select(col("label"), col("vec_id"),
-      asDouble(col("embedding")).as("v"))
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, Seq("label"))
+    val e = withUnit(
+      corpus.select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v")),
+      "v", "vn")
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("vn").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("vn").as("vb"))
+    // broadcast one side: a sort-merge join on ~10 label keys caps
+    // parallelism at 10; broadcast keeps all scan partitions busy. (At
+    // corpus scale the block would be an LSH bucket, not a broadcast.)
+    a.join(broadcast(b), Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("sim"))
+        round(dot(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

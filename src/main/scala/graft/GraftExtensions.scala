@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.{DotProductExpr, HtmlUnescapeExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native expressions as SQL
+  * functions, so `spark.sql("SELECT html_unescape(x), vec_dot(a, b)")`
+  * works on any session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("html_unescape"),
+      info("html_unescape", "html_unescape(str) - decodes HTML entities"),
+      (args: Seq[Expression]) => HtmlUnescapeExpr(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register on an ALREADY-RUNNING session (builder extensions only
+    * apply to new sessions — getOrCreate silently ignores them when an
+    * active session exists). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("html_unescape",
+      (args: Seq[Expression]) => HtmlUnescapeExpr(args.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1)), "built-in")
+  }
+}

@@ -25,6 +25,12 @@ object ReplayDemo {
 
     val spark = Tables.localSession("graft-replay-demo", cores = 4)
     import spark.implicits._
+    // native expressions registered for SQL use (GraftExtensions)
+    GraftExtensions.register(spark)
+    val ext = spark.sql(
+      """SELECT html_unescape('&quot;ok&quot;') AS u,
+                vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""").head()
+    println(s"[demo] sql functions: html_unescape→${ext.getString(0)} vec_dot→${ext.getDouble(1)}")
     val store = new TableStore(spark, storeDir)
     val pipeline = new ReplayPipeline(spark, store)
 

@@ -226,6 +226,26 @@ object CoreQueries {
         size(expr("regexp_extract_all(text, '(spark)', 1)")).cast("bigint").as("n_spark"))
   }
 
+  /** A5: group-collect — the reference's driver-side dict grouping
+    * (functions.py:223-231) as a distributed collect_list; sorted so the
+    * array is deterministic. */
+  val q17GroupCollect: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_ids"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** J5: decode through a small literal map with passthrough default
+    * (the reference's 10-entry vehicle-type dict, functions.py:211-222). */
+  val q18MapDecode: Q = (s, dir) => {
+    val labels = typedlit(Map(
+      "ALGERIA" -> "DZ", "ARGENTINA" -> "AR", "BRAZIL" -> "BR"))
+    t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(element_at(labels, col("n_name")), col("n_name")).as("label"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_agg" -> q01Agg,
     "q02_topk_rank" -> q02TopkRank,
@@ -243,6 +263,8 @@ object CoreQueries {
     "q14_date_funcs" -> q14DateFuncs,
     "q15_json" -> q15Json,
     "q16_regex_extract" -> q16RegexExtract,
+    "q17_group_collect" -> q17GroupCollect,
+    "q18_map_decode" -> q18MapDecode,
   )
 
   val oracles: Map[String, String] = Map(
@@ -331,5 +353,16 @@ object CoreQueries {
       """SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS first_word,
                 CAST(len(regexp_extract_all(text, 'spark')) AS BIGINT) AS n_spark
          FROM documents""",
+    "q17_group_collect" ->
+      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_ids,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_custkey""",
+    "q18_map_decode" ->
+      """SELECT n_nationkey, n_name,
+                CASE WHEN n_name = 'ALGERIA' THEN 'DZ'
+                     WHEN n_name = 'ARGENTINA' THEN 'AR'
+                     WHEN n_name = 'BRAZIL' THEN 'BR'
+                     ELSE n_name END AS label
+         FROM nation""",
   )
 }

@@ -82,16 +82,19 @@ class TableStore(spark: SparkSession, root: String) {
     * incoming rows win over stored ones, last incoming wins within the
     * batch. */
   def upsertDPlayers(updates: DataFrame): Unit = {
+    // Within-batch duplicates: the LAST occurrence wins, like the
+    // reference's sequential executemany — so the batch position must be
+    // an explicit column (DataFrames have no inherent row order).
     val incoming = updates
       .select(col("id_from_json"), col("nickname"))
-      .withColumn("graft_pri", lit(1))
-    val current = read("d_players").withColumn("graft_pri", lit(0))
-    val w = Window.partitionBy(col("id_from_json")).orderBy(col("graft_pri").desc)
+      .withColumn("graft_seq", monotonically_increasing_id())
+    val current = read("d_players").withColumn("graft_seq", lit(-1L))
+    val w = Window.partitionBy(col("id_from_json")).orderBy(col("graft_seq").desc)
     val merged = current
       .unionByName(incoming)
       .withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") === 1)
-      .drop("graft_pri", "graft_rn")
+      .drop("graft_seq", "graft_rn")
     replace("d_players", merged)
   }
 

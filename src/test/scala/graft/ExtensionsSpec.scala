@@ -1,0 +1,15 @@
+package graft
+
+/** Native functions reachable from plain SQL once registered. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("html_unescape and vec_dot are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT html_unescape('a &quot;b&quot; &amp; c') AS u,
+                vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d""")
+      .head()
+    assert(r.getString(0) == "a \"b\" & c")
+    assert(r.getDouble(1) == 32.0)
+  }
+}

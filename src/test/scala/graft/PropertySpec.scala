@@ -1,0 +1,88 @@
+package graft
+
+import graft.ingest.ReplayJson
+import graft.operators.MinHashLsh
+import graft.store.TableStore
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY §5.4) with raw ScalaCheck generators
+  * (the scalatest bridge isn't in the offline cache, so cases are
+  * sampled from a fixed seed): explode row-count conservation,
+  * last-write-wins upsert, unescape round-trip, minhash invariants.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.choose(1, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  test("frags explode: row count equals the sum of inner map sizes") {
+    val innerGen = Gen.mapOf(Gen.choose(1, 999).map(_.toString).flatMap(k =>
+      Gen.const(k -> List("v", "1", "k", "g", "10", "0"))))
+    val outerGen = Gen.mapOfN(4, Gen.zip(
+      Gen.choose(1600000000L, 1700000000L).map(_.toString), innerGen))
+    for (outer <- samples(outerGen, 8)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      val pd = root.putObject("playersDead")
+      outer.foreach { case (t, inner) =>
+        val io = pd.putObject(t)
+        inner.foreach { case (victim, leaf) =>
+          val arr = io.putArray(victim)
+          leaf.foreach(arr.add)
+        }
+      }
+      val json = mapper.writeValueAsString(root)
+      val parsed = ReplayJson.parsed(Seq((1, json)).toDF("replay_number", "json"))
+      val expected = outer.values.map(_.size.toLong).sum
+      assert(ReplayJson.frags(parsed).count() == expected, s"for $json")
+    }
+  }
+
+  test("upsert: latest write wins for every key, all keys retained") {
+    val batchGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 20), word))
+    for ((b1, b2) <- samples(Gen.zip(batchGen, batchGen), 4)) {
+      val root = Files.createTempDirectory("graft-prop").toString
+      val store = new TableStore(spark, root)
+      store.upsertDPlayers(b1.toDF("id_from_json", "nickname"))
+      store.upsertDPlayers(b2.toDF("id_from_json", "nickname"))
+      val got = store.read("d_players").as[(Int, String)].collect().toMap
+      assert(got.keySet == (b1.map(_._1) ++ b2.map(_._1)).toSet)
+      // newest batch wins; within a batch the last occurrence wins
+      // (reference executemany order)
+      b2.map(_._1).foreach { k =>
+        assert(got(k) == b2.filter(_._1 == k).last._2, s"key $k in $b2")
+      }
+    }
+  }
+
+  test("html_unescape round-trips escapeHtml4 for arbitrary strings") {
+    import graft.functions.HtmlUnescape.html_unescape
+    for (s <- samples(Gen.asciiPrintableStr, 20)) {
+      val escaped = org.apache.commons.text.StringEscapeUtils.escapeHtml4(s)
+      val got = Seq(escaped).toDF("x")
+        .select(html_unescape(col("x"))).as[String].head()
+      assert(got == s)
+    }
+  }
+
+  test("minhash: identical docs get identical signatures; jaccard is 1") {
+    for (words <- samples(Gen.listOfN(10, word), 4)) {
+      val text = words.mkString(" ")
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val sigs = MinHashLsh.signatures(docs)
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(r => r._2 -> r._3).toMap }
+      assert(sigs(1L) == sigs(2L))
+      val j = MinHashLsh.jaccardVerify(docs, Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+        .select("jaccard").as[Double].head()
+      assert(j == 1.0)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.store.Layout
+import graft.streaming.Suppression
+import graft.streaming.Suppression.Alert
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** CLI demo of the scale-layout features:
+  *
+  *   runMain graft.ScaleDemo
+  *
+  * 1. writes two bucketed tables and shows their join plans without any
+  *    exchange (shuffle-free co-located join);
+  * 2. runs a salted equi-join over a 90%-skewed key and checks it
+  *    matches the plain join;
+  * 3. streams alerts through the stateful 8h suppression window.
+  */
+object ScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-scale-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-scale-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 1. bucketed co-located join
+    val facts = (1L to 100000L).map(i => (i % 512, s"f$i")).toDF("k", "fv")
+    val dim = (0L until 512L).map(i => (i, s"d$i")).toDF("k", "dv")
+    Layout.writeBucketed(facts, "demo_facts", "k", 16)
+    Layout.writeBucketed(dim, "demo_dim", "k", 16)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = spark.table("demo_facts").join(spark.table("demo_dim"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    println(s"[scale] bucketed join rows=${joined.count()} " +
+      s"shuffleFree=${!plan.contains("Exchange")} sortMerge=${plan.contains("SortMergeJoin")}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    // 2. salted skew join
+    val big = ((1 to 90000).map(_ => 7L) ++ (1 to 10000).map(i => (i % 100).toLong))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val small = (0L until 100L).map(i => (i, s"s$i")).toDF("k", "s")
+    val salted = Layout.saltedEquiJoin(big, small, "k", salts = 16)
+    val plainCount = big.join(small, Seq("k")).count()
+    println(s"[scale] salted join rows=${salted.count()} plain=$plainCount " +
+      s"equal=${salted.count() == plainCount}")
+
+    // 3. stateful suppression
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Alert]
+    val q = Suppression.suppress(in.toDS(), windowSeconds = 8 * 3600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scale_demo_alerts").start()
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    in.addData(Alert("stream", ts(0), "on"), Alert("stream", ts(3), "dup"))
+    q.processAllAvailable()
+    in.addData(Alert("stream", ts(9), "again"))
+    q.processAllAvailable()
+    q.stop()
+    val passed = spark.table("scale_demo_alerts").orderBy("ts")
+      .select("payload").as[String].collect().toSeq
+    println(s"[scale] suppression passed=$passed (expected List(on, again))")
+    spark.stop()
+  }
+}

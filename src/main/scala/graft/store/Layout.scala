@@ -1,0 +1,50 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB deployment: bucketing for
+  * shuffle-free co-located joins and salting for skewed keys. (SURVEY
+  * §4: the reference delegates all physical planning to Postgres; on
+  * Spark, layout is ours to choose.)
+  */
+object Layout {
+
+  /** Persist a table bucketed+sorted on its join key. Two tables
+    * bucketed the same way join with ZERO exchange — at fact-table
+    * scale this removes the dominant shuffle from every equi-join on
+    * the key. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join with key salting: the big side gets a deterministic salt
+    * in [0, salts), the small side is replicated per salt value, and the
+    * join key becomes (key, salt) — one hot key now lands on `salts`
+    * reducers instead of one. AQE's skew-join split handles moderate
+    * skew automatically; explicit salting is for the pathological keys
+    * AQE cannot split (single-key hot partitions in non-sort-merge
+    * paths). */
+  def saltedEquiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn(
+      "graft_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val saltedSmall = small.withColumn(
+      "graft_salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig
+      .join(saltedSmall, Seq(key, "graft_salt"), joinType)
+      .drop("graft_salt")
+  }
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful alert suppression — the reference's "send the stream-online
+  * alert at most once per 8 hours" rule (bot/botrun.py:250-265, ST6)
+  * generalized to a keyed rate limiter over Structured Streaming custom
+  * state (`flatMapGroupsWithState`).
+  *
+  * State per key is one timestamp (last emitted event time); an incoming
+  * event passes iff it is more than `windowSeconds` after it. Events
+  * inside a micro-batch are applied in event-time order, so the
+  * semantics are independent of batch boundaries.
+  */
+object Suppression {
+
+  case class Alert(key: String, ts: Timestamp, payload: String)
+
+  def suppress(
+      alerts: Dataset[Alert],
+      windowSeconds: Long): Dataset[Alert] = {
+    implicit val alertEnc = Encoders.product[Alert]
+    implicit val tsEnc = Encoders.kryo[Timestamp]
+    alerts
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, events: Iterator[Alert], state: GroupState[Timestamp]) =>
+          val sorted = events.toSeq.sortBy(_.ts.getTime)
+          var last = state.getOption.map(_.getTime)
+          val out = sorted.flatMap { a =>
+            val passes = last.forall(l => a.ts.getTime - l > windowSeconds * 1000L)
+            if (passes) { last = Some(a.ts.getTime); Some(a) }
+            else None
+          }
+          last.foreach(l => state.update(new Timestamp(l)))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.store.Layout
+import org.apache.spark.sql.functions._
+
+/** Bucketed joins plan without exchanges; salted joins return exactly
+  * the unsalted result.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same-bucketing join has no shuffle exchange") {
+    val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "fv")
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "dv")
+    Layout.writeBucketed(facts, "graft_bucketed_facts", "k", 8)
+    Layout.writeBucketed(dim, "graft_bucketed_dim", "k", 8)
+    // disable auto-broadcast so the sort-merge path is what's planned —
+    // that's the path bucketing de-shuffles
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bucketed_facts")
+        .join(spark.table("graft_bucketed_dim"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // one hot key carrying 90% of rows
+    val big = ((1 to 900).map(_ => 7L) ++ (1 to 100).map(_.toLong))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val small = (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s")
+    val plain = big.join(small, Seq("k")).select("k", "v", "s")
+    val salted = Layout.saltedEquiJoin(big, small, "k", salts = 8)
+      .select("k", "v", "s")
+    assert(rowSet(salted) == rowSet(plain))
+    assert(salted.count() == plain.count())
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.streaming.Suppression
+import graft.streaming.Suppression.Alert
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Keyed rate-limit suppression with custom state, across micro-batch
+  * boundaries (ST6: the 8-hour alert window).
+  */
+class SuppressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("one alert per 8h window per key, state survives across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Alert]
+    val q = Suppression.suppress(input.toDS(), windowSeconds = 8 * 3600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("suppressed").start()
+
+    // batch 1: stream goes online at 00:00, again at 01:00 (suppressed),
+    // other key independent
+    input.addData(
+      Alert("stream", ts(0), "on"), Alert("stream", ts(1), "dup"),
+      Alert("clip", ts(1), "clip1"))
+    q.processAllAvailable()
+    // batch 2: 07:00 still inside window; 09:00 passes (>8h after 00:00)
+    input.addData(Alert("stream", ts(7), "dup2"), Alert("stream", ts(9), "again"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("suppressed").as[Alert].collect()
+      .map(a => (a.key, a.payload)).sorted.toSeq
+    assert(got == Seq(("clip", "clip1"), ("stream", "again"), ("stream", "on")))
+  }
+}

@@ -48,6 +48,10 @@ object ReplayDemo {
         store.markPosted(n)
         println(s"[demo] after markPosted: nextUnposted=${pipeline.nextUnposted()}")
         println(textData)
+        println("[demo] rendered message:")
+        println(graft.message.Renderer.createText(textData))
+        val embeds = graft.message.Renderer.createEmbeds(textData)
+        println(s"[demo] embeds: ${embeds.map(e => s"'${e.title}'(${e.fields.size} fields)").mkString(", ")}")
       case None => println("[demo] no unposted message")
     }
     spark.stop()

@@ -1,0 +1,147 @@
+package graft.message
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Driver-side message rendering — the reference bot's `create_text`
+  * and `create_embed` (bot/botrun.py:105-231) re-expressed over the
+  * engine's message document (named JSON fields instead of the
+  * reference's positional tuples; same rendered strings).
+  *
+  * Presentation only: all data shaping happened in Spark
+  * (MessageBuilder); this layer just interpolates one small document.
+  * Deviation from the reference noted inline: `create_text` interpolates
+  * `grouped_vehicles` as a Python dict repr — an artifact, rendered here
+  * as compact JSON instead.
+  */
+object Renderer {
+
+  /** Discord-agnostic embed shape (title, color, fields(name, value)). */
+  case class Embed(title: String, color: Int, fields: Seq[(String, String)])
+
+  private val mapper = new ObjectMapper()
+
+  def parse(textData: String): JsonNode = mapper.readTree(textData)
+
+  private def arr(d: JsonNode, key: String): Seq[JsonNode] =
+    Option(d.get(key)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  private def s(n: JsonNode, key: String): String = {
+    val v = n.get(key)
+    if (v == null || v.isNull) "" else v.asText()
+  }
+
+  /** 'Удивительно...' when the teamkill list is empty (tks_or_not,
+    * bot/botrun.py:105-109). */
+  def tksOrNot(tks: Seq[JsonNode]): String =
+    if (tks.isEmpty) "Удивительно, но тимкиллов не зафиксировано."
+    else tks.map(e => s"${s(e, "nickname")} **${e.get("count").asLong()}**").mkString("\n")
+
+  /** Kill sentence with the known/unknown-killer and weapon branches
+    * (sk, bot/botrun.py:112-128). */
+  def sk(k: Seq[JsonNode]): String = {
+    val e = k.head
+    val gun = s(e, "gun")
+    val vehicle = s(e, "killer_vehicle")
+    val weapon =
+      if (gun.nonEmpty) s"Орудие убийства - $gun"
+      else if (vehicle.nonEmpty) s"Орудие убийства - $vehicle"
+      else " Орудие убийства неизвестно."
+    val tk = if (e.get("is_tk").asBoolean(false)) " Кажется, это был тимкилл." else ""
+    val killer = s(e, "killer_nickname")
+    if (killer.nonEmpty)
+      s"Жертвой стал **${s(e, "victim_nickname")}**, погибший от выстрела " +
+        s"**$killer** с расстояния ${s(e, "distance")} м. $weapon.$tk"
+    else s"Жертвой стал **${s(e, "victim_nickname")}**. Убийца неизвестен."
+  }
+
+  /** Winner emoji (square, bot/botrun.py:173-184). */
+  def square(winner: String): String = winner match {
+    case "EAST" => ":red_square: "
+    case "WEST" => ":blue_square: "
+    case "GUER" => ":green_square: "
+    case "CIV" => ":purple_square: "
+    case _ => ""
+  }
+
+  private def sides(d: JsonNode, bold: Boolean): String = {
+    val defs = Seq(
+      ("east", ":red_square:", "EAST"), ("west", ":blue_square:", "WEST"),
+      ("guer", ":green_square:", "GUER"), ("civ", ":purple_square:", "CIV"))
+    defs.flatMap { case (key, emoji, name) =>
+      val count = d.get(s"count_players_$key").asInt(0)
+      val cmdr = s(d, s"commander_$key")
+      if (count > 0) {
+        if (bold) Some(s"$emoji **$name:** $count, $cmdr")
+        else Some(s"$emoji $name: $count, командир - $cmdr")
+      } else None
+    }.mkString("\n")
+  }
+
+  private def dropSeconds(t: String): String = t.dropRight(3)
+
+  /** The final text message (create_text, bot/botrun.py:131-170),
+    * quotes stripped like the reference. */
+  def createText(textData: String): String = {
+    val d = parse(textData)
+    val vehiclesLines = arr(d, "vehicles")
+      .map(e => s"${s(e, "name")} ${e.get("count").asLong()}").mkString("\n")
+    val survivors = arr(d, "survivors_group")
+      .map(e => s"${s(e, "side")}: ${e.get("count").asLong()}").mkString(", ")
+    val cutlets = arr(d, "cutlets")
+      .map(e => s"${s(e, "nickname")} ${e.get("count").asLong()}").mkString("\n")
+    val text =
+      s"""Доступен новый реплей!
+Миссия: ${s(d, "name_mission")}, ${s(d, "island")}, ${s(d, "date")}
+Начало ${dropSeconds(s(d, "start_time"))}, конец ${dropSeconds(s(d, "end_time"))}, длительность ${s(d, "duration")}, ${d.get("count_players_active").asInt()}/${d.get("count_players_slots").asInt()}
+Стороны:
+${sides(d, bold = false)}
+Победитель: ${s(d, "winner")}
+Доступная техника:
+$vehiclesLines
+${mapper.writeValueAsString(d.get("grouped_vehicles"))}
+До конца миссии дожили:
+$survivors
+Лучшие кибератлеты:
+$cutlets
+${tksOrNot(arr(d, "tks"))}
+Первый фраг произошел в ${s(arr(d, "fb").head, "time")}. ${sk(arr(d, "fb"))}
+Последний фраг произошел в ${s(arr(d, "lh").head, "time")}. ${sk(arr(d, "lh"))}
+Самый дальний фраг произошел в ${s(arr(d, "ls").head, "time")}. ${sk(arr(d, "ls"))}
+С полным реплеем и статистикой миссии вы можете ознакомиться по ссылке: ${s(d, "replay_url")}"""
+    text.replace("'", "").replace("\"", "")
+  }
+
+  /** The 5 embeds (create_embed, bot/botrun.py:187-231). */
+  def createEmbeds(textData: String): Seq[Embed] = {
+    val d = parse(textData)
+    val stats = Embed(":chart_with_downwards_trend: Общая статистика:", 2326507, Seq(
+      "Информация" ->
+        s"**Дата:** ${s(d, "date")}\n**Миссия:** ${s(d, "name_mission")}\n**Остров:** ${s(d, "island")}",
+      "Стороны и командиры" -> sides(d, bold = true),
+      "Всего игроков" ->
+        s"${d.get("count_players_active").asInt()}/${d.get("count_players_slots").asInt()}",
+      "Время" ->
+        s"Начало ${dropSeconds(s(d, "start_time"))},\nконец ${dropSeconds(s(d, "end_time"))},\nдлительность ${s(d, "duration")}",
+      "Итоги" -> s"Победитель:\n${square(s(d, "winner"))}**${s(d, "winner")}**",
+      "До конца миссии дожили" -> arr(d, "survivors_group")
+        .map(e => s"**${s(e, "side")}:** ${e.get("count").asLong()}").mkString("\n")))
+    val personal = Embed(":pencil: Личная статистика:", 2326507, Seq(
+      "Лучшие кибератлеты" -> arr(d, "cutlets")
+        .map(e => s"${s(e, "nickname")} **${e.get("count").asLong()}**").mkString("\n"),
+      "Лучшие тимкиллеры" -> tksOrNot(arr(d, "tks"))))
+    val frags = Embed(":gun: Выдающиеся фраги:", 2326507, Seq(
+      "Первый фраг" -> s"Произошел в ${s(arr(d, "fb").head, "time")}. ${sk(arr(d, "fb"))}",
+      "Последний фраг" -> s"Произошел в ${s(arr(d, "lh").head, "time")}. ${sk(arr(d, "lh"))}",
+      "Самый дальний фраг" -> s"Произошел в ${s(arr(d, "ls").head, "time")}. ${sk(arr(d, "ls"))}"))
+    val vehicles = Embed(":truck: Доступная техника:", 2326507,
+      arr(d, "grouped_vehicles").map { g =>
+        s(g, "type_label") -> g.get("vehicles").elements().asScala
+          .map(v => s"${v.get("count").asLong()}x${s(v, "name")}").mkString("\n")
+      }.toSeq)
+    val link = Embed("", 0x0099ff, Seq(
+      "description" ->
+        s"С полным реплеем и статистикой миссии можно ознакомиться по ссылке: ${s(d, "replay_url")}/"))
+    Seq(stats, personal, frags, vehicles, link)
+  }
+}

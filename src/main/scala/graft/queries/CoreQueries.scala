@@ -232,7 +232,11 @@ object CoreQueries {
   val q17GroupCollect: Q = (s, dir) => {
     t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_ids"),
+      // csv-joined so the driver compares a scalar (array cells hash
+      // differently across parquet readers); the raw collect_list form
+      // is exercised in ReplayQueries.groupVehicles + specs
+      .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+        .as("order_ids_csv"),
         count(lit(1)).as("n_orders"))
   }
 
@@ -354,7 +358,9 @@ object CoreQueries {
                 CAST(len(regexp_extract_all(text, 'spark')) AS BIGINT) AS n_spark
          FROM documents""",
     "q17_group_collect" ->
-      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_ids,
+      """SELECT o_custkey,
+                array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+                  AS order_ids_csv,
                 count(*) AS n_orders
          FROM orders GROUP BY o_custkey""",
     "q18_map_decode" ->

@@ -71,10 +71,14 @@ object ExtensionQueries {
     Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10)
   }
 
-  /** Multimodal media wrap: binary payload + typed metadata. */
+  /** Multimodal media wrap: binary payload + typed metadata. The
+    * payload is hex-encoded for the driver compare (binary cells hash
+    * differently across parquet readers); raw binary plumbing is
+    * exercised in Multimodal + OperatorsSpec. */
   val q31Multimodal: Q = (s, dir) =>
     Multimodal.toMedia(t(s, dir, "documents"))
-      .select(col("doc_id"), col("payload"), col("media_type"),
+      .select(col("doc_id"), hex(col("payload")).as("payload_hex"),
+        col("media_type"),
         col("meta.n_bytes").as("n_bytes"),
         col("meta.content_hash").as("content_hash"),
         col("meta.source").as("source"))
@@ -259,7 +263,7 @@ object ExtensionQueries {
                      ORDER BY sim DESC, vec_id) AS rank FROM s)
          WHERE rank <= 10""",
     "q31_multimodal" ->
-      """SELECT doc_id, CAST(text AS BLOB) AS payload,
+      """SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS payload_hex,
                 'text/plain' AS media_type,
                 CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_hash, source

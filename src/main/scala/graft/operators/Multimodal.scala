@@ -44,6 +44,29 @@ object Multimodal {
     hist
   }
 
+  case class MediaFrames(
+      doc_id: Long, n_frames: Int, frames: Array[Array[Byte]])
+
+  /** Frame-sampling stub: split the payload into fixed-size "frames"
+    * and keep every `stride`-th one — the deterministic stand-in for
+    * video frame extraction (the real decoder would replace the
+    * chunking, the sampling logic and batch shape stay). */
+  def sampleFrames(
+      media: DataFrame, frameBytes: Int, stride: Int): Dataset[MediaFrames] = {
+    implicit val enc = Encoders.product[MediaFrames]
+    implicit val inEnc = Encoders.product[Media]
+    media.select(col("doc_id"), col("payload"), col("media_type")).as[Media]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val frames = m.payload.grouped(frameBytes).toArray
+          val sampled = frames.zipWithIndex.collect {
+            case (f, i) if i % stride == 0 => f
+          }
+          MediaFrames(m.doc_id, sampled.length, sampled)
+        }
+      }
+  }
+
   /** Decode/feature-extract stage: typed mapPartitions so a real
     * decoder could amortize per-partition init (model load, codec
     * context) across the rows of each batch. */

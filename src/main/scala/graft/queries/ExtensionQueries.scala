@@ -89,6 +89,11 @@ object ExtensionQueries {
     Multimodal.extractFeatures(Multimodal.toMedia(t(s, dir, "documents")))
       .toDF()
 
+  /** Char-4-gram Jaccard near-dup pairs, blocked by (lang, source). */
+  val q34NgramJaccard: Q = (s, dir) =>
+    NgramJaccard.nearDupPairs(t(s, dir, "documents"),
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.5)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -115,6 +120,7 @@ object ExtensionQueries {
     "q31_multimodal" -> q31Multimodal,
     "q32_multimodal_features" -> q32MultimodalFeatures,
     "q33_stream_hourly" -> q33StreamHourly,
+    "q34_ngram_jaccard" -> q34NgramJaccard,
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,5 +278,24 @@ object ExtensionQueries {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
                 round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q34_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, length(text) - 2),
+                         i -> substr(text, i, 4))) AS gram
+           FROM documents),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           FROM g a JOIN g b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""",
   )
 }

@@ -83,6 +83,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got.select("vec_id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("char n-gram jaccard finds the near-identical pair within its block") {
+    val pairs = NgramJaccard.nearDupPairs(docs,
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // docs 1/2 share block (en, s1) and differ by one word; 3 is unrelated
+    assert(pairs == Set((1L, 2L)))
+    // prefix-filtered variant returns the identical result
+    val prefixPairs = NgramJaccard.nearDupPairsPrefix(docs,
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(prefixPairs == pairs)
+  }
+
+  test("frame sampling: fixed-size chunks, every stride-th kept") {
+    val media = Multimodal.toMedia(docs.filter(col("doc_id") === 4)) // "ab"
+    val one = Multimodal.sampleFrames(media, frameBytes = 1, stride = 2)
+      .collect().head
+    assert(one.n_frames == 1) // frames [a],[b] → indices 0,1 → keep 0
+    assert(new String(one.frames(0), "UTF-8") == "a")
+  }
+
   test("multimodal: metadata + deterministic stub features") {
     val media = Multimodal.toMedia(docs)
     val m = media.filter(col("doc_id") === 4).select("meta.n_bytes").head

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductExpr, HtmlUnescapeExpr}
+import graft.functions.{DotProductExpr, HtmlUnescapeExpr, RollingHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - polynomial content fingerprint"),
+      (args: Seq[Expression]) => RollingHashExpr(args.head)))
   }
 }
 
@@ -39,5 +43,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => HtmlUnescapeExpr(args.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      (args: Seq[Expression]) => RollingHashExpr(args.head), "built-in")
   }
 }

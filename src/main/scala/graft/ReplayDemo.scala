@@ -29,8 +29,10 @@ object ReplayDemo {
     GraftExtensions.register(spark)
     val ext = spark.sql(
       """SELECT html_unescape('&quot;ok&quot;') AS u,
-                vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""").head()
-    println(s"[demo] sql functions: html_unescape→${ext.getString(0)} vec_dot→${ext.getDouble(1)}")
+                vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                rolling_hash('abc') AS rh""").head()
+    println(s"[demo] sql functions: html_unescape→${ext.getString(0)} " +
+      s"vec_dot→${ext.getDouble(1)} rolling_hash→${ext.getLong(2)}")
     val store = new TableStore(spark, storeDir)
     val pipeline = new ReplayPipeline(spark, store)
 

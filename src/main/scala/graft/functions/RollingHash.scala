@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash (Rabin-Karp family) of a string column —
+  * the document-fingerprinting primitive the training-data pipeline
+  * uses for cheap order-sensitive content hashes (distinct from md5:
+  * composable over windows, and a native primitive loop rather than a
+  * digest).
+  *
+  * h = Σ bᵢ·B^(n−1−i) mod M with B = 257 and M = 2³¹−1 (Mersenne
+  * prime; h < 2³¹ keeps every intermediate product inside 64-bit, no
+  * overflow handling needed). Implemented as a Catalyst expression:
+  * ANSI-mode Spark would reject the deliberate wrap-free modular
+  * arithmetic in SQL, and a native loop beats an interpreted HOF chain.
+  */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  private final val M = (1L << 31) - 1
+  private final val B = 257L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * B + (bytes(i) & 0xffL)) % M
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(c)))
+}

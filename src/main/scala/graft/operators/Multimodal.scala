@@ -67,6 +67,20 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: crop-or-pad the payload to exactly `targetBytes`
+    * (zero-padded) — the deterministic stand-in for an image resize;
+    * output shape is fixed the way a real resize fixes pixel dims. */
+  def resize(media: DataFrame, targetBytes: Int): Dataset[Media] = {
+    implicit val enc = Encoders.product[Media]
+    media.select(col("doc_id"), col("payload"), col("media_type")).as[Media]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val out = java.util.Arrays.copyOf(m.payload, targetBytes)
+          m.copy(payload = out)
+        }
+      }
+  }
+
   /** Decode/feature-extract stage: typed mapPartitions so a real
     * decoder could amortize per-partition init (model load, codec
     * context) across the rows of each batch. */

@@ -7,9 +7,12 @@ class ExtensionsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT html_unescape('a &quot;b&quot; &amp; c') AS u,
-                vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d""")
+                vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+                rolling_hash('abc') AS rh""")
       .head()
     assert(r.getString(0) == "a \"b\" & c")
     assert(r.getDouble(1) == 32.0)
+    // 'a'·257² + 'b'·257 + 'c' = 97·66049 + 98·257 + 99
+    assert(r.getLong(2) == 97L * 66049 + 98L * 257 + 99)
   }
 }

@@ -104,6 +104,26 @@ class OperatorsSpec extends SparkSpec {
     assert(new String(one.frames(0), "UTF-8") == "a")
   }
 
+  test("rolling hash: deterministic, composable over concatenation") {
+    import graft.functions.RollingHash.rolling_hash
+    val M = (1L << 31) - 1
+    val hashes = Seq(("abc"), ("abc"), ("abd"), ("ab"), ("c"))
+      .toDF("t").select(rolling_hash(col("t"))).as[Long].collect()
+    assert(hashes(0) == hashes(1)) // deterministic
+    assert(hashes(0) != hashes(2)) // content-sensitive
+    // composition: h("abc") = (h("ab")·B^1 + h("c")) mod M — the rolling
+    // property that lets windows slide in O(1)
+    assert(hashes(0) == (hashes(3) * 257 + hashes(4)) % M)
+  }
+
+  test("resize: payload cropped or zero-padded to target") {
+    val media = Multimodal.toMedia(docs.filter(col("doc_id") === 4)) // "ab"
+    val r4 = Multimodal.resize(media, 4).collect().head
+    assert(r4.payload.toSeq == Seq('a'.toByte, 'b'.toByte, 0.toByte, 0.toByte))
+    val r1 = Multimodal.resize(media, 1).collect().head
+    assert(r1.payload.toSeq == Seq('a'.toByte))
+  }
+
   test("multimodal: metadata + deterministic stub features") {
     val media = Multimodal.toMedia(docs)
     val m = media.filter(col("doc_id") === 4).select("meta.n_bytes").head

@@ -19,6 +19,16 @@ object ReplayHtml {
     * (main.py:67 `.replace('\t','').replace('\n','')`). */
   def normalize(html: Column): Column = regexp_replace(html, "[\\t\\n]", "")
 
+  /** P8: error-page detection — the reference's is_404 treats a page
+    * whose title is the stats site's error title as missing
+    * (main.py:34-44; the HTTP-status branch is transport-side). */
+  def isErrorPage(html: Column): Column =
+    html.contains("<title>Ошибка / WOG Stats</title>")
+
+  /** Drop error pages before field extraction. */
+  def validPages(raw: DataFrame): DataFrame =
+    raw.filter(!isErrorPage(col("html")))
+
   /** Commander of one faction; the reference interpolates the scraped
     * faction name into the pattern (main.py:74-75). The stored key set
     * is fixed to EAST/WEST/GUER/CIV with 'None' for absent factions

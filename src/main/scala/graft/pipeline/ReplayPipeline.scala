@@ -49,8 +49,11 @@ class ReplayPipeline(spark: SparkSession, store: TableStore) {
   def ingest(replay: Int, html: String, json: String): Boolean = {
     if (store.replayExists(replay)) return false
     import spark.implicits._
-    val htmlDf = ReplayHtml.parse(
+    val pages = ReplayHtml.validPages(
       Seq((replay, html)).toDF("replay_number", "html"))
+    // is_404 gate (main.py:34-44): error pages never reach the loaders
+    if (pages.isEmpty) return false
+    val htmlDf = ReplayHtml.parse(pages)
     val parsed = ReplayJson.parsed(
       Seq((replay, json)).toDF("replay_number", "json"))
 

@@ -41,6 +41,15 @@ class ReplayIngestSpec extends SparkSpec {
     assert(row.getSeq[String](row.fieldIndex("factions")) == Seq("EAST", "WEST"))
   }
 
+  test("error pages are detected and dropped before extraction") {
+    val pages = Seq(
+      (1, "<html><title>Ошибка / WOG Stats</title></html>"),
+      (2, SparkSpec.resource("replay.html"))).toDF("replay_number", "html")
+    val valid = ReplayHtml.validPages(pages)
+    assert(valid.count() == 1)
+    assert(valid.select("replay_number").collect()(0).getInt(0) == 2)
+  }
+
   test("listing parse yields (id, players) pairs in page order") {
     val listing = Seq(SparkSpec.resource("listing.html")).toDF("html")
     val got = rowList(ReplayHtml.parseListing(listing).orderBy("pos")

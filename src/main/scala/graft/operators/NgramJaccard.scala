@@ -57,6 +57,39 @@ object NgramJaccard {
     jaccardOf(inter, sizes, threshold)
   }
 
+  /** Same result via per-document sorted gram-hash arrays: each doc
+    * carries array_sort(array_distinct(xxhash64(gram))) and pairs are
+    * compared map-side with a native merge-scan intersection
+    * ([[graft.functions.SortedIntersectCountExpr]]) under a broadcast
+    * of the block-keyed corpus — NO (doc, gram) explosion and no
+    * quadratic shuffle. Hash collisions (~2⁻⁶⁴ per gram pair) are the
+    * only divergence from exact Jaccard. At corpus scale the broadcast
+    * becomes a block-bucketed self-join; the kernel is unchanged. */
+  def nearDupPairsHashed(
+      docs: DataFrame,
+      blockCols: Seq[String],
+      n: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.SortedIntersect.sorted_intersect_count
+    val hashes = graft.functions.NgramHashes.ngram_hashes(col("text"), n)
+    val e = docs.select(
+      (col("doc_id") +: blockCols.map(col)) :+ hashes.as("gh"): _*)
+      .withColumn("ng", size(col("gh")).cast("bigint"))
+    val a = e.select(
+      (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
+        col("gh").as("ga") :+ col("ng").as("na"): _*)
+    val b = e.select(
+      (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
+        col("gh").as("gb") :+ col("ng").as("nb"): _*)
+    a.join(broadcast(b), blockCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Same result via AllPairs-style prefix filtering: under a common
     * rare-gram-first total order, any pair with Jaccard ≥ t shares a
     * gram inside both docs' first (|g| − ⌈t·|g|⌉ + 1) grams, so only

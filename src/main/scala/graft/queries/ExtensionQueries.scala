@@ -89,9 +89,12 @@ object ExtensionQueries {
     Multimodal.extractFeatures(Multimodal.toMedia(t(s, dir, "documents")))
       .toDF()
 
-  /** Char-4-gram Jaccard near-dup pairs, blocked by (lang, source). */
+  /** Char-4-gram Jaccard near-dup pairs, blocked by (lang, source) —
+    * sorted gram-hash arrays + native merge-scan intersection (the
+    * fastest of the three equivalent NgramJaccard strategies; the
+    * DuckDB oracle stays brute-force on actual grams). */
   val q34NgramJaccard: Q = (s, dir) =>
-    NgramJaccard.nearDupPairs(t(s, dir, "documents"),
+    NgramJaccard.nearDupPairsHashed(t(s, dir, "documents"),
       blockCols = Seq("lang", "source"), n = 4, threshold = 0.5)
 
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent

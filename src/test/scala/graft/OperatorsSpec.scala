@@ -89,11 +89,15 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     // docs 1/2 share block (en, s1) and differ by one word; 3 is unrelated
     assert(pairs == Set((1L, 2L)))
-    // prefix-filtered variant returns the identical result
+    // prefix-filtered and hashed-kernel variants return identical results
     val prefixPairs = NgramJaccard.nearDupPairsPrefix(docs,
       blockCols = Seq("lang", "source"), n = 4, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(prefixPairs == pairs)
+    val hashedPairs = NgramJaccard.nearDupPairsHashed(docs,
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(hashedPairs == pairs)
   }
 
   test("frame sampling: fixed-size chunks, every stride-th kept") {

@@ -37,11 +37,13 @@ object MinHashLsh {
           (0 until k).map(o => element_at(toks, (i + lit(o)).cast("int"))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, sh) exploded shingle rows for a documents frame. */
+  /** (doc_id, sh) exploded shingle rows for a documents frame — native
+    * one-pass shingling (graft.functions.WordShinglesExpr); output is
+    * byte-identical to the builtin [[shinglesFromTokens]] spelling, so
+    * every md5-based oracle downstream is unchanged. */
   private def shingleRows(docs: DataFrame, k: Int = 3): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("graft_toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("graft_toks"), k)).as("sh"))
+    docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles.word_shingles(col("text"), k)).as("sh"))
 
   /** Back-compat convenience used by specs: shingles of a text column. */
   def shingles(text: Column, k: Int = 3): Column = {

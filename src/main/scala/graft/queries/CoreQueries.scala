@@ -250,6 +250,17 @@ object CoreQueries {
         coalesce(element_at(labels, col("n_name")), col("n_name")).as("label"))
   }
 
+  /** F18: timezone shift + interval-window predicate (ref
+    * bot/botrun.py:35-42 Moscow UTC+3 display, :256-262 "within last
+    * 8 h" check) — expressed on the events stream: shift to Moscow
+    * wall-clock and keep only events in the trailing 8 h window. */
+  val q19TzShift: Q = (s, dir) => {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql("""SELECT event_id, ts, ts + INTERVAL 3 HOURS AS moscow_ts, event_type
+             FROM events
+             WHERE ts > (SELECT max(ts) - INTERVAL 8 HOURS FROM events)""")
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_agg" -> q01Agg,
     "q02_topk_rank" -> q02TopkRank,
@@ -269,6 +280,7 @@ object CoreQueries {
     "q16_regex_extract" -> q16RegexExtract,
     "q17_group_collect" -> q17GroupCollect,
     "q18_map_decode" -> q18MapDecode,
+    "q19_tz_shift" -> q19TzShift,
   )
 
   val oracles: Map[String, String] = Map(
@@ -370,5 +382,9 @@ object CoreQueries {
                      WHEN n_name = 'BRAZIL' THEN 'BR'
                      ELSE n_name END AS label
          FROM nation""",
+    "q19_tz_shift" ->
+      """SELECT event_id, ts, ts + INTERVAL 3 HOUR AS moscow_ts, event_type
+         FROM events
+         WHERE ts > (SELECT max(ts) - INTERVAL 8 HOUR FROM events)""",
   )
 }

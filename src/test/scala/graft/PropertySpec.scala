@@ -4,7 +4,7 @@ import graft.ingest.ReplayJson
 import graft.operators.MinHashLsh
 import graft.store.TableStore
 import java.nio.file.Files
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, split}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -69,6 +69,21 @@ class PropertySpec extends SparkSpec {
       val got = Seq(escaped).toDF("x")
         .select(html_unescape(col("x"))).as[String].head()
       assert(got == s)
+    }
+  }
+
+  test("native word_shingles equals the builtin transform spelling") {
+    import graft.functions.WordShingles.word_shingles
+    val texts = samples(Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))), 20) ++
+      Seq("", "a", "a b", "a  b c", "ab cd ef gh")
+    for (t <- texts) {
+      val df = Seq(t).toDF("text")
+      val native = df.select(word_shingles(col("text"), 3)).as[Seq[String]].head()
+      val builtin = df.select(
+        MinHashLsh.shinglesFromTokens(split(col("text"), " "), 3))
+        .as[Seq[String]].head()
+      assert(native == builtin, s"for text '$t'")
     }
   }
 

@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All `numHashes` MinHash signature values of a document in ONE eval:
+  * for each k-word shingle and seed j, digest `"j:" + shingle` and keep
+  * the per-seed minimum.
+  *
+  * Exactly the same hash family as the exploded spelling
+  * (`min(md5(concat_ws(':', seed, shingle)))` per (doc, seed) group),
+  * so the DuckDB oracles are unchanged — but with no (doc × shingle ×
+  * seed) row explosion and no aggregation shuffle: the minimum is a
+  * running compare over digest BYTES (hex encoding is order-preserving,
+  * so byte-min == hex-string-min), hex-encoded once at the end. The
+  * MessageDigest is reused across rows via a thread-local.
+  */
+case class MinHashSigsExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  private val seedPrefixes: Array[Array[Byte]] =
+    (0 until numHashes).map(j => s"$j:".getBytes(StandardCharsets.UTF_8)).toArray
+
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // word-start offsets, identical to WordShinglesExpr
+    val starts = {
+      val b = List.newBuilder[Int]; b += 0
+      var i = 0
+      while (i < bytes.length) { if (bytes(i) == ' '.toByte) b += i + 1; i += 1 }
+      b.result().toArray
+    }
+    val nWords = starts.length
+    if (nWords < k) return new GenericArrayData(Array.empty[Any])
+    val mins = new Array[Array[Byte]](numHashes)
+    val digest = md5Local.get()
+    var w = 0
+    while (w <= nWords - k) {
+      val from = starts(w)
+      val until = if (w + k < nWords) starts(w + k) - 1 else bytes.length
+      var j = 0
+      while (j < numHashes) {
+        digest.reset()
+        digest.update(seedPrefixes(j))
+        digest.update(bytes, from, until - from)
+        val d = digest.digest()
+        if (mins(j) == null || lessThan(d, mins(j))) mins(j) = d
+        j += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins.map(hex): Array[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sigs"
+}
+
+object MinHashSigs {
+  def minhash_sigs(c: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigsExpr(ColumnBridge.expression(c), k, numHashes))
+}

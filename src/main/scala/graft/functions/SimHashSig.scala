@@ -1,0 +1,67 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 32-bit frequency-weighted token SimHash in one eval per document.
+  *
+  * Same math as the exploded spelling (bit j = low bit of hex digit j
+  * of md5(token), score_j = Σ ±1 over token occurrences, fingerprint =
+  * Σ (score_j>0)·2^j — see operators.SimHash and the q27 oracle), but
+  * tokenization, hashing and all 32 accumulators run in a single pass
+  * with a reused MessageDigest: no (doc, token) explosion, no shuffle.
+  */
+case class SimHashSigExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val scores = new Array[Int](32)
+    val digest = md5Local.get()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        // token = bytes[start, i) — empty tokens included, matching
+        // split/string_split semantics on doubled spaces
+        digest.reset()
+        digest.update(bytes, start, i - start)
+        val d = digest.digest()
+        var j = 0
+        while (j < 32) {
+          val nibble =
+            if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+          if ((nibble & 1) == 1) scores(j) += 1 else scores(j) -= 1
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (scores(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_sig"
+}
+
+object SimHashSig {
+  def simhash_sig(c: Column): Column =
+    ColumnBridge.column(SimHashSigExpr(ColumnBridge.expression(c)))
+}

@@ -51,23 +51,18 @@ object MinHashLsh {
     shinglesFromTokens(toks, k)
   }
 
-  /** (doc_id, seed, minhash) signatures, numHashes rows per doc.
+  /** (doc_id, seed, minhash) signatures, numHashes rows per doc (docs
+    * with fewer than k words yield none).
     *
-    * The shingle set is exploded ONCE and all seeds are aggregated as
-    * parallel min columns in the same partial-agg pass (then unpivoted)
-    * — an 8× row reduction versus exploding per seed, which dominates
-    * at corpus scale. */
-  def signatures(docs: DataFrame, numHashes: Int = 8): DataFrame = {
-    val mins = (0 until numHashes).map(j =>
-      min(md5(concat_ws(":", lit(j.toString), col("sh")))).as(s"m$j"))
-    val stackArgs = (0 until numHashes)
-      .map(j => s"$j, m$j").mkString(", ")
-    shingleRows(docs)
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .selectExpr("doc_id",
-        s"stack($numHashes, $stackArgs) AS (seed, minhash)")
-  }
+    * All seed-minima are computed in ONE native eval per document
+    * (graft.functions.MinHashSigsExpr) — same md5("j:"+shingle) hash
+    * family as the exploded groupBy spelling, so oracles are unchanged,
+    * but with no (doc × shingle × seed) row explosion and no
+    * aggregation shuffle at all. */
+  def signatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.MinHashSigs.minhash_sigs(col("text"), 3, numHashes))
+        .as(Seq("seed", "minhash")))
 
   /** Band signatures: rows-per-band consecutive minhashes concatenated
     * and hashed → (doc_id, band, bucket). */
@@ -78,6 +73,24 @@ object MinHashLsh {
       .agg(md5(array_join(
         expr("transform(array_sort(collect_list(struct(seed, minhash))), s -> s.minhash)"),
         "|")).as("bucket"))
+
+  /** Band signatures straight from the documents — the signature array
+    * is sliced per band in the same projection, so the whole
+    * sign-and-band stage is shuffle-free (equivalent to
+    * bandBuckets(signatures(docs)), asserted by spec). */
+  def bandBucketsDirect(
+      docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val sigsArr = graft.functions.MinHashSigs.minhash_sigs(col("text"), 3, numHashes)
+    docs
+      .select(col("doc_id"), sigsArr.as("sigs"))
+      .filter(size(col("sigs")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          md5(array_join(slice(col("sigs"), (b * rowsPerBand + 1).cast("int"),
+            lit(rowsPerBand)), "|")))).as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("band").cast("bigint").as("band"), col("bucket"))
+  }
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
     * Buckets larger than maxBucketSize are dropped before the self-join
@@ -133,7 +146,7 @@ object MinHashLsh {
       rowsPerBand: Int = 2,
       threshold: Double = 0.2): DataFrame = {
     val pairs = candidatePairs(
-      bandBuckets(signatures(docs, numHashes), rowsPerBand)).persist()
+      bandBucketsDirect(docs, numHashes, rowsPerBand)).persist()
     pairs.count() // materialize before the multi-reference verify plan
     jaccardVerify(docs, pairs)
       .filter(col("jaccard") >= threshold)

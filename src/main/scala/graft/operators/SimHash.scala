@@ -20,14 +20,15 @@ object SimHash {
 
   private val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
-  /** (doc_id, simhash bigint) per document.
-    *
-    * One explode to (doc, token), the token hashed once (`md5` lifted to
-    * a column so subexpression elimination shares it across all 32 bit
-    * positions), 32 ±1 sums aggregated in a single partial-agg pass,
-    * and the fingerprint assembled in one projection — no 32× row
-    * blowup and a single shuffle on doc_id. */
-  def fingerprints(docs: DataFrame): DataFrame = {
+  /** (doc_id, simhash bigint) per document — one native eval per row
+    * (graft.functions.SimHashSigExpr), no explode, no shuffle. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashSig.simhash_sig(col("text")).as("simhash"))
+
+  /** The exploded+aggregated spelling kept as the equivalence reference
+    * for the native expression (asserted in PropertySpec). */
+  private[graft] def fingerprintsExploded(docs: DataFrame): DataFrame = {
     val scores = (0 until 32).map(j =>
       sum(when(substring(col("h"), j + 1, 1).isin(oddHex: _*), lit(1))
         .otherwise(lit(-1))).as(s"s$j"))

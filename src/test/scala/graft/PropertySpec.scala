@@ -87,6 +87,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native minhash_sigs equals the exploded groupBy spelling; direct bands match") {
+    import org.apache.spark.sql.functions._
+    val docsGen = Gen.listOfN(3, Gen.chooseNum(3, 15).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+    for ((texts, idx) <- samples(docsGen, 6).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = MinHashLsh.signatures(docs)
+        .as[(Long, Int, String)].collect().toSet
+      // reference spelling: explode shingles, min(md5(seed:sh)) per group
+      val builtin = docs
+        .select(col("doc_id"), explode(MinHashLsh.shingles(col("text"))).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(7))).as("seed"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat_ws(":", col("seed").cast("string"), col("sh"))))
+          .as("minhash"))
+        .as[(Long, Int, String)].collect().toSet
+      assert(native == builtin, s"case $idx")
+      val direct = MinHashLsh.bandBucketsDirect(docs)
+        .as[(Long, Long, String)].collect().toSet
+      val viaSigs = MinHashLsh.bandBuckets(MinHashLsh.signatures(docs))
+        .as[(Long, Long, String)].collect().toSet
+      assert(direct == viaSigs, s"bands case $idx")
+    }
+  }
+
+  test("native simhash equals the exploded groupBy spelling") {
+    import graft.operators.SimHash
+    val docsGen = Gen.listOfN(4, Gen.chooseNum(1, 15).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+    for (texts <- samples(docsGen, 5)) {
+      val docs = (texts :+ "a  b") // doubled space edge case
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = SimHash.fingerprints(docs).as[(Long, Long)].collect().toMap
+      val exploded = SimHash.fingerprintsExploded(docs)
+        .as[(Long, Long)].collect().toMap
+      assert(native == exploded)
+    }
+  }
+
   test("minhash: identical docs get identical signatures; jaccard is 1") {
     for (words <- samples(Gen.listOfN(10, word), 4)) {
       val text = words.mkString(" ")

@@ -51,7 +51,10 @@ object ReplayDemo {
         println(s"[demo] after markPosted: nextUnposted=${pipeline.nextUnposted()}")
         println(textData)
         println("[demo] rendered message:")
-        println(graft.message.Renderer.createText(textData))
+        val rendered = graft.message.Renderer.createText(textData)
+        // bot parity: persist the rendered text (botrun.py:163-167)
+        store.setMessageText(n, rendered)
+        println(rendered)
         val embeds = graft.message.Renderer.createEmbeds(textData)
         println(s"[demo] embeds: ${embeds.map(e => s"'${e.title}'(${e.fields.size} fields)").mkString(", ")}")
       case None => println("[demo] no unposted message")

@@ -26,7 +26,10 @@ case class NgramHashesExpr(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val len = s.length
+    // code points, not UTF-16 units — `substr`/DuckDB count characters,
+    // so supplementary-plane text (emoji) must shingle identically here
+    val cps = s.codePoints().toArray
+    val len = cps.length
     if (len < n) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](len - n + 1)
     var i = 0
@@ -34,7 +37,7 @@ case class NgramHashesExpr(child: Expression, n: Int)
       var h = 0xcbf29ce484222325L // FNV-1a 64
       var j = 0
       while (j < n) {
-        h ^= s.charAt(i + j).toLong
+        h ^= cps(i + j).toLong
         h *= 0x100000001b3L
         j += 1
       }

@@ -56,8 +56,10 @@ object MessageBuilder {
         "survivors" -> rowsAsJsonArray(RQ.fsSurvivors(t, replay)),
         "survivors_group" -> rowsAsJsonArray(RQ.fsSurvivorsGroup(t, replay)))
       val extras = parts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      // replay_number is NOT re-appended: the base row already carries it,
+      // and the reference's dict re-assignment keeps the single key
       val baseJson = base(0).getString(0)
-      baseJson.dropRight(1) + "," + extras + s""","replay_number":$replay}"""
+      baseJson.dropRight(1) + "," + extras + "}"
     } finally fragsSlice.unpersist()
   }
 

@@ -38,7 +38,10 @@ object Renderer {
     else tks.map(e => s"${s(e, "nickname")} **${e.get("count").asLong()}**").mkString("\n")
 
   /** Kill sentence with the known/unknown-killer and weapon branches
-    * (sk, bot/botrun.py:112-128). */
+    * (sk, bot/botrun.py:112-128). Throws on an empty frag list — the
+    * reference has the identical defect (`k_data[0]` IndexError on a
+    * zero-frag replay), kept as parity; guard upstream if rendering
+    * replays that may have no frags. */
   def sk(k: Seq[JsonNode]): String = {
     val e = k.head
     val gun = s(e, "gun")

@@ -80,7 +80,9 @@ object MinHashLsh {
     * bandBuckets(signatures(docs)), asserted by spec). */
   def bandBucketsDirect(
       docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = numHashes / rowsPerBand
+    // ceil: a trailing partial band still pairs docs, matching
+    // bandBuckets' floor(seed/r) grouping (slice tolerates short tails)
+    val bands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val sigsArr = graft.functions.MinHashSigs.minhash_sigs(col("text"), 3, numHashes)
     docs
       .select(col("doc_id"), sigsArr.as("sigs"))
@@ -139,7 +141,10 @@ object MinHashLsh {
     * dimension-sized (LSH already pruned the corpus) but its subtree is
     * the whole signature pipeline, and the verify step references it
     * three times — without the persist Spark re-runs signing per
-    * reference. */
+    * reference. The cached frame is deliberately NOT unpersisted (the
+    * returned plan still references it; unpersisting would force a
+    * recompute per reference) — callers running dedup repeatedly in one
+    * session should `spark.catalog.clearCache()` between corpora. */
   def nearDuplicates(
       docs: DataFrame,
       numHashes: Int = 8,

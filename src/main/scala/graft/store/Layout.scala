@@ -39,6 +39,12 @@ object Layout {
       key: String,
       salts: Int,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit the small side's unmatched copies once
+    // per salt — silently wrong, so refuse them
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedEquiJoin does not support joinType=$joinType: the replicated " +
+        "small side would duplicate its unmatched rows")
     val saltedBig = big.withColumn(
       "graft_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val saltedSmall = small.withColumn(

@@ -98,6 +98,14 @@ class TableStore(spark: SparkSession, root: String) {
     replace("d_players", merged)
   }
 
+  /** K5 (text variant): `UPDATE messages SET message = … WHERE
+    * replay_number = n` — the bot persists the rendered text before
+    * posting (bot/botrun.py:163-167). */
+  def setMessageText(replay: Int, text: String): Unit =
+    replace("messages", read("messages")
+      .withColumn("message",
+        when(col("replay_number") === replay, lit(text)).otherwise(col("message"))))
+
   /** K5: `UPDATE messages SET posted = TRUE WHERE replay_number = n`
     * (bot/botrun.py:308-309). */
   def markPosted(replay: Int): Unit =

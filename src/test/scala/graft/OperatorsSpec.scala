@@ -14,7 +14,9 @@ class OperatorsSpec extends SparkSpec {
     (1L, "the quick brown fox jumps over the lazy dog", "en", "s1", 43L),
     (2L, "the quick brown fox jumps over the lazy cat", "en", "s1", 43L),
     (3L, "completely different words entirely here now", "en", "s2", 44L),
-    (4L, "ab", "en", "s2", 2L)) // fewer than 3 words → no shingles
+    (4L, "ab", "en", "s2", 2L), // fewer than 3 words → no shingles
+    // supplementary-plane chars: n-gram kernels must count code points
+    (5L, "emoji text 😀😁 here today fine", "en", "s3", 30L))
     .toDF("doc_id", "text", "lang", "source", "n_chars")
 
   test("shingles: 3-word windows; short docs yield empty") {

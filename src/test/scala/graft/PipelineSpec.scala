@@ -52,6 +52,13 @@ class PipelineSpec extends SparkSpec {
     assert(textData.contains(""""survivors":[{"id_from_json":1,"nickname":"Alpha","side":1}]"""))
     // null fields stay present, like the reference's json.dumps
     assert(textData.contains(""""lh":[{"time":"22:16:40","killer":null"""))
+    // exactly ONE replay_number key (the base row's; none re-appended)
+    assert("\"replay_number\"".r.findAllIn(textData).size == 1)
+    // rendered text persists into messages.message (K5 text variant)
+    store.setMessageText(500, "rendered-text")
+    assert(store.read("messages")
+      .filter(org.apache.spark.sql.functions.col("replay_number") === 500)
+      .collect()(0).getString(1) == "rendered-text")
     // posted flag flip ends delivery (K5 + P4 null-safe filter)
     store.markPosted(500)
     assert(p.nextUnposted().isEmpty)

@@ -111,6 +111,12 @@ class PropertySpec extends SparkSpec {
       val viaSigs = MinHashLsh.bandBuckets(MinHashLsh.signatures(docs))
         .as[(Long, Long, String)].collect().toSet
       assert(direct == viaSigs, s"bands case $idx")
+      // non-dividing rowsPerBand: the trailing partial band must survive
+      val direct3 = MinHashLsh.bandBucketsDirect(docs, 8, 3)
+        .as[(Long, Long, String)].collect().toSet
+      val viaSigs3 = MinHashLsh.bandBuckets(MinHashLsh.signatures(docs), 3)
+        .as[(Long, Long, String)].collect().toSet
+      assert(direct3 == viaSigs3, s"partial-band case $idx")
     }
   }
 

@@ -153,7 +153,29 @@ object MinHashLsh {
     val pairs = candidatePairs(
       bandBucketsDirect(docs, numHashes, rowsPerBand)).persist()
     pairs.count() // materialize before the multi-reference verify plan
-    jaccardVerify(docs, pairs)
+    // verify via per-doc sorted shingle-hash arrays + the native
+    // merge-scan intersection: two joins against dimension-sized frames
+    // instead of three shuffled joins over exploded shingle rows.
+    // Hash collisions (~2⁻⁶⁴/pair) are the only divergence from
+    // jaccardVerify's exact string sets.
+    import graft.functions.SortedIntersect.sorted_intersect_count
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val hashed = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          transform(graft.functions.WordShingles.word_shingles(col("text"), 3),
+            sh => xxhash64(sh)))).as("gh"))
+      .withColumn("n", size(col("gh")).cast("bigint"))
+    val withJaccard = pairs
+      .join(hashed.select(col("doc_id").as("doc_a"),
+        col("gh").as("ga"), col("n").as("na")), Seq("doc_a"))
+      .join(hashed.select(col("doc_id").as("doc_b"),
+        col("gh").as("gb"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+    withJaccard
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

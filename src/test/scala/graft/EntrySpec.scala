@@ -1,0 +1,26 @@
+package graft
+
+/** The driver contract itself: entry() smoke (t1 gate), query/oracle
+  * key alignment, and name hygiene.
+  */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; rows-only queries are the known set") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    assert(qs -- os == Set("q32_multimodal_features"),
+      s"unexpected rows-only queries: ${qs -- os}")
+  }
+
+  test("all queries run non-empty at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (_, fn) =>
+      fn(spark, "/root/testdata/sf0.001").isEmpty
+    }.map(_._1)
+    assert(empty.isEmpty, s"queries with empty results: $empty")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Element-wise sum of `array<double>` vectors as a real aggregate.
+  *
+  * Replaces the posexplode spelling of a centroid computation (64×
+  * row blowup + two shuffles — one per groupBy level) with a single
+  * partial-aggregated groupBy: each task folds its rows into one
+  * 64-double buffer, and only the per-(group × task) buffers shuffle.
+  * At 100 TB that is the difference between shuffling the corpus and
+  * shuffling |labels| × |tasks| small arrays.
+  *
+  * Buffer is mutated in place (the Aggregator contract allows it);
+  * `zero` is the empty array so the first vector fixes the dimension —
+  * no dim parameter, ragged inputs fold at the shorter length.
+  */
+object VectorSumAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+  override def zero: Array[Double] = Array.emptyDoubleArray
+
+  override def reduce(buf: Array[Double], v: Seq[Double]): Array[Double] =
+    if (v == null) buf
+    else if (buf.isEmpty) v.toArray
+    else {
+      val n = math.min(buf.length, v.length)
+      var i = 0
+      while (i < n) { buf(i) += v(i); i += 1 }
+      buf
+    }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def finish(r: Array[Double]): Seq[Double] = r.toSeq
+
+  override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}
+
+object VectorAgg {
+  private val vecSumUdaf = udaf(VectorSumAgg, ExpressionEncoder[Seq[Double]]())
+
+  /** Σ over rows of an array<double> column, element-wise. */
+  def vec_sum(v: Column): Column = vecSumUdaf(v)
+}

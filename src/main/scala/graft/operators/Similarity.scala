@@ -61,22 +61,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Per-cluster mean vectors: (label, centroid array<double>). */
+  /** Per-cluster mean vectors: (label, centroid array<double>).
+    * One partial-aggregated groupBy — the vectors are summed
+    * element-wise by [[graft.functions.VectorAgg.vec_sum]] (no
+    * posexplode row blowup, no second shuffle). At corpus scale this is
+    * the index-build step: run it ONCE, persist the (tiny) result, and
+    * pass it to [[ivfTopK]] — never recompute it per query. */
   def centroids(corpus: DataFrame): DataFrame =
     corpus
-      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
+      .select(col("label"), asDouble(col("embedding")).as("v"))
       .groupBy(col("label"))
-      .agg(collect_list(struct(col("pos"), col("cx"))).as("pc"))
+      .agg(graft.functions.VectorAgg.vec_sum(col("v")).as("vsum"),
+        count(col("v")).as("n"))
       .select(col("label"),
-        expr("transform(array_sort(pc), s -> s.cx)").as("centroid"))
+        transform(col("vsum"), x => x / col("n")).as("centroid"))
 
-  /** IVF search: route each query to its nearest centroid (nprobe=1),
-    * then exact top-k within that cluster only.
-    * Output: (q_id, probe_label, vec_id, sim, rank). */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
-    val cent = centroids(corpus)
+  /** Convenience overload: builds the centroid table inline. Use the
+    * explicit-centroids overload when issuing repeated queries — the
+    * index must not be rebuilt per call. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    ivfTopK(queries, corpus, centroids(corpus), k)
+
+  /** IVF search against a precomputed centroid table: route each query
+    * to its `nprobe` nearest centroids, then exact top-k within those
+    * clusters only. Output: (q_id, probe_label, vec_id, sim, rank). */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cent: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
     val q = withUnit(
       queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
       "qv", "qn")
@@ -86,7 +100,7 @@ object Similarity {
       .select(col("q_id"), col("qn"), col("label"),
         round(cosine(col("qn"), col("centroid")), 6).as("csim"))
       .withColumn("prn", row_number().over(probeW))
-      .filter(col("prn") === 1)
+      .filter(col("prn") <= nprobe)
       .select(col("q_id"), col("qn"), col("label").as("probe_label"))
     val c = withUnit(
       corpus.select(col("label").as("probe_label"), col("vec_id"),

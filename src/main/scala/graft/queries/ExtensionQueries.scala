@@ -65,10 +65,21 @@ object ExtensionQueries {
     Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
   }
 
-  /** IVF-routed ANN: nearest centroid, search that cluster only. */
+  /** IVF-routed ANN: nearest centroid, search that cluster only. The
+    * centroid table is built once and passed in (the index-build /
+    * query split a real deployment needs). */
   val q30AnnIvf: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
+      Similarity.centroids(e), k = 10, nprobe = 1)
+  }
+
+  /** IVF with nprobe=2: the recall knob — search the two nearest
+    * clusters per query instead of one. */
+  val q30bAnnIvfNprobe2: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
+      Similarity.centroids(e), k = 10, nprobe = 2)
   }
 
   /** Multimodal media wrap: binary payload + typed metadata. The
@@ -84,10 +95,20 @@ object ExtensionQueries {
         col("meta.source").as("source"))
 
   /** Stub decode / feature extraction (typed mapPartitions, deterministic
-    * fake decoder) — not SQL-expressible, rows-only check. */
+    * fake decoder). The `features` array is projected to basis-point
+    * bigint scalars (same trick as q21's ratios) so the driver compare
+    * sorts scalars, not ndarrays; the typed `Dataset[MediaFeatures]`
+    * path stays exercised in OperatorsSpec. */
   val q32MultimodalFeatures: Q = (s, dir) =>
     Multimodal.extractFeatures(Multimodal.toMedia(t(s, dir, "documents")))
       .toDF()
+      .select(
+        col("doc_id"),
+        col("feat_dim").cast("bigint").as("feat_dim"),
+        floor(element_at(col("features"), 1) * 10000).cast("bigint").as("f0_bp"),
+        floor(element_at(col("features"), 2) * 10000).cast("bigint").as("f1_bp"),
+        floor(element_at(col("features"), 3) * 10000).cast("bigint").as("f2_bp"),
+        floor(element_at(col("features"), 4) * 10000).cast("bigint").as("f3_bp"))
 
   /** Char-4-gram Jaccard near-dup pairs, blocked by (lang, source) —
     * sorted gram-hash arrays + native merge-scan intersection (the
@@ -120,6 +141,7 @@ object ExtensionQueries {
     "q28_embed_neardup" -> q28EmbedNeardup,
     "q29_ann_brute" -> q29AnnBrute,
     "q30_ann_ivf" -> q30AnnIvf,
+    "q30b_ann_ivf_nprobe2" -> q30bAnnIvfNprobe2,
     "q31_multimodal" -> q31Multimodal,
     "q32_multimodal_features" -> q32MultimodalFeatures,
     "q33_stream_hourly" -> q33StreamHourly,
@@ -271,12 +293,58 @@ object ExtensionQueries {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                      ORDER BY sim DESC, vec_id) AS rank FROM s)
          WHERE rank <= 10""",
+    "q30b_ann_ivf_nprobe2" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         probes AS (
+           SELECT q_id, qv, label AS probe_label FROM (
+             SELECT q.q_id, q.qv, c.label,
+                    ROW_NUMBER() OVER (PARTITION BY q.q_id
+                      ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+                               c.label) AS prn
+             FROM q, cent c)
+           WHERE prn <= 2),
+         s AS (SELECT p.q_id, p.probe_label, e.vec_id,
+                      round(list_cosine_similarity(p.qv, e.v), 6) AS sim
+               FROM probes p JOIN e ON e.label = p.probe_label)
+         SELECT q_id, probe_label, vec_id, sim, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, vec_id) AS rank FROM s)
+         WHERE rank <= 10""",
     "q31_multimodal" ->
       """SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS payload_hex,
                 'text/plain' AS media_type,
                 CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_hash, source
          FROM documents""",
+    // fakeDecode's 4-bucket byte histogram, replayed in SQL: bucket =
+    // byte/64 = the high hex nibble of each UTF-8 byte ('0'-'3' → b0,
+    // '4'-'7' → b1, '8'-'B' → b2, 'C'-'F' → b3), normalized by byte
+    // count. Division order matches the Scala (cnt/len then ×10⁴) so the
+    // doubles are bit-identical before floor.
+    "q32_multimodal_features" ->
+      """WITH b AS (
+           SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS h,
+                  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+           FROM documents),
+         nb AS (
+           SELECT doc_id, n,
+                  list_transform(range(1, CAST(n AS INT) + 1),
+                         i -> substr(h, CAST(2*i - 1 AS INT), 1)) AS hs
+           FROM b)
+         SELECT doc_id, CAST(4 AS BIGINT) AS feat_dim,
+                CAST(floor(CAST(len(list_filter(hs, c -> c >= '0' AND c <= '3')) AS DOUBLE) / n * 10000) AS BIGINT) AS f0_bp,
+                CAST(floor(CAST(len(list_filter(hs, c -> c >= '4' AND c <= '7')) AS DOUBLE) / n * 10000) AS BIGINT) AS f1_bp,
+                CAST(floor(CAST(len(list_filter(hs, c -> c >= '8' AND c <= 'B')) AS DOUBLE) / n * 10000) AS BIGINT) AS f2_bp,
+                CAST(floor(CAST(len(list_filter(hs, c -> c >= 'C' AND c <= 'F')) AS DOUBLE) / n * 10000) AS BIGINT) AS f3_bp
+         FROM nb""",
     "q33_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
                 round(sum(value), 2) AS sum_value

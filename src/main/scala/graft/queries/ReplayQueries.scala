@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's 8 analytic queries (queries.py:1-74) over the replay
@@ -38,13 +37,26 @@ object ReplayQueries {
       .agg(count(lit(1)).as("count"))
       .orderBy(col("type"), col("name"))
 
+  /** dense_rank without a window function: the single-partition
+    * `Window.orderBy` exchange is the scale bottleneck, so the top-5
+    * DISTINCT counts (TakeOrderedAndProject) become a broadcast
+    * (count → rank) map joined back onto the aggregate — identical
+    * ranks, fully parallel (same shape as CoreQueries.q02TopkRank). */
   private def leaderboard(t: ReplayTables, replay: Int, tk: Boolean): DataFrame = {
     val f = t.frags
       .filter(col("is_tk") === tk && col("replay_number") === replay)
-    f.join(broadcast(t.dPlayers), f("killer") === t.dPlayers("id_from_json"))
+    val agg = f.join(broadcast(t.dPlayers), f("killer") === t.dPlayers("id_from_json"))
       .groupBy(col("killer"), col("nickname"))
       .agg(count(col("killer")).as("count"))
-      .withColumn("rank", dense_rank().over(Window.orderBy(col("count").desc)))
+    val top = agg.select(col("count")).distinct()
+      .orderBy(col("count").desc).limit(5)
+    val ranked = top
+      .join(broadcast(top.select(col("count").as("cnt_ge"))),
+        col("count") <= col("cnt_ge"))
+      .groupBy(col("count"))
+      .agg(countDistinct(col("cnt_ge")).cast("int").as("rank"))
+    agg.join(broadcast(ranked), Seq("count"))
+      .select(col("killer"), col("nickname"), col("count"), col("rank"))
       .orderBy(col("rank"))
       .limit(5)
   }

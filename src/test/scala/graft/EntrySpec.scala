@@ -13,7 +13,7 @@ class EntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    assert(qs -- os == Set("q32_multimodal_features"),
+    assert(qs -- os == Set.empty[String],
       s"unexpected rows-only queries: ${qs -- os}")
   }
 

@@ -137,22 +137,23 @@ object MinHashLsh {
   }
 
   /** The full near-dup pipeline: candidates via LSH, exact Jaccard,
-    * thresholded. The candidate-pair frame is persisted: it is
-    * dimension-sized (LSH already pruned the corpus) but its subtree is
-    * the whole signature pipeline, and the verify step references it
-    * three times — without the persist Spark re-runs signing per
-    * reference. The cached frame is deliberately NOT unpersisted (the
-    * returned plan still references it; unpersisting would force a
-    * recompute per reference) — callers running dedup repeatedly in one
-    * session should `spark.catalog.clearCache()` between corpora. */
+    * thresholded. The candidate-pair frame is dimension-sized (LSH
+    * already pruned the corpus) but its subtree is the whole signature
+    * pipeline, and the verify step references it three times — so it is
+    * materialized ONCE via an eager `localCheckpoint`: lineage is
+    * truncated (downstream joins read the stored partitions, never
+    * re-sign), and the blocks are released by the ContextCleaner when
+    * the frame is GC'd — repeated dedup runs in one session don't
+    * accumulate cache (no persist to forget to unpersist). On a
+    * cluster with executor churn, swap for a reliable
+    * `checkpoint(dir)`; the plan shape is identical. */
   def nearDuplicates(
       docs: DataFrame,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.2): DataFrame = {
     val pairs = candidatePairs(
-      bandBucketsDirect(docs, numHashes, rowsPerBand)).persist()
-    pairs.count() // materialize before the multi-reference verify plan
+      bandBucketsDirect(docs, numHashes, rowsPerBand)).localCheckpoint()
     // verify via per-doc sorted shingle-hash arrays + the native
     // merge-scan intersection: two joins against dimension-sized frames
     // instead of three shuffled joins over exploded shingle rows.

@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clip-alert dedup (SURVEY §2 J6): which freshly-polled clips are new?
+  *
+  * The reference (bot/botrun.py:278-288) loads the LAST 10 stored clips
+  * (`SELECT * FROM clips ORDER BY id DESC LIMIT 10`) and posts any
+  * incoming clip whose url is not among them. That is an anti-join of
+  * the incoming batch against a bounded recent-seen set — including the
+  * reference's quirk that a clip older than the last 10 would be
+  * re-announced; we keep the window parameterized but default it to 10.
+  *
+  * Scale shape: the seen side is top-N by id → TakeOrderedAndProject
+  * (no global sort), then broadcast into the anti-join, so the incoming
+  * stream is never shuffled.
+  */
+object ClipDedup {
+
+  /** Incoming clips (`url`, …) minus those whose url appears in the last
+    * `lastN` rows of `seen` (`id`, `clip_url`, …). */
+  def newClips(incoming: DataFrame, seen: DataFrame, lastN: Int = 10): DataFrame = {
+    val recent = seen
+      .orderBy(col("id").desc)
+      .limit(lastN)
+      .select(col("clip_url"))
+    incoming.join(broadcast(recent),
+      incoming("url") === recent("clip_url"), "left_anti")
+  }
+}

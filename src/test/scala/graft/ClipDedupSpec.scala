@@ -1,0 +1,45 @@
+package graft
+
+import graft.streaming.ClipDedup
+import org.apache.spark.sql.functions._
+
+/** J6 anti-join dedup semantics, incl. the reference's bounded-window
+  * quirk: only the last 10 stored clips suppress a repost
+  * (bot/botrun.py:278-288).
+  */
+class ClipDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 stored clips, ids 1..12 → the "last 10" are ids 3..12
+  private val seen = (1 to 12)
+    .map(i => (i.toLong, s"https://clips/c$i", s"id$i"))
+    .toDF("id", "clip_url", "clip_id")
+
+  test("new clip passes, recently-seen clip is suppressed") {
+    val incoming = Seq(
+      ("https://clips/c12", "id12"), // in last 10 → suppressed
+      ("https://clips/new1", "n1")   // never seen → new
+    ).toDF("url", "clip_id")
+    assert(rowSet(ClipDedup.newClips(incoming, seen)) ==
+      Seq(Seq("https://clips/new1", "n1")))
+  }
+
+  test("reference quirk: a clip older than the last 10 is re-announced") {
+    val incoming = Seq(
+      ("https://clips/c1", "id1"), // id 1 fell out of the last-10 window
+      ("https://clips/c3", "id3")  // id 3 still inside → suppressed
+    ).toDF("url", "clip_id")
+    assert(rowSet(ClipDedup.newClips(incoming, seen)) ==
+      Seq(Seq("https://clips/c1", "id1")))
+  }
+
+  test("the anti-join is a broadcast over a top-N seen side") {
+    val plan = ClipDedup.newClips(
+      Seq(("u", "i")).toDF("url", "clip_id"), seen)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti join, got:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-N seen side, got:\n$plan")
+  }
+}

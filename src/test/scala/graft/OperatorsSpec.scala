@@ -39,6 +39,23 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(j - 0.75) < 1e-12)
   }
 
+  test("repeated nearDuplicates calls are identical and don't stack caches") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val r1 = rowSet(MinHashLsh.nearDuplicates(docs, threshold = 0.2))
+    val r2 = rowSet(MinHashLsh.nearDuplicates(docs, threshold = 0.2))
+    assert(r1 == r2)
+    // localCheckpoint blocks are ContextCleaner-managed: once the frames
+    // are unreachable a GC cycle releases them (the old
+    // persist-and-never-unpersist pattern pinned one per call forever)
+    val deadline = System.currentTimeMillis + 15000
+    while (sc.getPersistentRDDs.size > before && System.currentTimeMillis < deadline) {
+      System.gc(); Thread.sleep(250)
+    }
+    assert(sc.getPersistentRDDs.size <= before,
+      s"checkpoint blocks accumulating: $before -> ${sc.getPersistentRDDs.size}")
+  }
+
   test("identical texts share a simhash; fingerprint fits in 32 bits") {
     val dup = Seq((1L, "same text here today"), (2L, "same text here today"),
       (3L, "other words entirely now")).toDF("doc_id", "text")

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.pipeline.ReplayPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The full ST1 chain as ONE streaming query: listing-page poll →
+  * discover (watermark) → fetch replay page → ingest 5 tables →
+  * build message → deliver → flag posted.
+  *
+  * Each file dropped into `listingDir` is one poll result (a listing
+  * HTML snapshot) — the file-drop stand-in for the reference's
+  * 5-minute Airflow HTTP poll (ST1; offline-dev pattern
+  * functions.py:131-135). The checkpoint makes the poll exactly-once
+  * across restarts: a re-run with the same checkpoint skips snapshots
+  * it already processed.
+  *
+  * `fetch` is the transport seam (replay id → (html, json) page
+  * bodies), `deliver` the K7 Discord seam; both are injected so tests
+  * run on fixtures and a deployment plugs its HTTP/Discord clients in
+  * without touching the streaming topology.
+  */
+object ListingStream {
+
+  def start(
+      spark: SparkSession,
+      store: graft.store.TableStore,
+      listingDir: String,
+      checkpointDir: String,
+      fetch: Int => Option[(String, String)],
+      deliver: (Int, String) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery = {
+    val pipeline = new ReplayPipeline(spark, store)
+    spark.readStream
+      .option("wholetext", "true")
+      .text(listingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a micro-batch is a handful of single-page snapshots at the
+        // reference's cadence; drive them from the driver like the
+        // reference's DAG loop (the analytics inside stay distributed)
+        import spark.implicits._
+        val snapshots = batch.select(col("value")).as[String].collect()
+        snapshots.foreach { html =>
+          val listing = Seq(html).toDF("html")
+          // drain: discover returns ONE id above the posted watermark
+          // (reference processes one replay per DAG run); delivering
+          // advances the watermark, so loop until caught up
+          var continue = true
+          while (continue) {
+            continue = pipeline.discover(listing).exists { replay =>
+              fetch(replay).exists { case (page, json) =>
+                val loaded = pipeline.ingest(replay, page, json)
+                if (loaded) {
+                  pipeline.createMessage(replay)
+                  pipeline.nextUnposted().foreach { case (num, text) =>
+                    deliver(num, text)
+                    store.markPosted(num)
+                  }
+                }
+                loaded // an is_exists skip must end the drain, not spin
+              }
+            }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+}

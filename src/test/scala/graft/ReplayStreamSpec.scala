@@ -1,8 +1,9 @@
 package graft
 
 import graft.store.TableStore
-import graft.streaming.ReplayStream
+import graft.streaming.{ListingStream, ReplayStream}
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming wrapper: file-dropped replay docs drive the pipeline with
@@ -40,5 +41,43 @@ class ReplayStreamSpec extends SparkSpec {
     assert(store.read("replay_main").count() == 2)
     assert(store.read("messages").count() == 2)
     assert(store.read("frags").count() == 6)
+  }
+
+  test("ST1 end-to-end: listing polls drive discover→ingest→message→deliver in one query with checkpoint restart") {
+    val in = Files.createTempDirectory("graft-listing-in").toString
+    val ckpt = Files.createTempDirectory("graft-listing-ckpt").toString
+    val root = Files.createTempDirectory("graft-listing-store").toString
+    val store = new TableStore(spark, root)
+    val pages = Map(
+      501 -> (SparkSpec.resource("replay.html"), SparkSpec.resource("replay-data.json")),
+      502 -> (SparkSpec.resource("replay.html"), SparkSpec.resource("replay-data.json")))
+    val delivered = scala.collection.mutable.ArrayBuffer[Int]()
+    def run(): Unit =
+      ListingStream.start(spark, store, in, ckpt,
+        fetch = pages.get,
+        deliver = (n, _) => { delivered += n; () },
+        trigger = Trigger.AvailableNow()).awaitTermination()
+
+    val listing = SparkSpec.resource("listing.html")
+    Files.write(Paths.get(in, "poll1.html"), listing.getBytes("UTF-8"))
+    run()
+    // cold-start watermark = 2nd filtered listing entry (500) → replay
+    // 501 is discovered, loaded, messaged, delivered, flagged posted
+    assert(store.read("replay_main").count() == 1)
+    assert(delivered.toSeq == Seq(501))
+    assert(store.read("messages").filter(col("posted") <=> true).count() == 1)
+
+    // restart on the same checkpoint: processed polls are skipped
+    run()
+    assert(store.read("replay_main").count() == 1 && delivered.size == 1)
+
+    // next poll: replay 502's slots fill past 99 players → it clears the
+    // filter, sits above the posted watermark (501), and flows through
+    Files.write(Paths.get(in, "poll2.html"),
+      listing.replace("55 / 120", "120 / 120").getBytes("UTF-8"))
+    run()
+    assert(store.read("replay_main").count() == 2)
+    assert(delivered.toSeq == Seq(501, 502))
+    assert(store.read("messages").filter(col("posted") <=> true).count() == 2)
   }
 }

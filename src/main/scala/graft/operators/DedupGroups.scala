@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assignment: turn near-duplicate PAIRS into GROUPS.
+  *
+  * LSH verification ([[MinHashLsh.nearDuplicates]]) emits edges; what a
+  * dedup pipeline actually acts on is the connected component — "these
+  * 5 docs are all the same article, keep one". Labels are propagated to
+  * the minimum doc_id in each component, so the output —
+  * `(doc_id, group_id)` with `group_id = min(component)` — is unique
+  * regardless of execution order, and the keeper convention (keep
+  * `doc_id == group_id`) matches [[ExtensionQueries.q24DedupExact]]'s
+  * min-id rule.
+  *
+  * Scale shape: min-label propagation, one hash-join + partial-agg min
+  * per round, `O(component diameter)` rounds. Near-dup components are
+  * shallow (dozens of docs, diameter ≤ a few hops), so this converges
+  * in 2-4 rounds on real corpora; each round's frame is
+  * `localCheckpoint`ed so the plan does not grow with iterations. For
+  * adversarially deep graphs swap in the large-star/small-star
+  * alternation — the round body is the same join.
+  */
+object DedupGroups {
+
+  /** Connected components of an undirected pair list
+    * (`doc_a`, `doc_b`). Output: (doc_id, group_id), one row per
+    * distinct doc appearing in any pair. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.select(col("doc_id").as("dst"), col("group_id")), Seq("dst"))
+        .select(col("src").as("doc_id"), col("group_id"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("doc_id"))
+        .agg(min(col("group_id")).as("group_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("group_id", "prev"), Seq("doc_id"))
+        .filter(col("group_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    labels
+  }
+
+  /** Full dedup plan for a documents table: near-dup groups with member
+    * count and the min-id keeper, one row per grouped doc. Docs in no
+    * pair are implicitly their own group and are not emitted. */
+  def dedupGroups(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val pairs = MinHashLsh.nearDuplicates(docs, threshold = threshold)
+    connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      .withColumn("keep", (col("doc_id") === col("group_id")).as("keep"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data curation.
+  *
+  * A 100-TB pipeline can't use `rand()`: re-runs must select the SAME
+  * rows (resumable jobs, reproducible ablations, auditable mixes).
+  * Standard trick: hash a stable key with a salt and compare the first
+  * bytes against a threshold — `md5` keeps it engine-portable (the
+  * DuckDB oracle replays the exact selection), scan-local (no shuffle,
+  * no state), and re-salting gives an independent resample.
+  *
+  * The hex prefix is compared lexicographically: 2 hex chars = 1 byte =
+  * 256 evenly-sized strata of the keyspace, so `threshold = rate*256`
+  * keeps ~`rate` of rows. Granularity 1/256 is plenty for curation
+  * rates; use 4 chars for finer cuts.
+  */
+object Sampling {
+
+  private def bucket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 2)
+
+  /** Hex threshold for a rate; rate 1.0 maps to "g", which sorts above
+    * every 2-hex-char bucket (a plain "%02x" of 256 would be the
+    * 3-char "100", which sorts BELOW "ff" lexicographically). */
+  private def cutHex(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    val cut = math.round(rate * 256).toInt
+    if (cut >= 256) "g" else f"$cut%02x"
+  }
+
+  /** Keep-predicate selecting ~`rate` of rows, keyed on `key`. */
+  def samplePredicate(key: Column, rate: Double, salt: String): Column =
+    bucket(key, salt) < lit(cutHex(rate))
+
+  /** Per-stratum sampling: each stratum (e.g. language) keeps its own
+    * rate — the mixture-shaping step of corpus curation. Unlisted
+    * strata keep `defaultRate`. */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      key: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    val cutFor = rates.foldLeft(lit(cutHex(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(cutHex(rate))).otherwise(acc)
+    }
+    df.filter(bucket(key, salt) < cutFor)
+  }
+
+  /** Deterministic train/val/test assignment from a second salt, so the
+    * split is independent of any sampling above it. Boundaries are hex
+    * prefixes: [0, valCut) → "val", [valCut, testCut) → "test",
+    * rest → "train". */
+  def withSplit(
+      df: DataFrame,
+      key: Column,
+      valRate: Double = 0.01,
+      testRate: Double = 0.01,
+      salt: String = "graft-split"): DataFrame = {
+    val b = bucket(key, salt)
+    df.withColumn("split",
+      when(b < lit(cutHex(valRate)), "val")
+        .when(b < lit(cutHex(valRate + testRate)), "test")
+        .otherwise("train"))
+  }
+}

@@ -118,6 +118,20 @@ object ExtensionQueries {
     NgramJaccard.nearDupPairsHashed(t(s, dir, "documents"),
       blockCols = Seq("lang", "source"), n = 4, threshold = 0.5)
 
+  /** Near-dup GROUPS: connected components over the LSH pair list —
+    * (doc_id, group_id=min of component, keep=is-the-keeper). */
+  val q35DedupGroups: Q = (s, dir) =>
+    DedupGroups.dedupGroups(t(s, dir, "documents"), threshold = 0.2)
+
+  /** Deterministic corpus curation: per-language hash sampling (en 25%,
+    * de 50%, rest kept) + independent train/val/test assignment. */
+  val q36StratifiedSplit: Q = (s, dir) =>
+    Sampling.withSplit(
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", col("doc_id"),
+        rates = Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0),
+      col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("split"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -146,6 +160,8 @@ object ExtensionQueries {
     "q32_multimodal_features" -> q32MultimodalFeatures,
     "q33_stream_hourly" -> q33StreamHourly,
     "q34_ngram_jaccard" -> q34NgramJaccard,
+    "q35_dedup_groups" -> q35DedupGroups,
+    "q36_stratified_split" -> q36StratifiedSplit,
   )
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +384,57 @@ object ExtensionQueries {
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""",
+    // q26's pair pipeline + a recursive transitive closure, min label
+    // per component (DuckDB's UNION-recursion stops at the fixpoint the
+    // same way the Spark loop's convergence check does)
+    "q35_dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 1),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         sig AS (
+           SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j),
+         band AS (
+           SELECT doc_id, j // 2 AS band,
+                  md5(string_agg(mh, '|' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2
+           QUALIFY count(*) OVER (PARTITION BY j // 2, md5(string_agg(mh, '|' ORDER BY j))) <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS i
+           FROM cand c
+           JOIN shd x ON x.doc_id = c.doc_a
+           JOIN shd y ON y.doc_id = c.doc_b AND x.sh = y.sh
+           GROUP BY c.doc_a, c.doc_b),
+         sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst)
+         SELECT doc_id, min(r) AS group_id, (doc_id = min(r)) AS keep
+         FROM reach GROUP BY doc_id""",
+    "q36_stratified_split" ->
+      """SELECT doc_id, lang,
+                CASE WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '03' THEN 'val'
+                     WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '05' THEN 'test'
+                     ELSE 'train' END AS split
+         FROM documents
+         WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+               CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '80' ELSE 'g' END""",
   )
 }

@@ -56,6 +56,40 @@ class OperatorsSpec extends SparkSpec {
       s"checkpoint blocks accumulating: $before -> ${sc.getPersistentRDDs.size}")
   }
 
+  test("connected components: chain and island get min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = DedupGroups.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupGroups marks the min-id doc of each near-dup cluster as keeper") {
+    val got = DedupGroups.dedupGroups(docs, threshold = 0.2)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false)))
+  }
+
+  test("sampling is deterministic, monotone in rate, and 1.0 keeps all") {
+    val ids = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val keep25 = ids.filter(Sampling.samplePredicate(col("doc_id"), 0.25, "s"))
+      .as[(Long, String)].collect().toSet
+    val keep50 = ids.filter(Sampling.samplePredicate(col("doc_id"), 0.5, "s"))
+      .as[(Long, String)].collect().toSet
+    assert(keep25.subsetOf(keep50)) // raising the rate only ADDS rows
+    assert(keep25 == ids.filter(Sampling.samplePredicate(col("doc_id"), 0.25, "s"))
+      .as[(Long, String)].collect().toSet) // rerun → same rows
+    assert(math.abs(keep50.size - 200) < 60) // ~rate of the keyspace
+    assert(ids.filter(Sampling.samplePredicate(col("doc_id"), 1.0, "s")).count() == 400)
+    val bySplit = Sampling.withSplit(ids, col("doc_id"), 0.1, 0.1)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.values.sum == 400 && bySplit("train") > 280)
+    val strat = Sampling.stratifiedSample(ids, "lang", col("doc_id"),
+      rates = Map("en" -> 0.0), defaultRate = 1.0)
+    assert(strat.filter(col("lang") === "en").count() == 0)
+    assert(strat.filter(col("lang") === "de").count() == 200)
+  }
+
   test("identical texts share a simhash; fingerprint fits in 32 bits") {
     val dup = Seq((1L, "same text here today"), (2L, "same text here today"),
       (3L, "other words entirely now")).toDF("doc_id", "text")

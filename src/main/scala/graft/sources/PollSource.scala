@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable.ListBuffer
+
+/** A DataSource-V2 micro-batch POLL source — the ST1 transport seam as
+  * a real streaming source instead of a file-drop stand-in.
+  *
+  * Each trigger asks a registered poller for at most one page (the
+  * reference's 1-per-cron-tick HTTP GET, main.py:64-67 /
+  * functions.py:14-16); a `Some(body)` becomes one row
+  * `(poll_id bigint, body string)` in the next micro-batch. Offsets
+  * count polls, so the checkpoint replays unprocessed-but-polled pages
+  * from the driver-side buffer and `commit()` trims what's been
+  * processed — the same driver-buffer contract as Spark's own
+  * unreplayable socket source (a poll, like a socket read, cannot be
+  * re-issued for history).
+  *
+  * Pollers are injected through a registry keyed by the `poller`
+  * option (functions don't survive the DataSource string-options
+  * boundary). Polling happens ON THE DRIVER in `latestOffset`; only
+  * the fetched bodies ship to executors inside the partition — correct
+  * for page-sized payloads, which is what a listing poll is.
+  *
+  * Usage: `spark.readStream.format("replay-poll")
+  *   .option("poller", name).load()`
+  */
+object PollSource {
+  val schema: StructType = StructType(Seq(
+    StructField("poll_id", LongType),
+    StructField("body", StringType)))
+
+  private val pollers = new ConcurrentHashMap[String, () => Option[String]]()
+
+  /** Register the poll function a stream will use (driver-side). */
+  def register(name: String, poll: () => Option[String]): Unit =
+    pollers.put(name, poll)
+
+  private[sources] def poller(name: String): () => Option[String] = {
+    val p = pollers.get(name)
+    require(p != null, s"no poller registered under '$name'")
+    p
+  }
+}
+
+class PollSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "replay-poll"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PollSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PollTable(properties.get("poller"))
+}
+
+private class PollTable(pollerName: String) extends Table with SupportsRead {
+  override def name(): String = s"replay-poll($pollerName)"
+  override def schema(): StructType = PollSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = PollSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new PollMicroBatchStream(pollerName, checkpointLocation)
+      }
+    }
+}
+
+private case class PollOffset(n: Long) extends Offset {
+  override def json: String = n.toString
+}
+
+private case class PollPartition(rows: Array[(Long, String)]) extends InputPartition
+
+private class PollMicroBatchStream(pollerName: String, checkpointLocation: String)
+    extends MicroBatchStream {
+  private val poll = PollSource.poller(pollerName)
+  // polled-but-uncommitted pages, driver-side; first element's id is the
+  // offset base (ids are consecutive)
+  private val buffered = ListBuffer[(Long, String)]()
+
+  // The poll counter survives restarts in its own file beside the
+  // checkpoint: a fresh instance that restarted at 0 would hand its
+  // first poll the already-committed offset 1, and the page would be
+  // silently swallowed. (deserializeOffset is NOT a reliable resume
+  // hook — the first trigger can poll before recovery hands the
+  // committed offset back.)
+  private val counterPath = new org.apache.hadoop.fs.Path(
+    checkpointLocation, "graft-poll-counter")
+  private val fs = counterPath.getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+  private var polled: Long =
+    if (fs.exists(counterPath)) {
+      val in = fs.open(counterPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    } else 0L
+
+  private def saveCounter(): Unit = {
+    val out = fs.create(counterPath, true)
+    try out.write(polled.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  override def initialOffset(): Offset = PollOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val n = json.toLong
+    if (n > polled) { polled = n; saveCounter() }
+    PollOffset(n)
+  }
+
+  override def latestOffset(): Offset = synchronized {
+    poll().foreach { body =>
+      polled += 1
+      buffered += ((polled, body))
+      saveCounter()
+    }
+    PollOffset(polled)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[PollOffset].n, end.asInstanceOf[PollOffset].n)
+    val rows = synchronized {
+      // recovered checkpoints may ask for polls newer than the restarted
+      // buffer; replay what we have in (s, e]
+      buffered.filter { case (id, _) => id > s && id <= e }.toArray
+    }
+    if (rows.isEmpty) Array.empty else Array(PollPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = p.asInstanceOf[PollPartition].rows.iterator
+          private var cur: (Long, String) = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          override def get(): InternalRow =
+            InternalRow(cur._1, UTF8String.fromString(cur._2))
+          override def close(): Unit = ()
+        }
+    }
+
+  override def commit(end: Offset): Unit = synchronized {
+    val e = end.asInstanceOf[PollOffset].n
+    buffered.filterInPlace { case (id, _) => id > e }
+  }
+
+  override def stop(): Unit = ()
+}

@@ -30,11 +30,39 @@ object ListingStream {
       checkpointDir: String,
       fetch: Int => Option[(String, String)],
       deliver: (Int, String) => Unit = (_, _) => (),
-      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    attach(spark, store,
+      spark.readStream.option("wholetext", "true").text(listingDir)
+        .select(col("value").as("body")),
+      checkpointDir, fetch, deliver, trigger)
+
+  /** Same chain fed by the [[graft.sources.PollSource]] micro-batch
+    * source instead of a file drop: each trigger polls the registered
+    * `pollerName` for one listing page — the reference's cron-tick HTTP
+    * GET as a first-class streaming source with offset tracking. */
+  def startPolled(
+      spark: SparkSession,
+      store: graft.store.TableStore,
+      pollerName: String,
+      checkpointDir: String,
+      fetch: Int => Option[(String, String)],
+      deliver: (Int, String) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    attach(spark, store,
+      spark.readStream.format("replay-poll").option("poller", pollerName).load()
+        .select(col("body")),
+      checkpointDir, fetch, deliver, trigger)
+
+  private def attach(
+      spark: SparkSession,
+      store: graft.store.TableStore,
+      snapshotsDf: DataFrame,
+      checkpointDir: String,
+      fetch: Int => Option[(String, String)],
+      deliver: (Int, String) => Unit,
+      trigger: Trigger): StreamingQuery = {
     val pipeline = new ReplayPipeline(spark, store)
-    spark.readStream
-      .option("wholetext", "true")
-      .text(listingDir)
+    snapshotsDf
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -43,7 +71,7 @@ object ListingStream {
         // reference's cadence; drive them from the driver like the
         // reference's DAG loop (the analytics inside stay distributed)
         import spark.implicits._
-        val snapshots = batch.select(col("value")).as[String].collect()
+        val snapshots = batch.select(col("body")).as[String].collect()
         snapshots.foreach { html =>
           val listing = Seq(html).toDF("html")
           // drain: discover returns ONE id above the posted watermark

@@ -1,0 +1,83 @@
+package graft
+
+import graft.sources.PollSource
+import graft.store.TableStore
+import graft.streaming.ListingStream
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** The replay-poll DataSource-V2 micro-batch source: per-trigger poll →
+  * one row, offset tracking, and the full ST1 chain running on top of
+  * it across a checkpointed restart.
+  */
+class PollSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+      until: () => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + 30000
+    while (!until() && System.currentTimeMillis < deadline) {
+      q.processAllAvailable()
+      if (!until()) Thread.sleep(50)
+    }
+    q.processAllAvailable()
+  }
+
+  test("one row per successful poll; empty polls produce no batch rows") {
+    val queue = new ConcurrentLinkedQueue[String]()
+    queue.add("page-1"); queue.add("page-2")
+    PollSource.register("t1", () => Option(queue.poll()))
+    val q = spark.readStream.format("replay-poll").option("poller", "t1").load()
+      .writeStream.format("memory").queryName("poll_t1")
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      drain(q, () => spark.table("poll_t1").count() >= 2)
+      assert(spark.table("poll_t1").as[(Long, String)].collect().toSet ==
+        Set((1L, "page-1"), (2L, "page-2")))
+      // nothing queued → no new rows, offsets stay put
+      q.processAllAvailable()
+      assert(spark.table("poll_t1").count() == 2)
+      queue.add("page-3")
+      drain(q, () => spark.table("poll_t1").count() >= 3)
+      assert(spark.table("poll_t1").as[(Long, String)].collect().toSet ==
+        Set((1L, "page-1"), (2L, "page-2"), (3L, "page-3")))
+    } finally q.stop()
+  }
+
+  test("ST1 chain over the poll source, with checkpointed restart") {
+    val ckpt = Files.createTempDirectory("graft-poll-ckpt").toString
+    val root = Files.createTempDirectory("graft-poll-store").toString
+    val store = new TableStore(spark, root)
+    val listing = SparkSpec.resource("listing.html")
+    val pages = Map(
+      501 -> (SparkSpec.resource("replay.html"), SparkSpec.resource("replay-data.json")),
+      502 -> (SparkSpec.resource("replay.html"), SparkSpec.resource("replay-data.json")))
+    val delivered = scala.collection.mutable.ArrayBuffer[Int]()
+    val polls = new ConcurrentLinkedQueue[String]()
+    PollSource.register("st1", () => Option(polls.poll()))
+    def run(until: () => Boolean): Unit = {
+      val q = ListingStream.startPolled(spark, store, "st1", ckpt,
+        fetch = pages.get,
+        deliver = (n, _) => { delivered += n; () },
+        trigger = Trigger.ProcessingTime("25 milliseconds"))
+      try drain(q, until) finally q.stop()
+    }
+
+    polls.add(listing)
+    run(() => delivered.nonEmpty)
+    // cold-start watermark quirk → replay 501 flows through the chain
+    assert(delivered.toSeq == Seq(501))
+    assert(store.read("replay_main").count() == 1)
+
+    // restart from the checkpoint: poll counter resumes past the
+    // committed offset, a fresh poll with a fuller 502 is discovered
+    polls.add(listing.replace("55 / 120", "120 / 120"))
+    run(() => delivered.size >= 2)
+    assert(delivered.toSeq == Seq(501, 502))
+    assert(store.read("replay_main").count() == 2)
+    assert(store.read("messages").filter(col("posted") <=> true).count() == 2)
+  }
+}

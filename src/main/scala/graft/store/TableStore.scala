@@ -113,6 +113,59 @@ class TableStore(spark: SparkSession, root: String) {
       .withColumn("posted",
         when(col("replay_number") === replay, lit(true)).otherwise(col("posted"))))
 
+  /** K3 at fact-table scale: last-write-wins upsert into a PARTITIONED
+    * table that rewrites ONLY the partitions the update batch touches.
+    *
+    * The snapshot-swap upserts above ([[upsertDPlayers]], [[markPosted]])
+    * rewrite the whole table — right for dimension-sized tables, wrong
+    * for a 100-TB fact table where a batch touches a handful of
+    * partitions. This is the parquet-native shape of a lakehouse
+    * `MERGE INTO` (Delta/Iceberg would replace it on a lake deployment;
+    * neither is available offline): merge the incoming rows against the
+    * CURRENT rows of the affected partitions only (partition-pruned
+    * scan), write the merged partitions to a side dir, and swap just
+    * those partition directories. Untouched partitions are never read,
+    * rewritten, or moved. */
+  def upsertPartitioned(table: String, updates: DataFrame, keyCols: Seq[String]): Unit = {
+    val partCols = partitioned.getOrElse(table,
+      throw new IllegalArgumentException(s"$table is not partitioned"))
+    require(partCols.size == 1, s"single partition column expected: $partCols")
+    val partCol = partCols.head
+    val incoming = updates
+      .select(schemas(table).fieldNames.map(col).toIndexedSeq: _*)
+      // within-batch duplicates: LAST wins, like the reference's
+      // sequential executemany (same contract as upsertDPlayers)
+      .withColumn("graft_seq", monotonically_increasing_id())
+    val touched = incoming.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val current = read(table)
+      .filter(col(partCol).isin(touched: _*)) // partition-pruned scan
+      .withColumn("graft_seq", lit(-1L))
+    val w = Window.partitionBy((keyCols :+ partCol).map(col): _*)
+      .orderBy(col("graft_seq").desc)
+    val merged = current.unionByName(incoming)
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_seq", "graft_rn")
+      .select(schemas(table).fieldNames.map(col).toIndexedSeq: _*)
+
+    val tmp = new Path(path(table) + ".merge")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.partitionBy(partCol).parquet(tmp.toString)
+    fs.mkdirs(new Path(path(table)))
+    touched.foreach { v =>
+      val dir = s"$partCol=$v"
+      val target = new Path(path(table), dir)
+      val staged = new Path(tmp, dir)
+      if (fs.exists(target)) fs.delete(target, true)
+      // a partition can vanish from the staged output only if the merge
+      // emptied it, which LWW cannot do — but guard anyway
+      if (fs.exists(staged)) fs.rename(staged, target)
+    }
+    fs.delete(tmp, true)
+  }
+
   /** P7: existence probe — distributed form of main.py:47-54. */
   def replayExists(replay: Int): Boolean =
     exists("replay_main") &&

@@ -39,6 +39,34 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq(Seq(1, "New"), Seq(2, "Two"), Seq(3, "Three")))
   }
 
+  test("partitioned upsert merges only touched partitions, LWW on key") {
+    val (_, store) = freshPipeline()
+    store.append("players", Seq(
+      (1, 600, 1, "a"), (2, 600, 2, "b"), (3, 599, 1, "c"))
+      .toDF("id_from_json", "replay_number", "side", "slot"))
+    val untouchedBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(store.path("players").stripPrefix("file:"),
+        "replay_number=599")).toArray.map(_.toString).toSet
+
+    // update player 1 of replay 600 (twice: last in batch wins), add
+    // replay 601 — replay 599 must not be read or rewritten
+    store.upsertPartitioned("players", Seq(
+      (1, 600, 1, "MOVED"), (1, 600, 1, "MOVED2"), (9, 601, 3, "z"))
+      .toDF("id_from_json", "replay_number", "side", "slot"),
+      keyCols = Seq("id_from_json"))
+
+    assert(rowSet(store.read("players")) == Seq(
+      Seq(1, 600, 1, "MOVED2"), Seq(2, 600, 2, "b"),
+      Seq(3, 599, 1, "c"), Seq(9, 601, 3, "z")
+    ).sortBy(_.map(String.valueOf).mkString("|")))
+
+    val untouchedAfter = java.nio.file.Files.list(
+      java.nio.file.Paths.get(store.path("players").stripPrefix("file:"),
+        "replay_number=599")).toArray.map(_.toString).toSet
+    assert(untouchedAfter == untouchedBefore,
+      "files of an untouched partition were rewritten")
+  }
+
   test("message document carries base row + all query results") {
     val (p, store) = freshPipeline()
     p.ingest(500, SparkSpec.resource("replay.html"), SparkSpec.resource("replay-data.json"))

@@ -115,6 +115,61 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic Rademacher hyperplanes for sign-LSH: component
+    * (h, j) is ±1 by the first hex char of md5("h:j") — reproducible in
+    * any engine (the DuckDB oracle replays the same formula), no RNG
+    * state to ship. */
+  private[operators] def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      digest.reset()
+      digest.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    (0 until numPlanes).map { h =>
+      (1 to dim).map { j =>
+        if ("02468ace".contains(md5hex(s"$h:$j").head)) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Sign-LSH bucket id: bit h is the sign of v · plane_h (rounded to 6
+    * decimals first, so float summation order can never flip a
+    * boundary bit across engines). numPlanes native dot products per
+    * row — scan-local, no shuffle. */
+  def lshBucket(v: Column, numPlanes: Int = 8, dim: Int = 64): Column =
+    hyperplanes(numPlanes, dim).zipWithIndex.map { case (plane, h) =>
+      when(round(dot(v, typedlit(plane)), 6) > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN — the other scale path next to [[ivfTopK]]:
+    * vectors that agree on every hyperplane sign land in one bucket,
+    * and a query searches only its own bucket. The bucket join is a
+    * plain equi-join on the bucket id, so at corpus scale it shuffles
+    * by bucket (or reads a corpus PRE-BUCKETED at write time) instead
+    * of broadcasting anything; recall grows by re-running with fewer
+    * planes or a second plane family, the standard multi-table trick.
+    * Output: (q_id, bucket, vec_id, sim, rank). */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, numPlanes: Int = 8, k: Int = 10): DataFrame = {
+    val c = withUnit(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      "v", "vn")
+      .withColumn("bucket", lshBucket(col("v"), numPlanes))
+      .select(col("bucket"), col("vec_id"), col("vn"))
+    val q = withUnit(
+      queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
+      "qv", "qn")
+      .withColumn("bucket", lshBucket(col("qv"), numPlanes))
+      .select(col("q_id"), col("bucket"), col("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), Seq("bucket")) // broadcast: |queries| is driver-size here
+      .select(col("q_id"), col("bucket"), col("vec_id"),
+        round(dot(col("qn"), col("vn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by cluster label
     * (vectors in different clusters are never compared). */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {

@@ -132,6 +132,26 @@ object ExtensionQueries {
       col("doc_id"))
       .select(col("doc_id"), col("lang"), col("split"))
 
+  /** Sign-LSH bucketed ANN: the bucket-join scale path (vs q29 brute /
+    * q30 IVF) — deterministic Rademacher hyperplanes, so the oracle
+    * replays the exact buckets. */
+  val q37AnnLsh: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e.filter(col("vec_id") < 5), e, numPlanes = 8, k = 10)
+  }
+
+  /** Corpus length distribution per language: exact interpolated
+    * quantiles (approx_percentile is the 100-TB drop-in; exact keeps
+    * the oracle bit-comparable). */
+  val q38LenQuantiles: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(length(text), 0.25)"), 4).as("p25"),
+        round(expr("percentile(length(text), 0.5)"), 4).as("p50"),
+        round(expr("percentile(length(text), 0.75)"), 4).as("p75"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -162,6 +182,8 @@ object ExtensionQueries {
     "q34_ngram_jaccard" -> q34NgramJaccard,
     "q35_dedup_groups" -> q35DedupGroups,
     "q36_stratified_split" -> q36StratifiedSplit,
+    "q37_ann_lsh" -> q37AnnLsh,
+    "q38_len_quantiles" -> q38LenQuantiles,
   )
 
   val oracles: Map[String, String] = Map(
@@ -436,5 +458,36 @@ object ExtensionQueries {
          FROM documents
          WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) <
                CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '80' ELSE 'g' END""",
+    "q37_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         hp AS (
+           SELECT h, j,
+                  CASE WHEN substr(md5(CAST(h AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)
+                       IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END AS c
+           FROM (SELECT unnest(range(0, 8)) AS h), (SELECT unnest(range(1, 65)) AS j)),
+         bits AS (
+           SELECT vec_id, h,
+                  CASE WHEN round(sum(c * v[CAST(j AS INT)]), 6) > 0 THEN 1 ELSE 0 END AS bit
+           FROM e, hp GROUP BY vec_id, h),
+         bkt AS (
+           SELECT vec_id, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(h AS INT))) AS BIGINT) AS bucket
+           FROM bits GROUP BY vec_id),
+         eu AS (
+           SELECT e.vec_id, bkt.bucket, e.v
+           FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+         q AS (SELECT vec_id AS q_id, bucket, v AS qv FROM eu WHERE vec_id < 5),
+         s AS (SELECT q.q_id, q.bucket, eu.vec_id,
+                      round(list_cosine_similarity(q.qv, eu.v), 6) AS sim
+               FROM q JOIN eu ON eu.bucket = q.bucket)
+         SELECT q_id, bucket, vec_id, sim, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, vec_id) AS rank FROM s)
+         WHERE rank <= 10""",
+    "q38_len_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+                round(quantile_cont(length(text), 0.25), 4) AS p25,
+                round(quantile_cont(length(text), 0.5), 4) AS p50,
+                round(quantile_cont(length(text), 0.75), 4) AS p75
+         FROM documents GROUP BY lang""",
   )
 }

@@ -56,6 +56,19 @@ class OperatorsSpec extends SparkSpec {
       s"checkpoint blocks accumulating: $before -> ${sc.getPersistentRDDs.size}")
   }
 
+  test("sign-LSH: identical vectors share a bucket; a query matches itself at rank 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f, -1.0f)),
+      (1L, Array(1.0f, 0.0f, 2.0f, -1.0f)), // identical → same bucket
+      (7L, Array(-3.0f, 1.0f, -2.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(vecs.filter(col("vec_id") === 0), vecs,
+      numPlanes = 4, k = 10)
+      .select("vec_id", "sim", "rank").as[(Long, Double, Long)].collect().toSet
+    assert(got.contains((0L, 1.0, 1L))) // self-match leads
+    assert(got.map(_._1).contains(1L))  // identical vector is in the bucket
+  }
+
   test("connected components: chain and island get min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val got = DedupGroups.connectedComponents(pairs)

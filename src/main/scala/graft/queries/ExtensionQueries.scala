@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -152,6 +153,60 @@ object ExtensionQueries {
         round(expr("percentile(length(text), 0.5)"), 4).as("p50"),
         round(expr("percentile(length(text), 0.75)"), 4).as("p75"))
 
+  /** TF-IDF top-3 terms per language — tf over the language slice, df
+    * over all docs, ln((N+1)/(df+1)) idf, rank on the ROUNDED score so
+    * cross-engine float noise can't reorder. */
+  val q39TfidfTop: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dft = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = terms.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  /** Gap-based sessionization of the event stream: a >30-minute silence
+    * starts a new session per user — the per-user window is partitioned,
+    * so the cumulative break-count scales with users, not events. */
+  val q40Sessionize: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull
+          .or(col("ts") - lag(col("ts"), 1).over(w) > expr("INTERVAL 30 MINUTES")), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** Sequence packing: concatenate each language's docs in doc_id order
+    * and chunk at 4096 tokens — every doc gets its token start offset
+    * and the training-window id it lands in (the straddle-aware
+    * concatenate-and-chunk step of LM data prep). */
+  val q41TokenChunks: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.wordCount(col("text")).as("n_tok"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("chunk", floor(col("start_off") / 4096).cast("bigint"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -184,6 +239,9 @@ object ExtensionQueries {
     "q36_stratified_split" -> q36StratifiedSplit,
     "q37_ann_lsh" -> q37AnnLsh,
     "q38_len_quantiles" -> q38LenQuantiles,
+    "q39_tfidf_top" -> q39TfidfTop,
+    "q40_sessionize" -> q40Sessionize,
+    "q41_token_chunks" -> q41TokenChunks,
   )
 
   val oracles: Map[String, String] = Map(
@@ -489,5 +547,46 @@ object ExtensionQueries {
                 round(quantile_cont(length(text), 0.5), 4) AS p50,
                 round(quantile_cont(length(text), 0.75), 4) AS p75
          FROM documents GROUP BY lang""",
+    "q39_tfidf_top" ->
+      """WITH terms AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         dft AS (SELECT term, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+         tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY lang, term),
+         scored AS (
+           SELECT lang, term, tf, df,
+                  round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score
+           FROM tf JOIN dft USING (term), n)
+         SELECT lang, term, tf, df, score, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY score DESC, term) AS rank
+           FROM scored)
+         WHERE rank <= 3""",
+    "q40_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM x)
+         SELECT user_id, session_id, count(*) AS n_events,
+                round(sum(value), 2) AS sum_value,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM s GROUP BY user_id, session_id""",
+    "q41_token_chunks" ->
+      """SELECT doc_id, lang, n_tok,
+                CAST(sum(n_tok) OVER w - n_tok AS BIGINT) AS start_off,
+                CAST(floor((sum(n_tok) OVER w - n_tok) / 4096) AS BIGINT) AS chunk
+         FROM (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents)
+         WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
   )
 }

@@ -147,4 +147,16 @@ ${tksOrNot(arr(d, "tks"))}
         s"С полным реплеем и статистикой миссии можно ознакомиться по ссылке: ${s(d, "replay_url")}/"))
     Seq(stats, personal, frags, vehicles, link)
   }
+
+  /** Clip announcement line (bot/botrun.py:235-238, K7). */
+  def clipAlert(creatorName: String, clipUrl: String, title: String): String =
+    s"[$creatorName](<http://www.twitch.tv/$creatorName>) сделал новый [клип]($clipUrl) \"$title\""
+
+  /** Stream-online announcement: channel message + embed description
+    * (bot/botrun.py:266-269, K7 + ST6 pairing). */
+  def streamOnlineMessage(streamer: String): String =
+    s"@here Стрим онлайн! <https://www.twitch.tv/$streamer>"
+
+  def streamOnlineEmbed(gameName: String, title: String): String =
+    s":red_circle: Запущен поток **$gameName** \n $title"
 }

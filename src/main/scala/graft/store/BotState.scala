@@ -1,0 +1,102 @@
+package graft.store
+
+import graft.streaming.ClipDedup
+import java.sql.{Connection, DriverManager}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bot-side persistent state (SURVEY §2 S5/K6) over any JDBC database.
+  *
+  * The reference keeps this in SQLite (bot/botrun.py:48-52): an
+  * `alerts` table holding one row with the last stream-online
+  * announcement time as an ISO-seconds string, and a `clips` table
+  * whose last 10 rows (by autoincrement id) are the clip-dedup window.
+  * Both are driver-side state the size of a config file — the right
+  * shape is a plain JDBC round-trip (SQLite in the reference, embedded
+  * Derby in tests; the DDL below is ANSI except the identity clause),
+  * NOT a distributed table. The distributed side consumes `clips`
+  * through [[clipsTable]] → [[ClipDedup]].
+  *
+  * Time semantics preserved exactly: timestamps are stored as
+  * `yyyy-MM-dd'T'HH:mm:ss` strings, the suppression check is
+  * `now - last > maxHours` STRICTLY (botrun.py:256-262), and a fresh
+  * state seeds the epoch so the first alert always fires.
+  */
+class BotState(spark: SparkSession, url: String, driver: String) {
+
+  private val isoSeconds = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
+  private def withConn[A](f: Connection => A): A = {
+    Class.forName(driver)
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** Create the state tables when absent and seed the singleton alerts
+    * row (id=1, epoch) so the first check always alerts. */
+  def init(): Unit = withConn { conn =>
+    val st = conn.createStatement()
+    val existing = {
+      val md = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = scala.collection.mutable.Set[String]()
+      while (md.next()) names += md.getString("TABLE_NAME").toUpperCase
+      names
+    }
+    if (!existing.contains("ALERTS")) {
+      st.execute(
+        "CREATE TABLE alerts (id INT PRIMARY KEY, start_stream_message_datetime VARCHAR(19))")
+      st.execute("INSERT INTO alerts VALUES (1, '1970-01-01T00:00:00')")
+    }
+    if (!existing.contains("CLIPS"))
+      st.execute(
+        """CREATE TABLE clips (
+             id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+             clip_url VARCHAR(512), clip_id VARCHAR(128))""")
+    st.close()
+  }
+
+  /** botrun.py:252-257: alert iff now − last announcement > maxHours. */
+  def shouldAlert(now: LocalDateTime, maxHours: Long = 8): Boolean = withConn { conn =>
+    val rs = conn.createStatement().executeQuery(
+      "SELECT start_stream_message_datetime FROM alerts WHERE id = 1")
+    require(rs.next(), "alerts state row missing — call init()")
+    val last = LocalDateTime.parse(rs.getString(1), isoSeconds)
+    java.time.Duration.between(last, now)
+      .compareTo(java.time.Duration.ofHours(maxHours)) > 0
+  }
+
+  /** botrun.py:264-265: persist the announcement time (truncated to
+    * seconds like the reference's `[:19]` slice). */
+  def recordAlert(now: LocalDateTime): Unit = withConn { conn =>
+    val ps = conn.prepareStatement(
+      "UPDATE alerts SET start_stream_message_datetime = ? WHERE id = 1")
+    ps.setString(1, now.format(isoSeconds))
+    ps.executeUpdate()
+    ps.close()
+  }
+
+  /** Sequential inserts, preserving batch order in the identity column
+    * (the reference's executemany loop, botrun.py:287-288). */
+  def addClips(clips: Seq[(String, String)]): Unit = withConn { conn =>
+    val ps = conn.prepareStatement(
+      "INSERT INTO clips (clip_url, clip_id) VALUES (?, ?)")
+    clips.foreach { case (clipUrl, clipId) =>
+      ps.setString(1, clipUrl); ps.setString(2, clipId); ps.executeUpdate()
+    }
+    ps.close()
+  }
+
+  /** The clips table as a DataFrame (for [[ClipDedup]] and analytics). */
+  def clipsTable(): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "clips")
+      .load()
+      .toDF("id", "clip_url", "clip_id") // normalize case across backends
+
+  /** J6 against live state: incoming clips not among the last `lastN`
+    * stored (botrun.py:278-288). */
+  def newClips(incoming: DataFrame, lastN: Int = 10): DataFrame =
+    ClipDedup.newClips(incoming, clipsTable(), lastN)
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductExpr, HtmlUnescapeExpr, RollingHashExpr}
+import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -16,34 +16,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("html_unescape"),
-      info("html_unescape", "html_unescape(str) - decodes HTML entities"),
-      (args: Seq[Expression]) => HtmlUnescapeExpr(args.head)))
-    e.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
-      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
-    e.injectFunction((
-      FunctionIdentifier("rolling_hash"),
-      info("rolling_hash", "rolling_hash(str) - polynomial content fingerprint"),
-      (args: Seq[Expression]) => RollingHashExpr(args.head)))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
 }
 
 object GraftExtensions {
+
+  /** A sizing argument (shingle k, hash count, n-gram n) must be a
+    * foldable literal — it parameterizes the kernel itself. */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: sizing arguments must be literals")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
+  /** All 8 native kernels, one SQL name each. */
+  private[graft] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("html_unescape", "html_unescape(str) - decodes HTML entities",
+      args => HtmlUnescapeExpr(args.head)),
+    ("vec_dot", "vec_dot(a, b) - dot product of two array<double>",
+      args => DotProductExpr(args(0), args(1))),
+    ("rolling_hash", "rolling_hash(str) - polynomial content fingerprint",
+      args => RollingHashExpr(args.head)),
+    ("word_shingles", "word_shingles(str, k) - k-word shingle array",
+      args => WordShinglesExpr(args(0), intArg(args(1), "word_shingles"))),
+    ("minhash_sigs", "minhash_sigs(str, k, n) - n md5-minhash signatures over k-word shingles",
+      args => MinHashSigsExpr(args(0),
+        intArg(args(1), "minhash_sigs"), intArg(args(2), "minhash_sigs"))),
+    ("simhash_sig", "simhash_sig(str) - 32-bit simhash fingerprint",
+      args => SimHashSigExpr(args.head)),
+    ("ngram_hashes", "ngram_hashes(str, n) - sorted distinct xxhash64 of char n-grams",
+      args => NgramHashesExpr(args(0), intArg(args(1), "ngram_hashes"))),
+    ("sorted_intersect_count", "sorted_intersect_count(a, b) - merge-scan |a ∩ b| of sorted arrays",
+      args => SortedIntersectCountExpr(args(0), args(1))),
+  )
+
   /** Register on an ALREADY-RUNNING session (builder extensions only
     * apply to new sessions — getOrCreate silently ignores them when an
     * active session exists). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("html_unescape",
-      (args: Seq[Expression]) => HtmlUnescapeExpr(args.head), "built-in")
-    reg.createOrReplaceTempFunction("vec_dot",
-      (args: Seq[Expression]) => DotProductExpr(args(0), args(1)), "built-in")
-    reg.createOrReplaceTempFunction("rolling_hash",
-      (args: Seq[Expression]) => RollingHashExpr(args.head), "built-in")
+    builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -15,4 +15,43 @@ class ExtensionsSpec extends SparkSpec {
     // 'a'·257² + 'b'·257 + 'c' = 97·66049 + 98·257 + 99
     assert(r.getLong(2) == 97L * 66049 + 98L * 257 + 99)
   }
+
+  test("all 8 kernels are callable from spark.sql and agree with the column API") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT size(word_shingles('a b c d', 3)) AS n_sh,
+                size(minhash_sigs('a b c d', 3, 8)) AS n_sig,
+                simhash_sig('hello world') AS sh,
+                size(ngram_hashes('abcdef', 4)) AS n_ng,
+                sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic""")
+      .head()
+    assert(r.getInt(0) == 2)  // "a b c", "b c d"
+    assert(r.getInt(1) == 8)
+    assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 32))
+    assert(r.getInt(3) == 3)  // abcd bcde cdef
+    assert(r.getLong(4) == 2) // {3, 5}
+    // SQL path and Column API produce identical sketches
+    import spark.implicits._
+    val doc = Seq("the quick brown fox").toDF("text")
+    doc.createOrReplaceTempView("ext_doc")
+    val viaSql = spark.sql(
+      "SELECT minhash_sigs(text, 3, 8) AS s FROM ext_doc").head().getSeq[String](0)
+    val viaCol = doc.select(
+      graft.functions.MinHashSigs.minhash_sigs(
+        org.apache.spark.sql.functions.col("text"), 3, 8).as("s"))
+      .head().getSeq[String](0)
+    assert(viaSql == viaCol)
+  }
+
+  test("sizing arguments must be foldable (a column is rejected)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq("abc").toDF("text").createOrReplaceTempView("ext_doc2")
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_sigs(text, CAST(length(text) AS INT), 8) AS s FROM ext_doc2")
+        .head()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
 }

@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication for a document ingest stream — the
+  * training-data counterpart of the batch `q24_dedup_exact` operator.
+  *
+  * `dropDuplicates` on the content hash keeps ONE row per distinct
+  * text across micro-batches; the watermark bounds the dedup state the
+  * standard way (a duplicate arriving later than `horizon` after its
+  * original may be re-admitted — the documented trade every streaming
+  * dedup makes; an unbounded exact guarantee needs the batch join
+  * against the stored corpus instead).
+  *
+  * State scales with distinct-hashes-within-horizon, hash-partitioned
+  * across executors; rows carry only (hash, event-time) in the state
+  * store, never the text.
+  */
+object StreamingDedup {
+
+  /** Append a `content_hash` and drop in-horizon duplicates.
+    * Input must carry an event-time column `ts` (timestamp). */
+  def exactOnce(
+      stream: DataFrame,
+      textCol: String = "text",
+      horizon: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark("ts", horizon)
+      .dropDuplicates("content_hash")
+}

@@ -135,6 +135,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components: labels are invariant under pair order/direction") {
+    import graft.operators.DedupGroups
+    val pairGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L)))
+      .map(_.filter(p => p._1 != p._2))
+    for ((pairs, idx) <- samples(pairGen, 4).zipWithIndex if pairs.nonEmpty) {
+      val base = DedupGroups.connectedComponents(
+        pairs.toDF("doc_a", "doc_b")).as[(Long, Long)].collect().toMap
+      val shuffled = DedupGroups.connectedComponents(
+        scala.util.Random.javaRandomToRandom(new java.util.Random(idx))
+          .shuffle(pairs.map(p => (p._2, p._1))) // reversed + reordered
+          .toDF("doc_a", "doc_b")).as[(Long, Long)].collect().toMap
+      assert(base == shuffled, s"case $idx: $pairs")
+      // every label is the component minimum: it labels itself
+      base.values.toSet.foreach((g: Long) => assert(base(g) == g))
+    }
+  }
+
   test("minhash: identical docs get identical signatures; jaccard is 1") {
     for (words <- samples(Gen.listOfN(10, word), 4)) {
       val text = words.mkString(" ")

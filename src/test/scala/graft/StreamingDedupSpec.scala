@@ -1,0 +1,32 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming exact dedup: first occurrence passes, in-horizon
+  * duplicates are dropped across micro-batches.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cross-batch duplicates are dropped; distinct texts all pass") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingDedup.exactOnce(in.toDF().toDF("ts", "text"))
+      .select("text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup")
+      .start()
+    try {
+      val t1 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t2 = Timestamp.valueOf("2024-01-01 10:10:00")
+      in.addData((t1, "aaa"), (t1, "bbb"), (t1, "aaa")) // within-batch dup
+      q.processAllAvailable()
+      in.addData((t2, "aaa"), (t2, "ccc"))              // cross-batch dup
+      q.processAllAvailable()
+      val got = spark.table("sdedup").as[String].collect().sorted.toSeq
+      assert(got == Seq("aaa", "bbb", "ccc"))
+    } finally q.stop()
+  }
+}

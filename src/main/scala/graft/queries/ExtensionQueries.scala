@@ -207,6 +207,34 @@ object ExtensionQueries {
       .withColumn("chunk", floor(col("start_off") / 4096).cast("bigint"))
   }
 
+  /** The operators composed end-to-end as one curation pass — what a
+    * training-data engine actually runs: language gate → quality gate →
+    * exact-dedup keeper → near-dup group keeper → deterministic 50%
+    * sample. Every stage reuses the operator (and oracle formula) it is
+    * individually checked by. */
+  val q42Curation: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val lang = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"))
+    val qual = TextOps.qualityFeatures(docs)
+      .select(col("doc_id"), col("quality_score_bp"))
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val groups = DedupGroups.dedupGroups(docs, threshold = 0.2)
+      .select(col("doc_id"), col("group_id"))
+    docs.select(col("doc_id"), md5(col("text")).as("h"),
+        TextOps.wordCount(col("text")).as("n_tok"))
+      .join(lang, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(keepers, Seq("h"))
+      .filter(col("doc_id") === col("keeper")) // exact-dup keeper only
+      .join(groups, Seq("doc_id"), "left")
+      .filter(col("group_id").isNull || col("group_id") === col("doc_id")) // near-dup keeper
+      .filter(col("pred_lang") =!= "unknown")
+      .filter(col("quality_score_bp") >= 4000)
+      .filter(Sampling.samplePredicate(col("doc_id"), 0.5, "curate"))
+      .select(col("doc_id"), col("pred_lang"), col("quality_score_bp"), col("n_tok"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -242,6 +270,7 @@ object ExtensionQueries {
     "q39_tfidf_top" -> q39TfidfTop,
     "q40_sessionize" -> q40Sessionize,
     "q41_token_chunks" -> q41TokenChunks,
+    "q42_curation" -> q42Curation,
   )
 
   val oracles: Map[String, String] = Map(
@@ -588,5 +617,79 @@ object ExtensionQueries {
                FROM documents)
          WINDOW w AS (PARTITION BY lang ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // end-to-end curation: assembled verbatim from the q22 (pred_lang),
+    // q21 (quality), q24 (exact keeper), q35 (near-dup groups), and q36
+    // (hash sample) oracle formulas
+    "q42_curation" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 1),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         sig AS (
+           SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j),
+         band AS (
+           SELECT doc_id, j // 2 AS band,
+                  md5(string_agg(mh, '|' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2
+           QUALIFY count(*) OVER (PARTITION BY j // 2, md5(string_agg(mh, '|' ORDER BY j))) <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS i
+           FROM cand c
+           JOIN shd x ON x.doc_id = c.doc_a
+           JOIN shd y ON y.doc_id = c.doc_b AND x.sh = y.sh
+           GROUP BY c.doc_a, c.doc_b),
+         sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id),
+         keepers AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+                     FROM documents GROUP BY 1),
+         feat AS (
+           SELECT doc_id, md5(text) AS h,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  CASE WHEN length(regexp_replace(text, '[ -~]', '', 'g')) > 0 THEN 'zh'
+                       WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) = 0
+                            AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) = 0
+                            AND len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) = 0
+                            AND len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) = 0 THEN 'unknown'
+                       WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))
+                            AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(el|los|una|y|es)\b'))
+                            AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'en'
+                       WHEN len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(text, '\b(el|los|una|y|es)\b'))
+                            AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'de'
+                       WHEN len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'es'
+                       ELSE 'fr' END AS pred_lang,
+                  CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+                        + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+                                / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+                        + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+                                       / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS quality_score_bp
+           FROM documents)
+         SELECT f.doc_id, f.pred_lang, f.quality_score_bp, f.n_tok
+         FROM feat f
+         JOIN keepers k ON f.h = k.h AND f.doc_id = k.keeper
+         LEFT JOIN grp g ON g.doc_id = f.doc_id
+         WHERE (g.group_id IS NULL OR g.group_id = f.doc_id)
+           AND f.pred_lang <> 'unknown'
+           AND f.quality_score_bp >= 4000
+           AND substr(md5('curate:' || CAST(f.doc_id AS VARCHAR)), 1, 2) < '80'""",
   )
 }

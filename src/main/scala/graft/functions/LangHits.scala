@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass language-ID feature counter: [en, de, es, fr, nonascii].
+  *
+  * Replaces five regex passes per document (four
+  * `\b(stopword|…)\b` lexicon scans + a `[ -~]` strip) with a single
+  * character scan. Semantics are EXACTLY the regex spelling's — a
+  * lexicon hit is a maximal `[A-Za-z0-9_]` word-run equal to a
+  * stopword (that is precisely what `\b(w)\b` can match, since `\b`
+  * only exists at run edges), and `nonascii` counts UTF-16 units
+  * outside `[ -~]` like `length(regexp_replace(text, '[ -~]', ''))`
+  * does. The regex spelling stays in TextOps as the equivalence-tested
+  * slow sibling, and the DuckDB oracle is unchanged.
+  *
+  * Lexicons (reference formulas, ExtensionQueries q22 oracle):
+  * en: the a of and is · de: der die das und ist · es: el los una y es
+  * · fr: le la et les des.
+  */
+case class LangHitsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  // word-run → lexicon membership, allocation-free
+  private def runIs(s: String, start: Int, len: Int, w: String): Boolean = {
+    if (len != w.length) return false
+    var i = 0
+    while (i < len) {
+      if (s.charAt(start + i) != w.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    var en = 0L; var de = 0L; var es = 0L; var fr = 0L; var na = 0L
+    var runStart = -1
+    var i = 0
+    while (i <= n) {
+      val c = if (i < n) s.charAt(i) else ' '
+      // nonascii counts CODE POINTS (Spark's length() is numChars): a
+      // surrogate pair is one hit, counted at its high surrogate
+      if (i < n && (c < ' ' || c > '~') &&
+        !(Character.isLowSurrogate(c) && i > 0 &&
+          Character.isHighSurrogate(s.charAt(i - 1)))) na += 1
+      if (isWord(c)) {
+        if (runStart < 0) runStart = i
+      } else if (runStart >= 0) {
+        val len = i - runStart
+        if (len <= 3) {
+          if (runIs(s, runStart, len, "the") || runIs(s, runStart, len, "a") ||
+            runIs(s, runStart, len, "of") || runIs(s, runStart, len, "and") ||
+            runIs(s, runStart, len, "is")) en += 1
+          if (runIs(s, runStart, len, "der") || runIs(s, runStart, len, "die") ||
+            runIs(s, runStart, len, "das") || runIs(s, runStart, len, "und") ||
+            runIs(s, runStart, len, "ist")) de += 1
+          if (runIs(s, runStart, len, "el") || runIs(s, runStart, len, "los") ||
+            runIs(s, runStart, len, "una") || runIs(s, runStart, len, "y") ||
+            runIs(s, runStart, len, "es")) es += 1
+          if (runIs(s, runStart, len, "le") || runIs(s, runStart, len, "la") ||
+            runIs(s, runStart, len, "et") || runIs(s, runStart, len, "les") ||
+            runIs(s, runStart, len, "des")) fr += 1
+        }
+        runStart = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(en, de, es, fr, na))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangHitsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "lang_hits"
+}
+
+object LangHits {
+  /** [en_hits, de_hits, es_hits, fr_hits, n_nonascii] in one scan. */
+  def lang_hits(text: Column): Column =
+    ColumnBridge.column(LangHitsExpr(ColumnBridge.expression(text)))
+}

@@ -49,10 +49,37 @@ object TextOps {
   private def hits(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("bigint")
 
+  private def langDecision(
+      en: Column, de: Column, es: Column, fr: Column, nonAscii: Column): Column =
+    when(nonAscii > 0, "zh")
+      .when(en === lit(0) && de === lit(0) && es === lit(0) && fr === lit(0),
+        "unknown")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+
   /** Stopword-lexicon language ID (n-gram heuristic): per-language hit
     * counts + a deterministic argmax. CJK is detected first via
-    * non-ASCII density. */
-  def langId(docs: DataFrame): DataFrame = {
+    * non-ASCII density. All five counts come from ONE native scan per
+    * document (graft.functions.LangHitsExpr) instead of five regex
+    * passes; the explode(array(…)) keeps the kernel behind a Generate
+    * boundary so CollapseProject can't inline it 7× into the argmax. */
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(array(graft.functions.LangHits.lang_hits(col("text")))).as("h"))
+      .select(
+        col("doc_id"), col("lang"),
+        col("h")(0).as("en_hits"), col("h")(1).as("de_hits"),
+        col("h")(2).as("es_hits"), col("h")(3).as("fr_hits"),
+        col("h")(4).as("n_nonascii"),
+        langDecision(col("h")(0), col("h")(1), col("h")(2), col("h")(3),
+          col("h")(4)).as("pred_lang"))
+
+  /** The five-regex-pass spelling — the equivalence-tested slow sibling
+    * of [[langId]]'s native kernel (and the DuckDB oracle's shape). */
+  def langIdRegex(docs: DataFrame): DataFrame = {
     val en = hits(col("text"), "\\b(the|a|of|and|is)\\b")
     val de = hits(col("text"), "\\b(der|die|das|und|ist)\\b")
     val es = hits(col("text"), "\\b(el|los|una|y|es)\\b")
@@ -62,14 +89,7 @@ object TextOps {
       col("doc_id"), col("lang"),
       en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
       nonAscii.as("n_nonascii"),
-      when(nonAscii > 0, "zh")
-        .when(en === lit(0) && de === lit(0) && es === lit(0) && fr === lit(0),
-          "unknown")
-        .when(en >= de && en >= es && en >= fr, "en")
-        .when(de >= es && de >= fr, "de")
-        .when(es >= fr, "es")
-        .otherwise("fr")
-        .as("pred_lang"))
+      langDecision(en, de, es, fr, nonAscii).as("pred_lang"))
   }
 
   /** Canonical document fingerprint: md5 of the lowercased,

@@ -153,6 +153,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native lang_hits equals the five-regex-pass spelling") {
+    import graft.operators.TextOps
+    val token = Gen.oneOf(
+      Gen.oneOf("the", "a", "of", "and", "is", "der", "die", "das", "und",
+        "ist", "el", "los", "una", "y", "es", "le", "la", "et", "les", "des"),
+      word,
+      Gen.oneOf("этот", "中文", "a_b", "the-la", "7a", "_is_", "l'a", "(es)",
+        "und,", "😀the", "", "   ", "anders", "thela"))
+    val textGen = Gen.choose(0, 25).flatMap(n =>
+      Gen.listOfN(n, token).map(_.mkString(" ")))
+    val texts = samples(textGen, 40)
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "x") }.toDF("doc_id", "text", "lang")
+    val native = TextOps.langId(docs).collect().map(_.toSeq).toSet
+    val regex = TextOps.langIdRegex(docs).collect().map(_.toSeq).toSet
+    assert(native == regex)
+  }
+
   test("minhash: identical docs get identical signatures; jaccard is 1") {
     for (words <- samples(Gen.listOfN(10, word), 4)) {
       val text = words.mkString(" ")

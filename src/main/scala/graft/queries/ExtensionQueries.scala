@@ -235,6 +235,29 @@ object ExtensionQueries {
       .select(col("doc_id"), col("pred_lang"), col("quality_score_bp"), col("n_tok"))
   }
 
+  /** Benchmark decontamination: docs sharing any word-8-gram with the
+    * eval set (here: doc_id < 3 standing in for a benchmark table).
+    * The eval set's distinct shingle hashes collapse into ONE sorted
+    * array broadcast to every scan task, so the corpus pass is
+    * shuffle-free: shingle → hash → native merge-scan intersect per
+    * row. The oracle intersects the actual shingle strings — the 2⁻⁶⁴
+    * hash-collision divergence is the same trade q26 documents. */
+  val q43Decontaminate: Q = (s, dir) => {
+    import graft.functions.SortedIntersect.sorted_intersect_count
+    import graft.functions.WordShingles.word_shingles
+    val docs = t(s, dir, "documents")
+    val evalArr = docs.filter(col("doc_id") < 3)
+      .select(explode(word_shingles(col("text"), 8)).as("sh"))
+      .agg(array_sort(collect_set(xxhash64(col("sh")))).as("eh"))
+    docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          transform(word_shingles(col("text"), 8), sh => xxhash64(sh)))).as("gh"))
+      .crossJoin(broadcast(evalArr))
+      .select(col("doc_id"), sorted_intersect_count(col("gh"), col("eh")).as("n_shared"))
+      .filter(col("n_shared") > 0)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -271,6 +294,7 @@ object ExtensionQueries {
     "q40_sessionize" -> q40Sessionize,
     "q41_token_chunks" -> q41TokenChunks,
     "q42_curation" -> q42Curation,
+    "q43_decontaminate" -> q43Decontaminate,
   )
 
   val oracles: Map[String, String] = Map(
@@ -691,5 +715,17 @@ object ExtensionQueries {
            AND f.pred_lang <> 'unknown'
            AND f.quality_score_bp >= 4000
            AND substr(md5('curate:' || CAST(f.doc_id AS VARCHAR)), 1, 2) < '80'""",
+    "q43_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 6),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]
+                           || ' ' || s[i+4] || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         ev AS (SELECT DISTINCT sh FROM shd WHERE doc_id < 3)
+         SELECT d.doc_id, count(*) AS n_shared
+         FROM shd d JOIN ev ON d.sh = ev.sh
+         GROUP BY d.doc_id""",
   )
 }

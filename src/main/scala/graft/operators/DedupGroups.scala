@@ -37,18 +37,20 @@ object DedupGroups {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // each doc's own row is flagged so the SAME aggregation carries
+      // the previous label out — convergence then reads the (tiny)
+      // checkpointed frame instead of joining the two generations
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("dst"), col("group_id")), Seq("dst"))
-        .select(col("src").as("doc_id"), col("group_id"))
-      val next = labels.union(viaNeighbor)
+        .select(col("src").as("doc_id"), col("group_id"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true))
+        .union(viaNeighbor)
         .groupBy(col("doc_id"))
-        .agg(min(col("group_id")).as("group_id"))
+        .agg(min(col("group_id")).as("group_id"),
+          min(when(col("own"), col("group_id"))).as("prev"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("group_id", "prev"), Seq("doc_id"))
-        .filter(col("group_id") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("group_id") =!= col("prev")).isEmpty
+      labels = next.drop("prev")
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")

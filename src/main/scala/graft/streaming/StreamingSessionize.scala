@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming gap-sessionization — the streaming form of the batch
+  * `q40_sessionize` operator, using Spark's native `session_window`
+  * (dynamic-gap session state merged by the engine; no hand-rolled
+  * `flatMapGroupsWithState` needed — the built-in is the Spark-first
+  * answer here, with state-store-backed merging and watermark
+  * eviction).
+  *
+  * Append-mode semantics: a session emits once the watermark passes
+  * its close (last event + gap), so late events within the watermark
+  * can still extend it. `session_window`'s window end is PADDED —
+  * `last event ts + gap` — where the batch q40 reports the last event
+  * itself; the spec reconciles the two.
+  */
+object StreamingSessionize {
+
+  def sessions(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end_padded"),
+        col("n_events"), col("sum_value"))
+}

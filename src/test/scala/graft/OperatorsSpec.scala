@@ -56,6 +56,27 @@ class OperatorsSpec extends SparkSpec {
       s"checkpoint blocks accumulating: $before -> ${sc.getPersistentRDDs.size}")
   }
 
+  test("vec_sum aggregates element-wise across partitions; centroids are the means") {
+    import graft.functions.VectorAgg
+    val vecs = Seq(
+      ("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 4.0)), ("a", Seq(5.0, 6.0)),
+      ("b", Seq(10.0, 20.0)),
+      ("c", null))
+      .toDF("label", "v")
+      .repartition(3) // force partial-buffer merges
+    val sums = vecs.groupBy("label").agg(VectorAgg.vec_sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(sums("a").get == Seq(9.0, 12.0))
+    assert(sums("b").get == Seq(10.0, 20.0))
+    assert(sums("c").get == Seq()) // all-null group folds to the empty zero
+    val cent = Similarity.centroids(
+      Seq((0L, "a", Array(1.0f, 3.0f)), (1L, "a", Array(3.0f, 5.0f)),
+        (2L, "b", Array(2.0f, 2.0f)))
+        .toDF("vec_id", "label", "embedding"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(cent("a") == Seq(2.0, 4.0) && cent("b") == Seq(2.0, 2.0))
+  }
+
   test("sign-LSH: identical vectors share a bucket; a query matches itself at rank 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 2.0f, -1.0f)),

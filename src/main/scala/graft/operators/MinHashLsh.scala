@@ -154,30 +154,75 @@ object MinHashLsh {
       threshold: Double = 0.2): DataFrame = {
     val pairs = candidatePairs(
       bandBucketsDirect(docs, numHashes, rowsPerBand)).localCheckpoint()
-    // verify via per-doc sorted shingle-hash arrays + the native
-    // merge-scan intersection: two joins against dimension-sized frames
-    // instead of three shuffled joins over exploded shingle rows.
-    // Hash collisions (~2⁻⁶⁴/pair) are the only divergence from
-    // jaccardVerify's exact string sets.
-    import graft.functions.SortedIntersect.sorted_intersect_count
-    val candDocs = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val hashed = docs.join(candDocs, Seq("doc_id"), "left_semi")
+    verifyPairs(pairs, "doc_a", docs, "doc_b", docs, threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental dedup — the daily-ingest shape: near-dups of a NEW
+    * batch against an EXISTING corpus, never corpus × corpus. The
+    * corpus band table is recomputed here for self-containment, but in
+    * production it is the persisted index: band rows are written once
+    * at ingest and only the (small) new batch is sketched per run, so
+    * the candidate join reads |new bands| × matching buckets — the
+    * whole corpus is touched only through the bucket index. The
+    * bucket-size cap applies to the corpus side (boilerplate buckets),
+    * mirroring [[candidatePairs]]. */
+  def nearDuplicatesAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val nb = bandBucketsDirect(newDocs, numHashes, rowsPerBand)
+    val cb = bandBucketsDirect(corpus, numHashes, rowsPerBand)
+      .withColumn("bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+    val pairs = nb.select(col("doc_id").as("doc_new"), col("band"), col("bucket"))
+      .join(cb.select(col("doc_id").as("doc_old"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("doc_new"), col("doc_old"))
+      .distinct()
+      .localCheckpoint()
+    verifyPairs(pairs, "doc_new", newDocs, "doc_old", corpus, threshold)
+      .select(col("doc_new"), col("doc_old"), col("jaccard"))
+  }
+
+  /** Per-doc sorted shingle-hash arrays for exactly the docs a pair
+    * list involves (semi-join keeps the quadratic verify off the rest
+    * of the corpus). */
+  private def hashedShingles(docs: DataFrame, ids: DataFrame): DataFrame =
+    docs.join(ids.distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_sort(array_distinct(
           transform(graft.functions.WordShingles.word_shingles(col("text"), 3),
             sh => xxhash64(sh)))).as("gh"))
       .withColumn("n", size(col("gh")).cast("bigint"))
-    val withJaccard = pairs
-      .join(hashed.select(col("doc_id").as("doc_a"),
-        col("gh").as("ga"), col("n").as("na")), Seq("doc_a"))
-      .join(hashed.select(col("doc_id").as("doc_b"),
-        col("gh").as("gb"), col("n").as("nb")), Seq("doc_b"))
+
+  /** Exact-Jaccard verify over a candidate pair list via the native
+    * merge-scan intersection. Hash collisions (~2⁻⁶⁴/pair) are the only
+    * divergence from [[jaccardVerify]]'s exact string sets. */
+  private def verifyPairs(
+      pairs: DataFrame,
+      leftCol: String, leftDocs: DataFrame,
+      rightCol: String, rightDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.SortedIntersect.sorted_intersect_count
+    val ha = hashedShingles(leftDocs, pairs.select(col(leftCol).as("doc_id")))
+    val hb = hashedShingles(rightDocs, pairs.select(col(rightCol).as("doc_id")))
+    pairs
+      .join(ha.select(col("doc_id").as(leftCol),
+        col("gh").as("ga"), col("n").as("na")), Seq(leftCol))
+      .join(hb.select(col("doc_id").as(rightCol),
+        col("gh").as("gb"), col("n").as("nb")), Seq(rightCol))
       .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")))
-      .withColumn("jaccard",
+      // threshold the UNROUNDED ratio (matching the oracle's WHERE),
+      // round only the reported value
+      .withColumn("graft_j",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-    withJaccard
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .filter(col("graft_j") >= threshold)
+      .withColumn("jaccard", round(col("graft_j"), 4))
   }
 }

@@ -258,6 +258,17 @@ object ExtensionQueries {
       .filter(col("n_shared") > 0)
   }
 
+  /** Incremental dedup: the new batch (doc_id ≡ 0 mod 10 stands in for
+    * today's ingest) LSH-joined against the existing corpus — never
+    * corpus × corpus. */
+  val q44IncrementalDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    MinHashLsh.nearDuplicatesAgainst(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      threshold = 0.2)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -295,6 +306,7 @@ object ExtensionQueries {
     "q41_token_chunks" -> q41TokenChunks,
     "q42_curation" -> q42Curation,
     "q43_decontaminate" -> q43Decontaminate,
+    "q44_incremental_dedup" -> q44IncrementalDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -727,5 +739,41 @@ object ExtensionQueries {
          SELECT d.doc_id, count(*) AS n_shared
          FROM shd d JOIN ev ON d.sh = ev.sh
          GROUP BY d.doc_id""",
+    // q26's sketch pipeline, split new-vs-corpus: candidate pairs only
+    // cross the split (bucket cap on the corpus side, like production
+    // incremental dedup where corpus bands are the persisted index)
+    "q44_incremental_dedup" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 1),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         sig AS (
+           SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j),
+         band AS (
+           SELECT doc_id, j // 2 AS band,
+                  md5(string_agg(mh, '|' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2),
+         nb AS (SELECT doc_id AS doc_new, band, bucket FROM band WHERE doc_id % 10 = 0),
+         cb AS (SELECT doc_id AS doc_old, band, bucket FROM band WHERE doc_id % 10 <> 0
+                QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         cand AS (
+           SELECT DISTINCT doc_new, doc_old
+           FROM nb JOIN cb ON nb.band = cb.band AND nb.bucket = cb.bucket),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         inter AS (
+           SELECT c.doc_new, c.doc_old, count(*) AS i
+           FROM cand c
+           JOIN shd x ON x.doc_id = c.doc_new
+           JOIN shd y ON y.doc_id = c.doc_old AND x.sh = y.sh
+           GROUP BY c.doc_new, c.doc_old),
+         sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id)
+         SELECT doc_new, doc_old,
+                round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_new
+         JOIN sz sb ON sb.doc_id = doc_old
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2""",
   )
 }

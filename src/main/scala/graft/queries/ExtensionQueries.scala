@@ -269,6 +269,37 @@ object ExtensionQueries {
       threshold = 0.2)
   }
 
+  /** Intra-document repetition (a Gopher-style quality signal): the
+    * fraction of duplicate word-3-grams within each doc, in basis
+    * points. Scan-local: shingle + two set sizes per row. */
+  val q45Repetition: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("bigint").as("n_grams"),
+        size(array_distinct(col("sh"))).cast("bigint").as("n_distinct"))
+      .withColumn("dup_ratio_bp",
+        when(col("n_grams") > 0,
+          floor((col("n_grams") - col("n_distinct")).cast("double")
+            / col("n_grams") * 10000).cast("bigint"))
+          .otherwise(lit(0L)))
+
+  /** PII-pattern scan (the scrubber's counting pass): emails, phone-ish
+    * digit runs, IPv4s per document — identical regexes in the oracle. */
+  val q46PiiScan: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit("\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"), lit(0)))
+          .cast("bigint").as("n_phones"),
+        size(regexp_extract_all(col("text"),
+          lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit(0)))
+          .cast("bigint").as("n_ipv4"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -307,6 +338,8 @@ object ExtensionQueries {
     "q42_curation" -> q42Curation,
     "q43_decontaminate" -> q43Decontaminate,
     "q44_incremental_dedup" -> q44IncrementalDedup,
+    "q45_repetition" -> q45Repetition,
+    "q46_pii_scan" -> q46PiiScan,
   )
 
   val oracles: Map[String, String] = Map(
@@ -775,5 +808,25 @@ object ExtensionQueries {
          JOIN sz sa ON sa.doc_id = doc_new
          JOIN sz sb ON sb.doc_id = doc_old
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2""",
+    "q45_repetition" ->
+      """SELECT doc_id,
+                CAST(len(g) AS BIGINT) AS n_grams,
+                CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+                CASE WHEN len(g) > 0
+                     THEN CAST(floor(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                               / len(g) * 10000) AS BIGINT)
+                     ELSE 0 END AS dup_ratio_bp
+         FROM (SELECT doc_id,
+                      CASE WHEN len(s) >= 3
+                           THEN list_transform(range(1, len(s) - 1),
+                                i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+                           ELSE [] END AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))""",
+    "q46_pii_scan" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
+         FROM documents""",
   )
 }

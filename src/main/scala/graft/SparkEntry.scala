@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The pricing-summary aggregation (SURVEY §2 A1/A2 analog). */
+    * The composed curation pipeline (q42): language gate → quality gate →
+    * exact + near-dup keepers → deterministic sample — the engine's
+    * marquee training-data pass. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Queries.all("q01_agg")(spark, "/root/testdata/sf0.001")
+    graft.queries.Queries.all("q42_curation")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.operators.MinHashLsh
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming incremental near-dup dedup: each micro-batch of documents
+  * is LSH-checked against the corpus ingested SO FAR, then clean docs
+  * are appended — the streaming form of
+  * [[MinHashLsh.nearDuplicatesAgainst]] (q44) and the shape of a
+  * continuous-ingest curation service.
+  *
+  * Per batch: (1) within-batch near-dups collapse to their min-id
+  * keeper, (2) survivors near-matching the existing corpus are
+  * dropped, (3) the remainder appends to the corpus parquet. At scale
+  * the corpus side is the PERSISTED band index (bands written at
+  * ingest); here it is recomputed from the corpus table per batch for
+  * self-containment — swap `bandBucketsDirect(corpus)` for a read of
+  * the band table to make each batch O(new).
+  *
+  * foreachBatch gives exactly-once appends through the checkpoint;
+  * results are idempotent because keepers are chosen by min doc_id,
+  * not arrival order within the batch.
+  */
+object StreamingIncrementalDedup {
+
+  def start(
+      spark: SparkSession,
+      docsStream: DataFrame,
+      corpusPath: String,
+      checkpointDir: String,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions._
+        // 1. collapse within-batch near-dups to the min-id keeper
+        val innerPairs = MinHashLsh.nearDuplicates(batch, threshold = threshold)
+        val dupIds = innerPairs.select(col("doc_b").as("doc_id")).distinct()
+        val kept = batch.join(dupIds, Seq("doc_id"), "left_anti")
+        // 2. drop survivors that near-match the existing corpus
+        val clean =
+          if (new java.io.File(corpusPath).exists()) {
+            val corpus = spark.read.parquet(corpusPath)
+            val vsCorpus = MinHashLsh
+              .nearDuplicatesAgainst(kept, corpus, threshold = threshold)
+              .select(col("doc_new").as("doc_id")).distinct()
+            kept.join(vsCorpus, Seq("doc_id"), "left_anti")
+          } else kept
+        // 3. append the clean docs
+        clean.write.mode("append").parquet(corpusPath)
+        ()
+      }
+      .start()
+}

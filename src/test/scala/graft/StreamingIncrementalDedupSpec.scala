@@ -1,0 +1,40 @@
+package graft
+
+import graft.streaming.StreamingIncrementalDedup
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Continuous-ingest dedup: within-batch near-dups collapse to the
+  * min-id keeper, cross-batch near-dups are dropped against the
+  * corpus ingested so far.
+  */
+class StreamingIncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batches dedup against themselves and the growing corpus") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val corpus = Files.createTempDirectory("graft-inc-dedup").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-inc-ckpt").toString
+    val q = StreamingIncrementalDedup.start(
+      spark, in.toDF().toDF("doc_id", "text"), corpus, ckpt,
+      threshold = 0.2, trigger = Trigger.ProcessingTime("25 milliseconds"))
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1 → dropped
+        (5L, "completely different words entirely here now"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 5L))
+
+      in.addData(
+        (7L, "the quick brown fox jumps over the lazy pig"), // near-dup of stored 1 → dropped
+        (8L, "fresh content sharing no shingles with anyone"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 5L, 8L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+/** Physical-plan regression tests: the plan properties PLANS.md audits
+  * by eye, asserted so they can't silently regress — scan pruning,
+  * pushdown, broadcast dimension joins, top-k via TakeOrderedAndProject,
+  * no unpartitioned windows on unbounded inputs, no cartesian products
+  * (the only nested-loop joins allowed are broadcast of provably tiny
+  * sides: ≤5-row query sets and 1-row aggregates).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no CartesianProduct anywhere; nested-loop joins are broadcast-only") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("q01: partial+final hash aggregation, pruned scan") {
+    val p = plan("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q02: top-k through TakeOrderedAndProject, no window exchange") {
+    val p = plan("q02_topk_rank")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k:\n$p")
+    assert(!p.contains("Window"), s"rank still uses a window function:\n$p")
+  }
+
+  test("q03: dimension join is a broadcast hash join") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"supplier join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join shuffled:\n$p")
+  }
+
+  test("q06/q11: filters reach the parquet scan") {
+    assert(plan("q11_watermark").contains("PushedFilters: [IsNotNull(event_id)"),
+      "watermark probe filter not pushed")
+    val p = plan("q07_semi_join")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity,49"),
+      s"semi-join probe filter not pushed:\n$p")
+  }
+
+  test("q09: windows are partitioned (no single-partition exchange)") {
+    val p = plan("q09_windows")
+    assert(p.contains("Window"), "expected window operators")
+    assert(!p.contains("SinglePartition"), s"unpartitioned window exchange:\n$p")
+  }
+
+  test("q29/q30: ANN sides broadcast; q37 bucket join stays hash") {
+    assert(plan("q29_ann_brute").contains("BroadcastNestedLoopJoin"),
+      "brute-force query set should broadcast")
+    val ivf = plan("q30_ann_ivf")
+    assert(ivf.contains("BroadcastHashJoin"), "IVF probe join should broadcast")
+    assert(plan("q37_ann_lsh").contains("BroadcastHashJoin"),
+      "LSH bucket join should broadcast the query side at this scale")
+  }
+
+  test("LSH: sign-and-band stage is shuffle-free; verify uses the native kernel") {
+    // the pair frame is checkpointed inside nearDuplicates, so the
+    // sketch stage is audited on the band stage directly
+    val sketch = graft.operators.MinHashLsh
+      .bandBucketsDirect(Tables.load(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(sketch.contains("minhash_sigs"), s"native sketch kernel missing:\n$sketch")
+    assert(!sketch.contains("Exchange"), s"sign-and-band stage shuffles:\n$sketch")
+    val p = plan("q26_lsh_neardup")
+    assert(p.contains("sorted_intersect_count"), s"native verify kernel missing:\n$p")
+  }
+}

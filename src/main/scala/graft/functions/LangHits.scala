@@ -15,9 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * character scan. Semantics are EXACTLY the regex spelling's — a
   * lexicon hit is a maximal `[A-Za-z0-9_]` word-run equal to a
   * stopword (that is precisely what `\b(w)\b` can match, since `\b`
-  * only exists at run edges), and `nonascii` counts UTF-16 units
+  * only exists at run edges), and `nonascii` counts CODE POINTS
   * outside `[ -~]` like `length(regexp_replace(text, '[ -~]', ''))`
-  * does. The regex spelling stays in TextOps as the equivalence-tested
+  * does (Spark's `length` is numChars — a surrogate pair is one).
+  * The regex spelling stays in TextOps as the equivalence-tested
   * slow sibling, and the DuckDB oracle is unchanged.
   *
   * Lexicons (reference formulas, ExtensionQueries q22 oracle):

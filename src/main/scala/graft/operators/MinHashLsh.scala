@@ -94,15 +94,22 @@ object MinHashLsh {
       .select(col("doc_id"), col("band").cast("bigint").as("band"), col("bucket"))
   }
 
+  /** Drop band buckets larger than `maxBucketSize` — the quadratic
+    * blowup guard for boilerplate-heavy buckets, shared by the
+    * self-join and incremental candidate paths. */
+  private def capBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets
+      .withColumn("graft_bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("graft_bsz") <= maxBucketSize)
+      .drop("graft_bsz")
+
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
     * Buckets larger than maxBucketSize are dropped before the self-join
     * (quadratic blowup guard for boilerplate buckets). */
   def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
-    val sized = buckets
-      .withColumn("bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
+    val sized = capBuckets(buckets, maxBucketSize)
     val a = sized.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = sized.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -175,11 +182,8 @@ object MinHashLsh {
       threshold: Double = 0.2,
       maxBucketSize: Int = 1000): DataFrame = {
     val nb = bandBucketsDirect(newDocs, numHashes, rowsPerBand)
-    val cb = bandBucketsDirect(corpus, numHashes, rowsPerBand)
-      .withColumn("bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
+    val cb = capBuckets(bandBucketsDirect(corpus, numHashes, rowsPerBand),
+      maxBucketSize)
     val pairs = nb.select(col("doc_id").as("doc_new"), col("band"), col("bucket"))
       .join(cb.select(col("doc_id").as("doc_old"), col("band"), col("bucket")),
         Seq("band", "bucket"))

@@ -40,27 +40,14 @@ object CoreQueries {
   }
 
   /** W1/W2: dense_rank over an aggregate, top-5 (ref `queries.py:11-17`
-    * "cutlets" leaderboard). Tie-broken on the key so LIMIT is deterministic.
-    *
-    * No window function: an unpartitioned `dense_rank().over(orderBy)`
-    * funnels every row through one partition. Instead the top-5 DISTINCT
-    * counts (a TakeOrderedAndProject over the distinct values — exactly
-    * the rows with dense_rank ≤ 5) are self-joined into a 5-row
-    * (cnt → rank) map and broadcast back onto the aggregate, so the
-    * plan stays fully parallel at any key cardinality. */
+    * "cutlets" leaderboard). Tie-broken on the key so LIMIT is
+    * deterministic. Ranked via [[graft.operators.TopK.withDenseRank]]
+    * (broadcast rank map — no unpartitioned window). */
   val q02TopkRank: Q = (s, dir) => {
     val cnt = t(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("cnt"))
-    val top = cnt.select(col("cnt")).distinct()
-      .orderBy(col("cnt").desc).limit(5)
-    val ranked = top
-      .join(broadcast(top.select(col("cnt").as("cnt_ge"))),
-        col("cnt") <= col("cnt_ge"))
-      .groupBy(col("cnt"))
-      // dense_rank(v) ≡ #distinct counts ≥ v within the top-5 set
-      .agg(countDistinct(col("cnt_ge")).cast("bigint").as("rank"))
-    cnt.join(broadcast(ranked), Seq("cnt"))
+    graft.operators.TopK.withDenseRank(cnt, "cnt", 5)
       .select(col("l_suppkey"), col("cnt"), col("rank"))
       .orderBy(col("rank"), col("l_suppkey"))
       .limit(5)

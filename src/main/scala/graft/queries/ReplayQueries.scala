@@ -37,26 +37,19 @@ object ReplayQueries {
       .agg(count(lit(1)).as("count"))
       .orderBy(col("type"), col("name"))
 
-  /** dense_rank without a window function: the single-partition
-    * `Window.orderBy` exchange is the scale bottleneck, so the top-5
-    * DISTINCT counts (TakeOrderedAndProject) become a broadcast
-    * (count → rank) map joined back onto the aggregate — identical
-    * ranks, fully parallel (same shape as CoreQueries.q02TopkRank). */
+  /** dense_rank via the shared broadcast rank map
+    * ([[graft.operators.TopK.withDenseRank]]) — no single-partition
+    * `Window.orderBy` exchange; rank cast to int to keep the
+    * reference's rendered row shape. */
   private def leaderboard(t: ReplayTables, replay: Int, tk: Boolean): DataFrame = {
     val f = t.frags
       .filter(col("is_tk") === tk && col("replay_number") === replay)
     val agg = f.join(broadcast(t.dPlayers), f("killer") === t.dPlayers("id_from_json"))
       .groupBy(col("killer"), col("nickname"))
       .agg(count(col("killer")).as("count"))
-    val top = agg.select(col("count")).distinct()
-      .orderBy(col("count").desc).limit(5)
-    val ranked = top
-      .join(broadcast(top.select(col("count").as("cnt_ge"))),
-        col("count") <= col("cnt_ge"))
-      .groupBy(col("count"))
-      .agg(countDistinct(col("cnt_ge")).cast("int").as("rank"))
-    agg.join(broadcast(ranked), Seq("count"))
-      .select(col("killer"), col("nickname"), col("count"), col("rank"))
+    graft.operators.TopK.withDenseRank(agg, "count", 5)
+      .select(col("killer"), col("nickname"), col("count"),
+        col("rank").cast("int").as("rank"))
       .orderBy(col("rank"))
       .limit(5)
   }

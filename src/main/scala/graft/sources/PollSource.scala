@@ -19,11 +19,10 @@ import scala.collection.mutable.ListBuffer
   * reference's 1-per-cron-tick HTTP GET, main.py:64-67 /
   * functions.py:14-16); a `Some(body)` becomes one row
   * `(poll_id bigint, body string)` in the next micro-batch. Offsets
-  * count polls, so the checkpoint replays unprocessed-but-polled pages
-  * from the driver-side buffer and `commit()` trims what's been
-  * processed — the same driver-buffer contract as Spark's own
-  * unreplayable socket source (a poll, like a socket read, cannot be
-  * re-issued for history).
+  * count polls; polled-but-uncommitted pages are persisted beside the
+  * checkpoint (a poll, like a socket read, cannot be re-issued for
+  * history, so the buffer itself must survive a driver crash) and
+  * `commit()` deletes what's been processed.
   *
   * Pollers are injected through a registry keyed by the `poller`
   * option (functions don't survive the DataSource string-options
@@ -87,46 +86,65 @@ private case class PollPartition(rows: Array[(Long, String)]) extends InputParti
 
 private class PollMicroBatchStream(pollerName: String, checkpointLocation: String)
     extends MicroBatchStream {
-  private val poll = PollSource.poller(pollerName)
-  // polled-but-uncommitted pages, driver-side; first element's id is the
-  // offset base (ids are consecutive)
-  private val buffered = ListBuffer[(Long, String)]()
+  import org.apache.commons.io.IOUtils
+  import org.apache.hadoop.fs.Path
 
-  // The poll counter survives restarts in its own file beside the
-  // checkpoint: a fresh instance that restarted at 0 would hand its
-  // first poll the already-committed offset 1, and the page would be
-  // silently swallowed. (deserializeOffset is NOT a reliable resume
-  // hook — the first trigger can poll before recovery hands the
-  // committed offset back.)
-  private val counterPath = new org.apache.hadoop.fs.Path(
-    checkpointLocation, "graft-poll-counter")
+  private val poll = PollSource.poller(pollerName)
+
+  // Polled-but-uncommitted pages live BOTH in memory and as one file
+  // per poll beside the checkpoint. A poll is consumed the moment
+  // latestOffset issues it, so losing the page between poll and batch
+  // commit would be silent data loss — the file (written before the
+  // counter advances) makes the buffer itself survive a driver crash,
+  // and commit() is what deletes it. The counter file stops a
+  // restarted instance from reusing an already-committed offset
+  // (deserializeOffset is NOT a reliable resume hook — the first
+  // trigger can poll before recovery hands the committed offset back).
+  private val bufferDir = new Path(checkpointLocation, "graft-poll-buffer")
+  private val counterPath = new Path(checkpointLocation, "graft-poll-counter")
   private val fs = counterPath.getFileSystem(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-  private var polled: Long =
-    if (fs.exists(counterPath)) {
-      val in = fs.open(counterPath)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
-      finally in.close()
-    } else 0L
+  fs.mkdirs(bufferDir)
 
-  private def saveCounter(): Unit = {
-    val out = fs.create(counterPath, true)
-    try out.write(polled.toString.getBytes("UTF-8")) finally out.close()
+  private def readFile(p: Path): String = {
+    val in = fs.open(p)
+    try new String(IOUtils.toByteArray(in), "UTF-8") finally in.close()
+  }
+
+  private def writeFile(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  // restore uncommitted pages, oldest first
+  private val buffered = ListBuffer[(Long, String)]()
+  fs.listStatus(bufferDir).toSeq
+    .flatMap(st => st.getPath.getName.toLongOption.map(_ -> st.getPath))
+    .sortBy(_._1)
+    .foreach { case (id, p) => buffered += ((id, readFile(p))) }
+
+  private var polled: Long = {
+    val counted =
+      if (fs.exists(counterPath)) readFile(counterPath).trim.toLong else 0L
+    math.max(counted, buffered.lastOption.map(_._1).getOrElse(0L))
   }
 
   override def initialOffset(): Offset = PollOffset(0L)
 
   override def deserializeOffset(json: String): Offset = synchronized {
     val n = json.toLong
-    if (n > polled) { polled = n; saveCounter() }
+    if (n > polled) { polled = n; writeFile(counterPath, polled.toString) }
     PollOffset(n)
   }
 
   override def latestOffset(): Offset = synchronized {
     poll().foreach { body =>
+      // page file BEFORE counter: a crash between the two re-derives
+      // the counter from the buffer on restart, losing nothing
+      writeFile(new Path(bufferDir, (polled + 1).toString), body)
       polled += 1
       buffered += ((polled, body))
-      saveCounter()
+      writeFile(counterPath, polled.toString)
     }
     PollOffset(polled)
   }
@@ -134,8 +152,6 @@ private class PollMicroBatchStream(pollerName: String, checkpointLocation: Strin
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[PollOffset].n, end.asInstanceOf[PollOffset].n)
     val rows = synchronized {
-      // recovered checkpoints may ask for polls newer than the restarted
-      // buffer; replay what we have in (s, e]
       buffered.filter { case (id, _) => id > s && id <= e }.toArray
     }
     if (rows.isEmpty) Array.empty else Array(PollPartition(rows))
@@ -156,7 +172,10 @@ private class PollMicroBatchStream(pollerName: String, checkpointLocation: Strin
 
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[PollOffset].n
-    buffered.filterInPlace { case (id, _) => id > e }
+    buffered.filterInPlace { case (id, _) =>
+      if (id <= e) fs.delete(new org.apache.hadoop.fs.Path(bufferDir, id.toString), false)
+      id > e
+    }
   }
 
   override def stop(): Unit = ()

@@ -139,8 +139,15 @@ class TableStore(spark: SparkSession, root: String) {
     val touched = incoming.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
+    val (touchedVals, touchedNull) = (touched.filter(_ != null), touched.contains(null))
+    // partition-pruned scan; isin(null) is never true, so a null
+    // partition needs its own disjunct
+    val prunePred =
+      if (touchedVals.isEmpty) col(partCol).isNull
+      else if (touchedNull) col(partCol).isin(touchedVals: _*) || col(partCol).isNull
+      else col(partCol).isin(touchedVals: _*)
     val current = read(table)
-      .filter(col(partCol).isin(touched: _*)) // partition-pruned scan
+      .filter(prunePred)
       .withColumn("graft_seq", lit(-1L))
     val w = Window.partitionBy((keyCols :+ partCol).map(col): _*)
       .orderBy(col("graft_seq").desc)
@@ -154,15 +161,18 @@ class TableStore(spark: SparkSession, root: String) {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     merged.write.partitionBy(partCol).parquet(tmp.toString)
     fs.mkdirs(new Path(path(table)))
-    touched.foreach { v =>
-      val dir = s"$partCol=$v"
-      val target = new Path(path(table), dir)
-      val staged = new Path(tmp, dir)
-      if (fs.exists(target)) fs.delete(target, true)
-      // a partition can vanish from the staged output only if the merge
-      // emptied it, which LWW cannot do — but guard anyway
-      if (fs.exists(staged)) fs.rename(staged, target)
-    }
+    // swap the partition dirs Spark actually STAGED (their names carry
+    // Spark's own encoding — __HIVE_DEFAULT_PARTITION__ for null,
+    // URL-escaping for strings — which a hand-built s"$col=$v" would
+    // mismatch, silently dropping rows). LWW can't empty a partition,
+    // so staged dirs == touched partitions exactly.
+    fs.listStatus(tmp)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .foreach { st =>
+        val target = new Path(path(table), st.getPath.getName)
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.rename(st.getPath, target)
+      }
     fs.delete(tmp, true)
   }
 

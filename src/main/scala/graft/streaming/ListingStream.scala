@@ -76,20 +76,28 @@ object ListingStream {
           val listing = Seq(html).toDF("html")
           // drain: discover returns ONE id above the posted watermark
           // (reference processes one replay per DAG run); delivering
-          // advances the watermark, so loop until caught up
+          // advances the watermark, so loop until caught up. Each step
+          // must tolerate a crash-recovery replay of the batch: the
+          // replay may already be ingested (is_exists skip), and may
+          // even have its message built — resume from whichever stage
+          // is missing, and stop only when no delivery happened (no
+          // progress possible).
           var continue = true
           while (continue) {
             continue = pipeline.discover(listing).exists { replay =>
               fetch(replay).exists { case (page, json) =>
                 val loaded = pipeline.ingest(replay, page, json)
-                if (loaded) {
-                  pipeline.createMessage(replay)
-                  pipeline.nextUnposted().foreach { case (num, text) =>
-                    deliver(num, text)
-                    store.markPosted(num)
-                  }
+                val needsMessage = !loaded && store.replayExists(replay) &&
+                  store.read("messages")
+                    .filter(col("replay_number") === replay).isEmpty
+                if (loaded || needsMessage) pipeline.createMessage(replay)
+                var progressed = false
+                pipeline.nextUnposted().foreach { case (num, text) =>
+                  deliver(num, text)
+                  store.markPosted(num)
+                  progressed = true
                 }
-                loaded // an is_exists skip must end the drain, not spin
+                progressed // e.g. an invalid page must end the drain, not spin
               }
             }
           }

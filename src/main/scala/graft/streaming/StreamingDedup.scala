@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** Append a `content_hash` and drop in-horizon duplicates.
-    * Input must carry an event-time column `ts` (timestamp). */
+    * Input must carry an event-time column `ts` (timestamp).
+    *
+    * `dropDuplicatesWithinWatermark` is the load-bearing choice: plain
+    * `dropDuplicates(keys)` only evicts state when the event-time
+    * column is itself a key, so it would grow one state row per
+    * distinct hash FOREVER; the within-watermark variant expires each
+    * hash once the watermark passes its event time. */
   def exactOnce(
       stream: DataFrame,
       textCol: String = "text",
@@ -28,5 +34,5 @@ object StreamingDedup {
     stream
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark("ts", horizon)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 }

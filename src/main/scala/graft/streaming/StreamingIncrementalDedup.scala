@@ -42,8 +42,12 @@ object StreamingIncrementalDedup {
         val dupIds = innerPairs.select(col("doc_b").as("doc_id")).distinct()
         val kept = batch.join(dupIds, Seq("doc_id"), "left_anti")
         // 2. drop survivors that near-match the existing corpus
+        // (Hadoop FS, not java.io.File — corpusPath may be a URI path)
+        val corpusHadoopPath = new org.apache.hadoop.fs.Path(corpusPath)
+        val fs = corpusHadoopPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
         val clean =
-          if (new java.io.File(corpusPath).exists()) {
+          if (fs.exists(corpusHadoopPath)) {
             val corpus = spark.read.parquet(corpusPath)
             val vsCorpus = MinHashLsh
               .nearDuplicatesAgainst(kept, corpus, threshold = threshold)

@@ -164,7 +164,8 @@ class PropertySpec extends SparkSpec {
     val textGen = Gen.choose(0, 25).flatMap(n =>
       Gen.listOfN(n, token).map(_.mkString(" ")))
     val texts = samples(textGen, 40)
-    val docs = texts.zipWithIndex
+    val docs = (texts :+ (null: String)) // null text: both paths fall to 'fr'
+      .zipWithIndex
       .map { case (t, i) => (i.toLong, t, "x") }.toDF("doc_id", "text", "lang")
     val native = TextOps.langId(docs).collect().map(_.toSeq).toSet
     val regex = TextOps.langIdRegex(docs).collect().map(_.toSeq).toSet

@@ -80,4 +80,32 @@ class ReplayStreamSpec extends SparkSpec {
     assert(delivered.toSeq == Seq(501, 502))
     assert(store.read("messages").filter(col("posted") <=> true).count() == 2)
   }
+
+  test("drain resumes a replay half-processed by a crashed run") {
+    val in = Files.createTempDirectory("graft-resume-in").toString
+    val ckpt = Files.createTempDirectory("graft-resume-ckpt").toString
+    val root = Files.createTempDirectory("graft-resume-store").toString
+    val store = new TableStore(spark, root)
+    val html = SparkSpec.resource("replay.html")
+    val json = SparkSpec.resource("replay-data.json")
+    // simulate a crash AFTER ingest committed the 5 tables but BEFORE
+    // the message was built or delivered
+    val pipeline = new graft.pipeline.ReplayPipeline(spark, store)
+    assert(pipeline.ingest(501, html, json))
+    assert(store.read("messages").isEmpty)
+
+    val delivered = scala.collection.mutable.ArrayBuffer[Int]()
+    Files.write(Paths.get(in, "poll.html"),
+      SparkSpec.resource("listing.html").getBytes("UTF-8"))
+    graft.streaming.ListingStream.start(spark, store, in, ckpt,
+      fetch = r => if (r == 501) Some((html, json)) else None,
+      deliver = (n, _) => { delivered += n; () },
+      trigger = Trigger.AvailableNow()).awaitTermination()
+
+    // the already-ingested replay is messaged, delivered, and flagged —
+    // not skipped forever by the is_exists short-circuit
+    assert(delivered.toSeq == Seq(501))
+    assert(store.read("messages").filter(col("posted") <=> true).count() == 1)
+    assert(store.read("replay_main").count() == 1) // no double ingest
+  }
 }

@@ -67,6 +67,28 @@ class PipelineSpec extends SparkSpec {
       "files of an untouched partition were rewritten")
   }
 
+  test("partitioned upsert handles a null partition value (hive default dir)") {
+    val (_, store) = freshPipeline()
+    store.append("players", Seq((1, 600, 1, "a")).toDF(
+      "id_from_json", "replay_number", "side", "slot"))
+    // null replay_number lands in __HIVE_DEFAULT_PARTITION__ — the swap
+    // must find the staged dir Spark wrote, not a hand-built "=null"
+    val withNull = Seq[(Int, Option[Int], Int, String)](
+      (7, None, 9, "n1")).toDF("id_from_json", "replay_number", "side", "slot")
+    store.upsertPartitioned("players", withNull, keyCols = Seq("id_from_json"))
+    assert(rowSet(store.read("players")) == Seq(
+      Seq(1, 600, 1, "a"), Seq(7, null, 9, "n1")
+    ).sortBy(_.map(String.valueOf).mkString("|")))
+    // merging into the null partition again: LWW applies, others untouched
+    store.upsertPartitioned("players",
+      Seq[(Int, Option[Int], Int, String)]((7, None, 9, "n2"))
+        .toDF("id_from_json", "replay_number", "side", "slot"),
+      keyCols = Seq("id_from_json"))
+    assert(rowSet(store.read("players")) == Seq(
+      Seq(1, 600, 1, "a"), Seq(7, null, 9, "n2")
+    ).sortBy(_.map(String.valueOf).mkString("|")))
+  }
+
   test("message document carries base row + all query results") {
     val (p, store) = freshPipeline()
     p.ingest(500, SparkSpec.resource("replay.html"), SparkSpec.resource("replay-data.json"))

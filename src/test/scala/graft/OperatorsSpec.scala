@@ -35,7 +35,7 @@ class OperatorsSpec extends SparkSpec {
     // 6 of 7+7 distinct shingles shared → jaccard 6/8
     val j = MinHashLsh.jaccardVerify(docs,
       Seq((1L, 2L)).toDF("doc_a", "doc_b")).select("jaccard")
-      .as[Double].head
+      .as[Double].head()
     assert(math.abs(j - 0.75) < 1e-12)
   }
 
@@ -137,12 +137,12 @@ class OperatorsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val r = one.select(
       TextOps.wordCount(col("text")),
-      TextOps.tokenCount(col("text"))).head
+      TextOps.tokenCount(col("text"))).head()
     assert(r.getLong(0) == 6 && r.getLong(1) == 6)
     val zh = Seq((2L, "这是中文", "zh", "s", 4L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    assert(TextOps.langId(zh).select("pred_lang").as[String].head == "zh")
-    assert(TextOps.langId(one).select("pred_lang").as[String].head == "en")
+    assert(TextOps.langId(zh).select("pred_lang").as[String].head() == "zh")
+    assert(TextOps.langId(one).select("pred_lang").as[String].head() == "en")
   }
 
   test("cosine: orthogonal → 0, parallel → 1; brute-force ranks by similarity") {
@@ -166,7 +166,7 @@ class OperatorsSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val got = Similarity
       .ivfTopK(corpus.filter(col("vec_id") === 2), corpus, k = 10)
-    assert(got.select("probe_label").distinct().as[Int].head == 1)
+    assert(got.select("probe_label").distinct().as[Int].head() == 1)
     assert(got.select("vec_id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
@@ -217,7 +217,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("multimodal: metadata + deterministic stub features") {
     val media = Multimodal.toMedia(docs)
-    val m = media.filter(col("doc_id") === 4).select("meta.n_bytes").head
+    val m = media.filter(col("doc_id") === 4).select("meta.n_bytes").head()
     assert(m.getLong(0) == 2)
     val feats = Multimodal.extractFeatures(media).collect()
       .map(f => f.doc_id -> f).toMap

@@ -52,8 +52,12 @@ object ReplayHtml {
         .as("start_time"),
       regexp_extract(h, "<th>Дата и время окончания миссии</th><td>.*?, (.*?)</td>", 1)
         .as("end_time"),
-      to_date(
-        regexp_extract(h, "от (.*?) / WOG Stats</title>", 1), "dd.MM.yyyy")
+      // try_to_date: under ANSI semantics a plain to_date THROWS on a
+      // page that passed the is_404 gate but lacks the title date —
+      // one bad page must degrade to a null date, not kill a 100-TB
+      // ingest job
+      call_function("try_to_date",
+        regexp_extract(h, "от (.*?) / WOG Stats</title>", 1), lit("dd.MM.yyyy"))
         .as("date"),
       regexp_extract(h, "href=\"/missions/\\d+/\">(.*?)</a>", 1)
         .as("name_mission"),
@@ -66,10 +70,12 @@ object ReplayHtml {
       regexp_extract(h,
         "<th>Сторона-победитель</th><td><span style=\"color: #.*?\">(.*?)</span></td>", 1)
         .as("winner"),
+      // try_cast for the same reason as the date: ANSI cast('') throws,
+      // and a field-missing page must yield nulls, not kill the job
       regexp_extract(h, "<th>Количество игроков / слотов</th><td>.*? / (.*?)</td>", 1)
-        .cast("int").as("count_players_slots"),
+        .try_cast("int").as("count_players_slots"),
       regexp_extract(h, "<th>Количество игроков / слотов</th><td>(.*?) / .*?</td>", 1)
-        .cast("int").as("count_players_active"),
+        .try_cast("int").as("count_players_active"),
       regexp_extract(h, "<th>Длительность миссии</th><td>(.*?)</td>", 1)
         .as("duration"),
       concat(lit("https://stats.wogames.info/games/"),

@@ -86,6 +86,24 @@ class ReplayIngestSpec extends SparkSpec {
       Seq(500, "22:16:40", 4, "veh4", null, "veh5", "mine", 120, false)))
   }
 
+  test("malformed inputs degrade, never throw: empty html, truncated json") {
+    import graft.ingest.{ReplayHtml, ReplayJson}
+    // fieldless html → empty-string / null fields, row survives
+    val bare = ReplayHtml.parse(
+      Seq((1, "<html><body>nothing here</body></html>"))
+        .toDF("replay_number", "html")).collect()(0)
+    assert(bare.getAs[String]("name_mission") == "")
+    assert(bare.getAs[String]("commander_east") == "None")
+    assert(bare.getAs[java.sql.Date]("date") == null)
+    // truncated / non-object json → from_json nulls, explodes yield 0 rows
+    val broken = ReplayJson.parsed(
+      Seq((1, """{"players": {"5": ["1", "Al"""), (2, "not json at all"))
+        .toDF("replay_number", "json"))
+    assert(ReplayJson.players(broken).count() == 0)
+    assert(ReplayJson.frags(broken).count() == 0)
+    assert(ReplayJson.vehicles(broken).count() == 0)
+  }
+
   test("side counts from factions map, absent sides default 0") {
     val got = rowList(ReplayJson.sideCounts(jsonDf))
     assert(got == Seq(Seq(500, 52, 49, 0, 0)))

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * replay. All outputs are pure column transforms over `from_json` +
   * `explode`: fully distributed, no driver-side loops (the reference's
   * row-at-a-time Python loops E1-E4 become generator expressions inside
-  * whole-stage codegen).
+  * whole-stage codegen). Numeric leaves come in as JSON strings, so
+  * every value cast is a try_cast: one garbage value must null its
+  * field, not kill the job (ANSI cast throws).
   */
 object ReplayJson {
 
@@ -31,7 +33,7 @@ object ReplayJson {
   def vehicles(p: DataFrame): DataFrame =
     p.select(col("replay_number"), explode(col("j.vehiclesUnits")).as(Seq("id", "v")))
       .select(
-        col("id").cast("int").as("id"),
+        col("id").try_cast("int").as("id"),
         col("replay_number"),
         stripQuotes(col("v").getItem(1)).as("name"),
         col("v").getItem(0).as("type"))
@@ -41,16 +43,16 @@ object ReplayJson {
   def dPlayers(p: DataFrame): DataFrame =
     p.select(explode(col("j.players")).as(Seq("id", "v")))
       .select(
-        col("id").cast("int").as("id_from_json"),
+        col("id").try_cast("int").as("id_from_json"),
         stripQuotes(col("v").getItem(1)).as("nickname"))
 
   /** E3: players map → players rows (id_from_json, replay_number, side, slot). */
   def players(p: DataFrame): DataFrame =
     p.select(col("replay_number"), explode(col("j.players")).as(Seq("id", "v")))
       .select(
-        col("id").cast("int").as("id_from_json"),
+        col("id").try_cast("int").as("id_from_json"),
         col("replay_number"),
-        col("v").getItem(0).cast("int").as("side"),
+        col("v").getItem(0).try_cast("int").as("side"),
         col("v").getItem(2).as("slot"))
 
   /** E4: playersDead nested map double-explode → frags rows. Outer key is
@@ -63,14 +65,14 @@ object ReplayJson {
       .select(col("replay_number"), col("t"), explode(col("inner")).as(Seq("victim", "v")))
       .select(
         col("replay_number"),
-        date_format(to_timestamp(col("t").cast("long")), "HH:mm:ss").as("time"),
-        col("victim").cast("int").as("victim"),
+        date_format(to_timestamp(col("t").try_cast("long")), "HH:mm:ss").as("time"),
+        col("victim").try_cast("int").as("victim"),
         col("v").getItem(0).as("victim_vehicle"),
-        col("v").getItem(1).cast("int").as("killer"),
+        col("v").getItem(1).try_cast("int").as("killer"),
         col("v").getItem(2).as("killer_vehicle"),
         col("v").getItem(3).as("gun"),
-        col("v").getItem(4).cast("int").as("distance"),
-        (col("v").getItem(5).cast("int") === 1).as("is_tk"))
+        col("v").getItem(4).try_cast("int").as("distance"),
+        (col("v").getItem(5).try_cast("int") === 1).as("is_tk"))
 
   /** Per-side active player counts for replay_main: factions map keys
     * "1".."4" = EAST/WEST/GUER/CIV, element index 2 (0-based) is the
@@ -78,7 +80,7 @@ object ReplayJson {
   def sideCounts(p: DataFrame): DataFrame = {
     def cnt(key: String, name: String) =
       coalesce(col("j.factions").getItem(key).getItem(2), lit(0L))
-        .cast("int").as(name)
+        .try_cast("int").as(name)
     p.select(
       col("replay_number"),
       cnt("1", "count_players_east"),

@@ -102,6 +102,14 @@ class ReplayIngestSpec extends SparkSpec {
     assert(ReplayJson.players(broken).count() == 0)
     assert(ReplayJson.frags(broken).count() == 0)
     assert(ReplayJson.vehicles(broken).count() == 0)
+    // well-shaped json with garbage numerics: fields null out, rows stay
+    val garbage = ReplayJson.parsed(Seq(
+      (3, """{"players": {"xx": ["not-a-side", "Nick", "slot", "sq"]}}"""))
+      .toDF("replay_number", "json"))
+    val row = ReplayJson.players(garbage).collect()(0)
+    assert(row.isNullAt(row.fieldIndex("id_from_json")))
+    assert(row.isNullAt(row.fieldIndex("side")))
+    assert(row.getAs[String]("slot") == "slot")
   }
 
   test("side counts from factions map, absent sides default 0") {

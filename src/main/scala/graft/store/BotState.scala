@@ -38,7 +38,14 @@ class BotState(spark: SparkSession, url: String, driver: String) {
   def init(): Unit = withConn { conn =>
     val st = conn.createStatement()
     val existing = {
-      val md = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      // restrict the probe to the connection's CURRENT schema — an
+      // unfiltered getTables matches an ALERTS/CLIPS table in ANY
+      // schema/catalog, which would skip the CREATE + seed row here
+      // while later unqualified SELECTs hit a missing/wrong table
+      val schemaPattern =
+        try Option(conn.getSchema).filter(_.nonEmpty).orNull
+        catch { case _: java.sql.SQLException => null } // driver may not support getSchema
+      val md = conn.getMetaData.getTables(null, schemaPattern, "%", Array("TABLE"))
       val names = scala.collection.mutable.Set[String]()
       while (md.next()) names += md.getString("TABLE_NAME").toUpperCase
       names

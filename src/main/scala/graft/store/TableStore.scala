@@ -72,8 +72,13 @@ class TableStore(spark: SparkSession, root: String) {
     df.select(schemas(table).fieldNames.map(col).toIndexedSeq: _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
+    // rename can fail without throwing (cross-FS move, permissions);
+    // abort with the staged snapshot intact rather than losing data
+    if (fs.exists(target))
+      require(fs.rename(target, old),
+        s"replace($table): failed to move live table aside; staged snapshot kept at $tmp")
+    require(fs.rename(tmp, target),
+      s"replace($table): failed to move snapshot into place; prior data kept at $old")
     fs.delete(old, true)
   }
 
@@ -125,7 +130,17 @@ class TableStore(spark: SparkSession, root: String) {
     * CURRENT rows of the affected partitions only (partition-pruned
     * scan), write the merged partitions to a side dir, and swap just
     * those partition directories. Untouched partitions are never read,
-    * rewritten, or moved. */
+    * rewritten, or moved.
+    *
+    * CONSTRAINT (the standard partition-scoped MERGE contract):
+    * `keyCols` must functionally determine the partition column. Rows
+    * are deduplicated per (key, partition), so an update that moves a
+    * key to a DIFFERENT partition value only rewrites the new
+    * partition — the old row with the same key would survive in the
+    * untouched old partition. The within-batch form of that violation
+    * (one key under two partition values in `updates`) is asserted
+    * here; the batch-vs-stored form is the caller's contract, as it is
+    * for Hive static-partition overwrite and partition-pruned MERGE. */
   def upsertPartitioned(table: String, updates: DataFrame, keyCols: Seq[String]): Unit = {
     val partCols = partitioned.getOrElse(table,
       throw new IllegalArgumentException(s"$table is not partitioned"))
@@ -136,6 +151,13 @@ class TableStore(spark: SparkSession, root: String) {
       // within-batch duplicates: LAST wins, like the reference's
       // sequential executemany (same contract as upsertDPlayers)
       .withColumn("graft_seq", monotonically_increasing_id())
+    val splitKeys = incoming
+      .groupBy(keyCols.map(col): _*)
+      .agg(countDistinct(col(partCol)).as("graft_nparts"))
+      .filter(col("graft_nparts") > 1)
+    require(splitKeys.isEmpty,
+      s"upsertPartitioned($table): update batch maps one ${keyCols.mkString("(", ",", ")")} " +
+        s"key to multiple $partCol values — keys must determine the partition column")
     val touched = incoming.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
@@ -165,15 +187,32 @@ class TableStore(spark: SparkSession, root: String) {
     // Spark's own encoding — __HIVE_DEFAULT_PARTITION__ for null,
     // URL-escaping for strings — which a hand-built s"$col=$v" would
     // mismatch, silently dropping rows). LWW can't empty a partition,
-    // so staged dirs == touched partitions exactly.
+    // so staged dirs == touched partitions exactly. Each live partition
+    // is moved aside (not deleted) before its staged replacement moves
+    // in, and every rename result is checked: a failure aborts with the
+    // staged data still under .merge and the prior partition either
+    // live or recoverable from .backup — never silently lost. The swap
+    // is still not atomic ACROSS partitions (a crash mid-loop leaves
+    // some partitions new, some old — the same torn-window a
+    // non-transactional multi-partition MERGE has without a lakehouse
+    // commit log).
+    val backup = new Path(path(table) + ".backup")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    fs.mkdirs(backup)
     fs.listStatus(tmp)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .foreach { st =>
         val target = new Path(path(table), st.getPath.getName)
-        if (fs.exists(target)) fs.delete(target, true)
-        fs.rename(st.getPath, target)
+        if (fs.exists(target))
+          require(fs.rename(target, new Path(backup, st.getPath.getName)),
+            s"upsertPartitioned($table): failed to move $target aside; " +
+              s"staged merge kept at $tmp, nothing lost")
+        require(fs.rename(st.getPath, target),
+          s"upsertPartitioned($table): failed to move ${st.getPath} into place; " +
+            s"prior partition preserved under $backup")
       }
     fs.delete(tmp, true)
+    fs.delete(backup, true)
   }
 
   /** P7: existence probe — distributed form of main.py:47-54. */

@@ -18,9 +18,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * self-containment — swap `bandBucketsDirect(corpus)` for a read of
   * the band table to make each batch O(new).
   *
-  * foreachBatch gives exactly-once appends through the checkpoint;
-  * results are idempotent because keepers are chosen by min doc_id,
-  * not arrival order within the batch.
+  * Delivery is at-least-once-with-idempotent-filtering: foreachBatch
+  * can REPLAY a batch whose append already committed (the checkpoint
+  * marks a batch done only after the whole closure returns), so before
+  * appending, survivors are also exact-anti-joined by `doc_id` against
+  * the corpus — a replayed batch finds its own docs already present and
+  * appends nothing. The near-dup check alone would not guarantee that:
+  * a doc with fewer than 3 words has an empty shingle set and never
+  * reaches the jaccard threshold, so it would re-append on replay.
+  * Keepers are chosen by min doc_id, not arrival order, so the result
+  * set is deterministic across retries.
   */
 object StreamingIncrementalDedup {
 
@@ -52,7 +59,11 @@ object StreamingIncrementalDedup {
             val vsCorpus = MinHashLsh
               .nearDuplicatesAgainst(kept, corpus, threshold = threshold)
               .select(col("doc_new").as("doc_id")).distinct()
-            kept.join(vsCorpus, Seq("doc_id"), "left_anti")
+            kept
+              .join(vsCorpus, Seq("doc_id"), "left_anti")
+              // replay idempotence: a retried batch's docs are already
+              // in the corpus — drop them by exact id before appending
+              .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
           } else kept
         // 3. append the clean docs
         clean.write.mode("append").parquet(corpusPath)

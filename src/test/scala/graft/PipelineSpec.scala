@@ -67,6 +67,24 @@ class PipelineSpec extends SparkSpec {
       "files of an untouched partition were rewritten")
   }
 
+  test("partitioned upsert rejects a batch whose key spans partitions") {
+    val (_, store) = freshPipeline()
+    store.append("players", Seq((1, 600, 1, "a")).toDF(
+      "id_from_json", "replay_number", "side", "slot"))
+    // key 1 under replay 600 AND 601 in one batch: LWW per (key, part)
+    // would keep both rows — a duplicate key. The constraint is
+    // keyCols → partCol; the within-batch violation must be rejected.
+    val ex = intercept[IllegalArgumentException] {
+      store.upsertPartitioned("players", Seq(
+        (1, 600, 1, "x"), (1, 601, 1, "y"))
+        .toDF("id_from_json", "replay_number", "side", "slot"),
+        keyCols = Seq("id_from_json"))
+    }
+    assert(ex.getMessage.contains("multiple replay_number values"))
+    // nothing was swapped in
+    assert(rowSet(store.read("players")) == Seq(Seq(1, 600, 1, "a")))
+  }
+
   test("partitioned upsert handles a null partition value (hive default dir)") {
     val (_, store) = freshPipeline()
     store.append("players", Seq((1, 600, 1, "a")).toDF(

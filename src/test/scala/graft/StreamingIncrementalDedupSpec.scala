@@ -37,4 +37,26 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
         .as[Long].collect().toSet == Set(1L, 5L, 8L))
     } finally q.stop()
   }
+
+  test("replayed docs never re-append, even shingle-empty short docs") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val corpus = Files.createTempDirectory("graft-inc-dedup2").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-inc-ckpt2").toString
+    val q = StreamingIncrementalDedup.start(
+      spark, in.toDF().toDF("doc_id", "text"), corpus, ckpt,
+      threshold = 0.2, trigger = Trigger.ProcessingTime("25 milliseconds"))
+    try {
+      // "hi" has <3 words → empty shingle set → the jaccard check can
+      // never drop it; only the exact doc_id anti-join protects a
+      // foreachBatch replay from double-appending it
+      in.addData((1L, "hi"), (2L, "some genuinely long document body here"))
+      q.processAllAvailable()
+      // simulate a replayed batch: same docs delivered again
+      in.addData((1L, "hi"), (2L, "some genuinely long document body here"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"expected each doc once, got $ids")
+    } finally q.stop()
+  }
 }

@@ -94,29 +94,28 @@ object MinHashLsh {
       .select(col("doc_id"), col("band").cast("bigint").as("band"), col("bucket"))
   }
 
-  /** Drop band buckets larger than `maxBucketSize` — the quadratic
-    * blowup guard for boilerplate-heavy buckets, shared by the
-    * self-join and incremental candidate paths. */
-  private def capBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
-    buckets
-      .withColumn("graft_bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("graft_bsz") <= maxBucketSize)
-      .drop("graft_bsz")
-
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
-    * Buckets larger than maxBucketSize are dropped before the self-join
-    * (quadratic blowup guard for boilerplate buckets). */
-  def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
-    val sized = capBuckets(buckets, maxBucketSize)
-    val a = sized.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val b = sized.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    * Buckets larger than maxBucketSize are dropped (quadratic blowup
+    * guard for boilerplate buckets).
+    *
+    * Shape: ONE groupBy shuffle collects each bucket's (≤ cap) doc ids,
+    * then pairs are generated map-side from the sorted id array — no
+    * bucket self-join, no window pass. A doc appears once per band, so
+    * the collected list size IS the bucket size the cap is defined on.
+    * The id array is bounded by `maxBucketSize`, so the collect cannot
+    * blow up a task even on a boilerplate-heavy corpus (oversized
+    * buckets are filtered before the pair explosion). */
+  def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame =
+    buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      // ascending ids ⇒ every generated pair already has doc_a < doc_b
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-  }
 
   /** Exact shingle-set Jaccard for the candidate pairs (the verify step:
     * LSH recalls, Jaccard decides). Only candidate docs are re-shingled —
@@ -161,7 +160,12 @@ object MinHashLsh {
       threshold: Double = 0.2): DataFrame = {
     val pairs = candidatePairs(
       bandBucketsDirect(docs, numHashes, rowsPerBand)).localCheckpoint()
-    verifyPairs(pairs, "doc_a", docs, "doc_b", docs, threshold)
+    // both pair sides draw from the SAME corpus: shingle each candidate
+    // doc once over the union of pair ids, not once per join side
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+    val hs = hashedShingles(docs, ids).localCheckpoint()
+    verifyPairs(pairs, "doc_a", hs, "doc_b", hs, threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -181,16 +185,33 @@ object MinHashLsh {
       rowsPerBand: Int = 2,
       threshold: Double = 0.2,
       maxBucketSize: Int = 1000): DataFrame = {
+    // one groupBy over the side-tagged union replaces the corpus-side
+    // window cap + (band, bucket) equi-join: each bucket's new and old
+    // id lists are collected together, the cap applies to the corpus
+    // list (boilerplate buckets, mirroring candidatePairs), and the
+    // new × old cross product is generated map-side
     val nb = bandBucketsDirect(newDocs, numHashes, rowsPerBand)
-    val cb = capBuckets(bandBucketsDirect(corpus, numHashes, rowsPerBand),
-      maxBucketSize)
-    val pairs = nb.select(col("doc_id").as("doc_new"), col("band"), col("bucket"))
-      .join(cb.select(col("doc_id").as("doc_old"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .select(col("doc_new"), col("doc_old"))
+    val cb = bandBucketsDirect(corpus, numHashes, rowsPerBand)
+    val pairs = nb.select(col("doc_id"), col("band"), col("bucket"),
+        lit(true).as("is_new"))
+      .union(cb.select(col("doc_id"), col("band"), col("bucket"),
+        lit(false).as("is_new")))
+      .groupBy(col("band"), col("bucket"))
+      // when() without otherwise is null on the other side; collect_list
+      // skips nulls, so each list holds exactly its side's ids
+      .agg(collect_list(when(col("is_new"), col("doc_id"))).as("new_ids"),
+        collect_list(when(!col("is_new"), col("doc_id"))).as("old_ids"))
+      .filter(size(col("new_ids")) >= 1 &&
+        size(col("old_ids")) >= 1 && size(col("old_ids")) <= maxBucketSize)
+      .select(explode(flatten(transform(col("new_ids"), n =>
+        transform(col("old_ids"),
+          o => struct(n.as("doc_new"), o.as("doc_old")))))).as("p"))
+      .select(col("p.doc_new"), col("p.doc_old"))
       .distinct()
       .localCheckpoint()
-    verifyPairs(pairs, "doc_new", newDocs, "doc_old", corpus, threshold)
+    val hn = hashedShingles(newDocs, pairs.select(col("doc_new").as("doc_id")))
+    val ho = hashedShingles(corpus, pairs.select(col("doc_old").as("doc_id")))
+    verifyPairs(pairs, "doc_new", hn, "doc_old", ho, threshold)
       .select(col("doc_new"), col("doc_old"), col("jaccard"))
   }
 
@@ -206,20 +227,20 @@ object MinHashLsh {
       .withColumn("n", size(col("gh")).cast("bigint"))
 
   /** Exact-Jaccard verify over a candidate pair list via the native
-    * merge-scan intersection. Hash collisions (~2⁻⁶⁴/pair) are the only
-    * divergence from [[jaccardVerify]]'s exact string sets. */
+    * merge-scan intersection, given per-side hashed-shingle frames
+    * (from [[hashedShingles]]; pass the SAME frame twice for self-dedup
+    * so each doc is shingled once). Hash collisions (~2⁻⁶⁴/pair) are
+    * the only divergence from [[jaccardVerify]]'s exact string sets. */
   private def verifyPairs(
       pairs: DataFrame,
-      leftCol: String, leftDocs: DataFrame,
-      rightCol: String, rightDocs: DataFrame,
+      leftCol: String, leftShingles: DataFrame,
+      rightCol: String, rightShingles: DataFrame,
       threshold: Double): DataFrame = {
     import graft.functions.SortedIntersect.sorted_intersect_count
-    val ha = hashedShingles(leftDocs, pairs.select(col(leftCol).as("doc_id")))
-    val hb = hashedShingles(rightDocs, pairs.select(col(rightCol).as("doc_id")))
     pairs
-      .join(ha.select(col("doc_id").as(leftCol),
+      .join(leftShingles.select(col("doc_id").as(leftCol),
         col("gh").as("ga"), col("n").as("na")), Seq(leftCol))
-      .join(hb.select(col("doc_id").as(rightCol),
+      .join(rightShingles.select(col("doc_id").as(rightCol),
         col("gh").as("gb"), col("n").as("nb")), Seq(rightCol))
       .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")))
       // threshold the UNROUNDED ratio (matching the oracle's WHERE),

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral aggregations over the events stream beyond q40's
+  * sessionization — product-analytics shapes a warehouse engine is
+  * expected to cover.
+  */
+object EventOps {
+
+  /** Cohort retention: users grouped by their FIRST active day, counted
+    * on each later active day as an offset from the cohort day — the
+    * classic triangular retention matrix.
+    *
+    * Scale shape: two hash aggregations keyed by user (first-day and
+    * distinct active-days both partial-aggregate map-side before the
+    * user-keyed shuffle), then one user-keyed join — the cohort frame
+    * and the active-days frame shuffle on the SAME key, so the join
+    * reuses the exchange. No windows, no per-day scans. */
+  def retention(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("cohort_day"))
+    val activeDays = events
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    activeDays
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+}

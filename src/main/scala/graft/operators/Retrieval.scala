@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval scoring — the decontamination / eval-lookup side
+  * of a training-data engine ("which corpus docs best match this
+  * benchmark query?").
+  *
+  * BM25 (Robertson-Spärck Jones family, the Lucene default) over
+  * whitespace tokens: idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+  * idf = ln(1 + (N−df+0.5)/(df+0.5)).
+  *
+  * Scale shape: the token explode is filtered to the query's terms
+  * BEFORE the shuffle (scan emits only matching tokens), term stats
+  * (df) and corpus stats (N, avgdl) are dimension-sized and broadcast,
+  * so the whole query is one partial-aggregated shuffle over matching
+  * (doc, term) rows plus broadcast joins — no corpus-wide sort until
+  * the final top-k (TakeOrderedAndProject).
+  *
+  * Cross-engine float discipline: per-term scores are rounded to 6 dp
+  * before the per-doc sum (the sum's ADD ORDER differs between
+  * engines; the inputs must already be identical), the summed score to
+  * 4 dp — the same convention as the ANN/TF-IDF oracles.
+  */
+object Retrieval {
+
+  def bm25TopK(
+      docs: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf
+      .join(F.broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(F.broadcast(stats))
+      .withColumn("term_score", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * (k1 + 1)
+          / (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1), 6))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("score"),
+        count(lit(1)).cast("bigint").as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

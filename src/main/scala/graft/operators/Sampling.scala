@@ -52,6 +52,65 @@ object Sampling {
     df.filter(bucket(key, salt) < cutFor)
   }
 
+  /** Deterministic global shuffle for training-data serving, as
+    * (shard, pos): shard = first md5 byte of the salted key mod
+    * `nShards`, pos = rank of the full md5 key within the shard. A
+    * training job reads shards in any order and each shard is
+    * internally hash-ordered — the standard scale shape for "shuffle
+    * 100 TB once, deterministically" (a single global row_number would
+    * funnel the corpus through one partition; per-shard windows keep
+    * every sort executor-sized, and nShards scales with the corpus). */
+  def shuffleShards(
+      df: DataFrame,
+      key: Column,
+      nShards: Int = 16,
+      salt: String = "graft-shuffle"): DataFrame = {
+    require(nShards >= 1 && nShards <= 256, s"nShards must be in [1,256]: $nShards")
+    // first md5 byte as an int, engine-portably: hex-char positions in
+    // a literal alphabet (no conv() in DuckDB, no try_cast needed)
+    val skey = md5(concat(lit(salt + ":"), key.cast("string")))
+    val byteVal =
+      (expr("instr('0123456789abcdef', substring(graft_skey, 1, 1))") - 1) * 16 +
+        expr("instr('0123456789abcdef', substring(graft_skey, 2, 1))") - 1
+    df.withColumn("graft_skey", skey)
+      .withColumn("shard", (byteVal % nShards).cast("bigint"))
+      .withColumn("pos",
+        org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("graft_skey"), key))
+          .cast("bigint"))
+      .drop("graft_skey")
+  }
+
+  /** Mixture resampling with epochs > 1 (upsampling): each stratum's
+    * rows are replicated `floor(epochs)` times plus one more for the
+    * hash-selected `frac(epochs)` of keys — the deterministic form of
+    * "2.5 epochs of Wikipedia, 0.5 epochs of CommonCrawl". Output
+    * carries `n_copies` and one row per (row, copy). Map-side explode:
+    * no shuffle, no state, replayable by the oracle. */
+  def mixtureResample(
+      df: DataFrame,
+      stratumCol: String,
+      key: Column,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0,
+      salt: String = "graft-mix"): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 100),
+      "epochs must be in [0,100]")
+    val baseFor = epochs.foldLeft(lit(defaultEpochs.floor.toLong)) {
+      case (acc, (stratum, e)) =>
+        when(col(stratumCol) === stratum, lit(e.floor.toLong)).otherwise(acc)
+    }
+    val cutFor = epochs.foldLeft(lit(cutHex(defaultEpochs - defaultEpochs.floor))) {
+      case (acc, (stratum, e)) =>
+        when(col(stratumCol) === stratum, lit(cutHex(e - e.floor))).otherwise(acc)
+    }
+    df.withColumn("n_copies",
+        baseFor + when(bucket(key, salt) < cutFor, 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
   /** Deterministic train/val/test assignment from a second salt, so the
     * split is independent of any sampling above it. Boundaries are hex
     * prefixes: [0, valCut) → "val", [valCut, testCut) → "test",

@@ -99,4 +99,52 @@ object TextOps {
       col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
       .withColumn("block", substring(col("fingerprint"), 1, 8))
+
+  /** Gopher-style rule gates (Rae et al. 2021 §A1.1 adapted to this
+    * corpus): each rule is an independent boolean so ablations can
+    * toggle them, `pass` is the conjunction. The word-repetition rule
+    * needs the per-doc top word frequency — an explode + two-level
+    * hash agg (map-side combine keeps the shuffle at one row per
+    * (doc, word)); everything else is scan-local. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val n = wordCount(col("text"))
+    val chars = length(col("text")).cast("bigint")
+    val stopForms = size(array_distinct(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|and|is|to|in)\\b"), lit(0)))).cast("bigint")
+    def bp(c: Column): Column = floor(c * 10000).cast("bigint")
+    val maxTf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tf"))
+    docs
+      .select(col("doc_id"),
+        n.as("n_words"),
+        bp((chars - (n - lit(1))).cast("double") / n).as("avg_word_len_bp"),
+        stopForms.as("n_stop_forms"))
+      .join(maxTf, Seq("doc_id"))
+      .withColumn("rep_ratio_bp",
+        floor(col("max_tf").cast("double") / col("n_words") * 10000).cast("bigint"))
+      .withColumn("r_len", col("n_words").between(50, 100000))
+      .withColumn("r_wordlen", col("avg_word_len_bp").between(30000, 100000))
+      .withColumn("r_stop", col("n_stop_forms") >= 2)
+      .withColumn("r_rep", col("rep_ratio_bp") <= 800)
+      .withColumn("pass",
+        col("r_len") && col("r_wordlen") && col("r_stop") && col("r_rep"))
+  }
+
+  /** Cross-document boilerplate detection: word-n-grams appearing in at
+    * least `minDf` DISTINCT documents, top `topK` by document
+    * frequency. Grams are deduped per doc map-side (array_distinct
+    * before the explode), so the shuffle carries one row per
+    * (doc, gram) and the agg is a plain count — the same
+    * count-distinct-free shape a 100-TB boilerplate pass needs. */
+  def boilerplateGrams(
+      docs: DataFrame, n: Int = 8, minDf: Long = 2, topK: Int = 20): DataFrame =
+    docs
+      .select(explode(array_distinct(
+        graft.functions.WordShingles.word_shingles(col("text"), n))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("gram"))
+      .limit(topK)
 }

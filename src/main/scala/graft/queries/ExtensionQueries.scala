@@ -300,6 +300,35 @@ object ExtensionQueries {
           lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit(0)))
           .cast("bigint").as("n_ipv4"))
 
+  /** Cohort retention matrix over events: users bucketed by first
+    * active day, counted per day-offset. */
+  val q47Retention: Q = (s, dir) => EventOps.retention(t(s, dir, "events"))
+
+  /** Deterministic sharded global shuffle: md5-keyed shard + in-shard
+    * position — the "shuffle the corpus once, reproducibly" op. */
+  val q48ShuffleShards: Q = (s, dir) =>
+    Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"), nShards = 16)
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+
+  /** Mixture resampling with epochs: en ×2.0, de ×1.5, es ×0.5, rest
+    * ×1.0 — replicated rows carry (n_copies, copy). */
+  val q49MixtureResample: Q = (s, dir) =>
+    Sampling.mixtureResample(t(s, dir, "documents"), "lang", col("doc_id"),
+      epochs = Map("en" -> 2.0, "de" -> 1.5, "es" -> 0.5))
+      .select(col("doc_id"), col("lang"), col("n_copies"), col("copy"))
+
+  /** BM25 top-10 docs for a fixed query term set. */
+  val q50Bm25: Q = (s, dir) =>
+    Retrieval.bm25TopK(t(s, dir, "documents"),
+      terms = Seq("spark", "merge", "window"), k = 10)
+
+  /** Gopher-style quality rule gates (independent booleans + pass). */
+  val q51GopherRules: Q = (s, dir) => TextOps.gopherRules(t(s, dir, "documents"))
+
+  /** Cross-doc boilerplate word-8-grams: df ≥ 2, top 20. */
+  val q52BoilerplateGrams: Q = (s, dir) =>
+    TextOps.boilerplateGrams(t(s, dir, "documents"), n = 8, minDf = 2, topK = 20)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -340,6 +369,12 @@ object ExtensionQueries {
     "q44_incremental_dedup" -> q44IncrementalDedup,
     "q45_repetition" -> q45Repetition,
     "q46_pii_scan" -> q46PiiScan,
+    "q47_retention" -> q47Retention,
+    "q48_shuffle_shards" -> q48ShuffleShards,
+    "q49_mixture_resample" -> q49MixtureResample,
+    "q50_bm25" -> q50Bm25,
+    "q51_gopher_rules" -> q51GopherRules,
+    "q52_boilerplate_grams" -> q52BoilerplateGrams,
   )
 
   val oracles: Map[String, String] = Map(
@@ -828,5 +863,98 @@ object ExtensionQueries {
                 CAST(len(regexp_extract_all(text, '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b')) AS BIGINT) AS n_phones,
                 CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
          FROM documents""",
+    "q47_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                    FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+         SELECT cohort_day,
+                CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+                count(DISTINCT user_id) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2""",
+    "q48_shuffle_shards" ->
+      """WITH k AS (
+           SELECT doc_id, lang,
+                  md5('graft-shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         v AS (
+           SELECT doc_id, lang, skey,
+                  CAST(((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16
+                        + instr('0123456789abcdef', substr(skey, 2, 1)) - 1)
+                       % 16 AS BIGINT) AS shard
+           FROM k)
+         SELECT doc_id, lang, shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                     ORDER BY skey, doc_id) AS BIGINT) AS pos
+         FROM v""",
+    "q49_mixture_resample" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+                  CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'es' THEN 0 ELSE 1 END
+                  + CASE WHEN substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+                              CASE lang WHEN 'en' THEN '00' WHEN 'de' THEN '80'
+                                        WHEN 'es' THEN '80' ELSE '00' END
+                         THEN 1 ELSE 0 END AS n_copies
+           FROM documents)
+         SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+                CAST(copy AS BIGINT) AS copy
+         FROM (SELECT doc_id, lang, n_copies,
+                      unnest(range(1, n_copies + 1)) AS copy
+               FROM base WHERE n_copies >= 1)""",
+    "q50_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM toks WHERE term IN ('spark', 'merge', 'window')
+                GROUP BY doc_id, term),
+         dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id,
+                  round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * 2.2
+                        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS term_score
+           FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats)
+         SELECT doc_id, round(sum(term_score), 4) AS score, count(*) AS n_terms
+         FROM scored GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 10""",
+    "q51_gopher_rules" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(floor(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                        / len(string_split(text, ' ')) * 10000) AS BIGINT) AS avg_word_len_bp,
+                  CAST(len(list_distinct(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b'))) AS BIGINT) AS n_stop_forms
+           FROM documents),
+         wf AS (SELECT doc_id, max(c) AS max_tf
+                FROM (SELECT doc_id, w, count(*) AS c
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                            FROM documents)
+                      GROUP BY doc_id, w)
+                GROUP BY doc_id)
+         SELECT doc_id, n_words, avg_word_len_bp, n_stop_forms, max_tf,
+                CAST(floor(CAST(max_tf AS DOUBLE) / n_words * 10000) AS BIGINT) AS rep_ratio_bp,
+                n_words BETWEEN 50 AND 100000 AS r_len,
+                avg_word_len_bp BETWEEN 30000 AND 100000 AS r_wordlen,
+                n_stop_forms >= 2 AS r_stop,
+                floor(CAST(max_tf AS DOUBLE) / n_words * 10000) <= 800 AS r_rep,
+                (n_words BETWEEN 50 AND 100000)
+                  AND (avg_word_len_bp BETWEEN 30000 AND 100000)
+                  AND n_stop_forms >= 2
+                  AND floor(CAST(max_tf AS DOUBLE) / n_words * 10000) <= 800 AS pass
+         FROM base JOIN wf USING (doc_id)""",
+    "q52_boilerplate_grams" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(s) - 6),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]
+                              || ' ' || s[i+4] || ' ' || s[i+5] || ' ' || s[i+6]
+                              || ' ' || s[i+7]))) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+         SELECT gram, count(*) AS df
+         FROM g GROUP BY gram HAVING count(*) >= 2
+         ORDER BY df DESC, gram LIMIT 20""",
   )
 }

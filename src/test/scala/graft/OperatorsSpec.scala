@@ -225,4 +225,99 @@ class OperatorsSpec extends SparkSpec {
     // "ab" = bytes 97,98 → both in bucket 1 of 4
     assert(feats(4L).features.toSeq == Seq(0.0, 1.0, 0.0, 0.0))
   }
+
+  test("shuffle shards: deterministic, dense per-shard positions") {
+    val df = (0L until 100L).toDF("doc_id")
+    val a = Sampling.shuffleShards(df, col("doc_id"), nShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Sampling.shuffleShards(df, col("doc_id"), nShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.sameElements(b.sorted)) // re-run identical
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // positions within each shard are 1..n with no gaps
+    a.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.sameElements(1L to g.size))
+    }
+    // a different salt reshuffles (at least one doc moves shard)
+    val c = Sampling.shuffleShards(df, col("doc_id"), nShards = 4, salt = "other")
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.toSet != a.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("mixture resample: whole epochs replicate, fractions subsample") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "cc"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.mixtureResample(df, "lang", col("doc_id"),
+      epochs = Map("en" -> 2.0, "cc" -> 0.5)).select("doc_id", "lang", "copy")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val en = out.filter(_._2 == "en")
+    assert(en.length == 200) // every en doc exactly twice
+    assert(en.groupBy(_._1).values.forall(_.map(_._3).sorted.sameElements(Seq(1L, 2L))))
+    val cc = out.filter(_._2 == "cc")
+    assert(cc.forall(_._3 == 1L))
+    assert(cc.length > 20 && cc.length < 80) // ~half of the 100 cc docs
+  }
+
+  test("bm25: term-bearing docs rank above term-free, idf favors rarity") {
+    val corpus = Seq(
+      (1L, "spark spark spark runs fast"),
+      (2L, "spark runs on a cluster today"),
+      (3L, "merge is a rare operation word"),
+      (4L, "plain filler text without hits here")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(corpus, Seq("spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(!got.contains(4L)) // no matching term, no row
+    assert(got(1L) > got(2L)) // higher tf, same term
+    assert(got(3L) > got(2L)) // rarer term (df 1 vs 2) outweighs
+  }
+
+  test("gopher rules: each gate trips on its own pathology") {
+    val long50 = (1 to 50).map(i => s"word$i").mkString(" ") + " the of"
+    val corpus = Seq(
+      (1L, long50),                                    // healthy
+      (2L, "too short the of"),                        // fails r_len
+      (3L, (1 to 60).map(_ => "supercalifragilistic").mkString(" ") + " the of"), // r_wordlen + r_rep
+      (4L, (1 to 52).map(i => s"word$i").mkString(" ")))  // no stopwords → r_stop
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_len"), r.getAs[Boolean]("r_wordlen"),
+          r.getAs[Boolean]("r_stop"), r.getAs[Boolean]("r_rep"),
+          r.getAs[Boolean]("pass"))).toMap
+    assert(got(1L)._5)
+    assert(!got(2L)._1 && !got(2L)._5)
+    assert(!got(3L)._2 && !got(3L)._4 && !got(3L)._5)
+    assert(got(4L)._1 && !got(4L)._3 && !got(4L)._5)
+  }
+
+  test("boilerplate grams: only cross-doc repeated 8-grams surface") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, shared + " unique1 tail1"),
+      (2L, shared + " unique2 tail2"),
+      (3L, "totally different words one two three four five six"))
+      .toDF("doc_id", "text")
+    val got = TextOps.boilerplateGrams(corpus, n = 8, minDf = 2, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.contains((shared, 2L)))
+    // every surfaced gram really appears in ≥2 docs
+    assert(got.forall(_._2 >= 2))
+    assert(!got.exists(_._1.contains("different")))
+  }
+
+  test("retention: cohort day 0 counts every user, offsets count returns") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 10),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 10), // same user same day
+      (3L, Timestamp.valueOf("2024-01-03 09:00:00"), 10), // returns at offset 2
+      (4L, Timestamp.valueOf("2024-01-02 09:00:00"), 20)) // cohort of the 2nd
+      .toDF("event_id", "ts", "user_id")
+    val got = EventOps.retention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L), ("2024-01-02", 0L, 1L)))
+  }
 }

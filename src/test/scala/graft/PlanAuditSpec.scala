@@ -63,6 +63,24 @@ class PlanAuditSpec extends SparkSpec {
       "LSH bucket join should broadcast the query side at this scale")
   }
 
+  test("q48: shuffle-shard window is partitioned by shard") {
+    val p = plan("q48_shuffle_shards")
+    assert(p.contains("Window"), "expected the per-shard rank window")
+    assert(!p.contains("SinglePartition"), s"global row_number exchange:\n$p")
+  }
+
+  test("q50: BM25 term/corpus stats broadcast, top-k via TakeOrdered") {
+    val p = plan("q50_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"df stats join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k:\n$p")
+  }
+
+  test("q47: retention join reuses the user-keyed exchange") {
+    val p = plan("q47_retention")
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+      s"cohort and active-day frames shuffle twice on the same key:\n$p")
+  }
+
   test("LSH: sign-and-band stage is shuffle-free; verify uses the native kernel") {
     // the pair frame is checkpointed inside nearDuplicates, so the
     // sketch stage is audited on the band stage directly

@@ -31,4 +31,62 @@ object EventOps {
         datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
+
+  /** Ordered funnel: per user, the furthest step reached where step i
+    * must occur STRICTLY AFTER the user's first qualifying step i−1
+    * (first view → first click after it → first purchase after that).
+    * Output: (user_id, stage), stage 0 = none of the steps.
+    *
+    * Scale shape: one filtered aggregation per step, all keyed by
+    * user_id — each is partial-aggregated map-side and the chain of
+    * user-keyed joins reuses the same hash partitioning. No windows
+    * over the full event stream. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val firsts = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val base = events.filter(col("event_type") === step)
+        val scoped = acc.headOption match {
+          case None => base
+          case Some(prev) =>
+            base.join(prev.select(col("user_id"), col(s"t${i - 1}")), "user_id")
+              .filter(col("ts") > col(s"t${i - 1}"))
+        }
+        scoped.groupBy(col("user_id")).agg(min(col("ts")).as(s"t$i")) :: acc
+    }.reverse
+    val users = events.select(col("user_id")).distinct()
+    val joined = firsts.zipWithIndex.foldLeft(users) { case (df, (f, i)) =>
+      df.join(f.select(col("user_id"), col(s"t$i")), Seq("user_id"), "left")
+    }
+    // ascending fold wraps the LAST step outermost: the deepest
+    // non-null step timestamp wins
+    val stage = steps.indices.foldLeft(lit(0L): org.apache.spark.sql.Column) {
+      (acc, i) => when(col(s"t$i").isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    joined.select(col("user_id"), stage.as("stage"))
+  }
+
+  /** As-of join (a join type Spark has no native operator for): each
+    * `probeType` event paired with the user's most recent STRICTLY
+    * PRIOR `refType` event timestamp, or null if none.
+    *
+    * Implemented with the union trick: both event kinds flow through
+    * ONE user-partitioned window ordered by (ts, event_id), and
+    * max(ref_ts) over the strictly-preceding frame is the as-of match
+    * (max == latest because ts is the ordering key; nulls — probe
+    * rows — are skipped by max). One shuffle by user, no range join,
+    * no per-probe scans: the standard distributed as-of shape. */
+  def asofJoin(
+      events: DataFrame, probeType: String, refType: String): DataFrame = {
+    val u = events
+      .filter(col("event_type").isin(probeType, refType))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === refType, col("ts")).as("ref_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    u.withColumn("prior_ref_ts", max(col("ref_ts")).over(w))
+      .filter(col("event_type") === probeType)
+      .select(col("event_id"), col("user_id"), col("ts"), col("prior_ref_ts"))
+  }
 }

@@ -115,6 +115,28 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Semantic-dedup clustering pass: assign every corpus vector to its
+    * nearest centroid (cosine, all-centroids argmax) and mark each
+    * cluster's representative — the vector closest to its centroid,
+    * ties to the smallest id. At scale this is the k-means E-step with
+    * a broadcast centroid table: one corpus scan, no shuffle until the
+    * per-cluster argmax (a k-sized aggregate). Output:
+    * (vec_id, cluster, csim, is_rep). */
+  def assignClusters(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label").as("cluster"),
+        round(cosine(col("v"), col("centroid")), 6).as("csim"))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+    val repW = Window.partitionBy(col("cluster"))
+      .orderBy(col("csim").desc, col("vec_id"))
+    assigned.withColumn("is_rep", row_number().over(repW) === 1)
+  }
+
   /** Deterministic Rademacher hyperplanes for sign-LSH: component
     * (h, j) is ±1 by the first hex char of md5("h:j") — reproducible in
     * any engine (the DuckDB oracle replays the same formula), no RNG

@@ -329,6 +329,27 @@ object ExtensionQueries {
   val q52BoilerplateGrams: Q = (s, dir) =>
     TextOps.boilerplateGrams(t(s, dir, "documents"), n = 8, minDf = 2, topK = 20)
 
+  /** Semantic clustering pass: nearest-centroid assignment + per-cluster
+    * representative (the k-means E-step / semantic-dedup shape). */
+  val q53SemanticClusters: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.assignClusters(e, Similarity.centroids(e))
+  }
+
+  /** Ordered funnel view → click → purchase over a bounded analysis
+    * window (the window keeps the stage distribution discriminating —
+    * over all history every user converts). */
+  val q54Funnel: Q = (s, dir) =>
+    EventOps.funnel(
+      t(s, dir, "events").filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp_ntz")),
+      Seq("view", "click", "purchase"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+
+  /** As-of join: each purchase paired with the user's most recent
+    * strictly-prior click. */
+  val q55AsofJoin: Q = (s, dir) =>
+    EventOps.asofJoin(t(s, dir, "events"), probeType = "purchase", refType = "click")
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -375,6 +396,9 @@ object ExtensionQueries {
     "q50_bm25" -> q50Bm25,
     "q51_gopher_rules" -> q51GopherRules,
     "q52_boilerplate_grams" -> q52BoilerplateGrams,
+    "q53_semantic_clusters" -> q53SemanticClusters,
+    "q54_funnel" -> q54Funnel,
+    "q55_asof_join" -> q55AsofJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -956,5 +980,61 @@ object ExtensionQueries {
          SELECT gram, count(*) AS df
          FROM g GROUP BY gram HAVING count(*) >= 2
          ORDER BY df DESC, gram LIMIT 20""",
+    "q53_semantic_clusters" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         a AS (
+           SELECT vec_id, cluster, csim FROM (
+             SELECT e.vec_id, c.label AS cluster,
+                    round(list_cosine_similarity(e.v, c.centroid), 6) AS csim,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                      ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                               c.label) AS rn
+             FROM e, cent c)
+           WHERE rn = 1)
+         SELECT vec_id, cluster, csim,
+                ROW_NUMBER() OVER (PARTITION BY cluster
+                  ORDER BY csim DESC, vec_id) = 1 AS is_rep
+         FROM a""",
+    "q54_funnel" ->
+      """WITH ev AS (SELECT * FROM events
+                     WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+         u AS (SELECT DISTINCT user_id FROM ev),
+         t0 AS (SELECT user_id, min(ts) AS t0 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         t1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM ev e
+                JOIN t0 ON e.user_id = t0.user_id
+                WHERE e.event_type = 'click' AND e.ts > t0.t0 GROUP BY e.user_id),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t1.t1 GROUP BY e.user_id)
+         SELECT stage, count(*) AS n_users FROM (
+           SELECT u.user_id,
+                  CAST(CASE WHEN t2.t2 IS NOT NULL THEN 3
+                            WHEN t1.t1 IS NOT NULL THEN 2
+                            WHEN t0.t0 IS NOT NULL THEN 1
+                            ELSE 0 END AS BIGINT) AS stage
+           FROM u LEFT JOIN t0 USING (user_id)
+                  LEFT JOIN t1 USING (user_id)
+                  LEFT JOIN t2 USING (user_id))
+         GROUP BY stage""",
+    "q55_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN event_type = 'click' THEN ts END AS ref_ts
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         x AS (
+           SELECT user_id, ts, event_id, event_type,
+                  max(ref_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_ref_ts
+           FROM u)
+         SELECT event_id, user_id, ts, prior_ref_ts
+         FROM x WHERE event_type = 'purchase'""",
   )
 }

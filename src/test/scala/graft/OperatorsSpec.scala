@@ -307,6 +307,60 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_._1.contains("different")))
   }
 
+  test("semantic clusters: nearest centroid wins, one rep per cluster") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.9f, 0.1f), "a"),
+      (3L, Array(0.0f, 1.0f), "b"),
+      (4L, Array(0.1f, 0.9f), "b")).toDF("vec_id", "embedding", "label")
+    val got = Similarity.assignClusters(vecs, Similarity.centroids(vecs))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(3))).toList
+    // every vector stays with its generating cluster
+    assert(got.forall { case (id, cl, _) =>
+      cl == (if (id <= 2) "a" else "b") })
+    // exactly one representative per cluster
+    assert(got.count { case (_, cl, rep) => cl == "a" && rep } == 1)
+    assert(got.count { case (_, cl, rep) => cl == "b" && rep } == 1)
+  }
+
+  test("funnel: stages require strictly-ordered step timestamps") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 10: full ordered funnel
+      (1L, t("2024-01-01 09:00:00"), 10, "view"),
+      (2L, t("2024-01-01 10:00:00"), 10, "click"),
+      (3L, t("2024-01-01 11:00:00"), 10, "purchase"),
+      // user 20: purchase BEFORE click → stage stops at 2
+      (4L, t("2024-01-01 09:00:00"), 20, "view"),
+      (5L, t("2024-01-01 09:30:00"), 20, "purchase"),
+      (6L, t("2024-01-01 10:00:00"), 20, "click"),
+      // user 30: click only, never a view → stage 0
+      (7L, t("2024-01-01 09:00:00"), 30, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(10 -> 3L, 20 -> 2L, 30 -> 0L))
+  }
+
+  test("asof join: latest strictly-prior ref event, null when none") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 09:00:00"), 10, "click"),
+      (2L, t("2024-01-01 09:30:00"), 10, "click"),
+      (3L, t("2024-01-01 10:00:00"), 10, "purchase"), // → 09:30 click
+      (4L, t("2024-01-01 08:00:00"), 20, "purchase"), // no prior click → null
+      (5L, t("2024-01-01 08:30:00"), 20, "click"),
+      (6L, t("2024-01-01 08:30:00"), 20, "purchase")) // same-ts click sorts first → matched
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.asofJoin(ev, "purchase", "click")
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(got(3L).contains(t("2024-01-01 09:30:00")))
+    assert(got(4L).isEmpty)
+    assert(got(6L).contains(t("2024-01-01 08:30:00")))
+  }
+
   test("retention: cohort day 0 counts every user, offsets count returns") {
     import java.sql.Timestamp
     val ev = Seq(

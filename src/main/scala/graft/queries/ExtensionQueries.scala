@@ -350,6 +350,29 @@ object ExtensionQueries {
   val q55AsofJoin: Q = (s, dir) =>
     EventOps.asofJoin(t(s, dir, "events"), probeType = "purchase", refType = "click")
 
+  /** ROLLUP subtotals — (lang, source) cells, per-lang subtotals, grand
+    * total in one pass (Spark expands grouping sets into a single
+    * shuffle; the reference has no grouping sets at all, this is part
+    * of the warehouse-completeness surface). */
+  val q56Rollup: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+
+  /** Pivot: per-user event-type counts as columns (Spark `pivot` with an
+    * explicit value list keeps the plan a single hash agg; absent
+    * combinations coalesce to 0 to match SQL's FILTER counts). */
+  val q57Pivot: Q = (s, dir) => {
+    val p = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+      Seq("view", "click", "purchase", "signup", "error")
+        .map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -399,6 +422,8 @@ object ExtensionQueries {
     "q53_semantic_clusters" -> q53SemanticClusters,
     "q54_funnel" -> q54Funnel,
     "q55_asof_join" -> q55AsofJoin,
+    "q56_rollup" -> q56Rollup,
+    "q57_pivot" -> q57Pivot,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1036,5 +1061,18 @@ object ExtensionQueries {
            FROM u)
          SELECT event_id, user_id, ts, prior_ref_ts
          FROM x WHERE event_type = 'purchase'""",
+    "q56_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         GROUP BY ROLLUP (lang, source)""",
+    "q57_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                count(*) FILTER (WHERE event_type = 'error') AS n_error
+         FROM events GROUP BY user_id""",
   )
 }

@@ -207,6 +207,61 @@ object MinHashLsh {
         transform(col("old_ids"),
           o => struct(n.as("doc_new"), o.as("doc_old")))))).as("p"))
       .select(col("p.doc_new"), col("p.doc_old"))
+      // guard: overlapping id sets (e.g. a crash-replayed batch whose
+      // band rows already landed) must not pair a doc with itself
+      .filter(col("doc_new") =!= col("doc_old"))
+      .distinct()
+      .localCheckpoint()
+    val hn = hashedShingles(newDocs, pairs.select(col("doc_new").as("doc_id")))
+    val ho = hashedShingles(corpus, pairs.select(col("doc_old").as("doc_id")))
+    verifyPairs(pairs, "doc_new", hn, "doc_old", ho, threshold)
+      .select(col("doc_new"), col("doc_old"), col("jaccard"))
+  }
+
+  /** Persist the corpus band index: (doc_id, band, bucket) rows,
+    * partitioned by band so an incremental probe prunes to the bands it
+    * actually hits. Write once at ingest, append per batch — this is
+    * what makes continuous dedup O(new batch): the corpus is never
+    * re-sketched, only its (tiny) index is read. */
+  def writeBandIndex(
+      docs: DataFrame,
+      path: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      mode: String = "append"): Unit =
+    bandBucketsDirect(docs, numHashes, rowsPerBand)
+      .write.mode(mode).partitionBy("band").parquet(path)
+
+  /** [[nearDuplicatesAgainst]] probing a PERSISTED band index instead
+    * of re-sketching the corpus — the production incremental path. The
+    * corpus documents are still needed for the Jaccard verify, but only
+    * the candidate docs are read (semi-join pushdown), so per batch the
+    * corpus-side work is: index scan + |candidates| doc reads. */
+  def nearDuplicatesAgainstIndex(
+      newDocs: DataFrame,
+      corpusIndex: DataFrame,
+      corpus: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val nb = bandBucketsDirect(newDocs, numHashes, rowsPerBand)
+    val pairs = nb.select(col("doc_id"), col("band"), col("bucket"),
+        lit(true).as("is_new"))
+      .union(corpusIndex.select(col("doc_id"), col("band"), col("bucket"),
+        lit(false).as("is_new")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(when(col("is_new"), col("doc_id"))).as("new_ids"),
+        collect_list(when(!col("is_new"), col("doc_id"))).as("old_ids"))
+      .filter(size(col("new_ids")) >= 1 &&
+        size(col("old_ids")) >= 1 && size(col("old_ids")) <= maxBucketSize)
+      .select(explode(flatten(transform(col("new_ids"), n =>
+        transform(col("old_ids"),
+          o => struct(n.as("doc_new"), o.as("doc_old")))))).as("p"))
+      .select(col("p.doc_new"), col("p.doc_old"))
+      // guard: overlapping id sets (e.g. a crash-replayed batch whose
+      // band rows already landed) must not pair a doc with itself
+      .filter(col("doc_new") =!= col("doc_old"))
       .distinct()
       .localCheckpoint()
     val hn = hashedShingles(newDocs, pairs.select(col("doc_new").as("doc_id")))

@@ -12,24 +12,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Per batch: (1) within-batch near-dups collapse to their min-id
   * keeper, (2) survivors near-matching the existing corpus are
-  * dropped, (3) the remainder appends to the corpus parquet. At scale
-  * the corpus side is the PERSISTED band index (bands written at
-  * ingest); here it is recomputed from the corpus table per batch for
-  * self-containment — swap `bandBucketsDirect(corpus)` for a read of
-  * the band table to make each batch O(new).
+  * dropped, (3) the remainder appends to the corpus parquet AND to the
+  * corpus band index (`<corpusPath>_bands`, band-partitioned). The
+  * corpus probe reads the PERSISTED index
+  * ([[MinHashLsh.nearDuplicatesAgainstIndex]]), so per batch the
+  * corpus-side cost is an index scan plus candidate-doc reads — the
+  * corpus text is never re-sketched. A pre-existing corpus without an
+  * index is backfilled once on first use.
   *
   * Delivery is at-least-once-with-idempotent-filtering: foreachBatch
   * can REPLAY a batch whose append already committed (the checkpoint
   * marks a batch done only after the whole closure returns), so before
   * appending, survivors are also exact-anti-joined by `doc_id` against
   * the corpus — a replayed batch finds its own docs already present and
-  * appends nothing. The near-dup check alone would not guarantee that:
-  * a doc with fewer than 3 words has an empty shingle set and never
-  * reaches the jaccard threshold, so it would re-append on replay.
-  * Keepers are chosen by min doc_id, not arrival order, so the result
-  * set is deterministic across retries.
+  * appends nothing (including its band rows, which are derived from the
+  * same filtered frame). The near-dup check alone would not guarantee
+  * that: a doc with fewer than 3 words has an empty shingle set and
+  * never reaches the jaccard threshold, so it would re-append on
+  * replay. Keepers are chosen by min doc_id, not arrival order, so the
+  * result set is deterministic across retries.
   */
 object StreamingIncrementalDedup {
+
+  def bandIndexPath(corpusPath: String): String = corpusPath + "_bands"
 
   def start(
       spark: SparkSession,
@@ -48,16 +53,24 @@ object StreamingIncrementalDedup {
         val innerPairs = MinHashLsh.nearDuplicates(batch, threshold = threshold)
         val dupIds = innerPairs.select(col("doc_b").as("doc_id")).distinct()
         val kept = batch.join(dupIds, Seq("doc_id"), "left_anti")
-        // 2. drop survivors that near-match the existing corpus
+        // 2. drop survivors that near-match the existing corpus, probing
+        // the persisted band index
         // (Hadoop FS, not java.io.File — corpusPath may be a URI path)
         val corpusHadoopPath = new org.apache.hadoop.fs.Path(corpusPath)
+        val idxPath = bandIndexPath(corpusPath)
+        val idxHadoopPath = new org.apache.hadoop.fs.Path(idxPath)
         val fs = corpusHadoopPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val clean =
           if (fs.exists(corpusHadoopPath)) {
             val corpus = spark.read.parquet(corpusPath)
+            // one-time backfill for a corpus ingested before indexing
+            if (!fs.exists(idxHadoopPath))
+              MinHashLsh.writeBandIndex(corpus, idxPath)
+            val index = spark.read.parquet(idxPath)
             val vsCorpus = MinHashLsh
-              .nearDuplicatesAgainst(kept, corpus, threshold = threshold)
+              .nearDuplicatesAgainstIndex(kept, index, corpus,
+                threshold = threshold)
               .select(col("doc_new").as("doc_id")).distinct()
             kept
               .join(vsCorpus, Seq("doc_id"), "left_anti")
@@ -65,8 +78,15 @@ object StreamingIncrementalDedup {
               // in the corpus — drop them by exact id before appending
               .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
           } else kept
-        // 3. append the clean docs
-        clean.write.mode("append").parquet(corpusPath)
+        // 3. append the clean docs + their band index rows. The docs
+        // append lands first: a crash between the two writes leaves the
+        // index missing rows for docs that ARE in the corpus, and the
+        // replayed batch re-appends neither (exact anti-join) — but the
+        // index must then be treated as possibly stale; rebuilding it is
+        // cheap (one corpus sketch) and idempotent via overwrite.
+        val cleanStable = clean.localCheckpoint()
+        cleanStable.write.mode("append").parquet(corpusPath)
+        MinHashLsh.writeBandIndex(cleanStable, idxPath)
         ()
       }
       .start()

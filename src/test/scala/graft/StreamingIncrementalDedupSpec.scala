@@ -59,4 +59,41 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       assert(ids.sorted == Seq(1L, 2L), s"expected each doc once, got $ids")
     } finally q.stop()
   }
+
+  test("persisted band index tracks the corpus and matches direct sketching") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val corpus = Files.createTempDirectory("graft-inc-dedup3").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-inc-ckpt3").toString
+    val q = StreamingIncrementalDedup.start(
+      spark, in.toDF().toDF("doc_id", "text"), corpus, ckpt,
+      threshold = 0.2, trigger = Trigger.ProcessingTime("25 milliseconds"))
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (5L, "completely different words entirely here now"))
+      q.processAllAvailable()
+      in.addData((8L, "fresh content sharing no shingles with anyone"))
+      q.processAllAvailable()
+      // the index holds exactly the corpus docs' band rows
+      val idx = spark.read.parquet(
+        StreamingIncrementalDedup.bandIndexPath(corpus))
+      val direct = graft.operators.MinHashLsh
+        .bandBucketsDirect(spark.read.parquet(corpus))
+      assert(idx.select("doc_id", "band", "bucket").collect().toSet ==
+        direct.collect().toSet)
+      // probing the index finds the same near-dups as re-sketching
+      val probe = Seq((9L, "the quick brown fox jumps over the lazy pig"))
+        .toDF("doc_id", "text")
+      val viaIndex = graft.operators.MinHashLsh
+        .nearDuplicatesAgainstIndex(probe, idx, spark.read.parquet(corpus),
+          threshold = 0.2)
+        .select("doc_new", "doc_old").collect().toSet
+      val viaDirect = graft.operators.MinHashLsh
+        .nearDuplicatesAgainst(probe, spark.read.parquet(corpus),
+          threshold = 0.2)
+        .select("doc_new", "doc_old").collect().toSet
+      assert(viaIndex == viaDirect && viaIndex.nonEmpty)
+    } finally q.stop()
+  }
 }

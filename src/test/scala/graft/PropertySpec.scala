@@ -185,4 +185,85 @@ class PropertySpec extends SparkSpec {
       assert(j == 1.0)
     }
   }
+
+  private val eventsGen = Gen.nonEmptyListOf(Gen.zip(
+    Gen.choose(1, 5),            // user_id
+    Gen.choose(0, 86400),        // seconds offset
+    Gen.oneOf("view", "click", "purchase")))
+
+  test("funnel: matches brute-force per-user ordered-step evaluation") {
+    val steps = Seq("view", "click", "purchase")
+    for (evs <- samples(eventsGen, 6)) {
+      val rows = evs.zipWithIndex.map { case ((u, s, ty), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + s * 1000L), u, ty)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.operators.EventOps.funnel(df, steps)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // brute force: walk each user's events chronologically
+      val byUser = rows.groupBy(_._3)
+      byUser.foreach { case (u, urows) =>
+        var stage = 0
+        var tPrev = Long.MinValue
+        var go = true
+        while (go && stage < steps.length) {
+          val nxt = urows
+            .filter(r => r._4 == steps(stage) && r._2.getTime > tPrev)
+            .map(_._2.getTime)
+          if (nxt.isEmpty) go = false
+          else { tPrev = nxt.min; stage += 1 }
+        }
+        assert(got(u) == stage.toLong,
+          s"user $u: got ${got(u)}, brute-force $stage in $urows")
+      }
+    }
+  }
+
+  test("asof join: prior ref equals the brute-force max strictly before") {
+    for (evs <- samples(eventsGen, 6)) {
+      val rows = evs.zipWithIndex.map { case ((u, s, ty), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + s * 1000L), u, ty)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.operators.EventOps.asofJoin(df, "purchase", "click")
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(3)).map(_.getTime)).toMap
+      rows.filter(_._4 == "purchase").foreach { case (id, ts, u, _) =>
+        // strictly before by (ts, event_id) ordering: same-ts clicks with a
+        // SMALLER event_id count as prior
+        val prior = rows.filter(r => r._4 == "click" && r._3 == u &&
+          (r._2.getTime < ts.getTime ||
+            (r._2.getTime == ts.getTime && r._1 < id)))
+          .map(_._2.getTime)
+        assert(got(id) == (if (prior.isEmpty) None else Some(prior.max)),
+          s"purchase $id of user $u")
+      }
+    }
+  }
+
+  test("mixture resample: copy counts are floor(e) or floor(e)+1, dense") {
+    import graft.operators.Sampling
+    val epochsGen = Gen.zip(Gen.choose(0, 30).map(_ / 10.0), Gen.choose(0, 30).map(_ / 10.0))
+    for ((ea, eb) <- samples(epochsGen, 5)) {
+      val docs = (0L until 60L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+        .toDF("doc_id", "lang")
+      val out = Sampling.mixtureResample(docs, "lang", col("doc_id"),
+        epochs = Map("a" -> ea, "b" -> eb))
+        .select("doc_id", "lang", "copy").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      out.groupBy(t => (t._1, t._2)).foreach { case ((_, lang), copies) =>
+        val e = if (lang == "a") ea else eb
+        val n = copies.length
+        assert(n == e.floor.toLong || n == e.floor.toLong + 1, s"$lang×$e → $n")
+        // copies are exactly 1..n
+        assert(copies.map(_._3).sorted.sameElements(1L to n))
+      }
+      // strata with integer epochs replicate exactly
+      Seq(("a", ea), ("b", eb)).filter(t => t._2 == t._2.floor).foreach {
+        case (lang, e) =>
+          val n = out.count(_._2 == lang)
+          assert(n == (30 * e.toLong), s"integer epochs $lang×$e → $n rows")
+      }
+    }
+  }
 }

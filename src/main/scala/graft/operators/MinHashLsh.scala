@@ -248,7 +248,11 @@ object MinHashLsh {
     val nb = bandBucketsDirect(newDocs, numHashes, rowsPerBand)
     val pairs = nb.select(col("doc_id"), col("band"), col("bucket"),
         lit(true).as("is_new"))
-      .union(corpusIndex.select(col("doc_id"), col("band"), col("bucket"),
+      // band is a PARTITION column of the persisted index: its read-back
+      // type depends on partition-type inference (int here, string with
+      // inference off) — pin it to the sketch's bigint explicitly
+      .union(corpusIndex.select(col("doc_id"),
+        col("band").cast("bigint").as("band"), col("bucket"),
         lit(false).as("is_new")))
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(when(col("is_new"), col("doc_id"))).as("new_ids"),

@@ -373,6 +373,19 @@ object ExtensionQueries {
         .map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
   }
 
+  /** 7-day moving average of daily event value per type — the bounded
+    * sliding analytic frame (`rowsBetween(-6, current)`); day totals
+    * are rounded before the frame so the frame's add-order is over
+    * identical inputs in both engines. */
+  val q58MovingAvg: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily.withColumn("ma7", round(avg(col("day_value")).over(w), 4))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -424,6 +437,7 @@ object ExtensionQueries {
     "q55_asof_join" -> q55AsofJoin,
     "q56_rollup" -> q56Rollup,
     "q57_pivot" -> q57Pivot,
+    "q58_moving_avg" -> q58MovingAvg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1074,5 +1088,14 @@ object ExtensionQueries {
                 count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                 count(*) FILTER (WHERE event_type = 'error') AS n_error
          FROM events GROUP BY user_id""",
+    "q58_moving_avg" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  round(sum(value), 2) AS day_value
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, day_value,
+                round(avg(day_value) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         FROM daily""",
   )
 }

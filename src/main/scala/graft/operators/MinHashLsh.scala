@@ -98,23 +98,22 @@ object MinHashLsh {
     * Buckets larger than maxBucketSize are dropped (quadratic blowup
     * guard for boilerplate buckets).
     *
-    * Shape: ONE groupBy shuffle collects each bucket's (≤ cap) doc ids,
-    * then pairs are generated map-side from the sorted id array — no
-    * bucket self-join, no window pass. A doc appears once per band, so
-    * the collected list size IS the bucket size the cap is defined on.
-    * The id array is bounded by `maxBucketSize`, so the collect cannot
-    * blow up a task even on a boilerplate-heavy corpus (oversized
-    * buckets are filtered before the pair explosion). */
+    * Shape: ONE groupBy shuffle collects each bucket's (≤ cap) DISTINCT
+    * doc ids, then pairs stream out of two generators — no bucket
+    * self-join, no window pass, and no pair ARRAY is ever materialized
+    * (each Generate row holds at most the ≤-cap id set). collect_set
+    * both collapses duplicate (doc, band) rows — an at-least-once
+    * source can deliver the same doc twice — and makes the `<` filter
+    * the only pair ordering needed; equal ids can't produce the (x, x)
+    * self-pair that would let a dedup caller drop a doc entirely. */
   def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame =
     buckets
       .groupBy(col("band"), col("bucket"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
-      // ascending ids ⇒ every generated pair already has doc_a < doc_b
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
 
   /** Exact shingle-set Jaccard for the candidate pairs (the verify step:
@@ -171,52 +170,21 @@ object MinHashLsh {
 
   /** Incremental dedup — the daily-ingest shape: near-dups of a NEW
     * batch against an EXISTING corpus, never corpus × corpus. The
-    * corpus band table is recomputed here for self-containment, but in
-    * production it is the persisted index: band rows are written once
-    * at ingest and only the (small) new batch is sketched per run, so
-    * the candidate join reads |new bands| × matching buckets — the
-    * whole corpus is touched only through the bucket index. The
-    * bucket-size cap applies to the corpus side (boilerplate buckets),
-    * mirroring [[candidatePairs]]. */
+    * corpus band table is recomputed here for self-containment
+    * (delegating to [[nearDuplicatesAgainstIndex]] with an inline
+    * sketch); in production the index is the PERSISTED table written by
+    * [[writeBandIndex]] at ingest, so only the (small) new batch is
+    * sketched per run. */
   def nearDuplicatesAgainst(
       newDocs: DataFrame,
       corpus: DataFrame,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.2,
-      maxBucketSize: Int = 1000): DataFrame = {
-    // one groupBy over the side-tagged union replaces the corpus-side
-    // window cap + (band, bucket) equi-join: each bucket's new and old
-    // id lists are collected together, the cap applies to the corpus
-    // list (boilerplate buckets, mirroring candidatePairs), and the
-    // new × old cross product is generated map-side
-    val nb = bandBucketsDirect(newDocs, numHashes, rowsPerBand)
-    val cb = bandBucketsDirect(corpus, numHashes, rowsPerBand)
-    val pairs = nb.select(col("doc_id"), col("band"), col("bucket"),
-        lit(true).as("is_new"))
-      .union(cb.select(col("doc_id"), col("band"), col("bucket"),
-        lit(false).as("is_new")))
-      .groupBy(col("band"), col("bucket"))
-      // when() without otherwise is null on the other side; collect_list
-      // skips nulls, so each list holds exactly its side's ids
-      .agg(collect_list(when(col("is_new"), col("doc_id"))).as("new_ids"),
-        collect_list(when(!col("is_new"), col("doc_id"))).as("old_ids"))
-      .filter(size(col("new_ids")) >= 1 &&
-        size(col("old_ids")) >= 1 && size(col("old_ids")) <= maxBucketSize)
-      .select(explode(flatten(transform(col("new_ids"), n =>
-        transform(col("old_ids"),
-          o => struct(n.as("doc_new"), o.as("doc_old")))))).as("p"))
-      .select(col("p.doc_new"), col("p.doc_old"))
-      // guard: overlapping id sets (e.g. a crash-replayed batch whose
-      // band rows already landed) must not pair a doc with itself
-      .filter(col("doc_new") =!= col("doc_old"))
-      .distinct()
-      .localCheckpoint()
-    val hn = hashedShingles(newDocs, pairs.select(col("doc_new").as("doc_id")))
-    val ho = hashedShingles(corpus, pairs.select(col("doc_old").as("doc_id")))
-    verifyPairs(pairs, "doc_new", hn, "doc_old", ho, threshold)
-      .select(col("doc_new"), col("doc_old"), col("jaccard"))
-  }
+      maxBucketSize: Int = 1000): DataFrame =
+    nearDuplicatesAgainstIndex(newDocs,
+      bandBucketsDirect(corpus, numHashes, rowsPerBand), corpus,
+      numHashes, rowsPerBand, threshold, maxBucketSize)
 
   /** Persist the corpus band index: (doc_id, band, bucket) rows,
     * partitioned by band so an incremental probe prunes to the bands it
@@ -236,7 +204,15 @@ object MinHashLsh {
     * of re-sketching the corpus — the production incremental path. The
     * corpus documents are still needed for the Jaccard verify, but only
     * the candidate docs are read (semi-join pushdown), so per batch the
-    * corpus-side work is: index scan + |candidates| doc reads. */
+    * corpus-side work is: index scan + |candidates| doc reads.
+    *
+    * Candidate shape: the corpus side of each bucket is collapsed to
+    * its (≤ cap, deduped) id set; the NEW side stays as rows and
+    * equi-joins the bucket lists, so no new-side collection exists to
+    * blow up on a boilerplate-heavy batch, and pairs stream out of a
+    * generator (never a materialized pair array). collect_set also
+    * collapses duplicate index rows, which a crash between the corpus
+    * and index appends can legitimately leave behind. */
   def nearDuplicatesAgainstIndex(
       newDocs: DataFrame,
       corpusIndex: DataFrame,
@@ -246,23 +222,17 @@ object MinHashLsh {
       threshold: Double = 0.2,
       maxBucketSize: Int = 1000): DataFrame = {
     val nb = bandBucketsDirect(newDocs, numHashes, rowsPerBand)
-    val pairs = nb.select(col("doc_id"), col("band"), col("bucket"),
-        lit(true).as("is_new"))
-      // band is a PARTITION column of the persisted index: its read-back
-      // type depends on partition-type inference (int here, string with
-      // inference off) — pin it to the sketch's bigint explicitly
-      .union(corpusIndex.select(col("doc_id"),
-        col("band").cast("bigint").as("band"), col("bucket"),
-        lit(false).as("is_new")))
+    // band is a PARTITION column of the persisted index: its read-back
+    // type depends on partition-type inference (int here, string with
+    // inference off) — pin it to the sketch's bigint explicitly
+    val oldBuckets = corpusIndex
+      .select(col("doc_id"), col("band").cast("bigint").as("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(when(col("is_new"), col("doc_id"))).as("new_ids"),
-        collect_list(when(!col("is_new"), col("doc_id"))).as("old_ids"))
-      .filter(size(col("new_ids")) >= 1 &&
-        size(col("old_ids")) >= 1 && size(col("old_ids")) <= maxBucketSize)
-      .select(explode(flatten(transform(col("new_ids"), n =>
-        transform(col("old_ids"),
-          o => struct(n.as("doc_new"), o.as("doc_old")))))).as("p"))
-      .select(col("p.doc_new"), col("p.doc_old"))
+      .agg(collect_set(col("doc_id")).as("old_ids"))
+      .filter(size(col("old_ids")) >= 1 && size(col("old_ids")) <= maxBucketSize)
+    val pairs = nb.select(col("doc_id").as("doc_new"), col("band"), col("bucket"))
+      .join(oldBuckets, Seq("band", "bucket"))
+      .select(col("doc_new"), explode(col("old_ids")).as("doc_old"))
       // guard: overlapping id sets (e.g. a crash-replayed batch whose
       // band rows already landed) must not pair a doc with itself
       .filter(col("doc_new") =!= col("doc_old"))

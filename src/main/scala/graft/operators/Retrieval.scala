@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions._
   * whitespace tokens: idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
   * idf = ln(1 + (N−df+0.5)/(df+0.5)).
   *
-  * Scale shape: the token explode is filtered to the query's terms
-  * BEFORE the shuffle (scan emits only matching tokens), term stats
-  * (df) and corpus stats (N, avgdl) are dimension-sized and broadcast,
-  * so the whole query is one partial-aggregated shuffle over matching
-  * (doc, term) rows plus broadcast joins — no corpus-wide sort until
-  * the final top-k (TakeOrderedAndProject).
+  * Scale shape: ONE corpus scan — doc length rides along the token
+  * explode as a grouping column, and the explode is filtered to the
+  * query's terms before the shuffle, so the scan emits only matching
+  * (doc, dl, term) rows into a partial-aggregated groupBy. Term stats
+  * (df) and corpus stats (N, avgdl) are dimension-sized and broadcast;
+  * the only corpus-wide ordering is the final top-k
+  * (TakeOrderedAndProject). Corpus stats are index-time constants —
+  * compute [[corpusStats]] once, persist it, and pass it to the
+  * explicit-stats overload, exactly like [[Similarity.centroids]]; the
+  * convenience overload (which costs a second, column-pruned scan)
+  * exists for one-shot queries.
   *
   * Cross-engine float discipline: per-term scores are rounded to 6 dp
   * before the per-doc sum (the sum's ADD ORDER differs between
@@ -25,27 +30,41 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** (n_docs, avgdl) — the BM25 corpus constants. Build once at index
+    * time; at query time this 1-row frame is broadcast. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(size(split(col("text"), " ")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+
+  /** Convenience overload: computes [[corpusStats]] inline. */
   def bm25TopK(
       docs: DataFrame,
       terms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    bm25TopK(docs, terms, corpusStats(docs), k1, b, k)
+
+  /** BM25 top-k against precomputed corpus stats. */
+  def bm25TopK(
+      docs: DataFrame,
+      terms: Seq[String],
+      stats: DataFrame,
+      k1: Double,
+      b: Double,
+      k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("double").as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks
+    // one scan: dl is constant per doc, so it can sit in the groupBy key
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     tf
       .join(F.broadcast(dft), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(F.broadcast(stats))
       .withColumn("term_score", round(
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))

@@ -42,8 +42,17 @@ class BotState(spark: SparkSession, url: String, driver: String) {
       // unfiltered getTables matches an ALERTS/CLIPS table in ANY
       // schema/catalog, which would skip the CREATE + seed row here
       // while later unqualified SELECTs hit a missing/wrong table
+      // schemaPattern is a LIKE pattern: escape `_`/`%` in the schema
+      // NAME (e.g. MY_APP would otherwise also match MYXAPP)
       val schemaPattern =
-        try Option(conn.getSchema).filter(_.nonEmpty).orNull
+        try Option(conn.getSchema).filter(_.nonEmpty).map { s =>
+          Option(conn.getMetaData.getSearchStringEscape).filter(_.nonEmpty)
+            .fold(s) { esc =>
+              s.replace(esc, esc + esc)
+                .replace("_", esc + "_")
+                .replace("%", esc + "%")
+            }
+        }.orNull
         catch { case _: java.sql.SQLException => null } // driver may not support getSchema
       val md = conn.getMetaData.getTables(null, schemaPattern, "%", Array("TABLE"))
       val names = scala.collection.mutable.Set[String]()

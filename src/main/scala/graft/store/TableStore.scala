@@ -151,9 +151,13 @@ class TableStore(spark: SparkSession, root: String) {
       // within-batch duplicates: LAST wins, like the reference's
       // sequential executemany (same contract as upsertDPlayers)
       .withColumn("graft_seq", monotonically_increasing_id())
+    // countDistinct ignores NULLs, but the null partition is a real
+    // partition (__HIVE_DEFAULT_PARTITION__) — count it explicitly or a
+    // key split between the null and a non-null partition slips through
     val splitKeys = incoming
       .groupBy(keyCols.map(col): _*)
-      .agg(countDistinct(col(partCol)).as("graft_nparts"))
+      .agg((countDistinct(col(partCol)) +
+        max(when(col(partCol).isNull, 1).otherwise(0))).as("graft_nparts"))
       .filter(col("graft_nparts") > 1)
     require(splitKeys.isEmpty,
       s"upsertPartitioned($table): update batch maps one ${keyCols.mkString("(", ",", ")")} " +

@@ -78,15 +78,21 @@ object StreamingIncrementalDedup {
               // in the corpus — drop them by exact id before appending
               .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
           } else kept
-        // 3. append the clean docs + their band index rows. The docs
-        // append lands first: a crash between the two writes leaves the
-        // index missing rows for docs that ARE in the corpus, and the
-        // replayed batch re-appends neither (exact anti-join) — but the
-        // index must then be treated as possibly stale; rebuilding it is
-        // cheap (one corpus sketch) and idempotent via overwrite.
+        // 3. append the band index rows, THEN the docs. Write order
+        // matters for crash recovery: if the process dies between the
+        // two writes, the replayed batch re-processes these docs (they
+        // are not yet in the corpus, so the exact anti-join passes) and
+        // appends their band rows a SECOND time — harmless, because the
+        // index probe collapses buckets with collect_set and pairs are
+        // distinct'd, and the self-pair guard keeps a doc's own stale
+        // band rows from matching it. The reverse order would lose the
+        // batch's band rows FOREVER (docs in corpus ⇒ anti-join blocks
+        // the re-append, and backfill only fires when the whole index
+        // is absent) — every future near-dup of those docs would slip
+        // through silently.
         val cleanStable = clean.localCheckpoint()
-        cleanStable.write.mode("append").parquet(corpusPath)
         MinHashLsh.writeBandIndex(cleanStable, idxPath)
+        cleanStable.write.mode("append").parquet(corpusPath)
         ()
       }
       .start()

@@ -83,6 +83,15 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("multiple replay_number values"))
     // nothing was swapped in
     assert(rowSet(store.read("players")) == Seq(Seq(1, 600, 1, "a")))
+    // a split across the NULL partition and a real one must also trip
+    // (countDistinct alone ignores nulls)
+    val exNull = intercept[IllegalArgumentException] {
+      store.upsertPartitioned("players",
+        Seq[(Int, Option[Int], Int, String)]((1, None, 1, "x"), (1, Some(601), 1, "y"))
+          .toDF("id_from_json", "replay_number", "side", "slot"),
+        keyCols = Seq("id_from_json"))
+    }
+    assert(exNull.getMessage.contains("multiple replay_number values"))
   }
 
   test("partitioned upsert handles a null partition value (hive default dir)") {

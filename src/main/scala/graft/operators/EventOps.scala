@@ -66,6 +66,34 @@ object EventOps {
     joined.select(col("user_id"), stage.as("stage"))
   }
 
+  /** Interval join: for each `probeType` event, count the user's
+    * `refType` events in the half-open window [ts − window, ts). The
+    * non-equi time predicate rides on a user equi-join, so the plan
+    * stays a hash join (shuffle by user) with a post-join filter —
+    * never a nested-loop range join; at scale, bucketing both sides by
+    * user makes it co-located. */
+  def intervalCount(
+      events: DataFrame,
+      probeType: String,
+      refType: String,
+      windowSeconds: Long): DataFrame = {
+    val probes = events.filter(col("event_type") === probeType)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val refs = events.filter(col("event_type") === refType)
+      .select(col("user_id").as("ref_user"), col("ts").as("ref_ts"))
+    // the window predicate lives IN the join condition: non-matching
+    // (probe, ref) rows are filtered during the hash-join probe, never
+    // materialized; the left join keeps zero-hit probes (n_ref = 0)
+    probes
+      .join(refs,
+        probes("user_id") === refs("ref_user") &&
+          col("ref_ts") >= probes("ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+          col("ref_ts") < probes("ts"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(count(col("ref_ts")).as("n_ref"))
+  }
+
   /** As-of join (a join type Spark has no native operator for): each
     * `probeType` event paired with the user's most recent STRICTLY
     * PRIOR `refType` event timestamp, or null if none.

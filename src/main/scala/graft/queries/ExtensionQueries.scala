@@ -386,6 +386,13 @@ object ExtensionQueries {
     daily.withColumn("ma7", round(avg(col("day_value")).over(w), 4))
   }
 
+  /** Interval join: clicks in the 30 minutes before each purchase,
+    * counted per purchase (zero-hit purchases kept). The streaming twin
+    * is StreamIntervalJoin (watermarked stream-stream join). */
+  val q59IntervalJoin: Q = (s, dir) =>
+    EventOps.intervalCount(t(s, dir, "events"),
+      probeType = "purchase", refType = "click", windowSeconds = 1800)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -438,6 +445,7 @@ object ExtensionQueries {
     "q56_rollup" -> q56Rollup,
     "q57_pivot" -> q57Pivot,
     "q58_moving_avg" -> q58MovingAvg,
+    "q59_interval_join" -> q59IntervalJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1097,5 +1105,16 @@ object ExtensionQueries {
                 round(avg(day_value) OVER (PARTITION BY event_type ORDER BY day
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
          FROM daily""",
+    "q59_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         r AS (SELECT user_id AS ref_user, ts AS ref_ts FROM events
+               WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts, count(r.ref_ts) AS n_ref
+         FROM p LEFT JOIN r
+           ON p.user_id = r.ref_user
+          AND r.ref_ts >= p.ts - INTERVAL 1800 SECOND
+          AND r.ref_ts < p.ts
+         GROUP BY p.event_id, p.user_id, p.ts""",
   )
 }

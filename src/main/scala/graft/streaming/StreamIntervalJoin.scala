@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join: a probe event stream joined to a
+  * reference event stream on user, with the reference required to fall
+  * in the half-open event-time window [probe.ts − window, probe.ts).
+  *
+  * This is Spark's watermarked stream-stream join: BOTH sides carry an
+  * event-time watermark, and the time-range condition lets the state
+  * store expire buffered rows once the watermark passes the window —
+  * bounded state, the whole point of the construct. The watermark delay
+  * must cover (join window + expected disorder); rows later than that
+  * are dropped by the watermark, the standard trade.
+  *
+  * Inner join: a probe emits once per in-window reference. The batch
+  * twin (one row per probe with a count, including zero-hit probes) is
+  * [[graft.operators.EventOps.intervalCount]]; equivalence for matched
+  * probes is spec-asserted.
+  */
+object StreamIntervalJoin {
+
+  def joined(
+      probeStream: DataFrame, // event_id, ts, user_id, event_type
+      refStream: DataFrame,
+      probeType: String,
+      refType: String,
+      windowSeconds: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val probes = probeStream
+      .filter(col("event_type") === probeType)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+    val refs = refStream
+      .filter(col("event_type") === refType)
+      .select(col("user_id").as("ref_user"), col("ts").as("ref_ts"))
+      .withWatermark("ref_ts", watermarkDelay)
+    probes.join(refs,
+      col("user_id") === col("ref_user") &&
+        col("ref_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("ref_ts") < col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("ref_ts"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.StreamIntervalJoin
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join: purchases joined to clicks
+  * of the same user within the 30 minutes before the purchase, and
+  * batch-equivalence with EventOps.intervalCount for matched probes.
+  */
+class StreamIntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("in-window refs match; out-of-window and cross-user don't") {
+    implicit val ctx = spark.sqlContext
+    val probes = MemoryStream[(Long, Timestamp, Int, String)]
+    val refs = MemoryStream[(Long, Timestamp, Int, String)]
+    val out = StreamIntervalJoin.joined(
+      probes.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      refs.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      probeType = "purchase", refType = "click", windowSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("sij")
+      .outputMode("append").start()
+    try {
+      refs.addData(
+        (1L, t("2024-01-01 09:45:00"), 10, "click"),  // in window
+        (2L, t("2024-01-01 09:20:00"), 10, "click"),  // too early
+        (3L, t("2024-01-01 10:00:00"), 10, "click"),  // AT probe ts → excluded
+        (4L, t("2024-01-01 09:50:00"), 20, "click"))  // other user
+      probes.addData((9L, t("2024-01-01 10:00:00"), 10, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("sij")
+        .select("event_id", "ref_ts").as[(Long, Timestamp)].collect().toSet
+      assert(got == Set((9L, t("2024-01-01 09:45:00"))))
+    } finally q.stop()
+  }
+
+  test("matched-probe counts equal the batch intervalCount twin") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, t("2024-01-01 09:40:00"), 10, "click"),
+      (2L, t("2024-01-01 09:50:00"), 10, "click"),
+      (3L, t("2024-01-01 10:00:00"), 10, "purchase"),
+      (4L, t("2024-01-01 09:00:00"), 20, "click"),
+      (5L, t("2024-01-01 12:00:00"), 20, "purchase"), // zero-hit
+      (6L, t("2024-01-01 09:55:00"), 30, "purchase")) // no clicks at all
+    val batch = graft.operators.EventOps.intervalCount(
+      rows.toDF("event_id", "ts", "user_id", "event_type"),
+      "purchase", "click", 1800)
+      .select("event_id", "n_ref").as[(Long, Long)].collect().toMap
+    assert(batch == Map(3L -> 2L, 5L -> 0L, 6L -> 0L))
+
+    val probes = MemoryStream[(Long, Timestamp, Int, String)]
+    val refs = MemoryStream[(Long, Timestamp, Int, String)]
+    val out = StreamIntervalJoin.joined(
+      probes.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      refs.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      "purchase", "click", 1800)
+    val q = out.writeStream.format("memory").queryName("sij2")
+      .outputMode("append").start()
+    try {
+      refs.addData(rows.filter(_._4 == "click"))
+      probes.addData(rows.filter(_._4 == "purchase"))
+      q.processAllAvailable()
+      val streamCounts = spark.table("sij2").groupBy("event_id")
+        .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+      // inner stream-stream join: only matched probes appear; their
+      // match counts must equal the batch twin's
+      assert(streamCounts == batch.filter(_._2 > 0))
+    } finally q.stop()
+  }
+}

@@ -393,6 +393,34 @@ object ExtensionQueries {
     EventOps.intervalCount(t(s, dir, "events"),
       probeType = "purchase", refType = "click", windowSeconds = 1800)
 
+  /** Per-type descriptive statistics (count / mean / sample stddev /
+    * min / max) — the profiling pass every warehouse exposes. Both
+    * engines aggregate identical doubles; results rounded to 4 dp. */
+  val q60EventStats: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("mean_value"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+
+  /** Z-score anomaly counts per type: events whose value deviates more
+    * than 3 sample standard deviations from the type mean. The z-score
+    * is rounded to 6 dp BEFORE thresholding (the same
+    * round-before-decide discipline as the LSH sign bits) so a
+    * last-ulp stddev difference can't flip a flag across engines. */
+  val q61Anomalies: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("value") - col("m")) / col("sd"), 6))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -446,6 +474,8 @@ object ExtensionQueries {
     "q57_pivot" -> q57Pivot,
     "q58_moving_avg" -> q58MovingAvg,
     "q59_interval_join" -> q59IntervalJoin,
+    "q60_event_stats" -> q60EventStats,
+    "q61_anomalies" -> q61Anomalies,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1116,5 +1146,21 @@ object ExtensionQueries {
           AND r.ref_ts >= p.ts - INTERVAL 1800 SECOND
           AND r.ref_ts < p.ts
          GROUP BY p.event_id, p.user_id, p.ts""",
+    "q60_event_stats" ->
+      """SELECT event_type, count(*) AS n,
+                round(avg(value), 4) AS mean_value,
+                round(stddev_samp(value), 4) AS sd_value,
+                round(min(value), 2) AS min_value,
+                round(max(value), 2) AS max_value
+         FROM events GROUP BY event_type""",
+    "q61_anomalies" ->
+      """WITH s AS (
+           SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+           FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN abs(round((e.value - s.m) / s.sd, 6)) > 3.0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM events e JOIN s USING (event_type)
+         GROUP BY e.event_type""",
   )
 }

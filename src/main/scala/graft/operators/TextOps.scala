@@ -132,6 +132,39 @@ object TextOps {
         col("r_len") && col("r_wordlen") && col("r_stop") && col("r_rep"))
   }
 
+  /** Per-stratum unigram KL divergence from the corpus distribution
+    * over the corpus's `topN` most frequent words — the standard
+    * mixture-drift monitor ("is this source's language distribution
+    * diverging from the corpus?"). KL is restricted to the top-N
+    * support (the usual truncated approximation); within a stratum,
+    * only words the stratum contains contribute (p > 0).
+    *
+    * Scale shape: one token explode feeds both the corpus counts and
+    * (semi-joined to the broadcast top-N) the stratum counts; the
+    * per-word KL terms are rounded to 8 dp BEFORE the per-stratum sum
+    * (add-order differs across engines), the sum to 4 dp. */
+  def unigramKL(docs: DataFrame, stratumCol: String, topN: Int = 50): DataFrame = {
+    val toks = docs.select(col(stratumCol), explode(split(col("text"), " ")).as("w"))
+    val corpusTf = toks.groupBy(col("w")).agg(count(lit(1)).as("cn"))
+    val corpusTotal = toks.agg(count(lit(1)).as("ct"))
+    val top = corpusTf.orderBy(col("cn").desc, col("w")).limit(topN)
+    val stratumTotal = toks.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("lt"))
+    val stratumTf = toks
+      .join(broadcast(top.select(col("w"), col("cn"))), Seq("w"))
+      .groupBy(col(stratumCol), col("w"), col("cn"))
+      .agg(count(lit(1)).as("ln_"))
+    stratumTf
+      .join(broadcast(stratumTotal), Seq(stratumCol))
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("kl_term", round(
+        (col("ln_").cast("double") / col("lt")) *
+          log((col("ln_").cast("double") / col("lt")) /
+            (col("cn").cast("double") / col("ct"))), 8))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("kl_term")), 4).as("kl"))
+  }
+
   /** Cross-document boilerplate detection: word-n-grams appearing in at
     * least `minDf` DISTINCT documents, top `topK` by document
     * frequency. Grams are deduped per doc map-side (array_distinct

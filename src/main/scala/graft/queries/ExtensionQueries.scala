@@ -393,6 +393,20 @@ object ExtensionQueries {
     EventOps.intervalCount(t(s, dir, "events"),
       probeType = "purchase", refType = "click", windowSeconds = 1800)
 
+  /** Corpus-frequency word bigrams, top 20 — the LM n-gram counting
+    * pass (one BPE-merge-candidate iteration is exactly this shape). */
+  val q62Bigrams: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(
+        graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(20)
+
+  /** Per-language unigram KL divergence vs the corpus over its top-50
+    * words — mixture-drift monitoring. */
+  val q63LangDivergence: Q = (s, dir) =>
+    TextOps.unigramKL(t(s, dir, "documents"), "lang", topN = 50)
+
   /** Per-type descriptive statistics (count / mean / sample stddev /
     * min / max) — the profiling pass every warehouse exposes. Both
     * engines aggregate identical doubles; results rounded to 4 dp. */
@@ -476,6 +490,8 @@ object ExtensionQueries {
     "q59_interval_join" -> q59IntervalJoin,
     "q60_event_stats" -> q60EventStats,
     "q61_anomalies" -> q61Anomalies,
+    "q62_bigrams" -> q62Bigrams,
+    "q63_lang_divergence" -> q63LangDivergence,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1162,5 +1178,29 @@ object ExtensionQueries {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM events e JOIN s USING (event_type)
          GROUP BY e.event_type""",
+    "q62_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+           SELECT unnest(list_transform(range(1, len(s)),
+                  i -> s[i] || ' ' || s[i+1])) AS bigram
+           FROM (SELECT string_split(text, ' ') AS s FROM documents))
+         GROUP BY bigram
+         ORDER BY n DESC, bigram LIMIT 20""",
+    "q63_lang_divergence" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+         ctf AS (SELECT w, count(*) AS cn FROM toks GROUP BY w),
+         ct AS (SELECT count(*) AS ct FROM toks),
+         top AS (SELECT w, cn FROM ctf ORDER BY cn DESC, w LIMIT 50),
+         lt AS (SELECT lang, count(*) AS lt FROM toks GROUP BY lang),
+         ltf AS (SELECT t.lang, t.w, top.cn, count(*) AS ln_
+                 FROM toks t JOIN top ON t.w = top.w
+                 GROUP BY t.lang, t.w, top.cn)
+         SELECT lang, count(*) AS n_terms,
+                round(sum(round(
+                  (CAST(ln_ AS DOUBLE) / lt) *
+                  ln((CAST(ln_ AS DOUBLE) / lt) / (CAST(cn AS DOUBLE) / ct)),
+                  8)), 4) AS kl
+         FROM ltf JOIN lt USING (lang), ct
+         GROUP BY lang""",
   )
 }

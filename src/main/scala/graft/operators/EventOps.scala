@@ -94,6 +94,29 @@ object EventOps {
       .agg(count(col("ref_ts")).as("n_ref"))
   }
 
+  /** SCD2 change tracking: collapse each user's event stream into
+    * type-2 validity intervals — one row per RUN of equal `event_type`,
+    * with `valid_from` (first ts of the run), `valid_to` (start of the
+    * next run, null while current), `version` (1-based per user), and
+    * `is_current`. The lag/lead pair rides ONE user-partitioned window
+    * ordering, so the plan is a single shuffle by user — the standard
+    * distributed way to build a slowly-changing dimension from a
+    * change-event log. */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val starts = events
+      .withColumn("graft_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("graft_prev").isNull || col("graft_prev") =!= col("event_type"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    starts
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w2).as("valid_to"),
+        row_number().over(w2).cast("bigint").as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** As-of join (a join type Spark has no native operator for): each
     * `probeType` event paired with the user's most recent STRICTLY
     * PRIOR `refType` event timestamp, or null if none.

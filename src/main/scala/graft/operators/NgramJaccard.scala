@@ -90,6 +90,38 @@ object NgramJaccard {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold —
+    * catches sub-document duplication (a page embedded inside a longer
+    * one) that symmetric Jaccard misses, because the union term stops
+    * penalizing the length difference. Same sorted-gram-hash merge-scan
+    * kernel and block-join shape as [[nearDupPairsHashed]]; only the
+    * denominator changes. Output: (doc_a, doc_b, containment). */
+  def containmentPairsHashed(
+      docs: DataFrame,
+      blockCols: Seq[String],
+      n: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    import graft.functions.SortedIntersect.sorted_intersect_count
+    val hashes = graft.functions.NgramHashes.ngram_hashes(col("text"), n)
+    val e = docs.select(
+      (col("doc_id") +: blockCols.map(col)) :+ hashes.as("gh"): _*)
+      .withColumn("ng", size(col("gh")).cast("bigint"))
+    val a = e.select(
+      (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
+        col("gh").as("ga") :+ col("ng").as("na"): _*)
+    val b = e.select(
+      (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
+        col("gh").as("gb") :+ col("ng").as("nb"): _*)
+    a.join(broadcast(b), blockCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** Same result via AllPairs-style prefix filtering: under a common
     * rare-gram-first total order, any pair with Jaccard ≥ t shares a
     * gram inside both docs' first (|g| − ⌈t·|g|⌉ + 1) grams, so only

@@ -111,6 +111,31 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
   }
 
+  /** Deterministic per-group cap — "at most `maxPerGroup` docs per
+    * domain", the standard over-representation guard in corpus
+    * curation. Each group keeps the `maxPerGroup` rows that sort first
+    * by salted md5 (a deterministic uniform draw; re-salting redraws).
+    * Kept rows carry `grp_rank` (1-based within the group).
+    *
+    * Scale shape: one window partitioned by the group columns — state
+    * is per-group, so it scales with group count; a single pathological
+    * group (one domain with 10⁸ pages) sorts in one partition, in which
+    * case cap in two stages: pre-filter with `samplePredicate` at a
+    * rate that overshoots the cap, then rank the survivors. */
+  def groupCap(
+      df: DataFrame,
+      groupCols: Seq[String],
+      key: Column,
+      maxPerGroup: Int,
+      salt: String = "graft-cap"): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be >= 1: $maxPerGroup")
+    val skey = md5(concat(lit(salt + ":"), key.cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(skey, key)
+    df.withColumn("grp_rank", row_number().over(w).cast("bigint"))
+      .filter(col("grp_rank") <= maxPerGroup)
+  }
+
   /** Deterministic train/val/test assignment from a second salt, so the
     * split is independent of any sampling above it. Boundaries are hex
     * prefixes: [0, valCut) → "val", [valCut, testCut) → "test",

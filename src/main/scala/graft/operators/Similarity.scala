@@ -192,6 +192,54 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage /
+    * bandwidth step of an ANN index build (4× smaller than float32).
+    * Per vector: scale = 127 / max|xᵢ|, qᵢ = round(xᵢ·scale) ∈ [−127,127].
+    * Emits audit columns instead of the raw int8 array so the result is
+    * driver-sortable: Σ|qᵢ| (exact integer arithmetic) and the
+    * dequantization squared error (per-element errors rounded before the
+    * sum so add-order can't shift the total across engines). Scan-local:
+    * no shuffle, no state. */
+  def quantizeInt8(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("q",
+        transform(col("v"), x => round(x * col("scale")).cast("long")))
+      .select(
+        col("vec_id"),
+        size(col("v")).cast("bigint").as("n_dims"),
+        round(col("max_abs"), 6).as("max_abs_r"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("sum_abs_q"),
+        round(
+          aggregate(
+            zip_with(col("v"), col("q"), (x, q) =>
+              round((x - q / col("scale")) * (x - q / col("scale")), 12)),
+            lit(0.0), (acc, e) => acc + e),
+          10).as("sse_r"))
+
+  /** kNN majority-vote classification: label each query vector by the
+    * most common label among its k nearest corpus neighbors (exact
+    * cosine via [[bruteForceTopK]]). Ties break by best (lowest)
+    * neighbor rank, then smallest label. The per-query vote is a
+    * k-row aggregate — the expensive part is the neighbor search, which
+    * swaps for [[ivfTopK]]/[[lshTopK]] at corpus scale unchanged. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    val hits = bruteForceTopK(queries, corpus, k)
+    val votes = hits
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("best_rank"), col("label"))
+    votes
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col("q_id"), col("label").cast("bigint").as("pred_label"),
+        col("n_votes"), col("best_rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by cluster label
     * (vectors in different clusters are never compared). */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {

@@ -435,6 +435,140 @@ object ExtensionQueries {
         sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Distribution ranks over document length per language: quartile
+    * bucket (`ntile`), `percent_rank`, `cume_dist` — the remaining
+    * analytic rank family (q02/q09 cover dense_rank / row_number / lag
+    * / lead). The order key is (n_chars, doc_id) so the total order —
+    * and therefore every rank — is engine-independent; the fractional
+    * ranks are rounded to 6 dp. */
+  val q64DistRanks: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  /** CUBE over (lang, source): every cell, both one-dimension margins,
+    * and the grand total in ONE shuffle (q56 is the ROLLUP sibling —
+    * CUBE adds the per-source margin). `grouping()` flags distinguish a
+    * real NULL group member from a subtotal row. */
+  val q65Cube: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      // grouping() must be computed with the cube aggregate itself
+      .agg(grouping(col("lang")).cast("bigint").as("g_lang"),
+        grouping(col("source")).cast("bigint").as("g_source"),
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .select(col("lang"), col("source"), col("g_lang"), col("g_source"),
+        col("n_docs"), col("avg_chars"))
+
+  /** Set operations: purchase-vs-error user cohorts over the first two
+    * days — EXCEPT (purchasers who never errored), INTERSECT (both),
+    * and the reverse EXCEPT, tagged into one result. Spark's
+    * `except`/`intersect` are the DISTINCT forms, same as SQL. */
+  val q66SetOps: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+    def users(tpe: String) =
+      ev.filter(col("event_type") === tpe).select(col("user_id"))
+    val p = users("purchase"); val e = users("error")
+    p.except(e).select(lit("purchase_only").as("seg"), col("user_id"))
+      .unionAll(p.intersect(e).select(lit("both").as("seg"), col("user_id")))
+      .unionAll(e.except(p).select(lit("error_only").as("seg"), col("user_id")))
+  }
+
+  /** Semi-structured prop extraction: pull `k` out of the JSON `props`
+    * string (`get_json_object` — a real JSON-path scan, not a regex),
+    * bucket it by tens, and profile each bucket. The JSON parse stays
+    * inside the scan projection: no shuffle until the 10-group agg. */
+  val q67JsonProps: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(floor(get_json_object(col("props"), "$.k").cast("int") / 10)
+        .cast("bigint").as("k_bucket"), col("value"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+
+  /** Per-domain cap: keep at most 15 docs per source by deterministic
+    * salted-hash draw — the over-representation guard of corpus
+    * curation (never "first 15 by id", which would bias toward old
+    * crawls). */
+  val q68DomainCap: Q = (s, dir) =>
+    Sampling.groupCap(t(s, dir, "documents"),
+      groupCols = Seq("source"), key = col("doc_id"), maxPerGroup = 15)
+      .select(col("doc_id"), col("source"), col("grp_rank"))
+
+  /** Containment near-dup pairs (|A∩B|/min(|A|,|B|) ≥ 0.6 on char
+    * 4-grams, blocked by lang × source): the asymmetric-length
+    * complement to q34's Jaccard — catches a doc embedded inside a
+    * longer one. */
+  val q69Containment: Q = (s, dir) =>
+    NgramJaccard.containmentPairsHashed(t(s, dir, "documents"),
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.6)
+
+  /** Symmetric int8 embedding quantization audit: per-vector scale +
+    * Σ|q| + dequantization SSE — the compression step of an ANN index
+    * build, checked numerically against the oracle's replay. */
+  val q70Quantize: Q = (s, dir) =>
+    Similarity.quantizeInt8(t(s, dir, "embeddings"))
+
+  /** kNN majority-vote classification: queries (vec_id < 5) labeled by
+    * their 10 nearest corpus neighbors (vec_id ≥ 5), exact cosine. */
+  val q71KnnClassify: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.knnClassify(
+      e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 10)
+  }
+
+  /** SCD2 change tracking over the first week of events: each user's
+    * event-type runs as type-2 validity intervals (valid_from /
+    * valid_to / version / is_current). */
+  val q72Scd2: Q = (s, dir) =>
+    EventOps.scd2(t(s, dir, "events")
+      .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp_ntz")))
+
+  /** Sketch-based distinct counting: exact per-type distinct users next
+    * to `approx_count_distinct` (HLL++, rsd 1%) — the oracle checks the
+    * sketch's accuracy CONTRACT (within 10% of exact — 10σ at this
+    * rsd), not its bit pattern, which is the portable guarantee a
+    * sketch offers. At 100 TB the approx form is the only affordable
+    * one: it partial-aggregates map-side where count(DISTINCT) must
+    * shuffle every key. */
+  val q73ApproxDistinct: Q = (s, dir) =>
+    t(s, dir, "events")
+      // two-level distinct: dedup (type, user) with map-side partial
+      // agg first, then count — ONE shuffle of already-deduped pairs
+      // (count(DISTINCT) would expand and shuffle twice); the HLL
+      // sketch over the deduped pairs estimates the same set
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * 0.1).as("approx_ok"))
+
+  /** Two-stage salted aggregation: the skew-proof spelling of
+    * groupBy(event_type) — stage 1 aggregates (event_type, salt) so a
+    * hot key spreads over 16 reducers, stage 2 folds the 16 partials.
+    * Results are identical to the direct aggregation (the oracle is
+    * the plain GROUP BY); counts and integer-cent sums stay exact
+    * under the two-stage fold. */
+  val q74SaltedAgg: Q = (s, dir) =>
+    t(s, dir, "events")
+      // value in cents (exact bigint) so the two-stage sum is
+      // add-order-free; /100.0 only at the end
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("graft_salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("graft_salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("pc")) / 100.0, 2).as("sum_value"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -492,6 +626,17 @@ object ExtensionQueries {
     "q61_anomalies" -> q61Anomalies,
     "q62_bigrams" -> q62Bigrams,
     "q63_lang_divergence" -> q63LangDivergence,
+    "q64_dist_ranks" -> q64DistRanks,
+    "q65_cube" -> q65Cube,
+    "q66_set_ops" -> q66SetOps,
+    "q67_json_props" -> q67JsonProps,
+    "q68_domain_cap" -> q68DomainCap,
+    "q69_containment" -> q69Containment,
+    "q70_quantize" -> q70Quantize,
+    "q71_knn_classify" -> q71KnnClassify,
+    "q72_scd2" -> q72Scd2,
+    "q73_approx_distinct" -> q73ApproxDistinct,
+    "q74_salted_agg" -> q74SaltedAgg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1202,5 +1347,128 @@ object ExtensionQueries {
                   8)), 4) AS kl
          FROM ltf JOIN lt USING (lang), ct
          GROUP BY lang""",
+    "q64_dist_ranks" ->
+      """SELECT doc_id, lang, n_chars,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM documents
+         WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""",
+    "q65_cube" ->
+      """SELECT lang, source,
+                CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+                CAST(GROUPING(source) AS BIGINT) AS g_source,
+                count(*) AS n_docs,
+                round(avg(n_chars), 4) AS avg_chars
+         FROM documents
+         GROUP BY CUBE (lang, source)""",
+    "q66_set_ops" ->
+      """WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+         p AS (SELECT user_id FROM ev WHERE event_type = 'purchase'),
+         e AS (SELECT user_id FROM ev WHERE event_type = 'error')
+         SELECT 'purchase_only' AS seg, user_id FROM (SELECT * FROM p EXCEPT SELECT * FROM e)
+         UNION ALL
+         SELECT 'both' AS seg, user_id FROM (SELECT * FROM p INTERSECT SELECT * FROM e)
+         UNION ALL
+         SELECT 'error_only' AS seg, user_id FROM (SELECT * FROM e EXCEPT SELECT * FROM p)""",
+    "q67_json_props" ->
+      """SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10) AS BIGINT)
+                  AS k_bucket,
+                count(*) AS n,
+                round(avg(value), 4) AS avg_value
+         FROM events
+         GROUP BY 1""",
+    "q68_domain_cap" ->
+      """SELECT doc_id, source, rk AS grp_rank FROM (
+           SELECT doc_id, source,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5('graft-cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+                       AS BIGINT) AS rk
+           FROM documents)
+         WHERE rk <= 15""",
+    // brute-force on the actual 4-gram strings (the Spark side compares
+    // xxhash64 arrays — same 2^-64 collision trade q34 documents)
+    "q69_containment" ->
+      """WITH g AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, length(text) - 2),
+                         i -> substr(text, i, 4))) AS gram
+           FROM documents),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           FROM g a JOIN g b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(i AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.6""",
+    "q70_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS max_abs
+               FROM e),
+         s AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale FROM m),
+         q AS (SELECT vec_id, v, max_abs, scale,
+                      list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
+               FROM s)
+         SELECT vec_id,
+                CAST(len(v) AS BIGINT) AS n_dims,
+                round(max_abs, 6) AS max_abs_r,
+                CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+                round(list_sum(list_transform(range(1, len(v) + 1),
+                      i -> round((v[CAST(i AS INT)] - qv[CAST(i AS INT)] / scale)
+                                 * (v[CAST(i AS INT)] - qv[CAST(i AS INT)] / scale), 12))),
+                      10) AS sse_r
+         FROM q""",
+    "q71_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 5),
+         s AS (SELECT q_id, vec_id, label,
+                      round(list_cosine_similarity(qv, v), 6) AS sim
+               FROM q, c),
+         top AS (SELECT q_id, vec_id, label, rank FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, vec_id) AS rank FROM s)
+                 WHERE rank <= 10),
+         votes AS (SELECT q_id, label, count(*) AS n_votes, min(rank) AS best_rank
+                   FROM top GROUP BY q_id, label)
+         SELECT q_id, CAST(label AS BIGINT) AS pred_label, n_votes,
+                CAST(best_rank AS BIGINT) AS best_rank
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY n_votes DESC, best_rank, label) AS rn FROM votes)
+         WHERE rn = 1""",
+    "q72_scd2" ->
+      """WITH ev AS (SELECT * FROM events
+                     WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+         st AS (
+           SELECT user_id, event_type, ts, event_id FROM (
+             SELECT user_id, event_type, ts, event_id,
+                    lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev
+             FROM ev)
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, ts AS valid_from,
+                lead(ts) OVER w AS valid_to,
+                CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+                lead(ts) OVER w IS NULL AS is_current
+         FROM st
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q73_approx_distinct" ->
+      """SELECT event_type,
+                count(DISTINCT user_id) AS n_exact,
+                abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+                  <= count(DISTINCT user_id) * 0.1 AS approx_ok
+         FROM events GROUP BY event_type""",
+    "q74_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+         FROM events GROUP BY event_type""",
   )
 }

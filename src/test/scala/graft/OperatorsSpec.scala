@@ -361,6 +361,89 @@ class OperatorsSpec extends SparkSpec {
     assert(got(6L).contains(t("2024-01-01 08:30:00")))
   }
 
+  test("groupCap keeps exactly maxPerGroup rows per group, deterministically") {
+    val many = (1L to 40L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val r1 = Sampling.groupCap(many, Seq("source"), col("doc_id"), maxPerGroup = 3)
+    val counts = r1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(3L))
+    // ranks are 1..cap within each group
+    val ranks = r1.select("source", "grp_rank").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(ranks.values.forall(_ == Seq(1L, 2L, 3L)))
+    // deterministic: a re-run selects the same rows
+    assert(rowSet(r1) == rowSet(
+      Sampling.groupCap(many, Seq("source"), col("doc_id"), maxPerGroup = 3)))
+  }
+
+  test("containment flags a sub-document that symmetric Jaccard misses") {
+    val sub = Seq(
+      (1L, "abcdefghij", "en", "s1"), // every 4-gram of 1 appears in 2
+      (2L, "abcdefghijKLMNOPQRSTUVWXYZ0123", "en", "s1"),
+      (3L, "zzzzyyyyxxxxwwww", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cont = NgramJaccard.containmentPairsHashed(
+      sub, Seq("lang", "source"), n = 4, threshold = 0.6)
+      .select("doc_a", "doc_b", "containment").as[(Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to Jaccard at the same threshold:
+    // 7 shared grams / 27 union ≈ 0.26
+    val jac = NgramJaccard.nearDupPairsHashed(
+      sub, Seq("lang", "source"), n = 4, threshold = 0.6)
+    assert(jac.isEmpty)
+  }
+
+  test("quantizeInt8: known vector quantizes to exact int8 levels") {
+    val e = Seq((1L, Array(0.5f, -1.0f, 0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.quantizeInt8(e).collect().head
+    assert(r.getAs[Long]("n_dims") == 3L)
+    assert(r.getAs[Double]("max_abs_r") == 1.0)
+    // q = round(0.5*127)=64 (HALF_UP), round(-127)=-127, round(31.75)=32
+    assert(r.getAs[Long]("sum_abs_q") == 64L + 127L + 32L)
+    // dequant SSE replayed with the operator's own rounding discipline
+    val scale = 127.0
+    def e2(x: Double, q: Long) = {
+      val d = x - q / scale; BigDecimal(d * d)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = BigDecimal(e2(0.5, 64) + e2(-1.0, -127) + e2(0.25, 32))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("sse_r") == want)
+  }
+
+  test("knnClassify: majority label of the k nearest neighbors wins") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.01f), 1),
+      (11L, Array(0.99f, 0.0f), 1),
+      (12L, Array(0.0f, 1.0f), 2),
+      (13L, Array(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Array(1.0f, 0.0f), 9)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(q, corpus, k = 3).collect().head
+    assert(got.getAs[Long]("pred_label") == 1L)
+    assert(got.getAs[Long]("n_votes") == 2L)
+  }
+
+  test("scd2: runs of equal event_type become validity intervals") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 09:00:00"), 10, "a"),
+      (2L, t("2024-01-01 10:00:00"), 10, "a"), // same run
+      (3L, t("2024-01-01 11:00:00"), 10, "b"),
+      (4L, t("2024-01-01 12:00:00"), 10, "a")) // back to a: NEW version
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.scd2(ev).collect().map(r =>
+      (r.getAs[Long]("version"), r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("valid_from"), Option(r.getAs[Timestamp]("valid_to")),
+        r.getAs[Boolean]("is_current"))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a", t("2024-01-01 09:00:00"), Some(t("2024-01-01 11:00:00")), false),
+      (2L, "b", t("2024-01-01 11:00:00"), Some(t("2024-01-01 12:00:00")), false),
+      (3L, "a", t("2024-01-01 12:00:00"), None, true)))
+  }
+
   test("retention: cohort day 0 counts every user, offsets count returns") {
     import java.sql.Timestamp
     val ev = Seq(

@@ -65,4 +65,25 @@ object DedupGroups {
     connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
       .withColumn("keep", (col("doc_id") === col("group_id")).as("keep"))
   }
+
+  /** Keep-BEST variant: same groups as [[dedupGroups]], but the keeper
+    * is the member with the highest score (ties → smallest doc_id) —
+    * curation keeps the best-quality copy of an article, not the
+    * lowest-id one. `scores` is any (doc_id, score) frame (e.g.
+    * [[TextOps.qualityFeatures]]' composite). The argmax is a window
+    * partitioned by group — state scales with group size (dozens), not
+    * corpus size. Output: (doc_id, group_id, score, keep). */
+  def dedupGroupsKeepBest(
+      docs: DataFrame,
+      scores: DataFrame,
+      scoreCol: String,
+      threshold: Double = 0.2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    dedupGroups(docs, threshold)
+      .drop("keep")
+      .join(scores.select(col("doc_id"), col(scoreCol).as("score")), Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
 }

@@ -569,6 +569,66 @@ object ExtensionQueries {
       .agg(sum(col("pn")).as("n"),
         round(sum(col("pc")) / 100.0, 2).as("sum_value"))
 
+  /** TPC-H Q5-shaped star join: revenue by nation for one region and
+    * one order-date year, across lineitem ⋈ orders ⋈ customer ⋈
+    * supplier ⋈ nation ⋈ region with the classic c_nationkey =
+    * s_nationkey "local supplier" constraint. The scale shape: ONE
+    * fact-fact shuffle (lineitem ⋈ filtered orders); every dimension
+    * side is an explicit broadcast, so the five-table chain adds zero
+    * further exchanges. Per-item revenue is rounded to exact cents
+    * before the sum (add-order-free across engines). */
+  val q75StarJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+        && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("bigint").as("rev_cents"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("rev_cents")) / 100.0, 2).as("revenue"))
+  }
+
+  /** Keep-best dedup: q35's near-dup groups, but the keeper is the
+    * member with the highest quality score (ties → smallest id) — what
+    * a curation pass actually keeps. */
+  val q76DedupKeepBest: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    DedupGroups.dedupGroupsKeepBest(docs,
+      TextOps.qualityFeatures(docs), "quality_score_bp", threshold = 0.2)
+  }
+
+  /** Fuzzy record linkage: edit distance ≤ 14 between 24-char text
+    * prefixes, blocked by lang × source — the OCR-noise / near-title
+    * matcher that set-based similarity misses (levenshtein is native
+    * codegen'd in both engines). */
+  val q77FuzzyPairs: Q = (s, dir) => {
+    val p = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 24).as("pre"))
+    val a = p.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("pre").as("pre_a"))
+    val b = p.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("pre").as("pre_b"))
+    a.join(broadcast(b), Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pre_a"), col("pre_b")).cast("bigint").as("edit_dist"))
+      .filter(col("edit_dist") <= 14)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -637,6 +697,9 @@ object ExtensionQueries {
     "q72_scd2" -> q72Scd2,
     "q73_approx_distinct" -> q73ApproxDistinct,
     "q74_salted_agg" -> q74SaltedAgg,
+    "q75_star_join" -> q75StarJoin,
+    "q76_dedup_keep_best" -> q76DedupKeepBest,
+    "q77_fuzzy_pairs" -> q77FuzzyPairs,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1470,5 +1533,81 @@ object ExtensionQueries {
       """SELECT event_type, count(*) AS n,
                 round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
          FROM events GROUP BY event_type""",
+    "q75_star_join" ->
+      """SELECT n_name, count(*) AS n_items,
+                round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+    // q35's full LSH + recursive-CC chain, with the keeper re-chosen by
+    // q21's quality composite (argmax per group, ties min doc_id)
+    "q76_dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 1),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         sig AS (
+           SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j),
+         band AS (
+           SELECT doc_id, j // 2 AS band,
+                  md5(string_agg(mh, '|' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2
+           QUALIFY count(*) OVER (PARTITION BY j // 2, md5(string_agg(mh, '|' ORDER BY j))) <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS i
+           FROM cand c
+           JOIN shd x ON x.doc_id = c.doc_a
+           JOIN shd y ON y.doc_id = c.doc_b AND x.sh = y.sh
+           GROUP BY c.doc_a, c.doc_b),
+         sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id),
+         qual AS (
+           SELECT doc_id,
+                  CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+                        + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+                                / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+                        + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+                                       / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS score
+           FROM documents)
+         SELECT doc_id, group_id, score,
+                ROW_NUMBER() OVER (PARTITION BY group_id
+                  ORDER BY score DESC, doc_id) = 1 AS keep
+         FROM grp JOIN qual USING (doc_id)""",
+    "q77_fuzzy_pairs" ->
+      """WITH p AS (SELECT doc_id, lang, source, substr(text, 1, 24) AS pre
+                    FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+         FROM p a JOIN p b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.pre, b.pre) <= 14""",
   )
 }

@@ -444,6 +444,16 @@ class OperatorsSpec extends SparkSpec {
       (3L, "a", t("2024-01-01 12:00:00"), None, true)))
   }
 
+  test("dedupGroupsKeepBest: highest-score member keeps, not min id") {
+    // docs 1/2 are near-dups (one word changed); give doc 2 the higher score
+    val scores = Seq((1L, 10L), (2L, 99L), (3L, 50L), (4L, 1L), (5L, 1L))
+      .toDF("doc_id", "quality")
+    val got = DedupGroups.dedupGroupsKeepBest(docs, scores, "quality", threshold = 0.2)
+      .select("doc_id", "group_id", "score", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, 10L, false), (2L, 1L, 99L, true)))
+  }
+
   test("retention: cohort day 0 counts every user, offsets count returns") {
     import java.sql.Timestamp
     val ev = Seq(

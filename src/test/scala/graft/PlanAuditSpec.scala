@@ -81,6 +81,19 @@ class PlanAuditSpec extends SparkSpec {
       s"cohort and active-day frames shuffle twice on the same key:\n$p")
   }
 
+  test("q75: star join broadcasts every dimension; one fact-fact join") {
+    val p = plan("q75_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"dimension joins not all broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in star join:\n$p")
+    // the only non-broadcast join is lineitem ⋈ orders
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"more than one shuffled join:\n$p")
+    // the order-date filter reaches the orders scan
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window not pushed to the orders scan:\n$p")
+  }
+
   test("LSH: sign-and-band stage is shuffle-free; verify uses the native kernel") {
     // the pair frame is checkpointed inside nearDuplicates, so the
     // sketch stage is audited on the band stage directly

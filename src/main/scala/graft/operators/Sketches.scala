@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches for corpus-scale token statistics.
+  *
+  * Count-min: `depth` hash rows × 256 buckets of counters. Estimates
+  * only ever OVER-count (hash collisions add, never subtract), so
+  * `est ≥ exact` is a hard guarantee the oracle can check. The build is
+  * one map-side explode (`depth` rows per token) into a partial-
+  * aggregated groupBy — a 100 TB corpus compresses to ≤ depth×256
+  * counter rows, and two sketches merge by summing counters, which is
+  * exactly what the partial aggregation already does across partitions.
+  *
+  * Buckets are the first md5 byte of `"j:term"` — deterministic and
+  * engine-portable (the DuckDB oracle replays the identical counters),
+  * the same trick as [[Sampling.shuffleShards]]'s shard assignment.
+  */
+object Sketches {
+
+  private val Hex = "0123456789abcdef"
+
+  /** First md5 byte of "j:term" as 0..255, from columns `j` and `term`. */
+  private def bucketOf(j: Column, term: Column): Column = {
+    val h = md5(concat(j.cast("string"), lit(":"), term))
+    def nib(i: Int) = {
+      // instr(haystack, needle) with a column needle needs the SQL form
+      val c = substring(h, i, 1)
+      locate_in_hex(c)
+    }
+    (nib(1) * 16 + nib(2)).cast("bigint")
+  }
+
+  /** Position of a single hex char in the alphabet, minus one (0..15). */
+  private def locate_in_hex(c: Column): Column =
+    // array_position over a literal alphabet: codegen'd, no UDF
+    (array_position(typedlit(Hex.map(_.toString)), c) - 1).cast("bigint")
+
+  /** Build the counter table (j, bucket, cnt) from a token frame.
+    * `depth` independent hash rows; collisions within a row only
+    * inflate estimates. */
+  def countMinBuild(
+      tokens: DataFrame, termCol: String = "term", depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8]: $depth")
+    tokens
+      .select(col(termCol).as("graft_term"))
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", bucketOf(col("j"), col("graft_term")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: min over the `depth` counters each term
+    * hashes to; an untouched bucket reads as 0 (term never seen). The
+    * sketch is broadcast — it is at most depth×256 rows by
+    * construction. Output: (term, n_est). */
+  def countMinQuery(
+      sketch: DataFrame,
+      queryTerms: DataFrame,
+      termCol: String = "term",
+      depth: Int = 4): DataFrame =
+    queryTerms
+      .select(col(termCol).as("graft_term"))
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", bucketOf(col("j"), col("graft_term")))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("graft_term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+      .select(col("graft_term").as(termCol), col("n_est"))
+}

@@ -629,6 +629,27 @@ object ExtensionQueries {
       .filter(col("edit_dist") <= 14)
   }
 
+  /** Count-min sketch point queries: deterministic md5-bucket counters
+    * (4×256), estimates vs exact counts with the sketch's one-sided
+    * guarantee (`n_est ≥ n_exact`) checked as a column. The counter
+    * table is replayed bit-for-bit by the oracle — this checks the
+    * sketch's actual arithmetic, not just its contract. */
+  val q78CountMin: Q = (s, dir) => {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sketch = Sketches.countMinBuild(toks, "term", depth = 4)
+    val queryTerms = Seq("spark", "merge", "window", "the", "zzznope").toDF("term")
+    val est = Sketches.countMinQuery(sketch, queryTerms, "term", depth = 4)
+    val exact = toks.filter(col("term").isin("spark", "merge", "window", "the", "zzznope"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("n_est"),
+        (col("n_est") >= coalesce(col("n_exact"), lit(0L))).as("sketch_ok"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -700,6 +721,7 @@ object ExtensionQueries {
     "q75_star_join" -> q75StarJoin,
     "q76_dedup_keep_best" -> q76DedupKeepBest,
     "q77_fuzzy_pairs" -> q77FuzzyPairs,
+    "q78_countmin" -> q78CountMin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1609,5 +1631,35 @@ object ExtensionQueries {
          FROM p a JOIN p b
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          WHERE levenshtein(a.pre, b.pre) <= 14""",
+    "q78_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+         cm AS (
+           SELECT j,
+                  CAST((instr('0123456789abcdef',
+                         substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 1)) - 1) * 16
+                       + instr('0123456789abcdef',
+                         substr(md5(CAST(j AS VARCHAR) || ':' || term), 2, 1)) - 1
+                       AS BIGINT) AS bucket,
+                  count(*) AS cnt
+           FROM toks, (SELECT unnest(range(0, 4)) AS j) GROUP BY 1, 2),
+         q(term) AS (VALUES ('spark'), ('merge'), ('window'), ('the'), ('zzznope')),
+         qb AS (
+           SELECT term, j,
+                  CAST((instr('0123456789abcdef',
+                         substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 1)) - 1) * 16
+                       + instr('0123456789abcdef',
+                         substr(md5(CAST(j AS VARCHAR) || ':' || term), 2, 1)) - 1
+                       AS BIGINT) AS bucket
+           FROM q, (SELECT unnest(range(0, 4)) AS j)),
+         est AS (
+           SELECT term, min(coalesce(cnt, 0)) AS n_est
+           FROM qb LEFT JOIN cm USING (j, bucket) GROUP BY term),
+         ex AS (SELECT term, count(*) AS n FROM toks
+                WHERE term IN ('spark', 'merge', 'window', 'the', 'zzznope')
+                GROUP BY term)
+         SELECT est.term, coalesce(ex.n, 0) AS n_exact, est.n_est,
+                est.n_est >= coalesce(ex.n, 0) AS sketch_ok
+         FROM est LEFT JOIN ex USING (term)""",
   )
 }

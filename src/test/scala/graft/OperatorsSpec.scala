@@ -454,6 +454,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 10L, false), (2L, 1L, 99L, true)))
   }
 
+  test("count-min: estimates dominate exact counts; halves merge by summing") {
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val sketch = Sketches.countMinBuild(toks, "term")
+    assert(sketch.count() <= 4 * 256)
+    val q = Seq("the", "fox", "zzznope").toDF("term")
+    val est = Sketches.countMinQuery(sketch, q, "term")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("the") >= exact("the")) // "the" appears 2x in docs 1 and 2
+    assert(exact("the") == 4L)
+    assert(est("fox") >= exact("fox"))
+    assert(est("zzznope") >= 0L)
+    // mergeability: sketch(all) == elementwise-sum(sketch(a), sketch(b))
+    val h1 = Sketches.countMinBuild(
+      docs.filter(col("doc_id") <= 2).select(explode(split(col("text"), " ")).as("term")), "term")
+    val h2 = Sketches.countMinBuild(
+      docs.filter(col("doc_id") > 2).select(explode(split(col("text"), " ")).as("term")), "term")
+    val merged = h1.unionAll(h2).groupBy("j", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+    assert(rowSet(merged) == rowSet(sketch))
+  }
+
   test("retention: cohort day 0 counts every user, offsets count returns") {
     import java.sql.Timestamp
     val ev = Seq(

@@ -111,6 +111,42 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
   }
 
+  /** Probability-proportional-to-weight sampling: keep a row iff the
+    * first 16 bits of its salted md5 fall below `weight`·2¹⁶ — the
+    * deterministic form of "sample docs proportional to quality".
+    * `weight` is any per-row column, clamped to [0,1]; weight 1 keeps
+    * the row unconditionally, 0 drops it. 16 bits give 1/65536
+    * granularity (the 2-hex-char bucket's 1/256 is too coarse for
+    * per-row weights). Scan-local, replayable, re-salt to redraw. */
+  def weightedSample(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      salt: String = "graft-weight"): DataFrame = {
+    val h16 = conv(substring(
+      md5(concat(lit(salt + ":"), key.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    val cut = floor(least(greatest(weight, lit(0.0)), lit(1.0)) * 65536)
+    df.filter(h16 < cut)
+  }
+
+  /** Exactly-n deterministic global sample: the n rows whose salted md5
+    * sorts first. Plans as TakeOrderedAndProject (per-partition top-n,
+    * then an n-row driver merge) — no global sort, no single-partition
+    * window, so it holds at any corpus size. */
+  def fixedSample(
+      df: DataFrame,
+      key: Column,
+      n: Int,
+      salt: String = "graft-fixed"): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    df.withColumn("graft_skey",
+        md5(concat(lit(salt + ":"), key.cast("string"))))
+      .orderBy(col("graft_skey"), key)
+      .limit(n)
+      .drop("graft_skey")
+  }
+
   /** Deterministic per-group cap — "at most `maxPerGroup` docs per
     * domain", the standard over-representation guard in corpus
     * curation. Each group keeps the `maxPerGroup` rows that sort first

@@ -650,6 +650,24 @@ object ExtensionQueries {
         (col("n_est") >= coalesce(col("n_exact"), lit(0L))).as("sketch_ok"))
   }
 
+  /** Quality-weighted sampling: keep probability grows with document
+    * length (min(n_chars/3000, 1)) — the "sample proportional to
+    * quality" curation draw, deterministic and oracle-replayable. */
+  val q79WeightedSample: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Sampling.weightedSample(docs, col("doc_id"),
+      least(col("n_chars") / 3000.0, lit(1.0)))
+      .select(col("doc_id"), col("lang"),
+        floor(least(col("n_chars") / 3000.0, lit(1.0)) * 10000)
+          .cast("bigint").as("w_bp"))
+  }
+
+  /** Exactly-100 deterministic global sample via salted-hash order —
+    * plans as TakeOrderedAndProject, no global sort. */
+  val q80FixedSample: Q = (s, dir) =>
+    Sampling.fixedSample(t(s, dir, "documents"), col("doc_id"), n = 100)
+      .select(col("doc_id"), col("lang"), col("source"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -722,6 +740,8 @@ object ExtensionQueries {
     "q76_dedup_keep_best" -> q76DedupKeepBest,
     "q77_fuzzy_pairs" -> q77FuzzyPairs,
     "q78_countmin" -> q78CountMin,
+    "q79_weighted_sample" -> q79WeightedSample,
+    "q80_fixed_sample" -> q80FixedSample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1661,5 +1681,25 @@ object ExtensionQueries {
          SELECT est.term, coalesce(ex.n, 0) AS n_exact, est.n_est,
                 est.n_est >= coalesce(ex.n, 0) AS sketch_ok
          FROM est LEFT JOIN ex USING (term)""",
+    "q79_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  least(n_chars / 3000.0, 1.0) AS wt,
+                  md5('graft-weight:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         v AS (
+           SELECT doc_id, lang, wt,
+                  CAST((((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                         + instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                        + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                        + instr('0123456789abcdef', substr(h, 4, 1)) - 1)
+                       AS BIGINT) AS h16
+           FROM w)
+         SELECT doc_id, lang, CAST(floor(wt * 10000) AS BIGINT) AS w_bp
+         FROM v WHERE h16 < floor(wt * 65536)""",
+    "q80_fixed_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         ORDER BY md5('graft-fixed:' || CAST(doc_id AS VARCHAR)), doc_id
+         LIMIT 100""",
   )
 }

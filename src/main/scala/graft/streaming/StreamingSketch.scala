@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.operators.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuously-maintained count-min sketch over a token stream — the
+  * streaming face of [[graft.operators.Sketches]]: each micro-batch
+  * writes its OWN ≤ depth×256-row counter delta, and the live sketch is
+  * the sum of all deltas — summing is the sketch's native merge, so the
+  * maintained table always equals the batch-built sketch over
+  * everything ingested so far (spec-asserted). Point queries against
+  * the live table answer "how often has this term been seen so far"
+  * without ever re-reading the stream's history.
+  *
+  * foreachBatch is at-least-once: idempotence comes from writing each
+  * batch's delta to its OWN `batch_id=<n>` partition with overwrite —
+  * a replayed batch replaces its previous attempt instead of
+  * double-counting. Reads aggregate the deltas (tiny: counter rows ×
+  * batches); long-lived streams compact by replacing old partitions
+  * with their sum during any quiet batch — the delta layout makes that
+  * a pure optimization, never a correctness step.
+  */
+object StreamingSketch {
+
+  /** Start maintaining `sketchDir` (parquet, one delta partition per
+    * micro-batch) from a token stream. */
+  def maintain(
+      tokens: DataFrame,
+      sketchDir: String,
+      checkpointDir: String,
+      termCol: String = "term",
+      depth: Int = 4): StreamingQuery =
+    tokens.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.countMinBuild(batch, termCol, depth)
+          .coalesce(1) // ≤ depth×256 rows by construction
+          .write.mode("overwrite")
+          .parquet(s"$sketchDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** The live sketch, deltas summed: (j, bucket, cnt). Empty (with the
+    * right schema) if nothing has been ingested yet. */
+  def readSketch(spark: SparkSession, sketchDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(sketchDir)
+        .groupBy(col("j"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+    else
+      spark.range(0).select(
+        col("id").cast("int").as("j"),
+        col("id").as("bucket"),
+        col("id").as("cnt"))
+  }
+
+  /** Point estimates from the live table. */
+  def estimate(
+      spark: SparkSession,
+      sketchDir: String,
+      terms: Seq[String],
+      depth: Int = 4): DataFrame = {
+    import spark.implicits._
+    Sketches.countMinQuery(
+      readSketch(spark, sketchDir), terms.toDF("term"), "term", depth)
+  }
+}

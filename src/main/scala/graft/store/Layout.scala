@@ -26,6 +26,59 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite every leaf partition directory that
+    * holds more parquet files than its data needs, targeting
+    * `targetBytes` per file. The operational hygiene step every
+    * long-lived ingest table needs — a streaming sink writing a file
+    * per micro-batch per partition turns a year of ingest into millions
+    * of kilobyte files, and at 100 TB the NameNode/listing cost and
+    * per-file open overhead dominate scans long before the data does.
+    *
+    * Each leaf directory is compacted independently (partition values
+    * live in the directory name, so rewriting files in place preserves
+    * the table's partitioning), via stage → move-aside → rename with
+    * every rename checked — a failure aborts with the original files
+    * either live or under `.old`, never lost. Returns
+    * (filesBefore, filesAfter) over the dirs it rewrote; running it
+    * again is a no-op. */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafDirs(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      val subdirs = st.filter(_.isDirectory)
+      if (subdirs.isEmpty) Seq(p)
+      else subdirs.toSeq.flatMap(d => leafDirs(d.getPath))
+    }
+    var (before, after) = (0, 0)
+    leafDirs(root).foreach { leaf =>
+      val parts = fs.listStatus(leaf)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      val want = math.max(1,
+        math.ceil(parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      if (parts.length > want) {
+        before += parts.length; after += want
+        val staged = new Path(leaf.toString + ".compact")
+        if (fs.exists(staged)) fs.delete(staged, true)
+        spark.read.parquet(leaf.toString)
+          .repartition(want)
+          .write.parquet(staged.toString)
+        val aside = new Path(leaf.toString + ".old")
+        if (fs.exists(aside)) fs.delete(aside, true)
+        require(fs.rename(leaf, aside),
+          s"compact: failed to move $leaf aside; staged output kept at $staged")
+        require(fs.rename(staged, leaf),
+          s"compact: failed to move $staged into place; originals under $aside")
+        fs.delete(aside, true)
+      }
+    }
+    (before, after)
+  }
+
   /** Equi-join with key salting: the big side gets a deterministic salt
     * in [0, salts), the small side is replicated per salt value, and the
     * join key becomes (key, salt) — one hot key now lands on `salts`

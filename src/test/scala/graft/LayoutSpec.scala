@@ -39,4 +39,27 @@ class LayoutSpec extends SparkSpec {
     assert(rowSet(salted) == rowSet(plain))
     assert(salted.count() == plain.count())
   }
+
+  test("compact merges small files per partition dir, preserving data") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1 to 400).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
+      .toDF("id", "v", "p")
+    df.repartition(8).write.partitionBy("p").parquet(dir)
+    def partFiles = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("p=p0", "p=p1", "p=p2").map { d =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$d"))
+          .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      }
+    }
+    assert(partFiles.forall(_ > 1))
+    val (b, a) = Layout.compact(spark, dir)
+    assert(b > a && partFiles.forall(_ == 1))
+    assert(rowSet(spark.read.parquet(dir)
+      .select(col("id"), col("v"), col("p").cast("string"))) ==
+      rowSet(df))
+    // idempotent: a second pass rewrites nothing
+    assert(Layout.compact(spark, dir) == (0, 0))
+  }
 }

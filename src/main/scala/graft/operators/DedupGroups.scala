@@ -80,10 +80,15 @@ object DedupGroups {
       threshold: Double = 0.2): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group_id"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
     dedupGroups(docs, threshold)
       .drop("keep")
-      .join(scores.select(col("doc_id"), col(scoreCol).as("score")), Seq("doc_id"))
+      // LEFT join: a member missing from `scores` must still appear
+      // (null score, sorted last) — an inner join would silently drop
+      // it from the output, and a pipeline deleting keep=false rows
+      // would then retain the unscored duplicate forever
+      .join(scores.select(col("doc_id"), col(scoreCol).as("score")),
+        Seq("doc_id"), "left")
       .withColumn("keep", row_number().over(w) === 1)
   }
 }

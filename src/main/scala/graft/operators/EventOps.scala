@@ -108,12 +108,10 @@ object EventOps {
     val starts = events
       .withColumn("graft_prev", lag(col("event_type"), 1).over(w))
       .filter(col("graft_prev").isNull || col("graft_prev") =!= col("event_type"))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     starts
       .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
-        lead(col("ts"), 1).over(w2).as("valid_to"),
-        row_number().over(w2).cast("bigint").as("version"))
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        row_number().over(w).cast("bigint").as("version"))
       .withColumn("is_current", col("valid_to").isNull)
   }
 

@@ -57,6 +57,32 @@ object NgramJaccard {
     jaccardOf(inter, sizes, threshold)
   }
 
+  /** The shared hashed-pair scaffold of [[nearDupPairsHashed]] /
+    * [[containmentPairsHashed]]: per-doc sorted gram-hash arrays,
+    * block-keyed broadcast self-join, native merge-scan intersection.
+    * Docs with NO grams (text shorter than n) are excluded up front —
+    * they can match nothing, and a zero set size would otherwise
+    * divide-by-zero under ANSI mode (the oracles omit them the same
+    * way). Yields (doc_a, doc_b, inter, na, nb). */
+  private def hashedPairFrame(
+      docs: DataFrame, blockCols: Seq[String], n: Int): DataFrame = {
+    import graft.functions.SortedIntersect.sorted_intersect_count
+    val hashes = graft.functions.NgramHashes.ngram_hashes(col("text"), n)
+    val e = docs.select(
+      (col("doc_id") +: blockCols.map(col)) :+ hashes.as("gh"): _*)
+      .withColumn("ng", size(col("gh")).cast("bigint"))
+      .filter(col("ng") > 0)
+    val a = e.select(
+      (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
+        col("gh").as("ga") :+ col("ng").as("na"): _*)
+    val b = e.select(
+      (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
+        col("gh").as("gb") :+ col("ng").as("nb"): _*)
+    a.join(broadcast(b), blockCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")))
+  }
+
   /** Same result via per-document sorted gram-hash arrays: each doc
     * carries array_sort(array_distinct(xxhash64(gram))) and pairs are
     * compared map-side with a native merge-scan intersection
@@ -69,58 +95,30 @@ object NgramJaccard {
       docs: DataFrame,
       blockCols: Seq[String],
       n: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    import graft.functions.SortedIntersect.sorted_intersect_count
-    val hashes = graft.functions.NgramHashes.ngram_hashes(col("text"), n)
-    val e = docs.select(
-      (col("doc_id") +: blockCols.map(col)) :+ hashes.as("gh"): _*)
-      .withColumn("ng", size(col("gh")).cast("bigint"))
-    val a = e.select(
-      (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
-        col("gh").as("ga") :+ col("ng").as("na"): _*)
-    val b = e.select(
-      (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
-        col("gh").as("gb") :+ col("ng").as("nb"): _*)
-    a.join(broadcast(b), blockCols)
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")))
+      threshold: Double = 0.5): DataFrame =
+    hashedPairFrame(docs, blockCols, n)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold —
     * catches sub-document duplication (a page embedded inside a longer
     * one) that symmetric Jaccard misses, because the union term stops
-    * penalizing the length difference. Same sorted-gram-hash merge-scan
-    * kernel and block-join shape as [[nearDupPairsHashed]]; only the
-    * denominator changes. Output: (doc_a, doc_b, containment). */
+    * penalizing the length difference. Same kernel and block-join shape
+    * as [[nearDupPairsHashed]]; only the denominator changes.
+    * Output: (doc_a, doc_b, containment). */
   def containmentPairsHashed(
       docs: DataFrame,
       blockCols: Seq[String],
       n: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
-    import graft.functions.SortedIntersect.sorted_intersect_count
-    val hashes = graft.functions.NgramHashes.ngram_hashes(col("text"), n)
-    val e = docs.select(
-      (col("doc_id") +: blockCols.map(col)) :+ hashes.as("gh"): _*)
-      .withColumn("ng", size(col("gh")).cast("bigint"))
-    val a = e.select(
-      (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
-        col("gh").as("ga") :+ col("ng").as("na"): _*)
-    val b = e.select(
-      (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
-        col("gh").as("gb") :+ col("ng").as("nb"): _*)
-    a.join(broadcast(b), blockCols)
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", sorted_intersect_count(col("ga"), col("gb")))
+      threshold: Double = 0.6): DataFrame =
+    hashedPairFrame(docs, blockCols, n)
       .withColumn("containment",
         col("inter").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 4).as("containment"))
-  }
 
   /** Same result via AllPairs-style prefix filtering: under a common
     * rare-gram-first total order, any pair with Jaccard ≥ t shares a

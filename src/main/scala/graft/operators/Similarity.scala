@@ -204,7 +204,10 @@ object Similarity {
     corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("scale", lit(127.0) / col("max_abs"))
+      // an all-zero vector has no scale to choose; 1.0 quantizes it to
+      // all-zero q with zero error (127/0 would throw under ANSI mode)
+      .withColumn("scale",
+        when(col("max_abs") > 0, lit(127.0) / col("max_abs")).otherwise(lit(1.0)))
       .withColumn("q",
         transform(col("v"), x => round(x * col("scale")).cast("long")))
       .select(

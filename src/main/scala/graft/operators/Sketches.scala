@@ -51,18 +51,21 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Point-query the sketch: min over the `depth` counters each term
-    * hashes to; an untouched bucket reads as 0 (term never seen). The
-    * sketch is broadcast — it is at most depth×256 rows by
-    * construction. Output: (term, n_est). */
+  /** Point-query the sketch: min over the sketch's own hash rows for
+    * each term; an untouched bucket reads as 0 (term never seen). The
+    * hash rows are read FROM the sketch (its distinct `j` values), so a
+    * caller can never under-estimate by passing a depth larger than the
+    * sketch was built with — the parameter that would make `min` see
+    * phantom empty rows does not exist. The sketch is broadcast — at
+    * most depth×256 rows by construction. An EMPTY sketch (nothing
+    * ingested) yields an empty result, not zeros. Output: (term, n_est). */
   def countMinQuery(
       sketch: DataFrame,
       queryTerms: DataFrame,
-      termCol: String = "term",
-      depth: Int = 4): DataFrame =
+      termCol: String = "term"): DataFrame =
     queryTerms
       .select(col(termCol).as("graft_term"))
-      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .crossJoin(broadcast(sketch.select(col("j")).distinct()))
       .withColumn("bucket", bucketOf(col("j"), col("graft_term")))
       .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(col("graft_term"))

@@ -640,7 +640,7 @@ object ExtensionQueries {
       .select(explode(split(col("text"), " ")).as("term"))
     val sketch = Sketches.countMinBuild(toks, "term", depth = 4)
     val queryTerms = Seq("spark", "merge", "window", "the", "zzznope").toDF("term")
-    val est = Sketches.countMinQuery(sketch, queryTerms, "term", depth = 4)
+    val est = Sketches.countMinQuery(sketch, queryTerms, "term")
     val exact = toks.filter(col("term").isin("spark", "merge", "window", "the", "zzznope"))
       .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
     est.join(exact, Seq("term"), "left")
@@ -1517,7 +1517,9 @@ object ExtensionQueries {
          m AS (SELECT vec_id, v,
                       list_max(list_transform(v, x -> abs(x))) AS max_abs
                FROM e),
-         s AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale FROM m),
+         s AS (SELECT vec_id, v, max_abs,
+                      CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 1.0 END AS scale
+               FROM m),
          q AS (SELECT vec_id, v, max_abs, scale,
                       list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
                FROM s)

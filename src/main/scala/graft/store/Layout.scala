@@ -49,7 +49,13 @@ object Layout {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leafDirs(p: Path): Seq[Path] = {
-      val st = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      val st = fs.listStatus(p).filterNot { s =>
+        // "_" (Spark markers) and "." (our staging/aside dirs) are
+        // invisible to Spark's partition discovery — and must be
+        // invisible to a compaction re-run too, or a crash-interrupted
+        // swap would get its leftovers compacted as fake partitions
+        s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")
+      }
       val subdirs = st.filter(_.isDirectory)
       if (subdirs.isEmpty) Seq(p)
       else subdirs.toSeq.flatMap(d => leafDirs(d.getPath))
@@ -62,18 +68,23 @@ object Layout {
         math.ceil(parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
       if (parts.length > want) {
         before += parts.length; after += want
-        val staged = new Path(leaf.toString + ".compact")
+        // dot-prefixed siblings: Spark/Hadoop path filters skip them, so
+        // a reader (or a crashed re-run) never sees staging or aside
+        // dirs as partition values
+        val staged = new Path(leaf.getParent, s".${leaf.getName}.compact")
         if (fs.exists(staged)) fs.delete(staged, true)
         spark.read.parquet(leaf.toString)
           .repartition(want)
           .write.parquet(staged.toString)
-        val aside = new Path(leaf.toString + ".old")
+        val aside = new Path(leaf.getParent, s".${leaf.getName}.old")
         if (fs.exists(aside)) fs.delete(aside, true)
         require(fs.rename(leaf, aside),
           s"compact: failed to move $leaf aside; staged output kept at $staged")
         require(fs.rename(staged, leaf),
           s"compact: failed to move $staged into place; originals under $aside")
-        fs.delete(aside, true)
+        require(fs.delete(aside, true),
+          s"compact: failed to delete $aside — remove it manually (it is " +
+            "dot-prefixed, so readers ignore it; disk is the only cost)")
       }
     }
     (before, after)

@@ -60,14 +60,14 @@ object StreamingSketch {
         col("id").as("cnt"))
   }
 
-  /** Point estimates from the live table. */
+  /** Point estimates from the live table (hash rows come from the
+    * sketch itself — no depth to mismatch). */
   def estimate(
       spark: SparkSession,
       sketchDir: String,
-      terms: Seq[String],
-      depth: Int = 4): DataFrame = {
+      terms: Seq[String]): DataFrame = {
     import spark.implicits._
     Sketches.countMinQuery(
-      readSketch(spark, sketchDir), terms.toDF("term"), "term", depth)
+      readSketch(spark, sketchDir), terms.toDF("term"), "term")
   }
 }

@@ -61,5 +61,12 @@ class LayoutSpec extends SparkSpec {
       rowSet(df))
     // idempotent: a second pass rewrites nothing
     assert(Layout.compact(spark, dir) == (0, 0))
+    // crash-leftover staging dirs are dot-prefixed: readers and re-runs
+    // must both ignore them rather than treat them as partitions
+    val rows = spark.read.parquet(dir).count()
+    (1 to 5).map(i => (i.toLong, s"junk$i", "px")).toDF("id", "v", "p")
+      .write.parquet(s"$dir/.p=px.compact")
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(Layout.compact(spark, dir) == (0, 0))
   }
 }

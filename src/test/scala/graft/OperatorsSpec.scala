@@ -380,7 +380,8 @@ class OperatorsSpec extends SparkSpec {
     val sub = Seq(
       (1L, "abcdefghij", "en", "s1"), // every 4-gram of 1 appears in 2
       (2L, "abcdefghijKLMNOPQRSTUVWXYZ0123", "en", "s1"),
-      (3L, "zzzzyyyyxxxxwwww", "en", "s1"))
+      (3L, "zzzzyyyyxxxxwwww", "en", "s1"),
+      (4L, "ab", "en", "s1")) // shorter than n → no grams, must not crash (ANSI /0)
       .toDF("doc_id", "text", "lang", "source")
     val cont = NgramJaccard.containmentPairsHashed(
       sub, Seq("lang", "source"), n = 4, threshold = 0.6)
@@ -396,6 +397,12 @@ class OperatorsSpec extends SparkSpec {
   test("quantizeInt8: known vector quantizes to exact int8 levels") {
     val e = Seq((1L, Array(0.5f, -1.0f, 0.25f), 0))
       .toDF("vec_id", "embedding", "label")
+    // an all-zero vector must quantize to zeros, not ANSI-divide-by-zero
+    val z = Similarity.quantizeInt8(
+      Seq((9L, Array(0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+      .collect().head
+    assert(z.getAs[Double]("max_abs_r") == 0.0
+      && z.getAs[Long]("sum_abs_q") == 0L && z.getAs[Double]("sse_r") == 0.0)
     val r = Similarity.quantizeInt8(e).collect().head
     assert(r.getAs[Long]("n_dims") == 3L)
     assert(r.getAs[Double]("max_abs_r") == 1.0)
@@ -454,6 +461,15 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 10L, false), (2L, 1L, 99L, true)))
   }
 
+  test("dedupGroupsKeepBest: an unscored member still appears, sorted last") {
+    val partial = Seq((1L, 10L)).toDF("doc_id", "quality") // doc 2 unscored
+    val got = DedupGroups.dedupGroupsKeepBest(docs, partial, "quality", threshold = 0.2)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    // doc 2 must NOT vanish (a silent drop would leave the duplicate
+    // uncurated); with no score it loses the keeper race
+    assert(got == Map(1L -> true, 2L -> false))
+  }
+
   test("count-min: estimates dominate exact counts; halves merge by summing") {
     val toks = docs.select(explode(split(col("text"), " ")).as("term"))
     val sketch = Sketches.countMinBuild(toks, "term")
@@ -467,6 +483,13 @@ class OperatorsSpec extends SparkSpec {
     assert(exact("the") == 4L)
     assert(est("fox") >= exact("fox"))
     assert(est("zzznope") >= 0L)
+    // a sketch built with a DIFFERENT depth still estimates correctly:
+    // the query reads hash rows from the sketch, there is no depth
+    // parameter to mismatch
+    val shallow = Sketches.countMinBuild(toks, "term", depth = 2)
+    val est2 = Sketches.countMinQuery(shallow, q, "term")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2("the") >= exact("the"))
     // mergeability: sketch(all) == elementwise-sum(sketch(a), sketch(b))
     val h1 = Sketches.countMinBuild(
       docs.filter(col("doc_id") <= 2).select(explode(split(col("text"), " ")).as("term")), "term")

@@ -668,6 +668,55 @@ object ExtensionQueries {
     Sampling.fixedSample(t(s, dir, "documents"), col("doc_id"), n = 100)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Full outer join: daily purchase vs error counts — days with only
+    * one side present survive with the other side coalesced to 0 (the
+    * remaining join type q04/q05/q07 don't cover). */
+  val q81FullOuter: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    def daily(tpe: String, out: String) =
+      ev.filter(col("event_type") === tpe)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as(out))
+    daily("purchase", "n_purchase")
+      .join(daily("error", "n_error"), Seq("day"), "full")
+      .select(col("day"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("n_error"), lit(0L)).as("n_error"))
+  }
+
+  /** Window navigation: each user's first, last, and second event type
+    * over the full per-user frame (first_value / last_value /
+    * nth_value — the analytic-navigation family q09's lag/lead row
+    * offsets don't cover). */
+  val q82WindowNav: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_et"),
+        last(col("event_type")).over(w).as("last_et"),
+        nth_value(col("event_type"), 2).over(w).as("second_et"),
+        row_number().over(wOrd).as("graft_rn"))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+  }
+
+  /** Correlation profile: per-type Pearson corr and sample covariance
+    * between the event value and its JSON `k` prop — the statistical
+    * co-moment aggregates (both engines accumulate co-moments; results
+    * rounded to 6 dp before compare). */
+  val q83Correlation: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").cast("double").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("value"), col("k")), 6).as("corr_vk"),
+        round(covar_samp(col("value"), col("k")), 6).as("covar_vk"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -742,6 +791,9 @@ object ExtensionQueries {
     "q78_countmin" -> q78CountMin,
     "q79_weighted_sample" -> q79WeightedSample,
     "q80_fixed_sample" -> q80FixedSample,
+    "q81_full_outer" -> q81FullOuter,
+    "q82_window_nav" -> q82WindowNav,
+    "q83_correlation" -> q83Correlation,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1703,5 +1755,30 @@ object ExtensionQueries {
       """SELECT doc_id, lang, source FROM documents
          ORDER BY md5('graft-fixed:' || CAST(doc_id AS VARCHAR)), doc_id
          LIMIT 100""",
+    "q81_full_outer" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchase
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         e AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_error
+               FROM events WHERE event_type = 'error' GROUP BY 1)
+         SELECT day, coalesce(n_purchase, 0) AS n_purchase,
+                coalesce(n_error, 0) AS n_error
+         FROM p FULL OUTER JOIN e USING (day)""",
+    "q82_window_nav" ->
+      """SELECT user_id,
+                first_value(event_type) OVER w AS first_et,
+                last_value(event_type) OVER w AS last_et,
+                nth_value(event_type, 2) OVER w AS second_et
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) = 1""",
+    "q83_correlation" ->
+      """SELECT event_type, count(*) AS n,
+                round(corr(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+                  AS corr_vk,
+                round(covar_samp(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+                  AS covar_vk
+         FROM events GROUP BY event_type""",
   )
 }

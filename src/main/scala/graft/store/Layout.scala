@@ -26,6 +26,23 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-clustered write: globally range-partition on `cols` and sort
+    * within each output file, so every file covers a DISJOINT key range
+    * and its parquet row-group min/max stats make range predicates skip
+    * whole files at planning time — the poor man's Z-order, and the
+    * right single-dimension layout for time/length-windowed scans over
+    * a 100 TB table (a filter on the cluster key then reads 1/files of
+    * the data instead of all of it). Disjointness is spec-asserted by
+    * reading the files back individually. */
+  def writeRangeClustered(
+      df: DataFrame,
+      dir: String,
+      cols: Seq[String],
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
   /** Small-file compaction: rewrite every leaf partition directory that
     * holds more parquet files than its data needs, targeting
     * `targetBytes` per file. The operational hygiene step every

@@ -69,4 +69,28 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == rows)
     assert(Layout.compact(spark, dir) == (0, 0))
   }
+
+  test("range-clustered files cover disjoint key ranges (file-skip precondition)") {
+    val dir = java.nio.file.Files.createTempDirectory("cluster").toString + "/t"
+    val df = (1 to 1000).map(i => ((i * 7919) % 1000, s"v$i")).toDF("k", "v")
+    Layout.writeRangeClustered(df, dir, Seq("k"), numFiles = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k")))
+        .collect().head
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    // every file's range ends before the next begins: a k-predicate can
+    // skip whole files on row-group stats
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $hi > $lo")
+      case _ =>
+    }
+    assert(rowSet(spark.read.parquet(dir)) == rowSet(df))
+  }
 }

@@ -143,6 +143,49 @@ object TextOps {
     * (semi-joined to the broadcast top-N) the stratum counts; the
     * per-word KL terms are rounded to 8 dp BEFORE the per-stratum sum
     * (add-order differs across engines), the sum to 4 dp. */
+  /** Bigram-LM log-probability per document — the perplexity-filter
+    * quality signal of LM data curation (docs scoring far below the
+    * corpus norm are gibberish; far above are boilerplate). The "model"
+    * is the corpus itself: P(w₂|w₁) = (c(w₁w₂)+0.5) / (c(w₁)+0.5·V),
+    * add-half smoothing over the corpus vocabulary V, and a doc's score
+    * is the mean log-prob of its bigrams.
+    *
+    * Scale shape: two count tables (bigram, first-word) built with
+    * map-side partial aggregation, then ONE shuffle joining the doc's
+    * exploded bigrams to the count tables on the bigram/word keys —
+    * scoring a new batch against a frozen corpus LM reuses the same
+    * tables. Per-term log-probs are rounded to 8 dp before the per-doc
+    * mean (the cross-engine add-order discipline), the mean to 4. Docs
+    * with fewer than 2 words have no bigrams and score null. */
+  def bigramLogprob(docs: DataFrame, lm: DataFrame = null): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bg"))
+    val model = Option(lm).getOrElse(bigramLm(docs))
+    bg.join(model, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 4).as("avg_logp"))
+  }
+
+  /** The frozen corpus LM for [[bigramLogprob]]: (bg, logp) with
+    * smoothed log-probs — build once over the corpus, score any batch. */
+  def bigramLm(corpus: DataFrame): DataFrame = {
+    val bg = corpus.select(
+      explode(graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bg"))
+    val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cw = corpus
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val v = corpus.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("vsz"))
+    cb.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cw.select(col("w").as("w1"), col("cw")), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("bg"),
+        round(log((col("cb") + 0.5) / (col("cw") + lit(0.5) * col("vsz"))), 8)
+          .as("logp"))
+  }
+
   def unigramKL(docs: DataFrame, stratumCol: String, topN: Int = 50): DataFrame = {
     val toks = docs.select(col(stratumCol), explode(split(col("text"), " ")).as("w"))
     val corpusTf = toks.groupBy(col("w")).agg(count(lit(1)).as("cn"))

@@ -717,6 +717,13 @@ object ExtensionQueries {
         round(corr(col("value"), col("k")), 6).as("corr_vk"),
         round(covar_samp(col("value"), col("k")), 6).as("covar_vk"))
 
+  /** Perplexity-filter signal: per-doc mean bigram log-prob under the
+    * corpus's own add-half-smoothed bigram LM (docs far below the norm
+    * are gibberish, far above are boilerplate — the classic LM-data
+    * quality gate). */
+  val q84LmLogprob: Q = (s, dir) =>
+    TextOps.bigramLogprob(t(s, dir, "documents"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -794,6 +801,7 @@ object ExtensionQueries {
     "q81_full_outer" -> q81FullOuter,
     "q82_window_nav" -> q82WindowNav,
     "q83_correlation" -> q83Correlation,
+    "q84_lm_logprob" -> q84LmLogprob,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1629,6 +1637,25 @@ object ExtensionQueries {
       """SELECT event_type, count(*) AS n,
                 round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
          FROM events GROUP BY event_type""",
+    "q84_lm_logprob" ->
+      """WITH bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s)),
+                         i -> s[i] || ' ' || s[i+1])) AS bg
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+         cw AS (SELECT w, count(*) AS cw FROM
+                  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w),
+         v AS (SELECT count(DISTINCT w) AS vsz FROM
+                 (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+         lm AS (
+           SELECT cb.bg,
+                  round(ln((cb + 0.5) / (cw + 0.5 * vsz)), 8) AS logp
+           FROM cb JOIN cw ON split_part(cb.bg, ' ', 1) = cw.w, v)
+         SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
+         FROM bg JOIN lm USING (bg)
+         GROUP BY doc_id""",
     "q75_star_join" ->
       """SELECT n_name, count(*) AS n_items,
                 round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)

@@ -451,6 +451,16 @@ class OperatorsSpec extends SparkSpec {
       (3L, "a", t("2024-01-01 12:00:00"), None, true)))
   }
 
+  test("weightedSample: monotone in weight, 0 drops all, 1 keeps all") {
+    val df = (1L to 300L).map(i => (i, i % 10)).toDF("doc_id", "g")
+    def kept(w: Double) = Sampling.weightedSample(df, col("doc_id"), lit(w))
+      .select("doc_id").as[Long].collect().toSet
+    val lo = kept(0.2); val hi = kept(0.6)
+    assert(lo.subsetOf(hi)) // raising a weight can only ADD rows
+    assert(kept(0.0).isEmpty && kept(1.0).size == 300)
+    assert(math.abs(lo.size - 60) < 30) // ~rate·n of the keyspace
+  }
+
   test("dedupGroupsKeepBest: highest-score member keeps, not min id") {
     // docs 1/2 are near-dups (one word changed); give doc 2 the higher score
     val scores = Seq((1L, 10L), (2L, 99L), (3L, 50L), (4L, 1L), (5L, 1L))

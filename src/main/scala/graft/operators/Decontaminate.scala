@@ -1,0 +1,68 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import graft.functions.WordShingles.word_shingles
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Benchmark decontamination at corpus scale: a Bloom filter built over
+  * the eval set's n-gram hashes prefilters the corpus scan, and only
+  * the (tiny) bloom-positive candidate set pays an exact join.
+  *
+  * This is the complement of q43's broadcast-sorted-array intersect:
+  * that shape needs the eval grams to fit in one in-memory array per
+  * task; the bloom shape holds a fixed-size bitset (fpp-controlled)
+  * regardless of eval-set cardinality, and the false positives it
+  * admits are removed by the exact verify join — the OUTPUT is exact
+  * either way, only the prefilter data structure changes.
+  *
+  * Scale shape: the corpus gram explosion is filtered by the bloom in
+  * the SAME scan stage (`BloomFilterMightContain` is codegen'd, the
+  * serialized filter is a foldable literal evaluated once per task), so
+  * only bloom survivors reach the shuffle; the verify join then touches
+  * |candidates| ≈ |true matches| + fpp·|corpus grams| rows instead of
+  * every gram.
+  */
+object Decontaminate {
+
+  /** Probe `value` (a LONG hash) against a serialized spark-sketch
+    * bloom filter carried as a foldable binary literal. */
+  def bloom_might_contain(bloomBytes: Array[Byte], value: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bloomBytes)),
+      ColumnBridge.expression(value)))
+
+  private def gramHashes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(word_shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("gh"))
+
+  /** The corpus rows sharing NO word-`n`-gram with `evalDocs` — the
+    * documents safe to train on. The bloom is built by one aggregation
+    * over the eval grams (the index-build half of the split; a real
+    * deployment persists it beside the benchmark table and rebuilds
+    * only when the benchmark changes). */
+  def bloomClean(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 6,
+      fpp: Double = 0.01): DataFrame = {
+    val evalGrams = gramHashes(evalDocs, n).select(col("gh")).distinct()
+    val expected = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("gh", expected, fpp)
+    val bytes = {
+      val out = new ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    val contaminated = gramHashes(corpus, n)
+      .filter(bloom_might_contain(bytes, col("gh")))
+      .join(evalGrams, "gh") // exact verify: kills bloom false positives
+      .select(col("doc_id"))
+      .distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+}

@@ -138,4 +138,47 @@ object EventOps {
       .filter(col("event_type") === probeType)
       .select(col("event_id"), col("user_id"), col("ts"), col("prior_ref_ts"))
   }
+
+  /** First-order Markov transition model over each user's event
+    * sequence: counts of consecutive (src → dst) event-type pairs and
+    * the conditional probability in basis points (integer floor
+    * division over the per-src total, so every engine reproduces the
+    * same numbers bit-for-bit).
+    *
+    * Scale shape: one user-partitioned window (the same shuffle every
+    * sequence op here rides) emits the lagged pair per row; the
+    * transition count is a tiny |types|² aggregation on top. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lag(col("event_type"), 1).over(w).as("src_et"),
+        col("event_type").as("dst_et"))
+      .filter(col("src_et").isNotNull)
+    val counts = pairs.groupBy(col("src_et"), col("dst_et"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src_et"))
+    counts
+      .withColumn("graft_tot", sum(col("n")).over(wSrc))
+      .withColumn("p_bp", expr("(n * 10000) div graft_tot"))
+      .drop("graft_tot")
+  }
+
+  /** Apply a CDC changelog (`op` ∈ I/U/D, ordered per key by `ts`,
+    * `event_id`) to produce the final snapshot: the last op wins per
+    * key, and a trailing D removes the key entirely — the MERGE shape
+    * every lakehouse ingestion pipeline runs.
+    *
+    * Scale shape: one key-partitioned window picks the survivor row
+    * (partial top-1 per key; no self-join against a snapshot — the log
+    * IS the input), then a filter drops deleted keys. */
+  def cdcApply(changelog: DataFrame, keyCol: String, opCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("ts").desc, col("event_id").desc)
+    changelog
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1 && col(opCol) =!= "D")
+      .drop("graft_rn")
+  }
 }

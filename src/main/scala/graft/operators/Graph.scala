@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph propagation expressed as DataFrame joins — the
+  * GraphFrames/Pregel shape without the dependency. Each iteration is
+  * one edge-keyed join plus one dst-keyed aggregation, so a 100 TB edge
+  * list runs as K rounds of hash-partitioned shuffles; nothing is ever
+  * collected to the driver.
+  *
+  * Ranks are carried as INTEGER micro-units (1e6 = rank 1.0) and the
+  * damping factor is applied as an integer percentage with floor
+  * division, so every engine that replays the recurrence — including
+  * the DuckDB oracle — produces bit-identical ranks. Sums of longs are
+  * exact where double summation would be add-order-dependent.
+  */
+object Graph {
+
+  /** Undirected edge list from a bipartite fact table: one edge per
+    * DISTINCT (left, right) pair, emitted in both directions with
+    * prefixed node ids so the two key spaces cannot collide. */
+  def bipartiteEdges(
+      facts: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftPrefix: String,
+      rightPrefix: String): DataFrame = {
+    val pairs = facts
+      .select(
+        concat(lit(leftPrefix), col(leftKey).cast("string")).as("a"),
+        concat(lit(rightPrefix), col(rightKey).cast("string")).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** PageRank over an edge list (`src`, `dst`), `iterations` unrolled
+    * rounds, damping as an integer percent (85 = 0.85).
+    *
+    * Recurrence in micro-units, all integer arithmetic:
+    *   contrib(e)  = rank(src) * dampingPct div (100 * out_degree(src))
+    *   rank'(dst)  = (100 - dampingPct) * 10_000 + sum(contrib)
+    *
+    * Every node is assumed to have at least one out- and in-edge (true
+    * for any undirected edge list); dangling-mass redistribution is a
+    * caller concern.
+    *
+    * Scale shape: `degrees` and each round's aggregation shuffle on the
+    * same node key, the join against `edges` is src-keyed — K rounds of
+    * co-partitioned shuffles, partial-aggregated map-side. The edge
+    * list is referenced K times; callers holding a large graph should
+    * pass a persisted/bucketed edge table (the same index-build/query
+    * split the ANN operators use). */
+  def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
+    val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val baseRank = (100L - dampingPct) * 10000L
+    val init = degrees.select(col("src").as("node"), lit(1000000L).as("rank"))
+    (1 to iterations).foldLeft(init) { (ranks, _) =>
+      edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(degrees, "src")
+        .select(col("dst"),
+          expr(s"(rank * $dampingPct) div (100 * deg)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((sum(col("contrib")) + lit(baseRank)).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+  }
+}

@@ -76,4 +76,30 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Inverted-index build: per term, document frequency, collection
+    * frequency, and a capped sorted posting list (the head of the
+    * postings, csv-encoded so the driver compare sees a scalar). The
+    * full posting list is what an index WRITES; the cap only bounds
+    * this inspection query's output width.
+    *
+    * Scale shape: one scan → explode → a single term-keyed aggregation
+    * (tf per (term, doc) partial-aggregates map-side before the
+    * shuffle), then a term-keyed rollup. Postings stay sorted by doc_id
+    * via array_sort AFTER collect — collect_list order is
+    * nondeterministic, the sort is what makes the output stable. */
+  def invertedIndex(docs: DataFrame, topTerms: Int, postingCap: Int): DataFrame = {
+    val td = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    td.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_list(col("doc_id"))), 1, postingCap),
+          _.cast("string"))).as("postings_head"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topTerms)
+  }
 }

@@ -724,6 +724,76 @@ object ExtensionQueries {
   val q84LmLogprob: Q = (s, dir) =>
     TextOps.bigramLogprob(t(s, dir, "documents"))
 
+  /** Bloom-prefilter decontamination (q43's complement at eval-set
+    * scale): the eval set's 6-gram hashes become a fixed-size bloom
+    * probed inside the corpus scan; only bloom survivors pay the exact
+    * verify join, and the OUTPUT — the clean corpus — is exact. Eval
+    * set: doc_id ≡ 7 (mod 50) standing in for a benchmark table. */
+  val q85BloomClean: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Decontaminate.bloomClean(
+      docs.filter(col("doc_id") % 50 =!= 7),
+      docs.filter(col("doc_id") % 50 === 7), n = 6)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Trailing 7-DAY time-RANGE frame (value-based, gaps-aware — q58's
+    * ROWS frame counts 7 ROWS regardless of calendar gaps; this one
+    * bounds the frame by the ORDER key's VALUE, so missing days shrink
+    * the window). Day revenue is exact cents, the ordering key is the
+    * epoch day — identical integer RANGE semantics in both engines. */
+  val q86RangeFrame: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).as("day_cents"))
+      .withColumn("epoch_day",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("sum_7d_cents", sum(col("day_cents")).over(w))
+      .withColumn("n_days_7d", count(lit(1)).over(w).cast("bigint"))
+      .select(col("event_type"), col("day"), col("n"), col("day_cents"),
+        col("sum_7d_cents"), col("n_days_7d"))
+  }
+
+  /** PageRank (3 unrolled iterations, integer micro-unit ranks) over
+    * the part↔supplier bipartite graph — iterative graph propagation
+    * as co-partitioned DataFrame joins; the oracle replays the exact
+    * recurrence. */
+  val q87PageRank: Q = (s, dir) =>
+    Graph.pageRank(
+      Graph.bipartiteEdges(t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", "p", "s"),
+      iterations = 3)
+      .select(col("node"), col("rank").as("pr"))
+
+  /** First-order Markov next-event model: per-(src → dst) transition
+    * counts and conditional probability in basis points. */
+  val q88Markov: Q = (s, dir) =>
+    EventOps.markovTransitions(t(s, dir, "events"))
+
+  /** Inverted-index build: df / cf / capped sorted postings per term,
+    * top-20 terms by document frequency. */
+  val q89InvertedIndex: Q = (s, dir) =>
+    Retrieval.invertedIndex(t(s, dir, "documents"), topTerms = 20, postingCap = 10)
+
+  /** CDC changelog apply: events mapped to an I/U/D log per user
+    * (signup=I, error=D, rest=U), last op wins, trailing deletes drop
+    * the key — the lakehouse MERGE-from-log shape. */
+  val q90CdcApply: Q = (s, dir) => {
+    val log = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        round(col("value") * 100).cast("bigint").as("value_cents"))
+    EventOps.cdcApply(log, "user_id", "op")
+      .select(col("user_id"), col("op"), col("ts").as("updated_at"),
+        col("value_cents"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -802,6 +872,12 @@ object ExtensionQueries {
     "q82_window_nav" -> q82WindowNav,
     "q83_correlation" -> q83Correlation,
     "q84_lm_logprob" -> q84LmLogprob,
+    "q85_bloom_clean" -> q85BloomClean,
+    "q86_range_frame" -> q86RangeFrame,
+    "q87_pagerank" -> q87PageRank,
+    "q88_markov" -> q88Markov,
+    "q89_inverted_index" -> q89InvertedIndex,
+    "q90_cdc_apply" -> q90CdcApply,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1807,5 +1883,87 @@ object ExtensionQueries {
                 round(covar_samp(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
                   AS covar_vk
          FROM events GROUP BY event_type""",
+    "q85_bloom_clean" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 4),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]
+                           || ' ' || s[i+4] || ' ' || s[i+5])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 7),
+         dirty AS (SELECT DISTINCT doc_id FROM sh JOIN ev USING (sh)
+                   WHERE doc_id % 50 <> 7)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id % 50 <> 7
+           AND doc_id NOT IN (SELECT doc_id FROM dirty)""",
+    "q86_range_frame" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS day_cents
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, n, day_cents,
+                CAST(sum(day_cents) OVER w AS BIGINT) AS sum_7d_cents,
+                CAST(count(*) OVER w AS BIGINT) AS n_days_7d
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type
+                      ORDER BY (day - DATE '1970-01-01')
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "q87_pagerank" ->
+      """WITH pairs AS (
+           SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                           's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM lineitem),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         it1 AS (SELECT e.dst AS node,
+                        150000 + sum((r.pr * 85) // (100 * d.deg)) AS pr
+                 FROM edges e JOIN r0 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         it2 AS (SELECT e.dst AS node,
+                        150000 + sum((r.pr * 85) // (100 * d.deg)) AS pr
+                 FROM edges e JOIN it1 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         it3 AS (SELECT e.dst AS node,
+                        150000 + sum((r.pr * 85) // (100 * d.deg)) AS pr
+                 FROM edges e JOIN it2 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src GROUP BY e.dst)
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM it3""",
+    "q88_markov" ->
+      """WITH tr AS (
+           SELECT lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS src_et,
+                  event_type AS dst_et
+           FROM events),
+         c AS (SELECT src_et, dst_et, count(*) AS n FROM tr
+               WHERE src_et IS NOT NULL GROUP BY src_et, dst_et)
+         SELECT src_et, dst_et, n,
+                CAST((n * 10000) // sum(n) OVER (PARTITION BY src_et)
+                     AS BIGINT) AS p_bp
+         FROM c""",
+    "q89_inverted_index" ->
+      """WITH td AS (
+           SELECT term, doc_id, count(*) AS tf FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+           GROUP BY term, doc_id)
+         SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+                array_to_string((list_sort(list(doc_id)))[1:10], ',')
+                  AS postings_head
+         FROM td GROUP BY term
+         ORDER BY df DESC, term LIMIT 20""",
+    "q90_cdc_apply" ->
+      """WITH cl AS (
+           SELECT user_id, ts, event_id,
+                  CASE event_type WHEN 'signup' THEN 'I'
+                       WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+                  CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+         rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS r FROM cl)
+         SELECT user_id, op, ts AS updated_at, value_cents
+         FROM rn WHERE r = 1 AND op <> 'D'""",
   )
 }

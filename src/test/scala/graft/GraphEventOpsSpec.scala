@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Hand-computed unit checks for the round-4 operators: PageRank,
+  * bloom-prefilter decontamination, Markov transitions, CDC apply, and
+  * the inverted index (the sf0.01 oracle covers them at scale).
+  */
+class GraphEventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric 2-node graph keeps uniform rank exactly") {
+    // a—b undirected: deg 1 each, contrib = rank*85 div 100, rank' =
+    // 150000 + contrib — the fixpoint of the micro-unit recurrence
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iterations = 3)
+      .as[(String, Long)].collect().toMap
+    // r1 = 150000 + 850000 = 1000000 → stays exactly at 1e6
+    assert(ranks == Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("pageRank: star center outranks leaves; recurrence is exact") {
+    // undirected star c—l1, c—l2, c—l3
+    val pairs = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iterations = 2)
+      .as[(String, Long)].collect().toMap
+    // it1: leaves get 150000 + (1e6*85 div 300) = 433333
+    //      center gets 150000 + 3*(1e6*85 div 100) = 2700000
+    // it2: leaf = 150000 + (2700000*85 div 300) = 915000
+    //      center = 150000 + 3*(433333*85 div 100) = 150000 + 3*368333
+    assert(ranks("l1") == 915000L && ranks("l2") == 915000L)
+    assert(ranks("c") == 1254999L)
+  }
+
+  test("bipartiteEdges dedups multi-edges and prefixes both key spaces") {
+    val facts = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("pk", "sk")
+    val edges = Graph.bipartiteEdges(facts, "pk", "sk", "p", "s")
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(("p1", "s10"), ("p2", "s10"),
+      ("s10", "p1"), ("s10", "p2")))
+  }
+
+  test("bloomClean drops exactly the gram-sharing docs and matches exact decontamination") {
+    val mk = (id: Long, text: String) => (id, text, "en", "s1", text.length.toLong)
+    val docs = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2L, "one two three four five six seven eight"),   // clean
+      mk(3L, "xx alpha beta gamma delta epsilon zeta yy"), // shares a 6-gram with 1
+      mk(4L, "short doc"))                                 // < 6 words → no grams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val evalSet = docs.filter(col("doc_id") === 1L)
+    val corpus = docs.filter(col("doc_id") =!= 1L)
+    val clean = Decontaminate.bloomClean(corpus, evalSet, n = 6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+  }
+
+  test("markovTransitions: counts and floor-division basis points") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click", 0.0, "{}"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 4L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:01:00"), 5L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:02:00"), 6L, "click", 0.0, "{}"))
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val got = EventOps.markovTransitions(ev)
+      .select("src_et", "dst_et", "n", "p_bp")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // from view: →click twice, →view once → 6666 / 3333 bp
+    assert(got(("view", "click")) == (2L, 6666L))
+    assert(got(("view", "view")) == (1L, 3333L))
+    assert(got(("click", "view")) == (1L, 10000L))
+  }
+
+  test("cdcApply: last op wins and a trailing delete removes the key") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "I", 100L),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "U", 200L), // survivor
+      (2L, ts("2024-01-01 10:00:00"), 3L, "I", 300L),
+      (2L, ts("2024-01-01 11:00:00"), 4L, "D", 0L),   // deleted
+      (3L, ts("2024-01-01 10:00:00"), 5L, "D", 0L),   // delete-then-insert
+      (3L, ts("2024-01-01 11:00:00"), 6L, "I", 400L))
+      .toDF("user_id", "ts", "event_id", "op", "value_cents")
+    val got = EventOps.cdcApply(log, "user_id", "op")
+      .select("user_id", "op", "value_cents")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "U", 200L), (3L, "I", 400L)))
+  }
+
+  test("cdcApply breaks same-ts ties by event_id") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "U", 100L),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "U", 200L))
+      .toDF("user_id", "ts", "event_id", "op", "value_cents")
+    val got = EventOps.cdcApply(log, "user_id", "op")
+      .select("value_cents").as[Long].collect().toSeq
+    assert(got == Seq(200L))
+  }
+
+  test("invertedIndex: df/cf and a sorted capped posting head") {
+    val docs = Seq(
+      (3L, "b a a", "en", "s1", 5L),
+      (1L, "a b", "en", "s1", 3L),
+      (2L, "a c", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Retrieval.invertedIndex(docs, topTerms = 2, postingCap = 2)
+      .select("term", "df", "cf", "postings_head")
+      .as[(String, Long, Long, String)].collect()
+    // 'a': df 3, cf 4; 'b': df 2, cf 2 — 'a' first (df desc), postings
+    // sorted by doc_id and capped at 2
+    assert(got.length == 2)
+    assert(got(0) == (("a", 3L, 4L, "1,2")))
+    assert(got(1) == (("b", 2L, 2L, "1,3")))
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+}

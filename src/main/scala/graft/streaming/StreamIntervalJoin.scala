@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * twin (one row per probe with a count, including zero-hit probes) is
   * [[graft.operators.EventOps.intervalCount]]; equivalence for matched
   * probes is spec-asserted.
+  *
+  * Left-outer (`joinType = "leftOuter"`): zero-hit probes ALSO emit,
+  * with a null `ref_ts` — but only once the watermark passes their
+  * join window, because until then a matching reference could still
+  * arrive. That emission delay is inherent to streaming outer joins
+  * (the engine must prove the absence of a match), so downstream
+  * consumers see unmatched probes exactly one watermark-delay late.
   */
 object StreamIntervalJoin {
 
@@ -27,7 +34,8 @@ object StreamIntervalJoin {
       probeType: String,
       refType: String,
       windowSeconds: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val probes = probeStream
       .filter(col("event_type") === probeType)
       .select(col("event_id"), col("user_id"), col("ts"))
@@ -39,7 +47,8 @@ object StreamIntervalJoin {
     probes.join(refs,
       col("user_id") === col("ref_user") &&
         col("ref_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
-        col("ref_ts") < col("ts"))
+        col("ref_ts") < col("ts"),
+      joinType)
       .select(col("event_id"), col("user_id"), col("ts"), col("ref_ts"))
   }
 }

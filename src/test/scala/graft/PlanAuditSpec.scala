@@ -105,4 +105,39 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q26_lsh_neardup")
     assert(p.contains("sorted_intersect_count"), s"native verify kernel missing:\n$p")
   }
+
+  test("AQE splits a skewed sort-merge join partition (skew=true)") {
+    // the runtime half of the skew story (Layout.saltedJoin is the
+    // static half): one hot key → AQE's OptimizeSkewedJoin must split
+    // its shuffle partition instead of letting one task carry it all
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 64
+      val left = ((1 to 20000).map(i => (1L, s"$pad-$i")) ++
+        (2 to 200).map(i => (i.toLong, s"p$i"))).toDF("k", "a")
+      val right = ((1 to 50).map(i => (1L, i)) ++
+        (2 to 200).map(i => (i.toLong, i))).toDF("k", "b")
+      val joined = left.join(right, "k")
+      // materialize THIS execution (count() would build a separate one)
+      // so the AdaptiveSparkPlan below is the finalized post-run plan
+      assert(joined.collect().length == 20000 * 50 + 199)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the skewed partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -72,4 +72,39 @@ class StreamIntervalJoinSpec extends SparkSpec {
       assert(streamCounts == batch.filter(_._2 > 0))
     } finally q.stop()
   }
+
+  test("left outer: unmatched probes emit with null ref_ts after the watermark closes their window") {
+    implicit val ctx = spark.sqlContext
+    val probes = MemoryStream[(Long, Timestamp, Int, String)]
+    val refs = MemoryStream[(Long, Timestamp, Int, String)]
+    val out = StreamIntervalJoin.joined(
+      probes.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      refs.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      probeType = "purchase", refType = "click", windowSeconds = 1800,
+      watermarkDelay = "10 minutes", joinType = "leftOuter")
+    val q = out.writeStream.format("memory").queryName("sij3")
+      .outputMode("append").start()
+    try {
+      refs.addData((1L, t("2024-01-01 09:45:00"), 10, "click"))
+      probes.addData(
+        (9L, t("2024-01-01 10:00:00"), 10, "purchase"),  // matched
+        (8L, t("2024-01-01 10:00:00"), 20, "purchase"))  // no clicks → outer
+      q.processAllAvailable()
+      // the unmatched probe can't emit yet: a click for user 20 might
+      // still arrive until the watermark passes 10:00 + delay
+      val early = spark.table("sij3")
+        .select("event_id").as[Long].collect().toSet
+      assert(early == Set(9L))
+      // sentinel events on BOTH sides push the global watermark far
+      // past the window; the state store then proves the non-match
+      refs.addData((100L, t("2024-01-01 13:00:00"), 99, "click"))
+      probes.addData((101L, t("2024-01-01 13:00:00"), 99, "purchase"))
+      q.processAllAvailable()
+      val after = spark.table("sij3")
+        .select("event_id", "ref_ts").as[(Long, Option[Timestamp])]
+        .collect().toMap
+      assert(after(9L).contains(t("2024-01-01 09:45:00")))
+      assert(after.contains(8L) && after(8L).isEmpty)
+    } finally q.stop()
+  }
 }

@@ -137,6 +137,27 @@ object Similarity {
     assigned.withColumn("is_rep", row_number().over(repW) === 1)
   }
 
+  /** Embedding-space outlier flagging: each vector's cosine to ITS OWN
+    * cluster's centroid, with the bottom `frac` of each cluster (by
+    * percent_rank over the rounded cosine) marked as outliers — the
+    * "far from every mode" vectors a curation pass re-routes or drops.
+    *
+    * Scale shape: the centroid table is cluster-count-sized and
+    * broadcast; the scan computes one dot product per row; the only
+    * shuffle is the per-cluster rank window. percent_rank is
+    * (rank−1)/(n−1) on a 6-dp-rounded key, so ties — and therefore the
+    * flag — are engine-stable. Output: (vec_id, label, cos_c, is_outlier). */
+  def centroidOutliers(corpus: DataFrame, cent: DataFrame, frac: Double = 0.1): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_c"), col("vec_id"))
+    e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("centroid")), 6).as("cos_c"))
+      .withColumn("is_outlier", percent_rank().over(w) < frac)
+  }
+
   /** Deterministic Rademacher hyperplanes for sign-LSH: component
     * (h, j) is ±1 by the first hex char of md5("h:j") — reproducible in
     * any engine (the DuckDB oracle replays the same formula), no RNG

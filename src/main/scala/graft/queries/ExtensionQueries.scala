@@ -794,6 +794,59 @@ object ExtensionQueries {
         col("value_cents"))
   }
 
+  /** Approx-percentile accuracy contract (q73's pattern for quantiles):
+    * exact interpolated p50/p90 per language next to approx_percentile
+    * at accuracy 10k, with |approx − exact| ≤ 5% asserted as columns.
+    * At 100 TB the approx sketch is the only affordable path; this
+    * query is the gate that keeps it honest. */
+  val q91PercentileContract: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50_exact"),
+        round(expr("percentile(n_chars, 0.9)"), 2).as("p90_exact"),
+        expr("approx_percentile(n_chars, 0.5, 10000)").as("graft_ap50"),
+        expr("approx_percentile(n_chars, 0.9, 10000)").as("graft_ap90"))
+      .select(col("lang"), col("p50_exact"), col("p90_exact"),
+        (abs(col("graft_ap50") - col("p50_exact")) <= col("p50_exact") * 0.05)
+          .as("p50_ok"),
+        (abs(col("graft_ap90") - col("p90_exact")) <= col("p90_exact") * 0.05)
+          .as("p90_ok"))
+
+  /** Embedding outlier prune (the vector-space quality gate): cosine of
+    * every vector to its own cluster centroid, bottom decile flagged.
+    * Complements q53 (nearest-centroid assignment) and q28 (pairwise
+    * near-dup): this is the "drop what's far from every mode" signal. */
+  val q92CentroidOutliers: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.centroidOutliers(e, Similarity.centroids(e), frac = 0.1)
+  }
+
+  /** Value histogram per event type (fixed width-10 bins) — the
+    * profiling pass that sizes every downstream decision. Bin ids and
+    * counts are integers; bin edges are engine-exact floors. */
+  val q93Histogram: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(col("value") / 10).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("min_v"),
+        round(max(col("value")), 2).as("max_v"))
+
+  /** Per-language fixed-size sample: exactly min(20, n) docs per lang
+    * by salted-md5 order — the balanced eval-set draw (q80's global
+    * exactly-n, stratified). The rank window is partitioned by lang, so
+    * no global ordering exists anywhere in the plan. */
+  val q94StratifiedFixed: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("graft-strat:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("pick", row_number().over(w).cast("bigint"))
+      .filter(col("pick") <= 20)
+      .select(col("doc_id"), col("lang"), col("pick"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -878,6 +931,10 @@ object ExtensionQueries {
     "q88_markov" -> q88Markov,
     "q89_inverted_index" -> q89InvertedIndex,
     "q90_cdc_apply" -> q90CdcApply,
+    "q91_percentile_contract" -> q91PercentileContract,
+    "q92_centroid_outliers" -> q92CentroidOutliers,
+    "q93_histogram" -> q93Histogram,
+    "q94_stratified_fixed" -> q94StratifiedFixed,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1965,5 +2022,43 @@ object ExtensionQueries {
                   ORDER BY ts DESC, event_id DESC) AS r FROM cl)
          SELECT user_id, op, ts AS updated_at, value_cents
          FROM rn WHERE r = 1 AND op <> 'D'""",
+    // the *_ok booleans are the contract: the oracle asserts them true,
+    // so an approx sketch drifting past 5% fails the hash compare
+    "q91_percentile_contract" ->
+      """SELECT lang,
+                round(quantile_cont(n_chars, 0.5), 2) AS p50_exact,
+                round(quantile_cont(n_chars, 0.9), 2) AS p90_exact,
+                true AS p50_ok, true AS p90_ok
+         FROM documents GROUP BY lang""",
+    "q92_centroid_outliers" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         scored AS (
+           SELECT e.vec_id, e.label,
+                  round(list_cosine_similarity(e.v, c.centroid), 6) AS cos_c
+           FROM e JOIN cent c ON e.label = c.label)
+         SELECT vec_id, label, cos_c,
+                percent_rank() OVER (PARTITION BY label
+                  ORDER BY cos_c, vec_id) < 0.1 AS is_outlier
+         FROM scored""",
+    "q93_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin,
+                count(*) AS n,
+                round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+         FROM events GROUP BY 1, 2""",
+    "q94_stratified_fixed" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS pick FROM (
+           SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY md5('graft-strat:' || CAST(doc_id AS VARCHAR)),
+                             doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20""",
   )
 }

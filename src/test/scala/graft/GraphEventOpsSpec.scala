@@ -119,5 +119,20 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(got(1) == (("b", 2L, 2L, "1,3")))
   }
 
+  test("centroidOutliers flags the cluster's far-from-centroid member") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 0), // off-axis → lowest cosine to centroid
+      (4L, Array(0.0f, 1.0f), 1)) // singleton cluster: percent_rank 0 < frac
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(emb, Similarity.centroids(emb), frac = 0.34)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(3L) && !got(1L) && !got(2L))
+    // percent_rank of a 1-row partition is 0 → a singleton is always
+    // "outlier" by the strict-< rule; callers guard tiny clusters
+    assert(got(4L))
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

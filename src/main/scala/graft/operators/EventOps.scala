@@ -165,6 +165,66 @@ object EventOps {
       .drop("graft_tot")
   }
 
+  /** Duration-weighted value average per user: each event's value is
+    * held until the next event, so the average weights each reading by
+    * how long it was current (the standard time-weighted metric for
+    * irregular samples; the user's last event carries no duration and
+    * is excluded, as in any TWA over a closed interval).
+    *
+    * All-integer numerator/denominator (cents × whole seconds), so the
+    * division is the only float op and every engine agrees bit-for-bit
+    * before the final rounding.
+    *
+    * Scale shape: one user-partitioned window (lead) then one hash
+    * aggregation — the same single user-keyed shuffle as sessionize. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      // NTZ has no direct long cast in Spark 4; LTZ→long is epoch
+      // seconds and the session TZ is pinned UTC, matching the
+      // oracle's date_part('epoch', ts)
+      .withColumn("graft_dt",
+        lead(col("ts"), 1).over(w).cast("timestamp_ltz").cast("long")
+          - col("ts").cast("timestamp_ltz").cast("long"))
+      .filter(col("graft_dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("graft_dt")).as("held_seconds"),
+        sum(col("cents") * col("graft_dt")).as("graft_wsum"))
+      // basis points by integer floor division — a float division here
+      // lands on .xxxx5 round-half boundaries that DuckDB (binary
+      // round) and Spark (decimal-string round) settle differently
+      .withColumn("twa_bp", expr("(graft_wsum * 100) div held_seconds"))
+      .drop("graft_wsum")
+  }
+
+  /** Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    * (the row_number-difference trick — day − rank is constant within
+    * a run), summarized to streak count and longest/current streak.
+    *
+    * Scale shape: distinct active days partial-aggregate map-side;
+    * the window and both aggregations ride one user-keyed shuffle. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val days = events
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    days
+      .withColumn("graft_grp",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("graft_grp"))
+      .agg(count(lit(1)).as("len"), max(col("day")).as("streak_end"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        max_by(col("len"), col("streak_end")).as("last_streak_len"))
+  }
+
   /** Apply a CDC changelog (`op` ∈ I/U/D, ordered per key by `ts`,
     * `event_id`) to produce the final snapshot: the last op wins per
     * key, and a trailing D removes the key entirely — the MERGE shape

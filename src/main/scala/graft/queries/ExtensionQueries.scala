@@ -847,6 +847,17 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"), col("pick"))
   }
 
+  /** Duration-weighted average value per user — each reading weighted
+    * by how long it stayed current (irregular-sample metrics done
+    * right; a plain avg over-weights burst periods). */
+  val q95TimeWeighted: Q = (s, dir) =>
+    EventOps.timeWeightedAvg(t(s, dir, "events"))
+
+  /** Gaps-and-islands: consecutive-active-day streaks per user
+    * (row_number-difference runs), longest and most recent streak. */
+  val q96Streaks: Q = (s, dir) =>
+    EventOps.activityStreaks(t(s, dir, "events"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -935,6 +946,8 @@ object ExtensionQueries {
     "q92_centroid_outliers" -> q92CentroidOutliers,
     "q93_histogram" -> q93Histogram,
     "q94_stratified_fixed" -> q94StratifiedFixed,
+    "q95_time_weighted" -> q95TimeWeighted,
+    "q96_streaks" -> q96Streaks,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2060,5 +2073,33 @@ object ExtensionQueries {
                              doc_id) AS rn
            FROM documents)
          WHERE rn <= 20""",
+    "q95_time_weighted" ->
+      """WITH e AS (
+           SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                  epoch_us(ts) // 1000000 AS sec,
+                  lead(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+           FROM events)
+         SELECT user_id, count(*) AS n_held,
+                CAST(sum(nxt - sec) AS BIGINT) AS held_seconds,
+                CAST((sum(cents * (nxt - sec)) * 100) // sum(nxt - sec)
+                     AS BIGINT) AS twa_bp
+         FROM e WHERE nxt IS NOT NULL
+         GROUP BY user_id""",
+    "q96_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+         runs AS (
+           SELECT user_id, day,
+                  (day - DATE '1970-01-01')
+                    - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS grp
+           FROM days),
+         st AS (SELECT user_id, grp, count(*) AS len, max(day) AS streak_end
+                FROM runs GROUP BY user_id, grp)
+         SELECT user_id, count(*) AS n_streaks,
+                CAST(max(len) AS BIGINT) AS longest_streak,
+                CAST(arg_max(len, streak_end) AS BIGINT) AS last_streak_len
+         FROM st GROUP BY user_id""",
   )
 }

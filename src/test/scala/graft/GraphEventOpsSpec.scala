@@ -119,6 +119,36 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(got(1) == (("b", 2L, 2L, "1,3")))
   }
 
+  test("timeWeightedAvg weights each reading by its holding duration") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.00, "{}"),
+      (1L, ts("2024-01-01 10:00:10"), 2L, "view", 3.00, "{}"),
+      (1L, ts("2024-01-01 10:00:30"), 3L, "view", 9.99, "{}"), // last: no duration
+      (2L, ts("2024-01-01 10:00:00"), 4L, "view", 5.00, "{}")) // single: excluded
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val got = EventOps.timeWeightedAvg(ev)
+      .select("user_id", "n_held", "held_seconds", "twa_bp")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 1.00 held 10s + 3.00 held 20s → (100·10 + 300·20)·100 div 30 = 23333 bp
+    assert(got(1L) == ((2L, 30L, 23333L)))
+    assert(!got.contains(2L))
+  }
+
+  test("activityStreaks: consecutive-day runs, longest and latest") {
+    def e(id: Long, day: String) =
+      (1L, ts(s"$day 12:00:00"), id, "view", 0.0, "{}")
+    val ev = Seq(
+      e(1, "2024-01-01"), e(2, "2024-01-02"), e(3, "2024-01-03"),
+      e(4, "2024-01-03"), // same-day duplicate must not break the run
+      e(5, "2024-01-05"))
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val got = EventOps.activityStreaks(ev)
+      .select("user_id", "n_streaks", "longest_streak", "last_streak_len")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 3L, 1L)))
+  }
+
   test("centroidOutliers flags the cluster's far-from-centroid member") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0),

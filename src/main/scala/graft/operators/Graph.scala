@@ -60,16 +60,20 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
-    val e = edges.localCheckpoint()
-    // node-count-sized and referenced every round: materialize too
-    val degrees = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e0 = edges.localCheckpoint()
+    val degrees = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // out-degree is iteration-invariant: join it into the edge list
+    // ONCE, pre-partitioned by src, so each round is exactly one
+    // src-keyed join against the (node-sized) rank frame plus one
+    // dst-keyed partial aggregation — nothing edge-sized moves again
+    val e = e0.join(degrees, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .localCheckpoint()
     val baseRank = (100L - dampingPct) * 10000L
     val init = degrees.select(col("src").as("node"), lit(1000000L).as("rank"))
     (1 to iterations).foldLeft(init) { (ranks, _) =>
       e
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(degrees, "src")
         .select(col("dst"),
           expr(s"(rank * $dampingPct) div (100 * deg)").as("contrib"))
         .groupBy(col("dst"))

@@ -81,4 +81,32 @@ object Graph {
         .select(col("dst").as("node"), col("rank"))
     }
   }
+
+  /** Bounded-depth BFS: minimum hop count from a source node set,
+    * `rounds` frontier expansions (nodes further than `rounds` hops
+    * are absent from the output). The other Pregel shape next to
+    * [[pageRank]] — min-propagation instead of sum-propagation.
+    *
+    * Each round unions the current hop frame with its one-step
+    * neighbors and takes the per-node minimum; a visited node's hop
+    * can only stay or shrink, so the fold is monotone and replayable.
+    * Scale shape: the checkpointed edge list never moves after its one
+    * src-keyed repartition; per round, only the (node-sized) hop frame
+    * shuffles, and the min() partial-aggregates map-side. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "bfsHops needs at least one round")
+    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint()
+    val init = sources.select(col("node"), lit(0L).as("hop"))
+    (1 to rounds).foldLeft(init) { (hops, _) =>
+      // each round reads the previous frame TWICE (union + join):
+      // materialize the node-sized frame or lineage doubles per round
+      val h = hops.localCheckpoint()
+      h.unionAll(
+        e.join(h.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("hop") + 1).as("hop")))
+        .groupBy(col("node"))
+        .agg(min(col("hop")).as("hop"))
+    }
+  }
 }

@@ -858,6 +858,86 @@ object ExtensionQueries {
   val q96Streaks: Q = (s, dir) =>
     EventOps.activityStreaks(t(s, dir, "events"))
 
+  /** Bounded BFS over the part↔supplier graph: hop distance from the
+    * first five suppliers, 3 frontier rounds — min-propagation (the
+    * other Pregel shape next to q87's sum-propagation). */
+  val q97BfsHops: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val sources = li.filter(col("l_suppkey") < 5)
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+      .distinct()
+    Graph.bfsHops(
+      Graph.bipartiteEdges(li, "l_partkey", "l_suppkey", "p", "s"),
+      sources, rounds = 3)
+  }
+
+  /** Reconciliation band join: error events matched to same-day
+    * purchases of similar amount (|Δ| ≤ 200 cents), decomposed into an
+    * equi-join on (day, amount-bucket ± 1) + an exact band filter —
+    * the standard way to run a numeric range join as a hash join (no
+    * nested loop anywhere; Spark has no native band-join operator). */
+  val q98BandJoin: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    def side(tpe: String, idc: String, vc: String) = ev
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(idc), col("ts").cast("date").as("day"),
+        round(col("value") * 100).cast("bigint").as(vc))
+    val a = side("purchase", "a_id", "a_cents")
+      .filter(col("a_cents") < 2000) // small purchases: the band's hot range
+    val b = side("error", "b_id", "b_cents")
+    // each probe explodes to its own bucket ± 1, so every true band
+    // match shares an equi-key with its partner (div, not /: the
+    // bucket id must be integral)
+    val aB = a.withColumn("bucket",
+      explode(array((-1 to 1).map(d => expr(s"(a_cents div 200) + $d")): _*)))
+    val bB = b.withColumn("bucket", expr("b_cents div 200"))
+    aB.join(bB, Seq("day", "bucket"))
+      .filter(abs(col("a_cents") - col("b_cents")) <= 200)
+      .select(col("a_id"), col("b_id"), col("day"),
+        (col("a_cents") - col("b_cents")).as("diff_cents"))
+      .distinct() // bucket overlap can pair twice at the boundary
+  }
+
+  /** Equi-depth histogram (q93's fixed-width twin): ntile(10) buckets
+    * per event type over an engine-stable total order, per-bucket
+    * count and value range. */
+  val q99EquiDepth: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"),
+        ntile(10).over(w).cast("bigint").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+  }
+
+  /** Ratio-to-report: each nation's share of its region's revenue in
+    * basis points (window sum over the region, integer floor division
+    * — the classic BI share-of-total spelling). */
+  val q100ShareOfTotal: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val perNation = li
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("bigint").as("cents"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("cents")).as("nation_cents"))
+    val w = Window.partitionBy(col("r_name"))
+    perNation
+      .withColumn("graft_region_cents", sum(col("nation_cents")).over(w))
+      .withColumn("share_bp",
+        expr("(nation_cents * 10000) div graft_region_cents"))
+      .select(col("r_name"), col("n_name"), col("nation_cents"), col("share_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -948,6 +1028,10 @@ object ExtensionQueries {
     "q94_stratified_fixed" -> q94StratifiedFixed,
     "q95_time_weighted" -> q95TimeWeighted,
     "q96_streaks" -> q96Streaks,
+    "q97_bfs_hops" -> q97BfsHops,
+    "q98_band_join" -> q98BandJoin,
+    "q99_equi_depth" -> q99EquiDepth,
+    "q100_share_of_total" -> q100ShareOfTotal,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2101,5 +2185,65 @@ object ExtensionQueries {
                 CAST(max(len) AS BIGINT) AS longest_streak,
                 CAST(arg_max(len, streak_end) AS BIGINT) AS last_streak_len
          FROM st GROUP BY user_id""",
+    "q97_bfs_hops" ->
+      """WITH pairs AS (
+           SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                           's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM lineitem),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         h0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS node,
+                       CAST(0 AS BIGINT) AS hop
+                FROM lineitem WHERE l_suppkey < 5),
+         h1 AS (SELECT node, min(hop) AS hop FROM (
+                  SELECT node, hop FROM h0
+                  UNION ALL
+                  SELECT e.dst, h.hop + 1 FROM edges e
+                  JOIN h0 h ON h.node = e.src) GROUP BY node),
+         h2 AS (SELECT node, min(hop) AS hop FROM (
+                  SELECT node, hop FROM h1
+                  UNION ALL
+                  SELECT e.dst, h.hop + 1 FROM edges e
+                  JOIN h1 h ON h.node = e.src) GROUP BY node),
+         h3 AS (SELECT node, min(hop) AS hop FROM (
+                  SELECT node, hop FROM h2
+                  UNION ALL
+                  SELECT e.dst, h.hop + 1 FROM edges e
+                  JOIN h2 h ON h.node = e.src) GROUP BY node)
+         SELECT node, CAST(hop AS BIGINT) AS hop FROM h3""",
+    "q98_band_join" ->
+      """WITH a AS (SELECT event_id AS a_id, CAST(ts AS DATE) AS day,
+                           CAST(round(value * 100) AS BIGINT) AS a_cents
+                    FROM events WHERE event_type = 'purchase'
+                      AND CAST(round(value * 100) AS BIGINT) < 2000),
+         b AS (SELECT event_id AS b_id, CAST(ts AS DATE) AS day,
+                      CAST(round(value * 100) AS BIGINT) AS b_cents
+               FROM events WHERE event_type = 'error')
+         SELECT a_id, b_id, day, a_cents - b_cents AS diff_cents
+         FROM a JOIN b USING (day)
+         WHERE abs(a_cents - b_cents) <= 200""",
+    "q99_equi_depth" ->
+      """SELECT event_type, bucket, count(*) AS n,
+                round(min(value), 2) AS lo, round(max(value), 2) AS hi
+         FROM (SELECT event_type, value,
+                      CAST(ntile(10) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS BIGINT) AS bucket
+               FROM events)
+         GROUP BY event_type, bucket""",
+    "q100_share_of_total" ->
+      """WITH pn AS (
+           SELECT r_name, n_name,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS nation_cents
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation   ON s_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name)
+         SELECT r_name, n_name, nation_cents,
+                CAST((nation_cents * 10000)
+                     // sum(nation_cents) OVER (PARTITION BY r_name)
+                     AS BIGINT) AS share_bp
+         FROM pn""",
   )
 }

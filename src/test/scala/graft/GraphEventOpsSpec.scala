@@ -36,6 +36,18 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(ranks("c") == 1254999L)
   }
 
+  test("bfsHops: min hop from sources, bounded by round count") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val sources = Seq("a").toDF("node")
+    val h3 = Graph.bfsHops(edges, sources, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(h3 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    val h2 = Graph.bfsHops(edges, sources, rounds = 2)
+      .as[(String, Long)].collect().toMap
+    assert(h2 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L)) // d unreached yet
+  }
+
   test("bipartiteEdges dedups multi-edges and prefixes both key spaces") {
     val facts = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("pk", "sk")
     val edges = Graph.bipartiteEdges(facts, "pk", "sk", "p", "s")

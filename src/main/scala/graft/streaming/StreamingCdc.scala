@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.operators.EventOps
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuously apply an I/U/D changelog stream to a keyed parquet
+  * snapshot — the streaming twin of [[EventOps.cdcApply]] (q90).
+  *
+  * Each micro-batch unions the current snapshot (whose rows carry the
+  * `ts`/`event_id` that last won) with the batch and re-runs the
+  * last-op-wins merge, so a key's winner can only be replaced by a
+  * LATER log entry and a trailing D removes it. foreachBatch delivery
+  * is at-least-once; the merge is idempotent under batch replay (the
+  * checkpoint replays at most the last batch, and re-applying it picks
+  * the same winners), the same contract StreamingIncrementalDedup
+  * documents.
+  *
+  * Scale shape: the merge shuffles on the key column only; at lake
+  * scale the overwrite becomes a partition-scoped swap
+  * (TableStore.upsertPartitioned's checked-rename pattern) instead of
+  * a whole-snapshot rewrite. The merged frame is materialized (eager
+  * localCheckpoint) BEFORE the overwrite so the write never reads the
+  * directory it is replacing.
+  */
+object StreamingCdc {
+
+  def run(
+      changelog: DataFrame, // keyCol, ts, event_id, opCol, payload…
+      snapshotDir: String,
+      keyCol: String,
+      opCol: String,
+      checkpointDir: String): StreamingQuery =
+    changelog.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cur =
+          if (new java.io.File(snapshotDir).exists())
+            spark.read.parquet(snapshotDir)
+          else spark.createDataFrame(
+            new java.util.ArrayList[Row](), batch.schema)
+        val merged = EventOps
+          .cdcApply(cur.unionByName(batch.toDF()), keyCol, opCol)
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(snapshotDir)
+        ()
+      }
+      .start()
+}

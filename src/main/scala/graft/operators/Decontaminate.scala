@@ -41,16 +41,20 @@ object Decontaminate {
       .select(col("doc_id"), xxhash64(col("sh")).as("gh"))
 
   /** The corpus rows sharing NO word-`n`-gram with `evalDocs` — the
-    * documents safe to train on. The bloom is built by one aggregation
-    * over the eval grams (the index-build half of the split; a real
-    * deployment persists it beside the benchmark table and rebuilds
-    * only when the benchmark changes). */
+    * documents safe to train on. The eval gram set is materialized
+    * once (localCheckpoint) and then feeds three consumers — the size
+    * count, the bloom build, and the verify join — without re-running
+    * the explode+distinct each time. "Exact" is hash-exact: grams are
+    * compared as xxhash64 values, the same 2⁻⁶⁴-collision trade q26
+    * and q43 document (verify on raw gram strings to remove it, at
+    * the cost of shuffling strings instead of longs). */
   def bloomClean(
       corpus: DataFrame,
       evalDocs: DataFrame,
       n: Int = 6,
       fpp: Double = 0.01): DataFrame = {
     val evalGrams = gramHashes(evalDocs, n).select(col("gh")).distinct()
+      .localCheckpoint()
     val expected = math.max(evalGrams.count(), 1L)
     val bf = evalGrams.stat.bloomFilter("gh", expected, fpp)
     val bytes = {
@@ -60,7 +64,7 @@ object Decontaminate {
     }
     val contaminated = gramHashes(corpus, n)
       .filter(bloom_might_contain(bytes, col("gh")))
-      .join(evalGrams, "gh") // exact verify: kills bloom false positives
+      .join(evalGrams, "gh") // hash-exact verify: kills bloom false positives
       .select(col("doc_id"))
       .distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")

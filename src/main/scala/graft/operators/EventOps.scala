@@ -196,8 +196,12 @@ object EventOps {
         sum(col("cents") * col("graft_dt")).as("graft_wsum"))
       // basis points by integer floor division — a float division here
       // lands on .xxxx5 round-half boundaries that DuckDB (binary
-      // round) and Spark (decimal-string round) settle differently
-      .withColumn("twa_bp", expr("(graft_wsum * 100) div held_seconds"))
+      // round) and Spark (decimal-string round) settle differently.
+      // held_seconds can be 0 (all gaps sub-second → dt 0): guard or
+      // ANSI mode turns the whole query into a DIVIDE_BY_ZERO
+      .withColumn("twa_bp",
+        when(col("held_seconds") > 0,
+          expr("(graft_wsum * 100) div held_seconds")))
       .drop("graft_wsum")
   }
 

@@ -859,8 +859,9 @@ object ExtensionQueries {
     EventOps.activityStreaks(t(s, dir, "events"))
 
   /** Bounded BFS over the part↔supplier graph: hop distance from the
-    * first five suppliers, 3 frontier rounds — min-propagation (the
-    * other Pregel shape next to q87's sum-propagation). */
+    * source suppliers (suppkey 1-4; TPC-H keys are 1-based), 3
+    * frontier rounds — min-propagation (the other Pregel shape next
+    * to q87's sum-propagation). */
   val q97BfsHops: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
     val sources = li.filter(col("l_suppkey") < 5)
@@ -891,11 +892,12 @@ object ExtensionQueries {
     val aB = a.withColumn("bucket",
       explode(array((-1 to 1).map(d => expr(s"(a_cents div 200) + $d")): _*)))
     val bB = b.withColumn("bucket", expr("b_cents div 200"))
+    // no dedup needed: the probe side carries ONE bucket and the three
+    // exploded buckets are distinct, so a pair can match at most once
     aB.join(bB, Seq("day", "bucket"))
       .filter(abs(col("a_cents") - col("b_cents")) <= 200)
       .select(col("a_id"), col("b_id"), col("day"),
         (col("a_cents") - col("b_cents")).as("diff_cents"))
-      .distinct() // bucket overlap can pair twice at the boundary
   }
 
   /** Equi-depth histogram (q93's fixed-width twin): ntile(10) buckets
@@ -2166,8 +2168,9 @@ object ExtensionQueries {
            FROM events)
          SELECT user_id, count(*) AS n_held,
                 CAST(sum(nxt - sec) AS BIGINT) AS held_seconds,
-                CAST((sum(cents * (nxt - sec)) * 100) // sum(nxt - sec)
-                     AS BIGINT) AS twa_bp
+                CAST(CASE WHEN sum(nxt - sec) > 0
+                     THEN (sum(cents * (nxt - sec)) * 100) // sum(nxt - sec)
+                     END AS BIGINT) AS twa_bp
          FROM e WHERE nxt IS NOT NULL
          GROUP BY user_id""",
     "q96_streaks" ->

@@ -147,6 +147,20 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(!got.contains(2L))
   }
 
+  test("timeWeightedAvg survives an all-sub-second user (held_seconds 0)") {
+    // both events land in the same epoch second → dt 0; ANSI mode must
+    // not blow up on the basis-point division, twa_bp is null
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.00, "{}"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "view", 3.00, "{}"))
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val rows = EventOps.timeWeightedAvg(ev)
+      .select("user_id", "n_held", "held_seconds").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 1L, 0L)))
+    assert(EventOps.timeWeightedAvg(ev).select("twa_bp").collect().head.isNullAt(0))
+  }
+
   test("activityStreaks: consecutive-day runs, longest and latest") {
     def e(id: Long, day: String) =
       (1L, ts(s"$day 12:00:00"), id, "view", 0.0, "{}")

@@ -46,4 +46,30 @@ class StreamingCdcSpec extends SparkSpec {
       assert(got == Set((1L, "U", 150L), (3L, "I", 300L), (4L, "I", 400L)))
     } finally q.stop()
   }
+
+  test("a crash between the swap renames is recovered from the .old aside") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc2").toString
+    val snap = s"$dir/snapshot"
+    val log = MemoryStream[(Long, Timestamp, Long, String, Long)]
+    val q = StreamingCdc.run(
+      log.toDF().toDF("user_id", "ts", "event_id", "op", "value_cents"),
+      snap, "user_id", "op", s"$dir/ckpt")
+    try {
+      log.addData(Seq((1L, t("2024-01-01 10:00:00"), 1L, "I", 100L)))
+      q.processAllAvailable()
+      // simulate dying after rename(target, old) and before
+      // rename(staged, target): live dir gone, previous state at .old
+      val fs = new org.apache.hadoop.fs.Path(snap)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(snap),
+        new org.apache.hadoop.fs.Path(snap + ".old")))
+      log.addData(Seq((2L, t("2024-01-01 11:00:00"), 2L, "I", 200L)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(snap)
+        .select("user_id", "value_cents").as[(Long, Long)].collect().toSet
+      // without recovery, key 1 would have been silently lost
+      assert(got == Set((1L, 100L), (2L, 200L)))
+    } finally q.stop()
+  }
 }

@@ -82,6 +82,37 @@ object Graph {
     }
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community and each round adopts the most
+    * frequent label among its NEIGHBORS (ties → smallest label), all
+    * nodes updating simultaneously. The third Pregel shape here —
+    * argmax-propagation next to [[pageRank]]'s sum and [[bfsHops]]'s
+    * min — and the deterministic variant of LPA (asynchronous LPA is
+    * order-dependent; synchronized rounds + the min tie-break replay
+    * identically in any engine).
+    *
+    * Scale shape per round: one src-keyed edge join, one
+    * (src, label)-keyed count (map-side partial), one per-src argmax
+    * window over a neighbor-label-count frame bounded by the degree. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint()
+    val init = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("n").desc, col("label"))
+    (1 to rounds).foldLeft(init) { (labels, _) =>
+      e.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("graft_rn", row_number().over(w))
+        .filter(col("graft_rn") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+  }
+
   /** Bounded-depth BFS: minimum hop count from a source node set,
     * `rounds` frontier expansions (nodes further than `rounds` hops
     * are absent from the output). The other Pregel shape next to

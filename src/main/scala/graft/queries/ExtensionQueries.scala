@@ -940,6 +940,54 @@ object ExtensionQueries {
       .select(col("r_name"), col("n_name"), col("nation_cents"), col("share_bp"))
   }
 
+  /** Entity resolution, composed from the shipped parts: blocked fuzzy
+    * pairs (q77's levenshtein matcher) → connected components (q35's
+    * CC) → min-id entity keeper. The record-linkage flagship: "these N
+    * rows are the same real-world thing, keep one". */
+  val q101EntityResolution: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = q77FuzzyPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val groups = DedupGroups.connectedComponents(pairs)
+      .select(col("doc_id"), col("group_id").as("entity_id"))
+    val w = Window.partitionBy(col("entity_id"))
+    docs.select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .withColumn("entity_id", coalesce(col("entity_id"), col("doc_id")))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === col("entity_id"))
+  }
+
+  /** Label propagation over the part↔supplier graph, 2 synchronized
+    * rounds — community detection (argmax propagation; q87 is sum,
+    * q97 is min). */
+  val q102LabelProp: Q = (s, dir) =>
+    Graph.labelPropagation(
+      Graph.bipartiteEdges(t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", "p", "s"),
+      rounds = 2)
+
+  /** Robust outlier counts per event type: median/MAD instead of q61's
+    * mean/σ (a single extreme value can't move the fence). Median and
+    * MAD are interpolated percentiles rounded to 6 dp BEFORE the
+    * deviation compare, so the fence is engine-stable. */
+  val q103MadOutliers: Q = (s, dir) => {
+    val med = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = t(s, dir, "events")
+      .join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+    t(s, dir, "events")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(round(abs(col("value") - col("med")), 6)
+          > round(col("mad") * 1.4826 * 3, 6), 1L).otherwise(0L)).as("n_outliers"),
+        round(min(col("med")), 2).as("median_v"),
+        round(min(col("mad")), 2).as("mad_v"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1034,6 +1082,9 @@ object ExtensionQueries {
     "q98_band_join" -> q98BandJoin,
     "q99_equi_depth" -> q99EquiDepth,
     "q100_share_of_total" -> q100ShareOfTotal,
+    "q101_entity_resolution" -> q101EntityResolution,
+    "q102_label_prop" -> q102LabelProp,
+    "q103_mad_outliers" -> q103MadOutliers,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2248,5 +2299,66 @@ object ExtensionQueries {
                      // sum(nation_cents) OVER (PARTITION BY r_name)
                      AS BIGINT) AS share_bp
          FROM pn""",
+    "q101_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+           SELECT doc_id, lang, source, substr(text, 1, 24) AS pre
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM p a JOIN p b
+             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           WHERE levenshtein(a.pre, b.pre) <= 14),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(r) AS entity_id FROM reach GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(g.entity_id, d.doc_id) AS entity_id,
+                count(*) OVER (PARTITION BY coalesce(g.entity_id, d.doc_id))
+                  AS n_members,
+                d.doc_id = coalesce(g.entity_id, d.doc_id) AS keep
+         FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id""",
+    "q102_label_prop" ->
+      """WITH pairs AS (
+           SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                           's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM lineitem),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         l1 AS (SELECT node, label FROM (
+                  SELECT e.src AS node, l.label, count(*) AS n,
+                         ROW_NUMBER() OVER (PARTITION BY e.src
+                           ORDER BY count(*) DESC, l.label) AS rn
+                  FROM edges e JOIN l0 l ON l.node = e.dst
+                  GROUP BY e.src, l.label)
+                WHERE rn = 1),
+         l2 AS (SELECT node, label FROM (
+                  SELECT e.src AS node, l.label, count(*) AS n,
+                         ROW_NUMBER() OVER (PARTITION BY e.src
+                           ORDER BY count(*) DESC, l.label) AS rn
+                  FROM edges e JOIN l1 l ON l.node = e.dst
+                  GROUP BY e.src, l.label)
+                WHERE rn = 1)
+         SELECT node, label FROM l2""",
+    "q103_mad_outliers" ->
+      """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6)
+                        AS med
+                      FROM events GROUP BY event_type),
+         mad AS (SELECT e.event_type, m.med,
+                        round(quantile_cont(abs(e.value - m.med), 0.5), 6)
+                          AS mad
+                 FROM events e JOIN med m USING (event_type)
+                 GROUP BY e.event_type, m.med)
+         SELECT e.event_type, count(*) AS n,
+                CAST(sum(CASE WHEN round(abs(e.value - m.med), 6)
+                          > round(m.mad * 1.4826 * 3, 6)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                round(min(m.med), 2) AS median_v,
+                round(min(m.mad), 2) AS mad_v
+         FROM events e JOIN mad m USING (event_type)
+         GROUP BY e.event_type""",
   )
 }

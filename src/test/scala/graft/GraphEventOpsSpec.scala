@@ -36,6 +36,20 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(ranks("c") == 1254999L)
   }
 
+  test("labelPropagation: neighbor-majority labels, min tie-break, synchronized rounds") {
+    val pairs = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val r1 = Graph.labelPropagation(edges, rounds = 1)
+      .as[(String, String)].collect().toMap
+    // leaves see only c; c ties across l1/l2/l3 → min label l1
+    assert(r1 == Map("l1" -> "c", "l2" -> "c", "l3" -> "c", "c" -> "l1"))
+    val r2 = Graph.labelPropagation(edges, rounds = 2)
+      .as[(String, String)].collect().toMap
+    // synchronous LPA oscillates on bipartite structure — by design,
+    // and exactly reproducible (the determinism is what's under test)
+    assert(r2 == Map("l1" -> "l1", "l2" -> "l1", "l3" -> "l1", "c" -> "c"))
+  }
+
   test("bfsHops: min hop from sources, bounded by round count") {
     val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"))
     val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")

@@ -92,23 +92,24 @@ object Graph {
     * identically in any engine).
     *
     * Scale shape per round: one src-keyed edge join, one
-    * (src, label)-keyed count (map-side partial), one per-src argmax
-    * window over a neighbor-label-count frame bounded by the degree. */
+    * (src, label)-keyed count (map-side partial), then a per-src
+    * `min_by` argmax — an aggregation, not a rank window, so there is
+    * no per-partition sort and the partial aggregates combine
+    * map-side. min_by(label, (-n, label)) == "max count, ties to the
+    * smallest label" because struct ordering is lexicographic. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "labelPropagation needs at least one round")
     val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
       .localCheckpoint()
     val init = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src"))
-      .orderBy(col("n").desc, col("label"))
     (1 to rounds).foldLeft(init) { (labels, _) =>
       e.join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("graft_rn", row_number().over(w))
-        .filter(col("graft_rn") === 1)
+        .groupBy(col("src"))
+        .agg(min_by(col("label"),
+          struct((-col("n")).as("a"), col("label").as("b"))).as("label"))
         .select(col("src").as("node"), col("label"))
     }
   }

@@ -988,6 +988,124 @@ object ExtensionQueries {
         round(min(col("mad")), 2).as("mad_v"))
   }
 
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent STRICTLY PRIOR non-purchase event (the touch), bucketed to
+    * 'none' when the touch is absent or older than 7 days — the
+    * union-window trick (one user-keyed shuffle), then one equi-join
+    * back for the touch's channel with a max-event_id tie-break. */
+  val q104Attribution: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = ev
+      .withColumn("touch_ts",
+        max(when(col("event_type") =!= "purchase", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("bigint").as("cents"), col("touch_ts"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_id").as("t_id"), col("event_type").as("channel"))
+    val tieW = Window.partitionBy(col("p_id")).orderBy(col("t_id").desc)
+    purchases
+      .join(touches, Seq("user_id", "touch_ts"), "left")
+      .withColumn("graft_rn", row_number().over(tieW))
+      .filter(col("graft_rn") === 1)
+      .withColumn("attr_channel",
+        when(col("touch_ts").isNull
+          || col("touch_ts") < col("ts") - expr("INTERVAL 7 DAYS"), "none")
+          .otherwise(col("channel")))
+      .groupBy(col("attr_channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+  }
+
+  /** RFM segmentation: per purchasing user, recency (days since last
+    * purchase, anchored to the global latest event day), frequency,
+    * monetary cents; quintile scores on engine-stable orders. The
+    * ntile windows are global BUT run on the post-aggregate user frame
+    * (one row per purchasing user — dimension-sized by construction,
+    * q64's precedent); the event-scale work is all in the keyed agg. */
+  val q105Rfm: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val anchor = ev.agg(max(col("ts").cast("date")).as("anchor_day"))
+    val rfm = ev.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(anchor))
+      .groupBy(col("user_id"))
+      .agg(datediff(first(col("anchor_day")), max(col("ts").cast("date")))
+        .cast("bigint").as("r_days"),
+        count(lit(1)).as("f_n"),
+        sum(round(col("value") * 100).cast("bigint")).as("m_cents"))
+    def q(c: String, asc: Boolean) = ntile(5).over(
+      Window.orderBy(if (asc) col(c).asc else col(c).desc, col("user_id")))
+      .cast("bigint")
+    rfm.select(col("user_id"), col("r_days"), col("f_n"), col("m_cents"),
+      q("r_days", asc = true).as("r_q"),   // recent buyers score high…
+      q("f_n", asc = false).as("f_q"),     // …frequent and big spenders too
+      q("m_cents", asc = false).as("m_q"))
+  }
+
+  /** Period-over-period: per event type and day, count vs the previous
+    * PRESENT day (lag) and vs exactly 7 days earlier (self equi-join —
+    * value-based, absent → null), deltas in basis points with an
+    * ANSI-safe guard. */
+  val q106PeriodOverPeriod: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val weekAgo = daily.select(col("event_type").as("graft_et"),
+      col("day").as("graft_wday"), col("n").as("n_w"))
+    daily
+      .withColumn("n_prev", lag(col("n"), 1).over(w))
+      .join(weekAgo,
+        col("event_type") === col("graft_et")
+          && col("graft_wday") === date_sub(col("day"), 7), "left")
+      .drop("graft_et", "graft_wday")
+      // sign-split so negative deltas divide on a positive numerator:
+      // Spark's div truncates toward zero, DuckDB's // floors — they
+      // only agree when the numerator is non-negative
+      .withColumn("dod_bp",
+        when(col("n_prev") > 0,
+          expr("""CASE WHEN n >= n_prev
+                  THEN ((n - n_prev) * 10000) div n_prev
+                  ELSE -(((n_prev - n) * 10000) div n_prev) END""")))
+      .withColumn("wow_bp",
+        when(col("n_w") > 0,
+          expr("""CASE WHEN n >= n_w
+                  THEN ((n - n_w) * 10000) div n_w
+                  ELSE -(((n_w - n) * 10000) div n_w) END""")))
+      .select(col("event_type"), col("day"), col("n"),
+        col("n_prev"), col("n_w"), col("dod_bp"), col("wow_bp"))
+  }
+
+  /** Funnel stage timing: for users completing the strict
+    * view → click → purchase chain (q54's semantics), seconds spent in
+    * each stage gap, with per-cohort mean (integer div) and exact
+    * median — the "where does the funnel stall" read-out. */
+  val q107FunnelTiming: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    def sec(c: org.apache.spark.sql.Column) =
+      c.cast("timestamp_ltz").cast("long")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t0"))
+      .groupBy(col("user_id")).agg(first(col("t0")).as("t0"), min(col("ts")).as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"))
+      .agg(first(col("t0")).as("t0"), first(col("t1")).as("t1"),
+        min(col("ts")).as("t2"))
+    p.select((sec(col("t1")) - sec(col("t0"))).as("view_to_click_s"),
+        (sec(col("t2")) - sec(col("t1"))).as("click_to_purchase_s"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(view_to_click_s) div count(1)").as("mean_vc_s"),
+        expr("sum(click_to_purchase_s) div count(1)").as("mean_cp_s"),
+        round(expr("percentile(view_to_click_s, 0.5)"), 2).as("med_vc_s"),
+        round(expr("percentile(click_to_purchase_s, 0.5)"), 2).as("med_cp_s"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1085,6 +1203,10 @@ object ExtensionQueries {
     "q101_entity_resolution" -> q101EntityResolution,
     "q102_label_prop" -> q102LabelProp,
     "q103_mad_outliers" -> q103MadOutliers,
+    "q104_attribution" -> q104Attribution,
+    "q105_rfm" -> q105Rfm,
+    "q106_period_over_period" -> q106PeriodOverPeriod,
+    "q107_funnel_timing" -> q107FunnelTiming,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2360,5 +2482,94 @@ object ExtensionQueries {
                 round(min(m.mad), 2) AS mad_v
          FROM events e JOIN mad m USING (event_type)
          GROUP BY e.event_type""",
+    "q104_attribution" ->
+      """WITH pe AS (
+           SELECT event_id AS p_id, user_id, ts, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  max(CASE WHEN event_type <> 'purchase' THEN ts END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS touch_ts
+           FROM events),
+         p AS (SELECT * FROM pe WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, ts AS touch_ts, event_id AS t_id,
+                        event_type AS channel
+                 FROM events WHERE event_type <> 'purchase'),
+         j AS (SELECT p.p_id, p.ts, p.cents, p.touch_ts, tch.channel,
+                      ROW_NUMBER() OVER (PARTITION BY p.p_id
+                        ORDER BY tch.t_id DESC) AS rn
+               FROM p LEFT JOIN tch
+                 ON p.user_id = tch.user_id AND p.touch_ts = tch.touch_ts)
+         SELECT CASE WHEN touch_ts IS NULL
+                       OR touch_ts < ts - INTERVAL 7 DAY
+                     THEN 'none' ELSE channel END AS attr_channel,
+                count(*) AS n_purchases,
+                CAST(sum(cents) AS BIGINT) AS cents
+         FROM j WHERE rn = 1
+         GROUP BY 1""",
+    "q105_rfm" ->
+      """WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS anchor_day
+                         FROM events),
+         rfm AS (
+           SELECT user_id,
+                  CAST(anchor_day - max(CAST(ts AS DATE)) AS BIGINT)
+                    AS r_days,
+                  count(*) AS f_n,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS m_cents
+           FROM events, anchor WHERE event_type = 'purchase'
+           GROUP BY user_id, anchor_day)
+         SELECT user_id, r_days, f_n, m_cents,
+                CAST(ntile(5) OVER (ORDER BY r_days, user_id) AS BIGINT)
+                  AS r_q,
+                CAST(ntile(5) OVER (ORDER BY f_n DESC, user_id) AS BIGINT)
+                  AS f_q,
+                CAST(ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS BIGINT)
+                  AS m_q
+         FROM rfm""",
+    "q106_period_over_period" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, day, n,
+                      lag(n) OVER (PARTITION BY event_type ORDER BY day)
+                        AS n_prev
+               FROM daily)
+         SELECT l.event_type, l.day, l.n, l.n_prev, w.n AS n_w,
+                CAST(CASE WHEN l.n_prev > 0 THEN
+                       CASE WHEN l.n >= l.n_prev
+                       THEN ((l.n - l.n_prev) * 10000) // l.n_prev
+                       ELSE -(((l.n_prev - l.n) * 10000) // l.n_prev) END
+                     END AS BIGINT) AS dod_bp,
+                CAST(CASE WHEN w.n > 0 THEN
+                       CASE WHEN l.n >= w.n
+                       THEN ((l.n - w.n) * 10000) // w.n
+                       ELSE -(((w.n - l.n) * 10000) // w.n) END
+                     END AS BIGINT) AS wow_bp
+         FROM l LEFT JOIN daily w
+           ON w.event_type = l.event_type AND w.day = l.day - 7""",
+    "q107_funnel_timing" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(v.t0) AS t0, min(e.ts) AS t1
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t0
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(c.t0) AS t0, min(c.t1) AS t1,
+                      min(e.ts) AS t2
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t1
+               GROUP BY e.user_id),
+         g AS (SELECT epoch_us(t1) // 1000000 - epoch_us(t0) // 1000000
+                        AS vc,
+                      epoch_us(t2) // 1000000 - epoch_us(t1) // 1000000
+                        AS cp
+               FROM p)
+         SELECT count(*) AS n_users,
+                CAST(sum(vc) // count(*) AS BIGINT) AS mean_vc_s,
+                CAST(sum(cp) // count(*) AS BIGINT) AS mean_cp_s,
+                round(quantile_cont(vc, 0.5), 2) AS med_vc_s,
+                round(quantile_cont(cp, 0.5), 2) AS med_cp_s
+         FROM g""",
   )
 }

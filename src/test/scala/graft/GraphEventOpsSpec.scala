@@ -204,5 +204,39 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(got(4L))
   }
 
+  test("band-join bucket decomposition equals the naive range join") {
+    // deterministic pseudo-random amounts; the bucketed equi-join +
+    // exact filter must reproduce the naive |a-b|<=band cross-filter
+    def amounts(salt: Int, n: Int): Seq[(Long, Long)] =
+      (1 to n).map(i => (i.toLong + salt * 1000,
+        math.abs((i * 2654435761L + salt) % 1999)))
+    val a = amounts(1, 120).toDF("a_id", "a_cents")
+    val b = amounts(2, 150).toDF("b_id", "b_cents")
+    val naive = a.crossJoin(b)
+      .filter(abs(col("a_cents") - col("b_cents")) <= 200)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val aB = a.withColumn("bucket",
+      explode(array((-1 to 1).map(d => expr(s"(a_cents div 200) + $d")): _*)))
+    val bB = b.withColumn("bucket", expr("b_cents div 200"))
+    val bucketed = aB.join(bB, "bucket")
+      .filter(abs(col("a_cents") - col("b_cents")) <= 200)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
+  test("pageRank conserves bounded mass and keeps every node") {
+    val facts = (1 to 200).map(i =>
+      (i.toLong % 23, (i.toLong * 7) % 11)).toDF("pk", "sk")
+    val edges = Graph.bipartiteEdges(facts, "pk", "sk", "p", "s")
+    val nNodes = edges.select("src").distinct().count()
+    val ranks = Graph.pageRank(edges, iterations = 3)
+      .as[(String, Long)].collect()
+    assert(ranks.length == nNodes)
+    // every node keeps the teleport floor; floor division only ever
+    // loses mass, so the total can't exceed the initial 1e6 per node
+    assert(ranks.forall(_._2 >= 150000L))
+    assert(ranks.map(_._2).sum <= nNodes * 1000000L)
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

@@ -42,6 +42,20 @@ object EventOps {
     * user-keyed joins reuses the same hash partitioning. No windows
     * over the full event stream. */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    // ascending fold wraps the LAST step outermost: the deepest
+    // non-null step timestamp wins
+    val stage = steps.indices.foldLeft(lit(0L): org.apache.spark.sql.Column) {
+      (acc, i) => when(col(s"t$i").isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    funnelTimes(events, steps).select(col("user_id"), stage.as("stage"))
+  }
+
+  /** The strict-chain recurrence behind [[funnel]], exposed per stage:
+    * one row per user with nullable first-qualifying timestamps
+    * `t0..tn` (ti null ⇒ every tj>i null too) — the single source of
+    * the chain semantics, so stage classification (q54) and stage-gap
+    * timing (q107) can't drift apart. */
+  def funnelTimes(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val firsts = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
       case (acc, (step, i)) =>
@@ -55,15 +69,9 @@ object EventOps {
         scoped.groupBy(col("user_id")).agg(min(col("ts")).as(s"t$i")) :: acc
     }.reverse
     val users = events.select(col("user_id")).distinct()
-    val joined = firsts.zipWithIndex.foldLeft(users) { case (df, (f, i)) =>
+    firsts.zipWithIndex.foldLeft(users) { case (df, (f, i)) =>
       df.join(f.select(col("user_id"), col(s"t$i")), Seq("user_id"), "left")
     }
-    // ascending fold wraps the LAST step outermost: the deepest
-    // non-null step timestamp wins
-    val stage = steps.indices.foldLeft(lit(0L): org.apache.spark.sql.Column) {
-      (acc, i) => when(col(s"t$i").isNotNull, lit((i + 1).toLong)).otherwise(acc)
-    }
-    joined.select(col("user_id"), stage.as("stage"))
   }
 
   /** Interval join: for each `probeType` event, count the user's
@@ -163,6 +171,46 @@ object EventOps {
       .withColumn("graft_tot", sum(col("n")).over(wSrc))
       .withColumn("p_bp", expr("(n * 10000) div graft_tot"))
       .drop("graft_tot")
+  }
+
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent STRICTLY PRIOR (by ts, event_id) non-purchase event,
+    * bucketed to 'none' when the touch is absent or older than the
+    * lookback. The union-window computes the touch timestamp in one
+    * user-keyed pass; the join back for the channel carries the order
+    * constraint too — at an equal timestamp the equi-key alone would
+    * also match touches ordered AFTER the purchase. */
+  def lastTouchAttribution(events: DataFrame, lookbackDays: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val purchases = events
+      .withColumn("touch_ts",
+        max(when(col("event_type") =!= "purchase", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("bigint").as("cents"), col("touch_ts"))
+    val touches = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_id").as("t_id"), col("event_type").as("channel"))
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id")).orderBy(col("t_id").desc)
+    purchases
+      .join(touches,
+        purchases("user_id") === touches("user_id")
+          && purchases("touch_ts") === touches("touch_ts")
+          && (touches("touch_ts") < purchases("ts")
+            || touches("t_id") < purchases("p_id")), "left")
+      .drop(touches("user_id")).drop(touches("touch_ts"))
+      .withColumn("graft_rn", row_number().over(tieW))
+      .filter(col("graft_rn") === 1)
+      .withColumn("attr_channel",
+        when(col("touch_ts").isNull
+          || col("touch_ts") < col("ts") - expr(s"INTERVAL $lookbackDays DAYS"),
+          "none")
+          .otherwise(col("channel")))
+      .groupBy(col("attr_channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
   }
 
   /** Duration-weighted value average per user: each event's value is

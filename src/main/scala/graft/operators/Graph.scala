@@ -99,7 +99,10 @@ object Graph {
     * smallest label" because struct ordering is lexicographic. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "labelPropagation needs at least one round")
-    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+    // every round joins on dst (labels are looked up for the neighbor
+    // end), so dst is the layout key — partitioning by src would
+    // reshuffle the edge-sized frame every round
+    val e = edges.repartition(col("dst")).sortWithinPartitions(col("dst"))
       .localCheckpoint()
     val init = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

@@ -984,41 +984,18 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"),
         sum(when(round(abs(col("value") - col("med")), 6)
           > round(col("mad") * 1.4826 * 3, 6), 1L).otherwise(0L)).as("n_outliers"),
-        round(min(col("med")), 2).as("median_v"),
-        round(min(col("mad")), 2).as("mad_v"))
+        // already 6-dp-rounded; a second round to 2 dp would re-open
+        // the .xx5 half-round divergence the 6-dp round closed
+        min(col("med")).as("median_v"),
+        min(col("mad")).as("mad_v"))
   }
 
   /** Last-touch attribution: each purchase credits the user's most
-    * recent STRICTLY PRIOR non-purchase event (the touch), bucketed to
-    * 'none' when the touch is absent or older than 7 days — the
-    * union-window trick (one user-keyed shuffle), then one equi-join
-    * back for the touch's channel with a max-event_id tie-break. */
-  val q104Attribution: Q = (s, dir) => {
-    val ev = t(s, dir, "events")
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val purchases = ev
-      .withColumn("touch_ts",
-        max(when(col("event_type") =!= "purchase", col("ts"))).over(w))
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts"),
-        round(col("value") * 100).cast("bigint").as("cents"), col("touch_ts"))
-    val touches = ev.filter(col("event_type") =!= "purchase")
-      .select(col("user_id"), col("ts").as("touch_ts"),
-        col("event_id").as("t_id"), col("event_type").as("channel"))
-    val tieW = Window.partitionBy(col("p_id")).orderBy(col("t_id").desc)
-    purchases
-      .join(touches, Seq("user_id", "touch_ts"), "left")
-      .withColumn("graft_rn", row_number().over(tieW))
-      .filter(col("graft_rn") === 1)
-      .withColumn("attr_channel",
-        when(col("touch_ts").isNull
-          || col("touch_ts") < col("ts") - expr("INTERVAL 7 DAYS"), "none")
-          .otherwise(col("channel")))
-      .groupBy(col("attr_channel"))
-      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
-  }
+    * recent strictly-prior non-purchase event within a 7-day
+    * lookback — `EventOps.lastTouchAttribution`, where the
+    * same-timestamp order constraint is spec-tested. */
+  val q104Attribution: Q = (s, dir) =>
+    EventOps.lastTouchAttribution(t(s, dir, "events"), lookbackDays = 7)
 
   /** RFM segmentation: per purchasing user, recency (days since last
     * purchase, anchored to the global latest event day), frequency,
@@ -1084,20 +1061,11 @@ object ExtensionQueries {
     * each stage gap, with per-cohort mean (integer div) and exact
     * median — the "where does the funnel stall" read-out. */
   val q107FunnelTiming: Q = (s, dir) => {
-    val ev = t(s, dir, "events")
     def sec(c: org.apache.spark.sql.Column) =
       c.cast("timestamp_ltz").cast("long")
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("t0"))
-      .groupBy(col("user_id")).agg(first(col("t0")).as("t0"), min(col("ts")).as("t1"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("t1"))
-      .groupBy(col("user_id"))
-      .agg(first(col("t0")).as("t0"), first(col("t1")).as("t1"),
-        min(col("ts")).as("t2"))
-    p.select((sec(col("t1")) - sec(col("t0"))).as("view_to_click_s"),
+    EventOps.funnelTimes(t(s, dir, "events"), Seq("view", "click", "purchase"))
+      .filter(col("t2").isNotNull) // chain completers only
+      .select((sec(col("t1")) - sec(col("t0"))).as("view_to_click_s"),
         (sec(col("t2")) - sec(col("t1"))).as("click_to_purchase_s"))
       .agg(count(lit(1)).as("n_users"),
         expr("sum(view_to_click_s) div count(1)").as("mean_vc_s"),
@@ -2478,8 +2446,8 @@ object ExtensionQueries {
                 CAST(sum(CASE WHEN round(abs(e.value - m.med), 6)
                           > round(m.mad * 1.4826 * 3, 6)
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-                round(min(m.med), 2) AS median_v,
-                round(min(m.mad), 2) AS mad_v
+                min(m.med) AS median_v,
+                min(m.mad) AS mad_v
          FROM events e JOIN mad m USING (event_type)
          GROUP BY e.event_type""",
     "q104_attribution" ->
@@ -2499,7 +2467,8 @@ object ExtensionQueries {
                       ROW_NUMBER() OVER (PARTITION BY p.p_id
                         ORDER BY tch.t_id DESC) AS rn
                FROM p LEFT JOIN tch
-                 ON p.user_id = tch.user_id AND p.touch_ts = tch.touch_ts)
+                 ON p.user_id = tch.user_id AND p.touch_ts = tch.touch_ts
+                 AND (tch.touch_ts < p.ts OR tch.t_id < p.p_id))
          SELECT CASE WHEN touch_ts IS NULL
                        OR touch_ts < ts - INTERVAL 7 DAY
                      THEN 'none' ELSE channel END AS attr_channel,

@@ -104,6 +104,30 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(got(("click", "view")) == (1L, 10000L))
   }
 
+  test("lastTouchAttribution never credits a same-timestamp touch ordered after the purchase") {
+    val at = ts("2024-01-01 10:00:00")
+    val ev = Seq(
+      (1L, at, 100L, "view", 0.0, "{}"),       // prior touch (same ts, id < purchase)
+      (1L, at, 101L, "purchase", 5.0, "{}"),
+      (1L, at, 102L, "click", 0.0, "{}"),      // AFTER the purchase — must not win
+      (2L, ts("2024-02-01 10:00:00"), 200L, "purchase", 7.0, "{}")) // no touch → none
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val got = EventOps.lastTouchAttribution(ev, lookbackDays = 7)
+      .select("attr_channel", "n_purchases", "cents")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("view", 1L, 500L), ("none", 1L, 700L)))
+  }
+
+  test("lastTouchAttribution buckets a stale touch beyond the lookback to none") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (1L, ts("2024-01-20 10:00:00"), 2L, "purchase", 3.0, "{}")) // 19 days later
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val got = EventOps.lastTouchAttribution(ev, lookbackDays = 7)
+      .select("attr_channel").as[String].collect().toSeq
+    assert(got == Seq("none"))
+  }
+
   test("cdcApply: last op wins and a trailing delete removes the key") {
     val log = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "I", 100L),

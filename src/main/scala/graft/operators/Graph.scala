@@ -35,6 +35,25 @@ object Graph {
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** [[bipartiteEdges]] keeping multiplicity: the pair's fact count
+    * becomes the edge weight `w` (for [[pageRankWeighted]] — a
+    * supplier shipping a part 60× matters 60× more than a one-off). */
+  def bipartiteEdgesWeighted(
+      facts: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftPrefix: String,
+      rightPrefix: String): DataFrame = {
+    val pairs = facts
+      .select(
+        concat(lit(leftPrefix), col(leftKey).cast("string")).as("a"),
+        concat(lit(rightPrefix), col(rightKey).cast("string")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+    pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+  }
+
   /** PageRank over an edge list (`src`, `dst`), `iterations` unrolled
     * rounds, damping as an integer percent (85 = 0.85).
     *
@@ -57,25 +76,37 @@ object Graph {
     * graph at sf0.1). Blocks are ContextCleaner-released when the
     * frame is GC'd; on a cluster with executor churn, a persisted/
     * bucketed edge TABLE (the ANN index-build split) replaces this. */
-  def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame =
+    // contrib with w ≡ 1 reduces to rank·d div (100·deg) exactly
+    pageRankWeighted(edges.withColumn("w", lit(1L)), iterations, dampingPct)
+
+  /** Weighted PageRank: each out-edge carries a positive integer
+    * weight `w` and receives a weight-proportional share of its
+    * source's rank — contrib = rank · dampingPct · w div (100 · Σw).
+    * Still all-integer (rank ≤ total mass ≈ n·10⁶, times 85·w stays
+    * far under 2⁶³), still bit-replayable.
+    *
+    * Scale shape: the iteration-invariant out-weight total is joined
+    * into the edge list ONCE, pre-partitioned by src, so each round is
+    * exactly one src-keyed join against the node-sized rank frame plus
+    * one dst-keyed partial aggregation — nothing edge-sized moves
+    * again. */
+  def pageRankWeighted(
+      edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
     val e0 = edges.localCheckpoint()
-    val degrees = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // out-degree is iteration-invariant: join it into the edge list
-    // ONCE, pre-partitioned by src, so each round is exactly one
-    // src-keyed join against the (node-sized) rank frame plus one
-    // dst-keyed partial aggregation — nothing edge-sized moves again
-    val e = e0.join(degrees, "src")
+    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val e = e0.join(outW, "src")
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .localCheckpoint()
     val baseRank = (100L - dampingPct) * 10000L
-    val init = degrees.select(col("src").as("node"), lit(1000000L).as("rank"))
+    val init = outW.select(col("src").as("node"), lit(1000000L).as("rank"))
     (1 to iterations).foldLeft(init) { (ranks, _) =>
       e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
-          expr(s"(rank * $dampingPct) div (100 * deg)").as("contrib"))
+          expr(s"(rank * $dampingPct * w) div (100 * wsum)").as("contrib"))
         .groupBy(col("dst"))
         .agg((sum(col("contrib")) + lit(baseRank)).as("rank"))
         .select(col("dst").as("node"), col("rank"))

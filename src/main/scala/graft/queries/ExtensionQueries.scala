@@ -769,6 +769,16 @@ object ExtensionQueries {
       iterations = 3)
       .select(col("node"), col("rank").as("pr"))
 
+  /** Weighted PageRank: q87's graph keeping pair multiplicity as the
+    * edge weight — a supplier's rank share is proportional to how
+    * often it actually ships the part. */
+  val q108PagerankWeighted: Q = (s, dir) =>
+    Graph.pageRankWeighted(
+      Graph.bipartiteEdgesWeighted(t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", "p", "s"),
+      iterations = 3)
+      .select(col("node"), col("rank").as("pr"))
+
   /** First-order Markov next-event model: per-(src → dst) transition
     * counts and conditional probability in basis points. */
   val q88Markov: Q = (s, dir) =>
@@ -1175,6 +1185,7 @@ object ExtensionQueries {
     "q105_rfm" -> q105Rfm,
     "q106_period_over_period" -> q106PeriodOverPeriod,
     "q107_funnel_timing" -> q107FunnelTiming,
+    "q108_pagerank_weighted" -> q108PagerankWeighted,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2540,5 +2551,29 @@ object ExtensionQueries {
                 round(quantile_cont(vc, 0.5), 2) AS med_vc_s,
                 round(quantile_cont(cp, 0.5), 2) AS med_cp_s
          FROM g""",
+    "q108_pagerank_weighted" ->
+      """WITH pairs AS (
+           SELECT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b,
+                  count(*) AS w
+           FROM lineitem GROUP BY 1, 2),
+         edges AS (SELECT a AS src, b AS dst, w FROM pairs
+                   UNION ALL SELECT b, a, w FROM pairs),
+         ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+                FROM edges GROUP BY src),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM ws),
+         it1 AS (SELECT e.dst AS node,
+                        150000 + sum((r.pr * 85 * e.w) // (100 * d.wsum)) AS pr
+                 FROM edges e JOIN r0 r ON r.node = e.src
+                 JOIN ws d ON d.src = e.src GROUP BY e.dst),
+         it2 AS (SELECT e.dst AS node,
+                        150000 + sum((r.pr * 85 * e.w) // (100 * d.wsum)) AS pr
+                 FROM edges e JOIN it1 r ON r.node = e.src
+                 JOIN ws d ON d.src = e.src GROUP BY e.dst),
+         it3 AS (SELECT e.dst AS node,
+                        150000 + sum((r.pr * 85 * e.w) // (100 * d.wsum)) AS pr
+                 FROM edges e JOIN it2 r ON r.node = e.src
+                 JOIN ws d ON d.src = e.src GROUP BY e.dst)
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM it3""",
   )
 }

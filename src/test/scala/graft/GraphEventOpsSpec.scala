@@ -36,6 +36,20 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(ranks("c") == 1254999L)
   }
 
+  test("pageRankWeighted splits rank proportionally to edge weight") {
+    // star c—l1 (w 3), c—l2 (w 1), both directions
+    val pairs = Seq(("c", "l1", 3L), ("c", "l2", 1L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .toDF("src", "dst", "w")
+    val ranks = Graph.pageRankWeighted(edges, iterations = 1)
+      .as[(String, Long)].collect().toMap
+    // l1: 150000 + (1e6·85·3) div (100·4) = 787500
+    // l2: 150000 + (1e6·85·1) div (100·4) = 362500
+    // c:  150000 + 850000 + 850000      = 1850000   (mass conserved: 3e6)
+    assert(ranks == Map("l1" -> 787500L, "l2" -> 362500L, "c" -> 1850000L))
+    assert(ranks.values.sum == 3000000L)
+  }
+
   test("labelPropagation: neighbor-majority labels, min tie-break, synchronized rounds") {
     val pairs = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"))
     val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")

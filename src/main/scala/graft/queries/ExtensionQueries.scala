@@ -1084,6 +1084,54 @@ object ExtensionQueries {
         round(expr("percentile(click_to_purchase_s, 0.5)"), 2).as("med_cp_s"))
   }
 
+  /** Per-type value trend: least-squares slope of value (cents) over
+    * the event day — the drift monitor. Every co-moment is a sum of
+    * INTEGER products (epoch day × cents), so both engines accumulate
+    * exactly and only the final slope division is float. */
+  val q109TrendSlope: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        round(col("value") * 100).cast("bigint").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("slope_cents_per_day"))
+
+  /** Daily new-user counts and the running total — first-seen
+    * bucketing plus one cumulative window over the day-cardinality
+    * frame (the growth-curve read-out). */
+  val q110NewUsers: Q = (s, dir) => {
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+  }
+
+  /** Market-basket co-occurrence: event-type pairs appearing in the
+    * same (user, day) basket, counted once per basket — the
+    * set-co-occurrence twin of q62's sequential bigrams. */
+  val q111Baskets: Q = (s, dir) => {
+    val items = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        col("event_type")).distinct()
+    val a = items.select(col("user_id"), col("day"), col("event_type").as("et_a"))
+    val b = items.select(col("user_id"), col("day"), col("event_type").as("et_b"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("et_a") < col("et_b"))
+      .groupBy(col("et_a"), col("et_b"))
+      .agg(count(lit(1)).as("support"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1186,6 +1234,9 @@ object ExtensionQueries {
     "q106_period_over_period" -> q106PeriodOverPeriod,
     "q107_funnel_timing" -> q107FunnelTiming,
     "q108_pagerank_weighted" -> q108PagerankWeighted,
+    "q109_trend_slope" -> q109TrendSlope,
+    "q110_new_users" -> q110NewUsers,
+    "q111_baskets" -> q111Baskets,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2575,5 +2626,42 @@ object ExtensionQueries {
                  FROM edges e JOIN it2 r ON r.node = e.src
                  JOIN ws d ON d.src = e.src GROUP BY e.dst)
          SELECT node, CAST(pr AS BIGINT) AS pr FROM it3""",
+    "q109_trend_slope" ->
+      """WITH m AS (
+           SELECT event_type,
+                  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y
+           FROM events),
+         s AS (SELECT event_type, count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM m GROUP BY event_type)
+         SELECT event_type, n,
+                CASE WHEN n * sxx - sx * sx <> 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                END AS slope_cents_per_day
+         FROM s""",
+    "q110_new_users" ->
+      """WITH firsts AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+                         FROM events GROUP BY user_id),
+         daily AS (SELECT day, count(*) AS n_new FROM firsts GROUP BY day)
+         SELECT day, n_new,
+                CAST(sum(n_new) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_users
+         FROM daily""",
+    "q111_baskets" ->
+      """WITH items AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                               event_type
+                        FROM events)
+         SELECT a.event_type AS et_a, b.event_type AS et_b,
+                count(*) AS support
+         FROM items a JOIN items b
+           ON a.user_id = b.user_id AND a.day = b.day
+           AND a.event_type < b.event_type
+         GROUP BY 1, 2""",
   )
 }

@@ -30,9 +30,14 @@ object Bench {
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    // dev-only subset filter (unset by the driver), same as Verify's
+    // dev-only subset filter (unset by the driver), same as Verify's.
+    // Recorded in the emitted JSON ("filter" key) so a leaked filter
+    // can never masquerade as a full official run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    only.foreach(f => System.err.println(
+      s"[bench] WARNING: SPARK_GRAFT_ONLY is set — measuring only ${f.size} " +
+        s"of ${SparkEntry.queries.size} queries; this is NOT a full bench"))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -53,7 +58,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val filt = only.map(f =>
+      s""","filter":"${f.toSeq.sorted.mkString(",")}"""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filt}""")
     spark.stop()
   }
 }

@@ -21,6 +21,25 @@ object Verify {
     // queries while iterating, e.g. SPARK_GRAFT_ONLY=q85_bloom_clean,q87_pagerank
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    // A filtered run must not leave stale parquet from earlier full runs
+    // for the queries it skips — a downstream compare would silently mix
+    // old and new outputs. Delete skipped dirs and leave a PARTIAL marker.
+    only.foreach { f =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY is set — dumping only ${f.size} " +
+          s"of ${SparkEntry.queries.size} queries; this is NOT a full run")
+      SparkEntry.queries.keys.filterNot(f.contains).foreach { skipped =>
+        val d = Paths.get(s"$outDir/$skipped")
+        if (Files.exists(d)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/PARTIAL"),
+        f.toSeq.sorted.mkString(",") + "\n")
+    }
+    if (only.isEmpty) Files.deleteIfExists(Paths.get(s"$outDir/PARTIAL"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

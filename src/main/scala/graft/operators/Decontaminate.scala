@@ -14,10 +14,15 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *
   * This is the complement of q43's broadcast-sorted-array intersect:
   * that shape needs the eval grams to fit in one in-memory array per
-  * task; the bloom shape holds a fixed-size bitset (fpp-controlled)
-  * regardless of eval-set cardinality, and the false positives it
-  * admits are removed by the exact verify join — the OUTPUT is exact
-  * either way, only the prefilter data structure changes.
+  * task; the bloom's bitset is sized from the eval gram COUNT (bits
+  * grow linearly with it, at ~10 bits/gram for fpp=0.01 — independent
+  * of corpus size, not of eval-set cardinality), and the false
+  * positives it admits are removed by the exact verify join — the
+  * OUTPUT is exact either way, only the prefilter data structure
+  * changes. The filter is built driver-side and embedded in the plan
+  * as a foldable binary literal, so a very large eval set costs
+  * driver memory and plan size; cap it (or switch to an explicit
+  * broadcast variable) past ~10⁸ grams.
   *
   * Scale shape: the corpus gram explosion is filtered by the bloom in
   * the SAME scan stage (`BloomFilterMightContain` is codegen'd, the

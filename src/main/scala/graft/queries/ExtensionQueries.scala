@@ -1086,12 +1086,17 @@ object ExtensionQueries {
 
   /** Per-type value trend: least-squares slope of value (cents) over
     * the event day — the drift monitor. Every co-moment is a sum of
-    * INTEGER products (epoch day × cents), so both engines accumulate
-    * exactly and only the final slope division is float. */
+    * INTEGER products (centered day × cents), so both engines
+    * accumulate exactly and only the final slope division is float.
+    * x is centered on a fixed recent epoch (2024-01-01) rather than
+    * the Unix epoch: with raw epoch days, sxx grows as n·19700² and
+    * the determinant n·sxx − sx² overflows int64 once a type exceeds
+    * ~150k rows; with |x| ≲ a few thousand it stays exact to billions
+    * of rows per type, and centering leaves the slope unchanged. */
   val q109TrendSlope: Q = (s, dir) =>
     t(s, dir, "events")
       .select(col("event_type"),
-        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
           .cast("long").as("x"),
         round(col("value") * 100).cast("bigint").as("y"))
       .groupBy(col("event_type"))
@@ -2629,7 +2634,7 @@ object ExtensionQueries {
     "q109_trend_slope" ->
       """WITH m AS (
            SELECT event_type,
-                  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+                  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
                   CAST(round(value * 100) AS BIGINT) AS y
            FROM events),
          s AS (SELECT event_type, count(*) AS n,

@@ -61,6 +61,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Cosine range search — every corpus vector within the `minSim`
+    * τ-ball of each query (the radius twin of [[bruteForceTopK]]'s
+    * top-k; dedup sweeps and recall audits ask "everything closer than
+    * τ", not "the 10 closest"). Same scale shape as the brute-force
+    * path: the driver-size query set broadcasts, the corpus is scanned
+    * once with one dot product per (query, vector), and no corpus
+    * shuffle exists — the output is bounded by the threshold, so there
+    * is no rank window at all. Self-matches are excluded. Similarities
+    * are rounded to 6 dp BEFORE the threshold test so float summation
+    * order can never flip a boundary row across engines. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, minSim: Double): DataFrame = {
+    val q = withUnit(
+      queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
+      "qv", "qn")
+    val c = withUnit(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      "v", "vn")
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qn"), col("vn")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Per-cluster mean vectors: (label, centroid array<double>).
     * One partial-aggregated groupBy — the vectors are summed
     * element-wise by [[graft.functions.VectorAgg.vec_sum]] (no

@@ -1137,6 +1137,133 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("support"))
   }
 
+  /** Per-doc Shannon entropy (bits) of the word distribution — the
+    * information-density quality signal (near-zero entropy = repeated
+    * filler; corpus-typical entropy = natural text). One explode + one
+    * (doc, word) hash agg + a doc-partitioned window for the total;
+    * each term is round((c/n)·log₂(n/c), 8) — the 1/p form keeps every
+    * term ≥ +0.0 (a -0.0 would str-sort differently from 0.0 in the
+    * driver compare) and the 8-dp pre-rounding is the cross-engine
+    * add-order discipline, with the sum rounded to 4. */
+  val q112Entropy: Q = (s, dir) => {
+    val wn = Window.partitionBy(col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(wn))
+      .select(col("doc_id"), col("n"),
+        round((col("c").cast("double") / col("n")) *
+          log(2.0, col("n").cast("double") / col("c")), 8).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_words"), count(lit(1)).as("n_distinct"),
+        round(sum(col("term")), 4).as("entropy_bits"))
+  }
+
+  /** Collocation mining: pointwise mutual information of word pairs
+    * co-occurring in a document, over the corpus's 100 most
+    * document-frequent words — top 20 by PMI with support ≥ 5.
+    *
+    * Scale shape: restricting pairs to a top-k vocabulary bounds the
+    * candidate space at k²/2 keys no matter the corpus size (the
+    * unrestricted pair explosion is quadratic in doc vocabulary); the
+    * vocabulary is corpus-wide, tiny, and broadcast, and the pair count
+    * partial-aggregates map-side. PMI divides exact integer counts, so
+    * the only float op is one log, rounded to 6 dp before the ranked
+    * limit (ties at the cut break on the word pair). */
+  val q113Pmi: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val dw = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val top = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(100)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val fw = dw.join(broadcast(top), Seq("w"))
+    val a = fw.select(col("doc_id"), col("w").as("w_a"), col("df").as("df_a"))
+    val b = fw.select(col("doc_id"), col("w").as("w_b"), col("df").as("df_b"))
+    a.join(b, Seq("doc_id")).filter(col("w_a") < col("w_b"))
+      .groupBy(col("w_a"), col("w_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+      .crossJoin(broadcast(nd))
+      .select(col("w_a"), col("w_b"), col("n_ab"), col("df_a"), col("df_b"),
+        round(log(col("n_ab").cast("double") * col("n_docs") /
+          (col("df_a").cast("double") * col("df_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w_a"), col("w_b"))
+      .limit(20)
+  }
+
+  /** Winsorized mean per event type: values clipped at the exact
+    * p05/p95 before averaging — the robust-mean companion to q103's
+    * MAD outliers (clip, don't drop). The percentile pass is one
+    * type-keyed agg over a 5-row result, broadcast back; clipping is
+    * scan-local. Means are rounded to 2 dp (group sums are small
+    * enough that add-order noise sits far below the rounding). */
+  val q114Winsorize: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val pct = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(pct), Seq("event_type"))
+      .select(col("event_type"), col("p05"), col("p95"), col("value"),
+        least(greatest(col("value"), col("p05")), col("p95")).as("wv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("p05")), 2).as("p05_r"),
+        round(min(col("p95")), 2).as("p95_r"),
+        round(avg(col("value")), 2).as("mean_raw"),
+        round(avg(col("wv")), 2).as("mean_winsor"))
+  }
+
+  /** Seasonality profile: event counts and mean value by
+    * (type, day-of-week, hour-of-day) — the load/behavior matrix every
+    * ops dashboard draws. Pure one-pass groupBy on scan-local derived
+    * keys; the group count is bounded at |types|·7·24 regardless of
+    * data size. Spark's dayofweek is 1-based Sunday, shifted to
+    * DuckDB's 0-based dow. The mean is integer cents with floor
+    * division — round(avg(double), 2) sits exactly on the half-cent
+    * boundary for some groups and float add-order flips it across
+    * engines; sum-of-integers div n cannot. */
+  val q115Seasonality: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("bigint").as("dow"),
+        hour(col("ts")).cast("bigint").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("avg_cents"))
+
+  /** Zipf slope per language: least-squares fit of ln(freq) on
+    * ln(rank) over the top-200 words — natural text sits near −1;
+    * machine-generated or template text drifts off. Token counts are
+    * exact integers; ln(rank)/ln(count) are rounded to 8 dp before the
+    * moment sums (the add-order discipline; 200 bounded terms keep the
+    * sums far from the 4-dp rounding of the slope). */
+  val q116Zipf: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("cn").desc, col("w"))
+    t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cn"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 200)
+      .select(col("lang"),
+        round(log(col("rnk").cast("double")), 8).as("x"),
+        round(log(col("cn").cast("double")), 8).as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pts"),
+        round(
+          (count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+            (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))),
+          4).as("zipf_slope"))
+  }
+
+  /** Cosine range search: every corpus vector within sim ≥ 0.3 of the
+    * 5 query vectors — the τ-ball twin of q29's top-k (dedup sweeps
+    * ask "everything closer than τ", not "the 10 closest"). */
+  val q117AnnRange: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.rangeSearch(e.filter(col("vec_id") < 5), e, minSim = 0.3)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1242,6 +1369,12 @@ object ExtensionQueries {
     "q109_trend_slope" -> q109TrendSlope,
     "q110_new_users" -> q110NewUsers,
     "q111_baskets" -> q111Baskets,
+    "q112_entropy" -> q112Entropy,
+    "q113_pmi" -> q113Pmi,
+    "q114_winsorize" -> q114Winsorize,
+    "q115_seasonality" -> q115Seasonality,
+    "q116_zipf" -> q116Zipf,
+    "q117_ann_range" -> q117AnnRange,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2668,5 +2801,86 @@ object ExtensionQueries {
            ON a.user_id = b.user_id AND a.day = b.day
            AND a.event_type < b.event_type
          GROUP BY 1, 2""",
+    "q112_entropy" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+         c AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+         tt AS (SELECT doc_id, c,
+                       CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+                FROM c),
+         e AS (SELECT doc_id, n,
+                      round((CAST(c AS DOUBLE) / n)
+                            * log2(CAST(n AS DOUBLE) / c), 8) AS term
+               FROM tt)
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_words,
+                count(*) AS n_distinct,
+                round(sum(term), 4) AS entropy_bits
+         FROM e GROUP BY doc_id""",
+    "q113_pmi" ->
+      """WITH dw AS (SELECT DISTINCT doc_id,
+                            unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+         df AS (SELECT w, count(*) AS df FROM dw GROUP BY w),
+         top AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 100),
+         fw AS (SELECT dw.doc_id, dw.w, top.df FROM dw JOIN top USING (w)),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         p AS (SELECT a.w AS w_a, b.w AS w_b, a.df AS df_a, b.df AS df_b,
+                      count(*) AS n_ab
+               FROM fw a JOIN fw b
+                 ON a.doc_id = b.doc_id AND a.w < b.w
+               GROUP BY 1, 2, 3, 4
+               HAVING count(*) >= 5)
+         SELECT w_a, w_b, n_ab, df_a, df_b,
+                round(ln(CAST(n_ab AS DOUBLE) * n_docs
+                         / (CAST(df_a AS DOUBLE) * df_b)), 6) AS pmi
+         FROM p, nd
+         ORDER BY pmi DESC, w_a, w_b LIMIT 20""",
+    "q114_winsorize" ->
+      """WITH p AS (SELECT event_type,
+                          quantile_cont(value, 0.05) AS p05,
+                          quantile_cont(value, 0.95) AS p95
+                   FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n,
+                round(min(p.p05), 2) AS p05_r,
+                round(min(p.p95), 2) AS p95_r,
+                round(avg(e.value), 2) AS mean_raw,
+                round(avg(least(greatest(e.value, p.p05), p.p95)), 2)
+                  AS mean_winsor
+         FROM events e JOIN p USING (event_type)
+         GROUP BY e.event_type""",
+    "q115_seasonality" ->
+      """SELECT event_type,
+                CAST(date_part('dow', ts) AS BIGINT) AS dow,
+                CAST(date_part('hour', ts) AS BIGINT) AS hod,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     // count(*) AS BIGINT) AS avg_cents
+         FROM events GROUP BY 1, 2, 3""",
+    "q116_zipf" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+         c AS (SELECT lang, w, count(*) AS cn FROM toks GROUP BY lang, w),
+         r AS (SELECT lang, cn,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY cn DESC, w) AS rnk
+               FROM c),
+         p AS (SELECT lang,
+                      round(ln(CAST(rnk AS DOUBLE)), 8) AS x,
+                      round(ln(CAST(cn AS DOUBLE)), 8) AS y
+               FROM r WHERE rnk <= 200)
+         SELECT lang, count(*) AS n_pts,
+                round((count(*) * sum(x * y) - sum(x) * sum(y))
+                      / (count(*) * sum(x * x) - sum(x) * sum(x)), 4)
+                  AS zipf_slope
+         FROM p GROUP BY lang""",
+    "q117_ann_range" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5)
+         SELECT q_id, vec_id,
+                round(list_cosine_similarity(qv, v), 6) AS sim
+         FROM q, e
+         WHERE vec_id <> q_id
+           AND round(list_cosine_similarity(qv, v), 6) >= 0.3""",
   )
 }

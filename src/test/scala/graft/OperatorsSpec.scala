@@ -159,6 +159,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3)._2 == 0.0)
   }
 
+  test("rangeSearch: τ-ball membership, no self-match, agrees with top-k") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(2.0f, 0.0f), 1), (3L, Array(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.rangeSearch(q, corpus, minSim = 0.5)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    // sims from q0: q2 = 1.0, q3 = .7071, q1 = 0.0; self excluded
+    assert(got.keySet == Set(2L, 3L))
+    assert(got(2L) == 1.0 && math.abs(got(3L) - 0.707107) < 1e-6)
+    // consistency: every top-k hit at sim ≥ τ (minus self) is in the ball
+    val topk = Similarity.bruteForceTopK(q, corpus, k = 4)
+      .filter(col("sim") >= 0.5 && col("vec_id") =!= col("q_id"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(topk == got.keySet)
+  }
+
   test("ivf routes the query to its own tight cluster") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),

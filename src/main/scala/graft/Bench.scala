@@ -53,6 +53,13 @@ object Bench {
             -1.0
         }
       }
+      // each pass rebuilds its plan from scratch, so checkpoint/persist
+      // blocks left by a finished query are garbage — drop them eagerly
+      // or ~100 queries of leftovers crowd the block manager and the
+      // tail of the run measures memory pressure, not the query
+      // (observed: 3.2s standalone vs 12.2s at position 100)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> times.min // steady-state: min filters JIT/GC noise (failures → -1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

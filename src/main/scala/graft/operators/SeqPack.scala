@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy sequence packing — the step between tokenization and
+  * training: documents are packed, in deterministic doc_id order
+  * within a group, into fixed-capacity token sequences. A document
+  * goes into the current pack while it fits; the first overflow
+  * starts the next pack (first-fit, no document splitting — the
+  * boundary-respecting variant next to
+  * [[graft.queries.ExtensionQueries.q41TokenChunks]]'s offset
+  * chunking, which splits mid-document).
+  *
+  * The recurrence (fill resets on overflow) is not expressible as a
+  * window cumsum, so this is the one place the typed API earns its
+  * keep: `flatMapSortedGroups` streams each group's rows through a
+  * per-group O(1) state (running fill + pack counter) in sorted
+  * order. Scale shape: one shuffle on the group key, one
+  * within-partition sort, then a single streamed pass — state never
+  * exceeds two longs per group, so a group of a billion docs packs in
+  * one task without materializing anything. A doc longer than
+  * `capacity` gets a pack of its own.
+  */
+object SeqPack {
+
+  // NOT private: the codegen'd deserializer instantiates this class
+  // from generated Java, which cannot touch a private member
+  case class DocTok(grp: String, doc_id: Long, n_tok: Long)
+
+  /** Pack `docs` by token count within `groupCol` (docs ordered by
+    * doc_id). Output: (grp, doc_id, n_tok, pack_id) with pack_id a
+    * per-group 0-based counter. */
+  def pack(docs: DataFrame, groupCol: String, capacity: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col(groupCol).cast("string").as("grp"), col("doc_id"),
+        TextOps.wordCount(col("text")).as("n_tok"))
+      .as[DocTok]
+      .groupByKey(_.grp)
+      .flatMapSortedGroups($"doc_id") { (_, it) =>
+        var fill = 0L
+        var pid = -1L // first doc always overflows the empty pack
+        it.map { d =>
+          if (pid < 0 || fill + d.n_tok > capacity) { pid += 1; fill = d.n_tok }
+          else fill += d.n_tok
+          (d.grp, d.doc_id, d.n_tok, pid)
+        }
+      }
+      .toDF("grp", "doc_id", "n_tok", "pack_id")
+      .withColumnRenamed("grp", groupCol)
+  }
+}

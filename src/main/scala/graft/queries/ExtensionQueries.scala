@@ -1264,6 +1264,63 @@ object ExtensionQueries {
     Similarity.rangeSearch(e.filter(col("vec_id") < 5), e, minSim = 0.3)
   }
 
+  /** Greedy sequence packing: docs packed into 4096-token training
+    * sequences per language, first-fit in doc_id order, boundaries
+    * respected (q41's offset chunking splits mid-document; this
+    * doesn't). The reset-on-overflow recurrence can't be a window
+    * cumsum — Spark streams it through flatMapSortedGroups with O(1)
+    * state; the oracle replays it as a recursive CTE. */
+  val q118SeqPack: Q = (s, dir) =>
+    SeqPack.pack(t(s, dir, "documents"), "lang", capacity = 4096)
+
+  /** MinHash accuracy audit (q91's contract pattern aimed at dedup):
+    * for every LSH-verified near-dup pair, the 8-seed signature
+    * estimate of Jaccard (matching-seed fraction) against the exact
+    * shingle Jaccard — mean and max absolute error, plus how many
+    * pairs the estimate would misclassify at the 0.2 threshold. All
+    * inputs are exact integer counts; the errors are single IEEE
+    * divisions, rounded before the tiny final agg. */
+  val q119MinhashAcc: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = MinHashLsh.nearDuplicates(docs, threshold = 0.2)
+    val sigs = MinHashLsh.signatures(docs)
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("seed"),
+        col("minhash").as("mh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("seed"),
+        col("minhash").as("mh_b")), Seq("doc_b", "seed"))
+      .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("est"))
+    est
+      .select(col("jaccard"), col("est"),
+        round(abs(col("est") - col("jaccard")), 8).as("err"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("err")), 4).as("mean_abs_err"),
+        round(max(col("err")), 4).as("max_abs_err"),
+        sum(when((col("est") >= 0.2) =!= (col("jaccard") >= 0.2), 1L)
+          .otherwise(0L)).as("n_flipped"))
+  }
+
+  /** Cross-source overlap matrix: for each source pair, how many
+    * distinct 3-word shingles both emit — the corpus-governance
+    * readout that decides which feeds are redundant before paying for
+    * both. Distinct (source, shingle) dedupes map-side, then a
+    * shingle-keyed self-join whose per-key fan-out is bounded by the
+    * SOURCE count (tiny), never by corpus size, so the pair agg is
+    * safe at any scale. */
+  val q120SourceOverlap: Q = (s, dir) => {
+    import graft.functions.WordShingles.word_shingles
+    val sh = t(s, dir, "documents")
+      .select(col("source"), explode(word_shingles(col("text"), 3)).as("g"))
+      .distinct()
+    sh.select(col("source").as("src_a"), col("g"))
+      .join(sh.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1375,6 +1432,9 @@ object ExtensionQueries {
     "q115_seasonality" -> q115Seasonality,
     "q116_zipf" -> q116Zipf,
     "q117_ann_range" -> q117AnnRange,
+    "q118_seq_pack" -> q118SeqPack,
+    "q119_minhash_acc" -> q119MinhashAcc,
+    "q120_source_overlap" -> q120SourceOverlap,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2882,5 +2942,82 @@ object ExtensionQueries {
          FROM q, e
          WHERE vec_id <> q_id
            AND round(list_cosine_similarity(qv, v), 6) >= 0.3""",
+    "q118_seq_pack" ->
+      """WITH RECURSIVE d AS (
+           SELECT lang, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents),
+         rec AS (
+           SELECT lang, doc_id, n_tok, rn,
+                  CAST(0 AS BIGINT) AS pack_id, n_tok AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.lang, d.doc_id, d.n_tok, d.rn,
+                  CASE WHEN rec.fill + d.n_tok > 4096
+                       THEN rec.pack_id + 1 ELSE rec.pack_id END,
+                  CASE WHEN rec.fill + d.n_tok > 4096
+                       THEN d.n_tok ELSE rec.fill + d.n_tok END
+           FROM rec JOIN d ON d.lang = rec.lang AND d.rn = rec.rn + 1)
+         SELECT lang, doc_id, n_tok, pack_id FROM rec""",
+    "q119_minhash_acc" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 1),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         sig AS (
+           SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j),
+         band AS (
+           SELECT doc_id, j // 2 AS band,
+                  md5(string_agg(mh, '|' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2
+           QUALIFY count(*) OVER (PARTITION BY j // 2, md5(string_agg(mh, '|' ORDER BY j))) <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS i
+           FROM cand c
+           JOIN shd x ON x.doc_id = c.doc_a
+           JOIN shd y ON y.doc_id = c.doc_b AND x.sh = y.sh
+           GROUP BY c.doc_a, c.doc_b),
+         sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         ver AS (
+           SELECT doc_a, doc_b,
+                  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+           FROM inter
+           JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2),
+         est AS (
+           SELECT v.doc_a, v.doc_b, v.jaccard,
+                  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*) AS est
+           FROM ver v
+           JOIN sig a ON a.doc_id = v.doc_a
+           JOIN sig b ON b.doc_id = v.doc_b AND b.j = a.j
+           GROUP BY 1, 2, 3),
+         err AS (SELECT jaccard, est,
+                        round(abs(est - jaccard), 8) AS err FROM est)
+         SELECT count(*) AS n_pairs,
+                round(avg(err), 4) AS mean_abs_err,
+                round(max(err), 4) AS max_abs_err,
+                CAST(sum(CASE WHEN (est >= 0.2) <> (jaccard >= 0.2)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped
+         FROM err""",
+    "q120_source_overlap" ->
+      """WITH sh AS (
+           SELECT DISTINCT source,
+                  unnest(list_transform(range(1, len(s) - 1),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+           FROM (SELECT source, string_split(text, ' ') AS s
+                 FROM documents))
+         SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+         GROUP BY 1, 2""",
   )
 }

@@ -177,6 +177,17 @@ class OperatorsSpec extends SparkSpec {
     assert(topk == got.keySet)
   }
 
+  test("seqPack: first-fit by doc_id, overflow starts a pack, oversize doc isolated") {
+    val d = Seq(
+      (1L, "a b", "en"), (2L, "c d", "en"), (3L, "e f", "en"),
+      (4L, "g h i j k l", "en"), (5L, "m", "en"), // 6 > cap: own pack
+      (6L, "x y z", "de")) // separate group restarts at pack 0
+      .toDF("doc_id", "text", "lang")
+    val got = SeqPack.pack(d, "lang", capacity = 5)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L))
+  }
+
   test("ivf routes the query to its own tight cluster") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),

@@ -1321,6 +1321,67 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Dataset card: the per-(lang, source) datasheet a corpus release
+    * ships with — doc and token counts, exact-dup share, mean quality,
+    * and language-ID disagreement, every formula reused verbatim from
+    * the operator that individually checks it (q20/q21/q22/q24). All
+    * integer arithmetic (sums of exact counts, mean via floor div);
+    * the dup-count join is hash-keyed and corpus-sized, everything
+    * else is scan-local before one tiny group agg. */
+  val q121DatasetCard: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val dupes = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("nc"))
+    val qual = TextOps.qualityFeatures(docs)
+      .select(col("doc_id"), col("quality_score_bp"))
+    val langp = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"))
+    docs
+      .select(col("lang"), col("source"), col("doc_id"),
+        md5(col("text")).as("h"), TextOps.wordCount(col("text")).as("n_tok"))
+      .join(dupes, "h")
+      .join(qual, "doc_id")
+      .join(langp, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("nc") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+        expr("sum(quality_score_bp) div count(1)").as("mean_quality_bp"),
+        sum(when(col("pred_lang") === "unknown", 1L).otherwise(0L))
+          .as("n_unknown_lang"))
+  }
+
+  /** Gopher-rule ablation matrix: document counts for every
+    * combination of the four q51 gates — the readout that says which
+    * rule actually removes data and which is dead weight. One
+    * 16-group agg over the per-doc rule booleans. */
+  val q122RuleAblation: Q = (s, dir) =>
+    TextOps.gopherRules(t(s, dir, "documents"))
+      .groupBy(col("r_len"), col("r_wordlen"), col("r_stop"), col("r_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words_total"))
+
+  /** Contamination report — the eval-side complement of q43/q85's
+    * corpus cleaning: per eval-set document, how many corpus docs
+    * share at least one word-6-gram and how many distinct grams leak.
+    * Grams are deduped per doc map-side before the gram-keyed join;
+    * at corpus scale the hot-gram fan-out is the same boilerplate
+    * skew q26 caps with maxBucketSize — apply the identical cap (or
+    * pre-drop q52's boilerplate grams) before trusting per-doc
+    * counts on a raw crawl. */
+  val q123ContaminationReport: Q = (s, dir) => {
+    import graft.functions.WordShingles.word_shingles
+    val docs = t(s, dir, "documents")
+    def side(pred: org.apache.spark.sql.Column, idCol: String) = docs.filter(pred)
+      .select(col("doc_id").as(idCol),
+        explode(array_distinct(word_shingles(col("text"), 6))).as("sh"))
+    val ev = side(col("doc_id") % 50 === 7, "eval_id")
+    val co = side(col("doc_id") % 50 =!= 7, "corpus_id")
+    ev.join(co, "sh")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("corpus_id")).as("n_dirty_docs"),
+        countDistinct(col("sh")).as("n_shared_grams"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1435,6 +1496,9 @@ object ExtensionQueries {
     "q118_seq_pack" -> q118SeqPack,
     "q119_minhash_acc" -> q119MinhashAcc,
     "q120_source_overlap" -> q120SourceOverlap,
+    "q121_dataset_card" -> q121DatasetCard,
+    "q122_rule_ablation" -> q122RuleAblation,
+    "q123_contamination_report" -> q123ContaminationReport,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3019,5 +3083,71 @@ object ExtensionQueries {
          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
          FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
          GROUP BY 1, 2""",
+    "q121_dataset_card" ->
+      """WITH dup AS (SELECT md5(text) AS h, count(*) AS nc
+                      FROM documents GROUP BY 1),
+         q AS (SELECT doc_id,
+                      CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+                            + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+                                    / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+                            + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+                                           / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS quality_score_bp
+               FROM documents),
+         u AS (SELECT doc_id,
+                      (length(regexp_replace(text, '[ -~]', '', 'g')) = 0
+                       AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) = 0
+                       AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) = 0
+                       AND len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) = 0
+                       AND len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) = 0) AS is_unknown
+               FROM documents)
+         SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+                CAST(sum(quality_score_bp) // count(*) AS BIGINT) AS mean_quality_bp,
+                CAST(sum(CASE WHEN is_unknown THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_lang
+         FROM documents d
+         JOIN dup ON dup.h = md5(d.text)
+         JOIN q USING (doc_id)
+         JOIN u USING (doc_id)
+         GROUP BY lang, source""",
+    "q122_rule_ablation" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(floor(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                        / len(string_split(text, ' ')) * 10000) AS BIGINT) AS avg_word_len_bp,
+                  CAST(len(list_distinct(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b'))) AS BIGINT) AS n_stop_forms
+           FROM documents),
+         wf AS (SELECT doc_id, max(c) AS max_tf
+                FROM (SELECT doc_id, w, count(*) AS c
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                            FROM documents)
+                      GROUP BY doc_id, w)
+                GROUP BY doc_id),
+         rules AS (
+           SELECT n_words,
+                  n_words BETWEEN 50 AND 100000 AS r_len,
+                  avg_word_len_bp BETWEEN 30000 AND 100000 AS r_wordlen,
+                  n_stop_forms >= 2 AS r_stop,
+                  floor(CAST(max_tf AS DOUBLE) / n_words * 10000) <= 800 AS r_rep
+           FROM base JOIN wf USING (doc_id))
+         SELECT r_len, r_wordlen, r_stop, r_rep, count(*) AS n_docs,
+                CAST(sum(n_words) AS BIGINT) AS n_words_total
+         FROM rules GROUP BY 1, 2, 3, 4""",
+    "q123_contamination_report" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 4),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]
+                           || ' ' || s[i+4] || ' ' || s[i+5])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         d AS (SELECT DISTINCT doc_id, sh FROM sh),
+         ev AS (SELECT doc_id AS eval_id, sh FROM d WHERE doc_id % 50 = 7),
+         co AS (SELECT doc_id AS corpus_id, sh FROM d WHERE doc_id % 50 <> 7)
+         SELECT eval_id,
+                count(DISTINCT corpus_id) AS n_dirty_docs,
+                count(DISTINCT ev.sh) AS n_shared_grams
+         FROM ev JOIN co ON ev.sh = co.sh
+         GROUP BY eval_id""",
   )
 }

@@ -1382,6 +1382,79 @@ object ExtensionQueries {
         countDistinct(col("sh")).as("n_shared_grams"))
   }
 
+  /** Hot-key diagnostics: the top-20 heaviest join/agg keys with their
+    * traffic share and a max/avg skew ratio — the report that decides
+    * whether a key needs q74's salting or AQE's skew split before the
+    * job ships. One partial-aggregated count, a 3-number global, and a
+    * TakeOrdered top-20; shares are floor-bp on exact counts. */
+  val q124KeySkew: Q = (s, dir) => {
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"), max(col("n")).as("max_n"))
+    counts.orderBy(col("n").desc, col("user_id")).limit(20)
+      .crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"),
+        floor(col("n") * lit(10000.0) / col("total")).cast("bigint")
+          .as("share_bp"),
+        floor(col("max_n") * col("n_keys") * lit(10000.0) / col("total"))
+          .cast("bigint").as("skew_ratio_bp"))
+  }
+
+  /** Language-ID confusion matrix: labeled lang × predicted lang
+    * counts — the model-eval readout for q22's classifier (its
+    * per-doc predictions are already oracle-checked; this is the
+    * aggregate quality view). One scan, one tiny group agg. */
+  val q125LangidConfusion: Q = (s, dir) =>
+    TextOps.langId(t(s, dir, "documents"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the
+    * purchase and error value distributions. Everything is integer
+    * until the last division: values discretize to cents (a BOUNDED
+    * domain — the cumulative window is over ≤50k distinct cents rows
+    * at ANY corpus size, so the unpartitioned window is safe by
+    * construction), and the sup is taken over |ca·nb − cb·na| — exact
+    * cross-multiplied longs — so engines can't disagree about where
+    * the max lands. */
+  val q126KsDrift: Q = (s, dir) => {
+    val byC = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(round(col("value") * 100).cast("bigint").as("cents"),
+        (col("event_type") === "purchase").as("is_a"))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byC.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    byC
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("ca") * col("tb") - col("cb") * col("ta")).as("d_num"),
+        col("ta"), col("tb"))
+      .agg(max(col("d_num")).as("max_num"),
+        max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("max_num").cast("double") / (col("n_a") * col("n_b")), 6)
+          .as("ks_stat"))
+  }
+
+  /** Z-order curve values for the (user_id, day) plane —
+    * [[graft.store.Layout.zValue]]'s bit-interleave checked
+    * bit-for-bit (the write path it feeds is `Layout.writeZOrdered`,
+    * spec-asserted for disjoint file ranges). Bounded to event_id <
+    * 500 so the oracle diff stays row-stable. */
+  val q127Zorder: Q = (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_id") < 500)
+      .select(col("event_id"), col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .withColumn("z", graft.store.Layout.zValue(col("user_id"), col("d")))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1499,6 +1572,10 @@ object ExtensionQueries {
     "q121_dataset_card" -> q121DatasetCard,
     "q122_rule_ablation" -> q122RuleAblation,
     "q123_contamination_report" -> q123ContaminationReport,
+    "q124_key_skew" -> q124KeySkew,
+    "q125_langid_confusion" -> q125LangidConfusion,
+    "q126_ks_drift" -> q126KsDrift,
+    "q127_zorder" -> q127Zorder,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3149,5 +3226,60 @@ object ExtensionQueries {
                 count(DISTINCT ev.sh) AS n_shared_grams
          FROM ev JOIN co ON ev.sh = co.sh
          GROUP BY eval_id""",
+    "q124_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys,
+                      CAST(max(n) AS BIGINT) AS max_n
+               FROM c),
+         top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 20)
+         SELECT user_id, n,
+                CAST(floor(n * 10000.0 / total) AS BIGINT) AS share_bp,
+                CAST(floor(max_n * n_keys * 10000.0 / total) AS BIGINT)
+                  AS skew_ratio_bp
+         FROM top, t""",
+    "q125_langid_confusion" ->
+      """SELECT lang,
+                CASE WHEN length(regexp_replace(text, '[ -~]', '', 'g')) > 0 THEN 'zh'
+                     WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) = 0
+                          AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) = 0
+                          AND len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) = 0
+                          AND len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) = 0 THEN 'unknown'
+                     WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))
+                          AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(el|los|una|y|es)\b'))
+                          AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'en'
+                     WHEN len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(text, '\b(el|los|una|y|es)\b'))
+                          AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'de'
+                     WHEN len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'es'
+                     ELSE 'fr' END AS pred_lang,
+                count(*) AS n
+         FROM documents GROUP BY 1, 2""",
+    "q126_ks_drift" ->
+      """WITH byc AS (
+           SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM events WHERE event_type IN ('purchase', 'error')
+           GROUP BY 1),
+         cum AS (
+           SELECT cents, na, nb,
+                  CAST(sum(na) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+                  CAST(sum(nb) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+           FROM byc),
+         t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM byc)
+         SELECT ta AS n_a, tb AS n_b,
+                round(CAST(max(abs(ca * tb - cb * ta)) AS DOUBLE) / (ta * tb), 6)
+                  AS ks_stat
+         FROM cum, t GROUP BY ta, tb""",
+    "q127_zorder" ->
+      """SELECT event_id, user_id, d,
+                CAST(list_sum(list_transform(range(0, 16),
+                     i -> ((user_id >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+                        + ((d >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))))
+                  AS BIGINT) AS z
+         FROM (SELECT event_id, user_id,
+                      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+               FROM events WHERE event_id < 500)""",
   )
 }

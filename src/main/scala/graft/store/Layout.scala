@@ -43,6 +43,37 @@ object Layout {
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
+  /** Z-order curve value: the low `bits` bits of `a` and `b`
+    * bit-interleaved (a on even positions) — the 2-D clustering key
+    * behind OPTIMIZE ZORDER. Sorting by z keeps rows close in BOTH
+    * dimensions physically together, so parquet min/max stats prune
+    * files for predicates on EITHER column — the multi-dimension
+    * upgrade of [[writeRangeClustered]]'s single-key layout. Pure
+    * integer bit arithmetic (exact in any engine); inputs must be
+    * non-negative. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-order-clustered write: range-partition + sort on the
+    * interleaved key. Every output file covers a compact rectangle of
+    * (a, b) space, so row-group stats skip files for 2-D predicates. */
+  def writeZOrdered(
+      df: DataFrame,
+      dir: String,
+      a: String,
+      b: String,
+      numFiles: Int,
+      bits: Int = 16): Unit =
+    df.withColumn("graft_z", zValue(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("graft_z"))
+      .sortWithinPartitions(col("graft_z"))
+      .drop("graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
   /** Small-file compaction: rewrite every leaf partition directory that
     * holds more parquet files than its data needs, targeting
     * `targetBytes` per file. The operational hygiene step every

@@ -93,4 +93,37 @@ class LayoutSpec extends SparkSpec {
     }
     assert(rowSet(spark.read.parquet(dir)) == rowSet(df))
   }
+
+  test("zValue interleaves bits; z-ordered files cover disjoint z ranges") {
+    // hand-checked interleave: a=0b101 (even slots), b=0b011 (odd slots)
+    // → z = 1·1 + 1·8 + 1·16 + 1·32 = 0b111001 = 57... compute: bits of
+    // a at 4^i, bits of b at 2·4^i: a=5 → 1+16=17; b=3 → 2+8=10; z=27
+    val one = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z"))
+      .as[Long].head()
+    assert(one == 27L)
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    val df = (1 to 1000)
+      .map(i => ((i * 7919) % 128, (i * 104729) % 128, s"v$i"))
+      .toDF("x", "y", "v")
+    Layout.writeZOrdered(df, dir, "x", "y", numFiles = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .select(Layout.zValue(col("x").cast("long"), col("y").cast("long"))
+          .as("z"))
+        .agg(min(col("z")), max(col("z"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"z overlap: $hi > $lo")
+      case _ =>
+    }
+    assert(rowSet(spark.read.parquet(dir)) == rowSet(df))
+  }
 }

@@ -26,6 +26,41 @@ object SimHash {
     docs.select(col("doc_id"),
       graft.functions.SimHashSig.simhash_sig(col("text")).as("simhash"))
 
+  /** Near-duplicate pairs by banded Hamming distance — the pairing
+    * pass q27's fingerprints exist for. The 32-bit simhash splits
+    * into 4 disjoint bytes; by pigeonhole, any pair within Hamming
+    * distance `maxHamming` ≤ 3 leaves at least one byte untouched, so
+    * candidates = pairs sharing any (band, byte) key and recall is
+    * EXACT, never probabilistic. Verification is one codegen'd
+    * `bit_count(xor)` per candidate.
+    *
+    * Scale shape: the banded frame shuffles on (band, byte) — 4 rows
+    * per doc regardless of corpus size; only candidate pairs pay the
+    * popcount. Same-fingerprint boilerplate floods a bucket the way
+    * LSH buckets flood; at crawl scale apply [[MinHashLsh]]'s bucket
+    * cap before the self-join. Output: (doc_a, doc_b, hamming). */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 8 bits guarantee recall only to distance 3")
+    val banded = fingerprints(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "struct(b as band, shiftright(simhash, b * 8) & 255 as key))")).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint() // both join sides; don't re-sign the corpus
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct() // a pair may share several bands
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** The exploded+aggregated spelling kept as the equivalence reference
     * for the native expression (asserted in PropertySpec). */
   private[graft] def fingerprintsExploded(docs: DataFrame): DataFrame = {

@@ -85,6 +85,65 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Maximal-marginal-relevance rerank of one query's candidate pool:
+    * greedily pick k results maximizing
+    * λ·sim(query, c) − (1−λ)·max sim(c, selected) — relevance with a
+    * redundancy penalty, the standard diversified-retrieval step after
+    * ANN recall.
+    *
+    * The greedy recurrence is inherently sequential, so it runs on the
+    * DRIVER over a BOUNDED pool (`pool` candidates from
+    * [[bruteForceTopK]], self-match excluded) — this is the production
+    * shape: ANN recalls a small pool distributed, MMR reranks it
+    * locally in O(k·pool). The only corpus-scale work is the recall
+    * scan. Pairwise pool sims come from the same rounded-cosine
+    * pipeline the oracles already verify (engine-parity over
+    * hand-rolled driver math). Scores are rounded to 6 dp before every
+    * argmax, ties to the smallest vec_id — fully replayable. Output:
+    * (rank, vec_id, qsim, score), k rows. */
+  def mmrRerank(
+      query: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      lambdaBp: Int = 7000,
+      pool: Int = 100): DataFrame = {
+    val spark = corpus.sparkSession
+    val cand = bruteForceTopK(query, corpus, pool + 1)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("sim"))
+      .localCheckpoint() // feeds qsims, the semi-join, and nothing re-scans
+    val vecs = corpus
+      .join(cand.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = vecs.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val ps = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("s"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val qsims = cand.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def pair(x: Long, y: Long): Double = ps((math.min(x, y), math.max(x, y)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lam = lambdaBp / 10000.0
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.Set(qsims.keySet.toSeq: _*)
+    (1 to math.min(k, qsims.size)).foreach { _ =>
+      val best = remaining.toSeq.map { c =>
+        val score =
+          if (selected.isEmpty) qsims(c)
+          else r6(lam * qsims(c) -
+            (1.0 - lam) * selected.map(s => pair(c, s._1)).max)
+        (c, score)
+      }.minBy { case (c, score) => (-score, c) }
+      selected += ((best._1, qsims(best._1), best._2))
+      remaining -= best._1
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, qs, sc), i) => (i + 1L, id, qs, sc) }.toSeq
+      .toDF("rank", "vec_id", "qsim", "score")
+  }
+
   /** Per-cluster mean vectors: (label, centroid array<double>).
     * One partial-aggregated groupBy — the vectors are summed
     * element-wise by [[graft.functions.VectorAgg.vec_sum]] (no

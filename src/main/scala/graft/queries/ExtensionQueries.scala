@@ -1455,6 +1455,25 @@ object ExtensionQueries {
           .cast("long").as("d"))
       .withColumn("z", graft.store.Layout.zValue(col("user_id"), col("d")))
 
+  /** SimHash near-dup pairs: banded Hamming blocking over q27's
+    * fingerprints — 4 disjoint bytes guarantee exact recall to
+    * distance 3 by pigeonhole, popcount verifies. The constant-memory
+    * complement of q26's MinHash pipeline (one 64-bit fingerprint per
+    * doc vs 8 signature rows). */
+  val q128SimhashNeardup: Q = (s, dir) =>
+    SimHash.nearDupPairs(t(s, dir, "documents"), maxHamming = 3)
+
+  /** MMR-diversified retrieval: the 100-candidate ANN pool for query
+    * vector 0 greedily reranked to 5 results trading relevance (λ=0.7)
+    * against redundancy — the post-recall step that keeps a RAG result
+    * list from returning five copies of the same passage. The oracle
+    * replays the greedy argmax step by step. */
+  val q129MmrDiversify: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.mmrRerank(e.filter(col("vec_id") === 0), e,
+      k = 5, lambdaBp = 7000, pool = 100)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1576,6 +1595,8 @@ object ExtensionQueries {
     "q125_langid_confusion" -> q125LangidConfusion,
     "q126_ks_drift" -> q126KsDrift,
     "q127_zorder" -> q127Zorder,
+    "q128_simhash_neardup" -> q128SimhashNeardup,
+    "q129_mmr_diversify" -> q129MmrDiversify,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3281,5 +3302,68 @@ object ExtensionQueries {
          FROM (SELECT event_id, user_id,
                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
                FROM events WHERE event_id < 500)""",
+    "q128_simhash_neardup" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN score > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
+           FROM (SELECT doc_id, j,
+                        sum(CASE WHEN substr(md5(w), CAST(j AS INT) + 1, 1)
+                                 IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS score
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+                      (SELECT unnest(range(0, 32)) AS j)
+                 GROUP BY doc_id, j)
+           GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "q129_mmr_diversify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         pool AS (SELECT vec_id,
+                         round(list_cosine_similarity(qv, v), 6) AS qsim, v
+                  FROM e, q WHERE vec_id <> 0
+                  ORDER BY qsim DESC, vec_id LIMIT 100),
+         ps AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS s
+                FROM pool a JOIN pool b ON a.vec_id < b.vec_id),
+         s1 AS (SELECT vec_id, qsim, qsim AS score FROM pool
+                ORDER BY qsim DESC, vec_id LIMIT 1),
+         s2 AS (SELECT c.vec_id, c.qsim,
+                       round(0.7 * c.qsim - 0.3 * (
+                         SELECT max(p.s) FROM ps p JOIN s1 s
+                           ON p.id_a = least(c.vec_id, s.vec_id)
+                          AND p.id_b = greatest(c.vec_id, s.vec_id)), 6) AS score
+                FROM pool c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+                ORDER BY score DESC, c.vec_id LIMIT 1),
+         sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+         s3 AS (SELECT c.vec_id, c.qsim,
+                       round(0.7 * c.qsim - 0.3 * (
+                         SELECT max(p.s) FROM ps p JOIN sel2 s
+                           ON p.id_a = least(c.vec_id, s.vec_id)
+                          AND p.id_b = greatest(c.vec_id, s.vec_id)), 6) AS score
+                FROM pool c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+                ORDER BY score DESC, c.vec_id LIMIT 1),
+         sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+         s4 AS (SELECT c.vec_id, c.qsim,
+                       round(0.7 * c.qsim - 0.3 * (
+                         SELECT max(p.s) FROM ps p JOIN sel3 s
+                           ON p.id_a = least(c.vec_id, s.vec_id)
+                          AND p.id_b = greatest(c.vec_id, s.vec_id)), 6) AS score
+                FROM pool c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+                ORDER BY score DESC, c.vec_id LIMIT 1),
+         sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+         s5 AS (SELECT c.vec_id, c.qsim,
+                       round(0.7 * c.qsim - 0.3 * (
+                         SELECT max(p.s) FROM ps p JOIN sel4 s
+                           ON p.id_a = least(c.vec_id, s.vec_id)
+                          AND p.id_b = greatest(c.vec_id, s.vec_id)), 6) AS score
+                FROM pool c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+                ORDER BY score DESC, c.vec_id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS rank, vec_id, qsim, score FROM s1
+         UNION ALL SELECT 2, vec_id, qsim, score FROM s2
+         UNION ALL SELECT 3, vec_id, qsim, score FROM s3
+         UNION ALL SELECT 4, vec_id, qsim, score FROM s4
+         UNION ALL SELECT 5, vec_id, qsim, score FROM s5""",
   )
 }

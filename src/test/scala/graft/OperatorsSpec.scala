@@ -188,6 +188,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L))
   }
 
+  test("simhash nearDupPairs: identical docs pair at hamming 0, unrelated don't") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // verbatim dup
+      (3L, "völlig andere wörter überall ganz anders hier"))
+      .toDF("doc_id", "text")
+    val got = SimHash.nearDupPairs(d, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("mmrRerank: redundancy penalty prefers the diverse hit over the near-copy") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),      // the query itself
+      (1L, Array(0.95f, 0.312f, 0.0f), 0),   // most relevant
+      (2L, Array(0.94f, 0.34f, 0.0f), 0),    // near-copy of 1: more relevant than 3
+      (3L, Array(0.9f, -0.436f, 0.0f), 0))   // diverse
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .mmrRerank(corpus.filter(col("vec_id") === 0), corpus, k = 2,
+        lambdaBp = 7000, pool = 10)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // plain top-2 by sim would be (1, 2); MMR demotes the near-copy
+    assert(got == Seq(1L, 3L))
+  }
+
   test("ivf routes the query to its own tight cluster") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),

@@ -21,6 +21,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reclaims dead broadcast/checkpoint blocks
+      // after a JVM GC notices them; the default 30min periodic GC lets
+      // ~100 queries of blocks pile up and the iterative-join queries
+      // near the end of the run measure that pressure, not themselves
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

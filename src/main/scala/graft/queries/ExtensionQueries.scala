@@ -1474,6 +1474,62 @@ object ExtensionQueries {
       k = 5, lambdaBp = 7000, pool = 100)
   }
 
+  /** Vocabulary encoding — the id-ification step between text and a
+    * training shard: build the corpus top-1000 vocabulary (rank = id),
+    * then per doc count OOV tokens and emit the first 16 token ids
+    * (OOV → 0) as a csv audit column. The vocab is bounded and
+    * broadcast; the rank window runs on 1000 rows by construction.
+    * Per-doc id order comes from posexplode, so the collect_list is
+    * sorted by position before slicing — deterministic in both
+    * engines. */
+  val q130VocabEncode: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cn"))
+      .orderBy(col("cn").desc, col("w")).limit(1000)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cn").desc, col("w"))).cast("bigint"))
+      .select(col("w"), col("id"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        array_join(slice(expr(
+          "transform(array_sort(collect_list(struct(pos, id))), " +
+            "x -> cast(coalesce(x.id, 0) as string))"), 1, 16), ",")
+          .as("head_ids"))
+  }
+
+  /** Feature hashing (the hashing-vectorizer trick): bag-of-words
+    * counts folded into 16 fixed buckets by the last md5 hex digit —
+    * fixed-dimension features with no vocabulary to ship. Emitted as
+    * (doc_id, bucket, n) rows, the sparse form a trainer consumes;
+    * one explode + one partial-aggregated groupBy, bucket count
+    * constant at any corpus size. */
+  val q131FeatureHash: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(md5(w), 32, 1))") - 1)
+          .cast("bigint"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Snapshot diff report: two deterministic versions of lineitem
+    * (old = keys ∉ 7ℤ, new = keys ∉ 5ℤ with quantities bumped on 3ℤ)
+    * reconciled by [[graft.store.SnapshotDiff]] — one full-outer
+    * hash join, per-class row counts. The promote-gate report every
+    * rebuilt table should pass through. */
+  val q132SnapshotDiff: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k1"),
+      col("l_linenumber").as("k2"), col("l_quantity").as("qty"))
+    val vOld = li.filter(col("k1") % 7 =!= 0)
+    val vNew = li.filter(col("k1") % 5 =!= 0)
+      .withColumn("qty",
+        when(col("k1") % 3 === 0, col("qty") + 1).otherwise(col("qty")))
+    graft.store.SnapshotDiff.summary(vOld, vNew, Seq("k1", "k2"), Seq("qty"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1597,6 +1653,9 @@ object ExtensionQueries {
     "q127_zorder" -> q127Zorder,
     "q128_simhash_neardup" -> q128SimhashNeardup,
     "q129_mmr_diversify" -> q129MmrDiversify,
+    "q130_vocab_encode" -> q130VocabEncode,
+    "q131_feature_hash" -> q131FeatureHash,
+    "q132_snapshot_diff" -> q132SnapshotDiff,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3365,5 +3424,47 @@ object ExtensionQueries {
          UNION ALL SELECT 3, vec_id, qsim, score FROM s3
          UNION ALL SELECT 4, vec_id, qsim, score FROM s4
          UNION ALL SELECT 5, vec_id, qsim, score FROM s5""",
+    "q130_vocab_encode" ->
+      """WITH toks AS (
+           SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+             SELECT doc_id,
+                    unnest(list_transform(range(0, len(s)),
+                           i -> struct_pack(pos := i, w := s[i + 1]))) AS u
+             FROM (SELECT doc_id, string_split(text, ' ') AS s
+                   FROM documents))),
+         vocab AS (
+           SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY cn DESC, w) AS BIGINT) AS id
+           FROM (SELECT w, count(*) AS cn FROM toks GROUP BY w)
+           ORDER BY cn DESC, w LIMIT 1000),
+         enc AS (SELECT t.doc_id, t.pos, v.id
+                 FROM toks t LEFT JOIN vocab v USING (w))
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                string_agg(CAST(coalesce(id, 0) AS VARCHAR), ',' ORDER BY pos)
+                  FILTER (WHERE pos < 16) AS head_ids
+         FROM enc GROUP BY doc_id""",
+    "q131_feature_hash" ->
+      """SELECT doc_id,
+                CAST(instr('0123456789abcdef', substr(md5(w), 32, 1)) - 1
+                  AS BIGINT) AS bucket,
+                count(*) AS n
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         GROUP BY 1, 2""",
+    "q132_snapshot_diff" ->
+      """WITH li AS (SELECT l_orderkey AS k1, l_linenumber AS k2,
+                           l_quantity AS qty
+                     FROM lineitem),
+         o AS (SELECT k1, k2, qty FROM li WHERE k1 % 7 <> 0),
+         n AS (SELECT k1, k2,
+                      CASE WHEN k1 % 3 = 0 THEN qty + 1 ELSE qty END AS qty
+               FROM li WHERE k1 % 5 <> 0)
+         SELECT CASE WHEN o.k1 IS NULL THEN 'added'
+                     WHEN n.k1 IS NULL THEN 'removed'
+                     WHEN o.qty IS DISTINCT FROM n.qty THEN 'changed'
+                     ELSE 'unchanged' END AS change,
+                count(*) AS n
+         FROM o FULL OUTER JOIN n ON o.k1 = n.k1 AND o.k2 = n.k2
+         GROUP BY 1""",
   )
 }

@@ -1,0 +1,54 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot reconciliation: classify every key of two table versions
+  * as added / removed / changed / unchanged — the diff a data platform
+  * runs before promoting a rebuilt table (or after replaying CDC) to
+  * prove the change surface is the expected one.
+  *
+  * Scale shape: one full-outer hash join on the key columns — the same
+  * single co-partitioned shuffle a MERGE would pay — and the class
+  * expression is scan-local. Null-safe equality (`<=>`) so a null
+  * value column neither matches a non-null nor crashes the comparison.
+  */
+object SnapshotDiff {
+
+  /** Per-key classification: key columns, each value column as
+    * `<c>_old` / `<c>_new`, and `change`. */
+  def classify(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshot diff needs at least one key column")
+    // a key's presence must be decided by the key itself, not a value
+    // column that may legitimately be null — carry an existence flag
+    val o = oldDf.select(
+      keys.map(col) ++ valueCols.map(c => col(c).as(s"${c}_old")) :+
+        lit(true).as("graft_in_old"): _*)
+    val n = newDf.select(
+      keys.map(col) ++ valueCols.map(c => col(c).as(s"${c}_new")) :+
+        lit(true).as("graft_in_new"): _*)
+    val changed = valueCols
+      .map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("graft_in_old").isNull, "added")
+          .when(col("graft_in_new").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged"))
+      .drop("graft_in_old", "graft_in_new")
+  }
+
+  /** The one-line report: row count per change class. */
+  def summary(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String]): DataFrame =
+    classify(oldDf, newDf, keys, valueCols)
+      .groupBy(col("change")).agg(count(lit(1)).as("n"))
+}

@@ -214,6 +214,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    import graft.store.SnapshotDiff
+    val o = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+      .toDF("k", "v")
+    val n = Seq((1L, Some(10.0)), (2L, Some(21.0)), (3L, Option.empty[Double]),
+      (5L, Some(50.0))).toDF("k", "v")
+    val got = SnapshotDiff.classify(o, n, Seq("k"), Seq("v"))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // null <=> null: not a change
+      4L -> "removed", 5L -> "added"))
+    val sum = SnapshotDiff.summary(o, n, Seq("k"), Seq("v"))
+      .as[(String, Long)].collect().toMap
+    assert(sum == Map("unchanged" -> 2L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("ivf routes the query to its own tight cluster") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),

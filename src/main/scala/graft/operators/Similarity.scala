@@ -165,26 +165,24 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     ivfTopK(queries, corpus, centroids(corpus), k)
 
-  /** IVF search against a precomputed centroid table: route each query
-    * to its `nprobe` nearest centroids, then exact top-k within those
-    * clusters only. Output: (q_id, probe_label, vec_id, sim, rank). */
-  def ivfTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      cent: DataFrame,
-      k: Int = 10,
-      nprobe: Int = 1): DataFrame = {
+  /** Query routing for IVF: each query's `nprobe` nearest centroids.
+    * Output: (q_id, qn, probe_label). */
+  private def routeProbes(queries: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val q = withUnit(
       queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
       "qv", "qn")
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("label"))
-    val probes = q.crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .select(col("q_id"), col("qn"), col("label"),
         round(cosine(col("qn"), col("centroid")), 6).as("csim"))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
       .select(col("q_id"), col("qn"), col("label").as("probe_label"))
+  }
+
+  /** Exact top-k of each routed query within its probed clusters. */
+  private def scoreProbes(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val c = withUnit(
       corpus.select(col("label").as("probe_label"), col("vec_id"),
         asDouble(col("embedding")).as("v")),
@@ -196,6 +194,47 @@ object Similarity {
         round(dot(col("qn"), col("vn")), 6).as("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF search against a precomputed centroid table: route each query
+    * to its `nprobe` nearest centroids, then exact top-k within those
+    * clusters only. Output: (q_id, probe_label, vec_id, sim, rank). */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cent: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame =
+    scoreProbes(routeProbes(queries, cent, nprobe), corpus, k)
+
+  /** Persist the IVF index: the corpus written PARTITIONED BY cluster
+    * label, so a probe's scan is pruned to its cluster's directories
+    * at planning time — at 100 TB a query reads 1/k of the files, not
+    * a filtered full scan. Write once at ingest (the same index-build /
+    * query split as [[MinHashLsh.writeBandIndex]]). */
+  def writeIvfIndex(corpus: DataFrame, dir: String): Unit =
+    corpus.write.partitionBy("label")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+
+  /** IVF probe against a PERSISTED index: routes on the centroid
+    * table, then reads ONLY the probed clusters' partitions (the
+    * label set is collected — centroid-count-sized — so the filter is
+    * a static `isin` the scan prunes on, visible as PartitionFilters
+    * in the plan). Results are identical to [[ivfTopK]] over the same
+    * corpus, asserted by spec. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      cent: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    val probes = routeProbes(queries, cent, nprobe).localCheckpoint()
+    val labels = probes.select(col("probe_label")).distinct()
+      .collect().map(_.get(0))
+    val corpus = spark.read.parquet(indexDir)
+      .filter(col("label").isin(labels: _*))
+    scoreProbes(probes, corpus, k)
   }
 
   /** Semantic-dedup clustering pass: assign every corpus vector to its

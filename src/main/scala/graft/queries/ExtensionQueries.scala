@@ -1530,6 +1530,21 @@ object ExtensionQueries {
     graft.store.SnapshotDiff.summary(vOld, vNew, Seq("k1", "k2"), Seq("qty"))
   }
 
+  /** Overlapping RAG chunks: 256-token windows at stride 192 (64-token
+    * overlap so no sentence is orphaned at a boundary) — q41 chunks
+    * without overlap for training shards; retrieval chunking wants the
+    * overlap. Pure scan-local arithmetic: one explode of
+    * ceil(n/stride) chunk indices per doc, no shuffle at all. */
+  val q133ChunkOverlap: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.wordCount(col("text")).as("n_tok"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr("(n_tok + 191) div 192 - 1"))))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * 192).as("start_tok"),
+        least(lit(256L), col("n_tok") - col("chunk_id") * 192)
+          .as("n_chunk_toks"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1656,6 +1671,7 @@ object ExtensionQueries {
     "q130_vocab_encode" -> q130VocabEncode,
     "q131_feature_hash" -> q131FeatureHash,
     "q132_snapshot_diff" -> q132SnapshotDiff,
+    "q133_chunk_overlap" -> q133ChunkOverlap,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3466,5 +3482,16 @@ object ExtensionQueries {
                 count(*) AS n
          FROM o FULL OUTER JOIN n ON o.k1 = n.k1 AND o.k2 = n.k2
          GROUP BY 1""",
+    "q133_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM documents)
+         SELECT doc_id,
+                unnest(range(0, (n_tok + 191) // 192)) AS chunk_id,
+                unnest(list_transform(range(0, (n_tok + 191) // 192),
+                       c -> c * 192)) AS start_tok,
+                unnest(list_transform(range(0, (n_tok + 191) // 192),
+                       c -> least(256, n_tok - c * 192))) AS n_chunk_toks
+         FROM d""",
   )
 }

@@ -231,6 +231,27 @@ class OperatorsSpec extends SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("persisted ivf index: pruned probe reads fewer files, same results") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.1f), 1), (3L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    Similarity.writeIvfIndex(corpus, dir)
+    val q = corpus.filter(col("vec_id") === 2)
+    val cent = Similarity.centroids(corpus)
+    val viaIndex = Similarity.ivfTopKIndexed(spark, dir, q, cent, k = 10)
+    val direct = Similarity.ivfTopK(q, corpus, cent, k = 10)
+    assert(rowSet(viaIndex) == rowSet(direct))
+    // the probe prunes at planning time: the label predicate must be a
+    // PartitionFilter on the scan (not a post-scan Filter)
+    val plan = spark.read.parquet(dir).filter(col("label") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*label[^\\]]*1".r.findFirstIn(plan).isDefined,
+      s"no partition pruning in plan:\n$plan")
+  }
+
   test("ivf routes the query to its own tight cluster") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift measurement: integer-exact two-sample
+  * Kolmogorov–Smirnov over cents-discretized value histograms.
+  *
+  * Everything is integer until the final division: values discretize
+  * to cents (a BOUNDED domain, so the cumulative window runs over at
+  * most |domain| rows at any corpus size), and the sup is taken over
+  * |ca·nb − cb·na| — exact cross-multiplied longs — so two engines (or
+  * two runs) can never disagree about where the max lands. Used by
+  * q126 in batch form and by [[graft.streaming.StreamingDrift]] per
+  * micro-batch.
+  */
+object Drift {
+
+  /** (cents, n) histogram of a value column. */
+  def centsHist(df: DataFrame, valueCol: Column): DataFrame =
+    df.select(round(valueCol * 100).cast("bigint").as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("n"))
+
+  /** KS statistic between two (cents, n) histograms.
+    * Output: one row (n_a, n_b, ks_stat). */
+  def ksFromHists(a: DataFrame, b: DataFrame): DataFrame = {
+    val byC = a.select(col("cents"), col("n").as("na"), lit(0L).as("nb"))
+      .unionAll(b.select(col("cents"), lit(0L).as("na"), col("n").as("nb")))
+      .groupBy(col("cents"))
+      .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byC.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    byC
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("ca") * col("tb") - col("cb") * col("ta")).as("d_num"),
+        col("ta"), col("tb"))
+      .agg(max(col("d_num")).as("max_num"),
+        max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("max_num").cast("double") / (col("n_a") * col("n_b")), 6)
+          .as("ks_stat"))
+  }
+
+  /** Two-sample KS between two raw value frames. */
+  def ks(a: DataFrame, aCol: Column, b: DataFrame, bCol: Column): DataFrame =
+    ksFromHists(centsHist(a, aCol), centsHist(b, bCol))
+}

@@ -1419,27 +1419,9 @@ object ExtensionQueries {
     * cross-multiplied longs — so engines can't disagree about where
     * the max lands. */
   val q126KsDrift: Q = (s, dir) => {
-    val byC = t(s, dir, "events")
-      .filter(col("event_type").isin("purchase", "error"))
-      .select(round(col("value") * 100).cast("bigint").as("cents"),
-        (col("event_type") === "purchase").as("is_a"))
-      .groupBy(col("cents"))
-      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
-        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
-    val w = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = byC.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-    byC
-      .withColumn("ca", sum(col("na")).over(w))
-      .withColumn("cb", sum(col("nb")).over(w))
-      .crossJoin(broadcast(tot))
-      .select(abs(col("ca") * col("tb") - col("cb") * col("ta")).as("d_num"),
-        col("ta"), col("tb"))
-      .agg(max(col("d_num")).as("max_num"),
-        max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
-      .select(col("n_a"), col("n_b"),
-        round(col("max_num").cast("double") / (col("n_a") * col("n_b")), 6)
-          .as("ks_stat"))
+    val ev = t(s, dir, "events")
+    Drift.ks(ev.filter(col("event_type") === "purchase"), col("value"),
+      ev.filter(col("event_type") === "error"), col("value"))
   }
 
   /** Z-order curve values for the (user_id, day) plane —

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.operators.Drift
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous distribution-drift monitoring — the streaming face of
+  * [[graft.operators.Drift]]: each micro-batch's value distribution is
+  * KS-tested against a FROZEN reference histogram (built once from a
+  * trusted window, e.g. last month's accepted data) and the per-batch
+  * statistic is appended to a results table an alerting query tails.
+  * This is the ingest-gate pattern: a feed whose KS jumps gets
+  * quarantined before it reaches training shards.
+  *
+  * foreachBatch is at-least-once: each batch's one-row result is
+  * written to its OWN `batch_id=<n>` partition with overwrite, so a
+  * replayed batch replaces its previous attempt (same idempotence
+  * shape as [[StreamingSketch]]). The reference histogram is
+  * cents-bounded (≤ |domain| rows) and reused across batches.
+  */
+object StreamingDrift {
+
+  /** Start monitoring a value stream against `referenceHist`
+    * (a (cents, n) frame from [[Drift.centsHist]], pre-materialized). */
+  def monitor(
+      values: DataFrame,
+      referenceHist: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      valueCol: String = "value"): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Drift.ksFromHists(Drift.centsHist(batch, col(valueCol)), referenceHist)
+          .coalesce(1) // one row by construction
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** The monitoring log: (batch_id, n_a, n_b, ks_stat) per batch. */
+  def readLog(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+}

@@ -106,6 +106,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("sorted_intersect_count"), s"native verify kernel missing:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffled join") {
+    // the optimizer's runtime row-level filtering: a selective dim
+    // filter becomes a bloom probe INSIDE the fact scan, so at 100 TB
+    // the shuffle carries only rows that can possibly join. Thresholds
+    // lowered because sf0.001 is far under the production defaults.
+    import org.apache.spark.sql.functions.col
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.load(spark, sf, "lineitem")
+      val dim = Tables.load(spark, sf, "part")
+        .filter(org.apache.spark.sql.functions.col("p_size") <= 2)
+      val j = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+      assert(j.collect().nonEmpty)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter on the fact side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition (skew=true)") {
     // the runtime half of the skew story (Layout.saltedJoin is the
     // static half): one hot key → AQE's OptimizeSkewedJoin must split

@@ -1527,6 +1527,59 @@ object ExtensionQueries {
         least(lit(256L), col("n_tok") - col("chunk_id") * 192)
           .as("n_chunk_toks"))
 
+  /** CUSUM change-point detection per event type: the day where the
+    * cumulative deviation of daily value mass from the overall rate is
+    * largest — "when did this metric's behavior shift". The deviation
+    * is cross-multiplied integers (dev_d = c_d·M − T·m_d, daily cents
+    * × total count minus total cents × daily count), so the cumulative
+    * sum and its argmax are exact in any engine; ties break to the
+    * earliest day. int64 holds to ~petabyte-scale event tables (cents·
+    * count products ≈ 2e18 at 1000× this data; past that, pre-scale
+    * cents to dollars). */
+  val q134CusumChangepoint: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).as("c"),
+        count(lit(1)).as("m"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("tc"), sum(col("m")).as("tm"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(tot), "event_type")
+      .withColumn("cusum",
+        sum(col("c") * col("tm") - col("tc") * col("m")).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        min_by(col("day"),
+          struct((-abs(col("cusum"))).as("a"), col("day").as("b")))
+          .as("change_day"),
+        max(abs(col("cusum"))).as("cusum_abs"))
+  }
+
+  /** Quality-score calibration: does q21's composite score actually
+    * separate near-duplicates? Docs bucketed by fixed score bands
+    * (scan-local — a global ntile would single-partition the corpus),
+    * near-dup membership from the LSH pipeline as the label, dup rate
+    * per band in floor-bp. The validate-your-heuristic readout every
+    * filter threshold decision needs. */
+  val q135QualityCalibration: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val qual = TextOps.qualityFeatures(docs)
+      .select(col("doc_id"), col("quality_score_bp"))
+    val pairs = MinHashLsh.nearDuplicates(docs, threshold = 0.2)
+    val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .withColumn("is_dup", lit(true))
+    qual.join(dupDocs, Seq("doc_id"), "left")
+      .select(col("quality_score_bp"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .groupBy(expr("least(quality_score_bp div 1000, 9)").as("score_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        floor(sum(when(col("is_dup"), 1L).otherwise(0L)) * lit(10000.0)
+          / count(lit(1))).cast("bigint").as("dup_rate_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1654,6 +1707,8 @@ object ExtensionQueries {
     "q131_feature_hash" -> q131FeatureHash,
     "q132_snapshot_diff" -> q132SnapshotDiff,
     "q133_chunk_overlap" -> q133ChunkOverlap,
+    "q134_cusum_changepoint" -> q134CusumChangepoint,
+    "q135_quality_calibration" -> q135QualityCalibration,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3475,5 +3530,79 @@ object ExtensionQueries {
                 unnest(list_transform(range(0, (n_tok + 191) // 192),
                        c -> least(256, n_tok - c * 192))) AS n_chunk_toks
          FROM d""",
+    "q134_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c,
+                  count(*) AS m
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tc,
+                        CAST(sum(m) AS BIGINT) AS tm
+                 FROM daily GROUP BY event_type),
+         cs AS (SELECT d.event_type, d.day,
+                       CAST(sum(d.c * t.tm - t.tc * d.m) OVER (
+                         PARTITION BY d.event_type ORDER BY d.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cusum
+                FROM daily d JOIN tot t USING (event_type))
+         SELECT event_type, n_days, day AS change_day,
+                CAST(abs(cusum) AS BIGINT) AS cusum_abs
+         FROM (SELECT event_type, day, cusum,
+                      count(*) OVER (PARTITION BY event_type) AS n_days,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY abs(cusum) DESC, day) AS rn
+               FROM cs)
+         WHERE rn = 1""",
+    "q135_quality_calibration" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+                        + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+                                / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+                        + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+                                       / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS quality_score_bp
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 1),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         sig AS (
+           SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j),
+         band AS (
+           SELECT doc_id, j // 2 AS band,
+                  md5(string_agg(mh, '|' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2
+           QUALIFY count(*) OVER (PARTITION BY j // 2, md5(string_agg(mh, '|' ORDER BY j))) <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS i
+           FROM cand c
+           JOIN shd x ON x.doc_id = c.doc_a
+           JOIN shd y ON y.doc_id = c.doc_b AND x.sh = y.sh
+           GROUP BY c.doc_a, c.doc_b),
+         sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         ver AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2),
+         dup AS (SELECT DISTINCT doc_id FROM (
+           SELECT doc_a AS doc_id FROM ver
+           UNION ALL SELECT doc_b AS doc_id FROM ver)),
+         j AS (SELECT q.doc_id, q.quality_score_bp,
+                      (d.doc_id IS NOT NULL) AS is_dup
+               FROM q LEFT JOIN dup d USING (doc_id))
+         SELECT least(quality_score_bp // 1000, 9) AS score_bucket,
+                count(*) AS n_docs,
+                CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                CAST(floor(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000.0
+                           / count(*)) AS BIGINT) AS dup_rate_bp
+         FROM j GROUP BY 1""",
   )
 }

@@ -1580,6 +1580,43 @@ object ExtensionQueries {
           / count(lit(1))).cast("bigint").as("dup_rate_bp"))
   }
 
+  /** Frame-level dedup over the multimodal stub pipeline: sample every
+    * 2nd 64-byte "frame" per payload (q31/q32's decode seam), hash
+    * each frame, report sampled vs distinct counts per doc — the
+    * static-scene/duplicate-frame detector a video ingest runs before
+    * paying for per-frame feature extraction. Frames are hashed via
+    * their hex encoding so the DuckDB oracle (no blob substring)
+    * replays the exact same bytes. */
+  val q136FrameDedup: Q = (s, dir) => {
+    val media = Multimodal.toMedia(t(s, dir, "documents"))
+    Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).toDF()
+      .select(col("doc_id"), explode(col("frames")).as("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(md5(hex(col("f")))).as("n_distinct_frames"))
+  }
+
+  /** Corpus novelty curve: per doc, the fraction of its 8-grams first
+    * contributed by THAT doc (ingest order = doc_id) — the
+    * diminishing-returns readout that says when a feed stops adding
+    * new content and starts re-serving it. Two partial-aggregated
+    * shuffles (per-gram first-doc, per-doc rollup), both on hashed
+    * keys; exact integer counts, floor-bp ratio. */
+  val q137NgramNovelty: Q = (s, dir) => {
+    import graft.functions.WordShingles.word_shingles
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(word_shingles(col("text"), 8))).as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"),
+        floor(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          * lit(10000.0) / count(lit(1))).cast("bigint").as("novelty_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1709,6 +1746,8 @@ object ExtensionQueries {
     "q133_chunk_overlap" -> q133ChunkOverlap,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
     "q135_quality_calibration" -> q135QualityCalibration,
+    "q136_frame_dedup" -> q136FrameDedup,
+    "q137_ngram_novelty" -> q137NgramNovelty,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3604,5 +3643,33 @@ object ExtensionQueries {
                 CAST(floor(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000.0
                            / count(*)) AS BIGINT) AS dup_rate_bp
          FROM j GROUP BY 1""",
+    "q136_frame_dedup" ->
+      """WITH b AS (SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS h,
+                          octet_length(CAST(text AS BLOB)) AS n
+                   FROM documents),
+         fr AS (SELECT doc_id,
+                       unnest(list_transform(range(0, (n + 63) // 64),
+                              i -> CASE WHEN i % 2 = 0
+                                   THEN substr(h, CAST(i * 128 + 1 AS BIGINT), 128)
+                                   END)) AS f
+                FROM b)
+         SELECT doc_id, count(f) AS n_frames,
+                CAST(count(DISTINCT md5(f)) AS BIGINT) AS n_distinct_frames
+         FROM fr WHERE f IS NOT NULL GROUP BY doc_id""",
+    "q137_ngram_novelty" ->
+      """WITH g AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(s) - 6),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
+                              s[i+3] || ' ' || s[i+4] || ' ' || s[i+5] || ' ' ||
+                              s[i+6] || ' ' || s[i+7])) AS gr
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         f AS (SELECT gr, min(doc_id) AS first_doc FROM g GROUP BY gr)
+         SELECT doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                CAST(floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                           * 10000.0 / count(*)) AS BIGINT) AS novelty_bp
+         FROM g JOIN f USING (gr) GROUP BY doc_id""",
   )
 }

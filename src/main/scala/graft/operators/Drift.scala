@@ -23,7 +23,10 @@ object Drift {
       .groupBy(col("cents")).agg(count(lit(1)).as("n"))
 
   /** KS statistic between two (cents, n) histograms.
-    * Output: one row (n_a, n_b, ks_stat). */
+    * Output: one row (n_a, n_b, ks_stat). An EMPTY side reads as
+    * ks_stat = 1.0 (maximal drift), never null — a feed that stopped
+    * producing data must trip the monitor's threshold, not read as
+    * healthy because null compares false. */
   def ksFromHists(a: DataFrame, b: DataFrame): DataFrame = {
     val byC = a.select(col("cents"), col("n").as("na"), lit(0L).as("nb"))
       .unionAll(b.select(col("cents"), lit(0L).as("na"), col("n").as("nb")))
@@ -40,8 +43,14 @@ object Drift {
         col("ta"), col("tb"))
       .agg(max(col("d_num")).as("max_num"),
         max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
-      .select(col("n_a"), col("n_b"),
-        round(col("max_num").cast("double") / (col("n_a") * col("n_b")), 6)
+      // guard BEFORE dividing: an empty side makes the ratio 0/0 → NaN
+      // (which coalesce would pass through); both-empty leaves nulls
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(coalesce(col("n_a"), lit(0L)) === 0 ||
+          coalesce(col("n_b"), lit(0L)) === 0, lit(1.0))
+          .otherwise(
+            round(col("max_num").cast("double") / (col("n_a") * col("n_b")), 6))
           .as("ks_stat"))
   }
 

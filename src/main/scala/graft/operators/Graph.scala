@@ -87,30 +87,35 @@ object Graph {
     * far under 2⁶³), still bit-replayable.
     *
     * Scale shape: the iteration-invariant out-weight total is joined
-    * into the edge list ONCE; each round then BROADCASTS the
-    * node-sized rank frame against the stationary edge list — the edge
-    * side never shuffles again, and the per-round shuffle is only the
-    * map-side-combined (dst, contrib) partials. A graph whose node
-    * table outgrows the broadcast limit flips the hint off and falls
-    * back to a co-partitioned shuffle join; for the bipartite fact
-    * graphs here nodes are ~50× smaller than edges, and the broadcast
-    * round measured ~2× faster than the repartition-join round it
-    * replaced (3.3s → 1.6s for 3 iterations at sf0.1). */
+    * into the edge list ONCE; with `broadcastNodes` (default), each
+    * round BROADCASTS the node-sized rank frame against the stationary
+    * edge list — the edge side never shuffles again, and the per-round
+    * shuffle is only the map-side-combined (dst, contrib) partials
+    * (~2× faster than the repartition-join round it replaced: 3.3s →
+    * 1.6s for 3 iterations at sf0.1, nodes ~50× smaller than edges).
+    * The broadcast() hint is MANDATORY, not advisory — a node table
+    * past executor memory fails rather than degrading — so for graphs
+    * whose node frame can't broadcast, pass broadcastNodes=false to
+    * let the planner pick a co-partitioned shuffle join against the
+    * src-partitioned checkpointed edges. */
   def pageRankWeighted(
-      edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
+      edges: DataFrame, iterations: Int, dampingPct: Int = 85,
+      broadcastNodes: Boolean = true): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
+    def nodeSide(df: DataFrame): DataFrame =
+      if (broadcastNodes) broadcast(df) else df
     // repartition before the checkpoint: AQE coalesces the (small at
     // test scale) edge derivation to a handful of partitions, and a
     // checkpoint frozen that way caps every round's scan parallelism
     val e0 = edges.repartition(col("src")).localCheckpoint()
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val e = e0.join(broadcast(outW), "src").localCheckpoint()
+    val e = e0.join(nodeSide(outW), "src").localCheckpoint()
     val baseRank = (100L - dampingPct) * 10000L
     val init = outW.select(col("src").as("node"), lit(1000000L).as("rank"))
     (1 to iterations).foldLeft(init) { (ranks, _) =>
       e
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .join(nodeSide(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst"),
           expr(s"(rank * $dampingPct * w) div (100 * wsum)").as("contrib"))
         .groupBy(col("dst"))
@@ -134,18 +139,24 @@ object Graph {
     * `min_by` argmax — an aggregation, not a rank window, so there is
     * no per-partition sort and the partial aggregates combine
     * map-side. min_by(label, (-n, label)) == "max count, ties to the
-    * smallest label" because struct ordering is lexicographic. A graph
-    * whose node table outgrows the broadcast limit drops the hint and
-    * pays a dst-keyed shuffle join instead. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    * smallest label" because struct ordering is lexicographic. The
+    * broadcast() hint is MANDATORY, not advisory (past executor
+    * memory it fails, it does not degrade): pass
+    * broadcastNodes=false for graphs whose node frame can't
+    * broadcast and the planner joins against the dst-partitioned
+    * checkpointed edges instead. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      broadcastNodes: Boolean = true): DataFrame = {
     require(rounds >= 1, "labelPropagation needs at least one round")
+    def nodeSide(df: DataFrame): DataFrame =
+      if (broadcastNodes) broadcast(df) else df
     // repartition before the checkpoint (see pageRankWeighted): keeps
     // the frozen edge scan at full parallelism under AQE coalescing
     val e = edges.repartition(col("dst")).localCheckpoint()
     val init = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     (1 to rounds).foldLeft(init) { (labels, _) =>
-      e.join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
+      e.join(nodeSide(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("src"))
@@ -171,21 +182,30 @@ object Graph {
     * Scale shape per round: the frontier and visited frames are
     * node-sized and broadcast against the stationary edge list; the
     * only shuffle is the distinct over the fringe's neighbor list.
-    * Frames that outgrow the broadcast limit drop the hints for
-    * shuffle joins — the recurrence is unchanged. */
-  def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    * The broadcast() hint is MANDATORY, not advisory (past executor
+    * memory it fails, it does not degrade): pass broadcastNodes=false
+    * for graphs whose node frames can't broadcast — the recurrence is
+    * unchanged, the joins become src-keyed shuffles. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int,
+      broadcastNodes: Boolean = true): DataFrame = {
     require(rounds >= 1, "bfsHops needs at least one round")
+    def nodeSide(df: DataFrame): DataFrame =
+      if (broadcastNodes) broadcast(df) else df
     // repartition before the checkpoint (see pageRankWeighted): keeps
     // the frozen edge scan at full parallelism under AQE coalescing
     val e = edges.repartition(col("src")).localCheckpoint()
-    var visited = sources.select(col("node"), lit(0L).as("hop"))
+    // distinct: the old min()-merge form collapsed duplicate source
+    // rows; the frontier form's anti-join only blocks RE-discovery,
+    // so duplicates in `sources` would survive into every output row
+    var visited = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("hop"))
       .localCheckpoint()
     var frontier = visited.select(col("node"))
     for (r <- 1 to rounds) {
       val next = e
-        .join(broadcast(frontier.withColumnRenamed("node", "src")), "src")
+        .join(nodeSide(frontier.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node")).distinct()
-        .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+        .join(nodeSide(visited.select(col("node"))), Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("hop"))
         .localCheckpoint() // read twice below (union + next anti join)
       visited = visited.unionAll(next).localCheckpoint()

@@ -43,20 +43,29 @@ object Similarity {
       .withColumn(outCol, transform(col(vecCol), x => x / col("graft_nrm")))
       .drop("graft_nrm")
 
-  /** Exact top-k neighbors for each query vector.
-    * Output: (q_id, vec_id, sim, rank). */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+  /** Every (query, corpus) pair scored — the shared scan stage of
+    * [[bruteForceTopK]] and [[rangeSearch]]: the driver-size query set
+    * broadcasts, the corpus is scanned once with one dot product per
+    * pair, similarities rounded to 6 dp (the engine-parity
+    * convention). Output: (q_id, vec_id, sim). */
+  private def scoredPairs(queries: DataFrame, corpus: DataFrame): DataFrame = {
     val q = withUnit(
       queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
       "qv", "qn")
     val c = withUnit(
       corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")),
       "v", "vn")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
     c.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("qn"), col("vn")), 6).as("sim"))
+  }
+
+  /** Exact top-k neighbors for each query vector.
+    * Output: (q_id, vec_id, sim, rank). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scoredPairs(queries, corpus)
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
@@ -71,19 +80,9 @@ object Similarity {
     * is no rank window at all. Self-matches are excluded. Similarities
     * are rounded to 6 dp BEFORE the threshold test so float summation
     * order can never flip a boundary row across engines. */
-  def rangeSearch(queries: DataFrame, corpus: DataFrame, minSim: Double): DataFrame = {
-    val q = withUnit(
-      queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
-      "qv", "qn")
-    val c = withUnit(
-      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")),
-      "v", "vn")
-    c.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(dot(col("qn"), col("vn")), 6).as("sim"))
-      .filter(col("sim") >= minSim)
-  }
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, minSim: Double): DataFrame =
+    scoredPairs(queries, corpus)
+      .filter(col("vec_id") =!= col("q_id") && col("sim") >= minSim)
 
   /** Maximal-marginal-relevance rerank of one query's candidate pool:
     * greedily pick k results maximizing
@@ -125,6 +124,10 @@ object Similarity {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val lam = lambdaBp / 10000.0
+    // (1.0 - lam) is one ulp off the oracle's 0.3 literal (IEEE 0.7 is
+    // not exactly 0.7); derive the penalty weight from the SAME
+    // integer so both engines multiply by the identical double
+    val pen = (10000 - lambdaBp) / 10000.0
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
     val remaining = scala.collection.mutable.Set(qsims.keySet.toSeq: _*)
     (1 to math.min(k, qsims.size)).foreach { _ =>
@@ -132,7 +135,7 @@ object Similarity {
         val score =
           if (selected.isEmpty) qsims(c)
           else r6(lam * qsims(c) -
-            (1.0 - lam) * selected.map(s => pair(c, s._1)).max)
+            pen * selected.map(s => pair(c, s._1)).max)
         (c, score)
       }.minBy { case (c, score) => (-score, c) }
       selected += ((best._1, qsims(best._1), best._2))

@@ -1196,8 +1196,11 @@ object ExtensionQueries {
     * p05/p95 before averaging — the robust-mean companion to q103's
     * MAD outliers (clip, don't drop). The percentile pass is one
     * type-keyed agg over a 5-row result, broadcast back; clipping is
-    * scan-local. Means are rounded to 2 dp (group sums are small
-    * enough that add-order noise sits far below the rounding). */
+    * scan-local. Means are integer cents with floor division —
+    * round(avg(double), 2) flips at half-cent boundaries under
+    * cross-engine add-order (q115 documents the same hazard; 42 of
+    * its groups sit exactly on one in this data), so each value is
+    * fixed to cents per row BEFORE the sum. */
   val q114Winsorize: Q = (s, dir) => {
     val ev = t(s, dir, "events")
     val pct = ev.groupBy(col("event_type"))
@@ -1210,8 +1213,10 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"),
         round(min(col("p05")), 2).as("p05_r"),
         round(min(col("p95")), 2).as("p95_r"),
-        round(avg(col("value")), 2).as("mean_raw"),
-        round(avg(col("wv")), 2).as("mean_winsor"))
+        expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+          .as("mean_raw_cents"),
+        expr("sum(cast(round(wv * 100) as bigint)) div count(1)")
+          .as("mean_winsor_cents"))
   }
 
   /** Seasonality profile: event counts and mean value by
@@ -1515,13 +1520,18 @@ object ExtensionQueries {
   /** Overlapping RAG chunks: 256-token windows at stride 192 (64-token
     * overlap so no sentence is orphaned at a boundary) — q41 chunks
     * without overlap for training shards; retrieval chunking wants the
-    * overlap. Pure scan-local arithmetic: one explode of
-    * ceil(n/stride) chunk indices per doc, no shuffle at all. */
+    * overlap. Chunk count is the smallest m whose last window reaches
+    * the end: greatest(1, (n−65) div 192 + 1) — NOT ceil(n/192), which
+    * would emit a final chunk fully contained in the previous window
+    * whenever n mod 192 ≤ 64 (an exact-duplicate tail in the index for
+    * ~a third of long docs). Pure scan-local arithmetic, one explode,
+    * no shuffle. */
   val q133ChunkOverlap: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), TextOps.wordCount(col("text")).as("n_tok"))
       .withColumn("chunk_id",
-        explode(sequence(lit(0L), expr("(n_tok + 191) div 192 - 1"))))
+        explode(sequence(lit(0L),
+          expr("greatest(1L, (n_tok - 65) div 192 + 1) - 1"))))
       .select(col("doc_id"), col("chunk_id"),
         (col("chunk_id") * 192).as("start_tok"),
         least(lit(256L), col("n_tok") - col("chunk_id") * 192)
@@ -3216,9 +3226,11 @@ object ExtensionQueries {
          SELECT e.event_type, count(*) AS n,
                 round(min(p.p05), 2) AS p05_r,
                 round(min(p.p95), 2) AS p95_r,
-                round(avg(e.value), 2) AS mean_raw,
-                round(avg(least(greatest(e.value, p.p05), p.p95)), 2)
-                  AS mean_winsor
+                CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                     // count(*) AS BIGINT) AS mean_raw_cents,
+                CAST(sum(CAST(round(least(greatest(e.value, p.p05), p.p95) * 100)
+                              AS BIGINT)) // count(*) AS BIGINT)
+                  AS mean_winsor_cents
          FROM events e JOIN p USING (event_type)
          GROUP BY e.event_type""",
     "q115_seasonality" ->
@@ -3560,13 +3572,15 @@ object ExtensionQueries {
          GROUP BY 1""",
     "q133_chunk_overlap" ->
       """WITH d AS (SELECT doc_id,
-                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                          greatest(1, (CAST(len(string_split(text, ' ')) AS BIGINT)
+                                       - 65) // 192 + 1) AS n_chunks
                    FROM documents)
          SELECT doc_id,
-                unnest(range(0, (n_tok + 191) // 192)) AS chunk_id,
-                unnest(list_transform(range(0, (n_tok + 191) // 192),
+                unnest(range(0, n_chunks)) AS chunk_id,
+                unnest(list_transform(range(0, n_chunks),
                        c -> c * 192)) AS start_tok,
-                unnest(list_transform(range(0, (n_tok + 191) // 192),
+                unnest(list_transform(range(0, n_chunks),
                        c -> least(256, n_tok - c * 192))) AS n_chunk_toks
          FROM d""",
     "q134_cusum_changepoint" ->

@@ -44,4 +44,20 @@ class StreamingDriftSpec extends SparkSpec {
       assert(log(1L) == 1.0) // disjoint supports: maximal drift
     } finally q.stop()
   }
+
+  test("an empty side reads as maximal drift (1.0), never null") {
+    val ref = Drift.centsHist((1 to 10).map(_.toDouble).toDF("value"), col("value"))
+    val emptyVals = spark.emptyDataFrame
+      .withColumn("value", lit(0.0)).filter(lit(false))
+    val r = Drift.ksFromHists(Drift.centsHist(emptyVals, col("value")), ref)
+      .collect().head
+    // a feed that stopped producing must trip the alert threshold, not
+    // read as healthy because null compares false
+    assert(r.getAs[Long]("n_a") == 0L && r.getAs[Long]("n_b") == 10L)
+    assert(r.getAs[Double]("ks_stat") == 1.0)
+    val bothEmpty = Drift.ksFromHists(
+      Drift.centsHist(emptyVals, col("value")),
+      Drift.centsHist(emptyVals, col("value"))).collect().head
+    assert(bothEmpty.getAs[Double]("ks_stat") == 1.0)
+  }
 }

@@ -1627,6 +1627,113 @@ object ExtensionQueries {
           * lit(10000.0) / count(lit(1))).cast("bigint").as("novelty_bp"))
   }
 
+  /** Burstiness (Fano factor) of daily event counts per type:
+    * variance-to-mean ratio — 1 ≈ Poisson arrivals, ≫1 = bursty
+    * (bot traffic, batch replays). Computed as
+    * (n·Σx² − (Σx)²) / ((n−1)·Σx): every term is an exact int64
+    * cross-product, only the final ratio is float — the same
+    * engine-exactness discipline as q109/q134. */
+  val q138Burstiness: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("sx").as("n_events"),
+        round((col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+          / ((col("n_days") - 1) * col("sx")).cast("double"), 6)
+          .as("fano"))
+
+  /** Audience overlap matrix: distinct-user Jaccard between every
+    * event-type pair — "are these two features used by the same
+    * people". Distinct (type, user) dedupes map-side; the pair join
+    * fans out per user by the TYPE count (bounded), never by user
+    * count; counts are exact ints, one rounded division at the end. */
+  val q139AudienceOverlap: Q = (s, dir) => {
+    val tu = t(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+    val inter = tu.select(col("event_type").as("et_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("et_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("et_a") < col("et_b"))
+      .groupBy(col("et_a"), col("et_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("et_a"),
+        col("nu").as("n_a"))), Seq("et_a"))
+      .join(broadcast(sizes.select(col("event_type").as("et_b"),
+        col("nu").as("n_b"))), Seq("et_b"))
+      .select(col("et_a"), col("et_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+  }
+
+  /** Degree distribution of the part↔supplier graph: nodes per
+    * (side, degree) — the first thing to look at before choosing a
+    * partitioning strategy for any graph workload (a power-law tail
+    * means salting/broadcast decisions). Exact counts, two
+    * partial-aggregated shuffles. */
+  val q140DegreeDist: Q = (s, dir) =>
+    Graph.bipartiteEdges(t(s, dir, "lineitem"),
+      "l_partkey", "l_suppkey", "p", "s")
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(substring(col("src"), 1, 1).as("side"), col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** One-pass data profile of the events table: row/null/distinct
+    * counts and value range — the first query any ingested table gets.
+    * Exact count-distincts here (bounded columns); swap
+    * approx_count_distinct for unbounded ones (q73 shows the
+    * contract). */
+  val q141Profile: Q = (s, dir) =>
+    t(s, dir, "events").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("user_id")).as("n_users"),
+      round(min(col("value")), 2).as("min_value"),
+      round(max(col("value")), 2).as("max_value"))
+
+  /** Referential-integrity check across the star schema's FK chains:
+    * orphan counts per relation via left-anti joins (the broadcast-able
+    * dimension side makes each check one fact scan). Zero rows is the
+    * healthy answer — the query emits the count per relation either
+    * way so the gate can assert == 0. */
+  val q142RiCheck: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+    def orphanCount(name: String, fact: DataFrame, key: String,
+        dim: DataFrame, dimKey: String): DataFrame =
+      fact.join(dim.select(col(dimKey).as(key)), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_orphans"))
+    orphanCount("lineitem->part", li, "l_partkey", t(s, dir, "part"), "p_partkey")
+      .unionAll(orphanCount("lineitem->supplier", li, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .unionAll(orphanCount("lineitem->orders", li, "l_orderkey",
+        ords, "o_orderkey"))
+      .unionAll(orphanCount("orders->customer", ords, "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+  }
+
+  /** Freshness report: per event type, the latest event and its lag
+    * behind the stream head in seconds — the staleness gate a
+    * multi-feed ingest checks before publishing a snapshot. One
+    * groupBy plus a broadcast 1-row global. */
+  val q143Freshness: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val g = ev.agg(max(col("ts")).as("global_max"))
+    ev.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("latest"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(g))
+      .select(col("event_type"), col("n"), col("latest"),
+        (col("global_max").cast("timestamp_ltz").cast("long")
+          - col("latest").cast("timestamp_ltz").cast("long")).as("lag_s"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1758,6 +1865,12 @@ object ExtensionQueries {
     "q135_quality_calibration" -> q135QualityCalibration,
     "q136_frame_dedup" -> q136FrameDedup,
     "q137_ngram_novelty" -> q137NgramNovelty,
+    "q138_burstiness" -> q138Burstiness,
+    "q139_audience_overlap" -> q139AudienceOverlap,
+    "q140_degree_dist" -> q140DegreeDist,
+    "q141_profile" -> q141Profile,
+    "q142_ri_check" -> q142RiCheck,
+    "q143_freshness" -> q143Freshness,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3685,5 +3798,75 @@ object ExtensionQueries {
                 CAST(floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
                            * 10000.0 / count(*)) AS BIGINT) AS novelty_bp
          FROM g JOIN f USING (gr) GROUP BY doc_id""",
+    "q138_burstiness" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                              count(*) AS x
+                       FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, count(*) AS n_days,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM daily GROUP BY event_type)
+         SELECT event_type, n_days, sx AS n_events,
+                round(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                      / CAST((n_days - 1) * sx AS DOUBLE), 6) AS fano
+         FROM m""",
+    "q139_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         sizes AS (SELECT event_type, count(*) AS nu FROM tu GROUP BY 1),
+         inter AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+                          count(*) AS n_both
+                   FROM tu a JOIN tu b
+                     ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+         SELECT et_a, et_b, sa.nu AS n_a, sb.nu AS n_b, n_both,
+                round(CAST(n_both AS DOUBLE)
+                      / (sa.nu + sb.nu - n_both), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.event_type = et_a
+         JOIN sizes sb ON sb.event_type = et_b""",
+    "q140_degree_dist" ->
+      """WITH pairs AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                               's' || CAST(l_suppkey AS VARCHAR) AS b
+                        FROM lineitem),
+         edges AS (SELECT a AS src FROM pairs
+                   UNION ALL SELECT b AS src FROM pairs),
+         deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+         SELECT substr(src, 1, 1) AS side, degree, count(*) AS n_nodes
+         FROM deg GROUP BY 1, 2""",
+    "q141_profile" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null_props,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                round(min(value), 2) AS min_value,
+                round(max(value), 2) AS max_value
+         FROM events""",
+    "q142_ri_check" ->
+      """SELECT 'lineitem->part' AS relation,
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS n_orphans
+         UNION ALL
+         SELECT 'lineitem->supplier',
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+         UNION ALL
+         SELECT 'lineitem->orders',
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+         UNION ALL
+         SELECT 'orders->customer',
+                (SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))""",
+    "q143_freshness" ->
+      """WITH g AS (SELECT max(ts) AS gm FROM events)
+         SELECT event_type, count(*) AS n, max(ts) AS latest,
+                CAST(date_diff('second', max(ts), gm) AS BIGINT) AS lag_s
+         FROM events, g GROUP BY event_type, gm""",
   )
 }

@@ -1734,6 +1734,58 @@ object ExtensionQueries {
           - col("latest").cast("timestamp_ltz").cast("long")).as("lag_s"))
   }
 
+  /** Tokenizer fertility per language: BPE-ish tokens per whitespace
+    * word in floor-bp — the metric that says which languages your
+    * tokenizer fragments (fertility ≫ 1 means context windows hold
+    * less text). Exact integer token/word counts, one tiny group
+    * agg. */
+  val q144Fertility: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"), TextOps.wordCount(col("text")).as("nw"),
+        TextOps.tokenCount(col("text")).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        floor(sum(col("nt")) * lit(10000.0) / sum(col("nw")))
+          .cast("bigint").as("fertility_bp"))
+
+  /** Dedup impact summary: corpus token mass before dedup, after the
+    * exact-dup keeper, and after the near-dup group keeper — the
+    * "what does dedup actually buy" number that justifies the LSH
+    * pass's cost. Reuses the q24 keeper rule and the q35 group
+    * keeper verbatim; one row, exact integer sums. */
+  val q145DedupImpact: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), md5(col("text")).as("h"),
+      TextOps.wordCount(col("text")).as("nt"))
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val groups = DedupGroups.dedupGroups(docs, threshold = 0.2)
+      .select(col("doc_id"), col("group_id"))
+    toks
+      .join(keepers, Seq("h"))
+      .join(groups, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("tokens_raw"),
+        sum(when(col("doc_id") === col("keeper"), col("nt")).otherwise(0L))
+          .as("tokens_exact_kept"),
+        sum(when(col("doc_id") === col("keeper") &&
+          (col("group_id").isNull || col("group_id") === col("doc_id")),
+          col("nt")).otherwise(0L)).as("tokens_neardup_kept"))
+  }
+
+  /** Context-length histogram: docs per power-of-2 token-length bucket
+    * — the distribution that picks training context length and
+    * packing capacity. floor(log2(n)) is exact for the integer inputs
+    * (powers of two are exact doubles), counts are exact. */
+  val q146ContextHist: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(TextOps.wordCount(col("text")).as("nt"))
+      .groupBy(floor(log(2.0, col("nt").cast("double"))).cast("bigint")
+        .as("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("nt")).as("min_toks"),
+        max(col("nt")).as("max_toks"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1871,6 +1923,9 @@ object ExtensionQueries {
     "q141_profile" -> q141Profile,
     "q142_ri_check" -> q142RiCheck,
     "q143_freshness" -> q143Freshness,
+    "q144_fertility" -> q144Fertility,
+    "q145_dedup_impact" -> q145DedupImpact,
+    "q146_context_hist" -> q146ContextHist,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3868,5 +3923,78 @@ object ExtensionQueries {
          SELECT event_type, count(*) AS n, max(ts) AS latest,
                 CAST(date_diff('second', max(ts), gm) AS BIGINT) AS lag_s
          FROM events, g GROUP BY event_type, gm""",
+    "q144_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+                CAST(sum(len(regexp_extract_all(text,
+                     '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1))) AS BIGINT)
+                  AS n_tokens,
+                CAST(floor(sum(len(regexp_extract_all(text,
+                     '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1))) * 10000.0
+                     / sum(len(string_split(text, ' ')))) AS BIGINT)
+                  AS fertility_bp
+         FROM documents GROUP BY lang""",
+    "q145_dedup_impact" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(s) - 1),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         sig AS (
+           SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j),
+         band AS (
+           SELECT doc_id, j // 2 AS band,
+                  md5(string_agg(mh, '|' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2
+           QUALIFY count(*) OVER (PARTITION BY j // 2, md5(string_agg(mh, '|' ORDER BY j))) <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS i
+           FROM cand c
+           JOIN shd x ON x.doc_id = c.doc_a
+           JOIN shd y ON y.doc_id = c.doc_b AND x.sh = y.sh
+           GROUP BY c.doc_a, c.doc_b),
+         sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id),
+         tk AS (SELECT doc_id, md5(text) AS h,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                FROM documents),
+         kp AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+                FROM documents GROUP BY 1)
+         SELECT count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS tokens_raw,
+                CAST(sum(CASE WHEN tk.doc_id = kp.keeper THEN nt ELSE 0 END)
+                  AS BIGINT) AS tokens_exact_kept,
+                CAST(sum(CASE WHEN tk.doc_id = kp.keeper
+                              AND (g.group_id IS NULL OR g.group_id = tk.doc_id)
+                              THEN nt ELSE 0 END) AS BIGINT)
+                  AS tokens_neardup_kept
+         FROM tk JOIN kp USING (h)
+         LEFT JOIN grp g ON g.doc_id = tk.doc_id""",
+    "q146_context_hist" ->
+      """SELECT CAST(floor(log2(CAST(len(string_split(text, ' ')) AS DOUBLE)))
+                  AS BIGINT) AS log2_bucket,
+                count(*) AS n_docs,
+                CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_toks,
+                CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_toks
+         FROM documents GROUP BY 1""",
   )
 }

@@ -266,4 +266,63 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("seqPack: packs never overflow except oversize singletons; ids dense, order-monotone") {
+    import graft.operators.SeqPack
+    val docsGen = Gen.nonEmptyListOf(Gen.choose(1, 12))
+    for ((toks, cap) <- samples(Gen.zip(docsGen, Gen.choose(4L, 16L)), 6)) {
+      val df = toks.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" "), "en") }
+        .toDF("doc_id", "text", "lang")
+      val got = SeqPack.pack(df, "lang", cap)
+        .select("doc_id", "n_tok", "pack_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // pack ids are dense from 0 and non-decreasing in doc order
+      assert(got.head._3 == 0L)
+      got.sliding(2).foreach {
+        case Array((_, _, p1), (_, _, p2)) =>
+          assert(p2 == p1 || p2 == p1 + 1, s"pack ids jump: $p1 → $p2")
+        case _ =>
+      }
+      // no pack exceeds capacity unless it is a single oversize doc
+      got.groupBy(_._3).values.foreach { members =>
+        val total = members.map(_._2).sum
+        assert(total <= cap || members.length == 1,
+          s"pack over capacity with ${members.length} docs: $total > $cap")
+      }
+    }
+  }
+
+  test("zValue: de-interleaving recovers both inputs; z=0 iff both zero") {
+    import graft.store.Layout
+    val g = Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))
+    for (pairs <- Seq(samples(g, 40))) {
+      val df = pairs.toDF("a", "b")
+        .select(col("a"), col("b"), Layout.zValue(col("a"), col("b")).as("z"))
+        .as[(Long, Long, Long)].collect()
+      df.foreach { case (a, b, z) =>
+        var (ra, rb) = (0L, 0L)
+        (0 until 16).foreach { i =>
+          ra |= ((z >> (2 * i)) & 1L) << i
+          rb |= ((z >> (2 * i + 1)) & 1L) << i
+        }
+        assert(ra == a && rb == b, s"z=$z did not round-trip ($a, $b)")
+      }
+    }
+  }
+
+  test("drift: KS(x, x) = 0 for any histogram; symmetric in its sides") {
+    import graft.operators.Drift
+    val g = Gen.nonEmptyListOf(Gen.choose(1, 300).map(_ / 10.0))
+    for ((xs, ys) <- samples(Gen.zip(g, g), 5)) {
+      val hx = Drift.centsHist(xs.toDF("value"), col("value")).localCheckpoint()
+      val hy = Drift.centsHist(ys.toDF("value"), col("value")).localCheckpoint()
+      val self = Drift.ksFromHists(hx, hx).collect().head.getAs[Double]("ks_stat")
+      assert(self == 0.0, s"KS(x,x) = $self")
+      val ab = Drift.ksFromHists(hx, hy).collect().head.getAs[Double]("ks_stat")
+      val ba = Drift.ksFromHists(hy, hx).collect().head.getAs[Double]("ks_stat")
+      assert(ab == ba, s"KS not symmetric: $ab vs $ba")
+      assert(ab >= 0.0 && ab <= 1.0)
+    }
+  }
 }

@@ -1786,6 +1786,44 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"), min(col("nt")).as("min_toks"),
         max(col("nt")).as("max_toks"))
 
+  /** Late-shipment order mix (the TPC-H Q4 shape): orders with ANY
+    * lineitem shipped more than 60 days after the order date, counted
+    * per priority — an EXISTS turned into one conditioned left-semi
+    * hash join (the key equi-condition drives the join; the lag
+    * predicate filters matches, no nested loop). */
+  val q147PriorityLate: Q = (s, dir) =>
+    t(s, dir, "orders").as("o")
+      .join(t(s, dir, "lineitem").as("l"),
+        expr("l.l_orderkey = o.o_orderkey AND " +
+          "datediff(l.l_shipdate, o.o_orderdate) > 60"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+
+  /** Returned-revenue top customers (the TPC-H Q10 shape): revenue of
+    * R-flagged items per customer, top 20. Revenue is fixed to cents
+    * PER ROW (the per-row double product is bit-identical in both
+    * engines; the sum is then exact int64) — the discipline that makes
+    * a revenue ranking replayable instead of
+    * float-add-order-dependent. */
+  val q148ReturnsTop: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_cents"))
+    val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_cents")).as("returned_cents"),
+        count(lit(1)).as("n_items"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_items"), col("returned_cents"))
+      .orderBy(col("returned_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1926,6 +1964,8 @@ object ExtensionQueries {
     "q144_fertility" -> q144Fertility,
     "q145_dedup_impact" -> q145DedupImpact,
     "q146_context_hist" -> q146ContextHist,
+    "q147_priority_late" -> q147PriorityLate,
+    "q148_returns_top" -> q148ReturnsTop,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3996,5 +4036,23 @@ object ExtensionQueries {
                 CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_toks,
                 CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_toks
          FROM documents GROUP BY 1""",
+    "q147_priority_late" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "q148_returns_top" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+                count(*) AS n_items,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT)) AS BIGINT) AS returned_cents
+         FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY returned_cents DESC, c_custkey LIMIT 20""",
   )
 }

@@ -1824,6 +1824,53 @@ object ExtensionQueries {
       .limit(20)
   }
 
+  /** Gini coefficient of per-user activity per event type — the
+    * inequality readout ("is this feature carried by ten power
+    * users"). G = (2Σi·xᵢ − (n+1)Σx) / (n·Σx) over ascending-sorted
+    * counts: every sum is exact int64 (ranks from a per-type window,
+    * ties broken by user_id), one rounded division at the end. The
+    * rank window partitions by type — per-partition state is the
+    * type's user count, the same accepted shape as q99. */
+  val q149Gini: Q = (s, dir) => {
+    val ua = t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("user_id"))
+    ua.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("event_type"), col("n_users"), col("total"),
+        round((lit(2L) * col("six") - (col("n_users") + 1) * col("total"))
+          .cast("double")
+          / (col("n_users") * col("total")).cast("double"), 6).as("gini"))
+  }
+
+  /** Chi-square independence of the lang × source grid — "is language
+    * mix uniform across feeds, or does a source skew". The full grid
+    * (including empty cells, which still contribute r·c/N) is built by
+    * crossing the two margins; the deviation o·N − r·c is exact int64
+    * (safe to ~3×10⁹ docs), squared in double — deterministic in both
+    * engines — and terms are 8-dp-rounded before the bounded-cell
+    * sum. */
+  val q150Chi2Independence: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val o = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val r = docs.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+    val c = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    r.crossJoin(c)
+      .join(o, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("d", col("o") * col("nn") - col("r") * col("c"))
+      .withColumn("term", round(
+        (col("d").cast("double") * col("d").cast("double"))
+          / (col("nn") * col("r") * col("c")).cast("double"), 8))
+      .agg(count(lit(1)).as("n_cells"), round(sum(col("term")), 4).as("chi2"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -1966,6 +2013,8 @@ object ExtensionQueries {
     "q146_context_hist" -> q146ContextHist,
     "q147_priority_late" -> q147PriorityLate,
     "q148_returns_top" -> q148ReturnsTop,
+    "q149_gini" -> q149Gini,
+    "q150_chi2_independence" -> q150Chi2Independence,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4054,5 +4103,37 @@ object ExtensionQueries {
          WHERE l_returnflag = 'R'
          GROUP BY 1, 2, 3
          ORDER BY returned_cents DESC, c_custkey LIMIT 20""",
+    "q149_gini" ->
+      """WITH ua AS (SELECT event_type, user_id, count(*) AS x
+                     FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, x,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY x, user_id) AS i
+               FROM ua),
+         m AS (SELECT event_type, count(*) AS n_users,
+                      CAST(sum(x) AS BIGINT) AS total,
+                      CAST(sum(i * x) AS BIGINT) AS six
+               FROM r GROUP BY 1)
+         SELECT event_type, n_users, total,
+                round(CAST(2 * six - (n_users + 1) * total AS DOUBLE)
+                      / CAST(n_users * total AS DOUBLE), 6) AS gini
+         FROM m""",
+    "q150_chi2_independence" ->
+      """WITH o AS (SELECT lang, source, count(*) AS o
+                    FROM documents GROUP BY 1, 2),
+         r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+         c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+         n AS (SELECT count(*) AS nn FROM documents),
+         grid AS (SELECT r.lang, c.source, r.r, c.c,
+                         coalesce(o.o, 0) AS o
+                  FROM r CROSS JOIN c
+                  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+         terms AS (SELECT round(
+                     (CAST(o * nn - r * c AS DOUBLE)
+                      * CAST(o * nn - r * c AS DOUBLE))
+                     / CAST(nn * r * c AS DOUBLE), 8) AS term
+                   FROM grid, n)
+         SELECT count(*) AS n_cells, round(sum(term), 4) AS chi2
+         FROM terms""",
   )
 }

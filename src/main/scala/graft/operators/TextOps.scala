@@ -161,10 +161,15 @@ object TextOps {
     val bg = docs.select(col("doc_id"),
       explode(graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bg"))
     val model = Option(lm).getOrElse(bigramLm(docs))
+    // the model's logp is 8-dp-rounded, so ×1e8 recovers an exact
+    // integer; summing ints instead of doubles makes the mean immune
+    // to parallel-aggregation add-order (a float sum of rounded terms
+    // can flip a 4-dp boundary between runs of the SAME engine)
     bg.join(model, Seq("bg"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("logp")), 4).as("avg_logp"))
+        round(sum(round(col("logp") * lit(1e8)).cast("bigint")).cast("double")
+          / (count(col("logp")) * lit(1e8)), 4).as("avg_logp"))
   }
 
   /** The frozen corpus LM for [[bigramLogprob]]: (bg, logp) with
@@ -197,15 +202,21 @@ object TextOps {
       .join(broadcast(top.select(col("w"), col("cn"))), Seq("w"))
       .groupBy(col(stratumCol), col("w"), col("cn"))
       .agg(count(lit(1)).as("ln_"))
+    // per-term KL fixed to an e8-scaled INTEGER: a float sum of
+    // rounded terms is add-order nondeterministic even within one
+    // engine (parallel aggregation); the integer sum is exact and
+    // only the final descale division is float
     stratumTf
       .join(broadcast(stratumTotal), Seq(stratumCol))
       .crossJoin(broadcast(corpusTotal))
-      .withColumn("kl_term", round(
+      .withColumn("kl_term_e8", round(
         (col("ln_").cast("double") / col("lt")) *
           log((col("ln_").cast("double") / col("lt")) /
-            (col("cn").cast("double") / col("ct"))), 8))
+            (col("cn").cast("double") / col("ct"))) * lit(1e8))
+        .cast("bigint"))
       .groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("n_terms"), round(sum(col("kl_term")), 4).as("kl"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("kl_term_e8")).cast("double") / lit(1e8), 4).as("kl"))
   }
 
   /** Cross-document boilerplate detection: word-n-grams appearing in at

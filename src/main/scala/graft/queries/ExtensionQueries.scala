@@ -1141,10 +1141,12 @@ object ExtensionQueries {
     * information-density quality signal (near-zero entropy = repeated
     * filler; corpus-typical entropy = natural text). One explode + one
     * (doc, word) hash agg + a doc-partitioned window for the total;
-    * each term is round((c/n)·log₂(n/c), 8) — the 1/p form keeps every
-    * term ≥ +0.0 (a -0.0 would str-sort differently from 0.0 in the
-    * driver compare) and the 8-dp pre-rounding is the cross-engine
-    * add-order discipline, with the sum rounded to 4. */
+    * each term is (c/n)·log₂(n/c) fixed to an e8-scaled INTEGER per
+    * row — the 1/p form keeps every term ≥ 0, and the integer sum is
+    * exact, where a float sum of 8-dp-rounded terms is add-order
+    * nondeterministic even WITHIN one engine (DuckDB's parallel
+    * aggregation flipped one sf0.1 doc sitting on a 4-dp boundary
+    * between runs). Only the final e8-descale division is float. */
   val q112Entropy: Q = (s, dir) => {
     val wn = Window.partitionBy(col("doc_id"))
     t(s, dir, "documents")
@@ -1153,10 +1155,12 @@ object ExtensionQueries {
       .withColumn("n", sum(col("c")).over(wn))
       .select(col("doc_id"), col("n"),
         round((col("c").cast("double") / col("n")) *
-          log(2.0, col("n").cast("double") / col("c")), 8).as("term"))
+          log(2.0, col("n").cast("double") / col("c")) * lit(1e8))
+          .cast("bigint").as("term_e8"))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("n_words"), count(lit(1)).as("n_distinct"),
-        round(sum(col("term")), 4).as("entropy_bits"))
+        round(sum(col("term_e8")).cast("double") / lit(1e8), 4)
+          .as("entropy_bits"))
   }
 
   /** Collocation mining: pointwise mutual information of word pairs
@@ -1239,10 +1243,11 @@ object ExtensionQueries {
 
   /** Zipf slope per language: least-squares fit of ln(freq) on
     * ln(rank) over the top-200 words — natural text sits near −1;
-    * machine-generated or template text drifts off. Token counts are
-    * exact integers; ln(rank)/ln(count) are rounded to 8 dp before the
-    * moment sums (the add-order discipline; 200 bounded terms keep the
-    * sums far from the 4-dp rounding of the slope). */
+    * machine-generated or template text drifts off. ln(rank)/ln(count)
+    * are fixed to e6-scaled INTEGERS per point, so every moment sum is
+    * exact int64 (the e12 scales cancel in the slope ratio) — a float
+    * sum of rounded terms is add-order nondeterministic even within
+    * one engine. */
   val q116Zipf: Q = (s, dir) => {
     val w = Window.partitionBy(col("lang")).orderBy(col("cn").desc, col("w"))
     t(s, dir, "documents")
@@ -1251,13 +1256,15 @@ object ExtensionQueries {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 200)
       .select(col("lang"),
-        round(log(col("rnk").cast("double")), 8).as("x"),
-        round(log(col("cn").cast("double")), 8).as("y"))
+        round(log(col("rnk").cast("double")) * lit(1e6)).cast("bigint").as("x"),
+        round(log(col("cn").cast("double")) * lit(1e6)).cast("bigint").as("y"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_pts"),
         round(
-          (count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
-            (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))),
+          (count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y")))
+            .cast("double") /
+            (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x")))
+              .cast("double"),
           4).as("zipf_slope"))
   }
 
@@ -1299,10 +1306,12 @@ object ExtensionQueries {
         .cast("double") / count(lit(1))).as("est"))
     est
       .select(col("jaccard"), col("est"),
-        round(abs(col("est") - col("jaccard")), 8).as("err"))
+        round(abs(col("est") - col("jaccard")) * lit(1e8)).cast("bigint")
+          .as("err_e8")) // e8 ints: exact sum, add-order-immune mean
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("err")), 4).as("mean_abs_err"),
-        round(max(col("err")), 4).as("max_abs_err"),
+        round(sum(col("err_e8")).cast("double")
+          / (count(lit(1)) * lit(1e8)), 4).as("mean_abs_err"),
+        round(max(col("err_e8")).cast("double") / lit(1e8), 4).as("max_abs_err"),
         sum(when((col("est") >= 0.2) =!= (col("jaccard") >= 0.2), 1L)
           .otherwise(0L)).as("n_flipped"))
   }
@@ -1865,10 +1874,43 @@ object ExtensionQueries {
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(n))
       .withColumn("d", col("o") * col("nn") - col("r") * col("c"))
-      .withColumn("term", round(
+      .withColumn("term_e8", round(
         (col("d").cast("double") * col("d").cast("double"))
-          / (col("nn") * col("r") * col("c")).cast("double"), 8))
-      .agg(count(lit(1)).as("n_cells"), round(sum(col("term")), 4).as("chi2"))
+          / (col("nn") * col("r") * col("c")).cast("double") * lit(1e8))
+        .cast("bigint")) // e8 ints: the cell sum is exact, not add-order luck
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("term_e8")).cast("double") / lit(1e8), 4).as("chi2"))
+  }
+
+  /** Association rules over q111's (user, day) baskets: directed
+    * a→b support / confidence / lift — the market-basket triple that
+    * turns co-occurrence counts into recommendations. Confidence is
+    * floor-bp on exact counts; lift is one rounded division of exact
+    * int64 products. Basket keys bound the pair space at
+    * |types|²; everything partial-aggregates map-side. */
+  val q151AssocRules: Q = (s, dir) => {
+    val items = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        col("event_type")).distinct()
+    val nBaskets = items.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    val itemN = items.groupBy(col("event_type")).agg(count(lit(1)).as("cn"))
+    val a = items.select(col("user_id"), col("day"), col("event_type").as("ante"))
+    val b = items.select(col("user_id"), col("day"), col("event_type").as("cons"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("ante") =!= col("cons")) // directed rules, both ways
+      .groupBy(col("ante"), col("cons"))
+      .agg(count(lit(1)).as("support"))
+      .join(broadcast(itemN.select(col("event_type").as("ante"),
+        col("cn").as("n_ante"))), Seq("ante"))
+      .join(broadcast(itemN.select(col("event_type").as("cons"),
+        col("cn").as("n_cons"))), Seq("cons"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ante"), col("cons"), col("support"),
+        floor(col("support") * lit(10000.0) / col("n_ante")).cast("bigint")
+          .as("confidence_bp"),
+        round(col("support").cast("double") * col("nb")
+          / (col("n_ante") * col("n_cons")).cast("double"), 6).as("lift"))
   }
 
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
@@ -2015,6 +2057,7 @@ object ExtensionQueries {
     "q148_returns_top" -> q148ReturnsTop,
     "q149_gini" -> q149Gini,
     "q150_chi2_independence" -> q150Chi2Independence,
+    "q151_assoc_rules" -> q151AssocRules,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2719,10 +2762,10 @@ object ExtensionQueries {
                  FROM toks t JOIN top ON t.w = top.w
                  GROUP BY t.lang, t.w, top.cn)
          SELECT lang, count(*) AS n_terms,
-                round(sum(round(
+                round(CAST(sum(CAST(round(
                   (CAST(ln_ AS DOUBLE) / lt) *
-                  ln((CAST(ln_ AS DOUBLE) / lt) / (CAST(cn AS DOUBLE) / ct)),
-                  8)), 4) AS kl
+                  ln((CAST(ln_ AS DOUBLE) / lt) / (CAST(cn AS DOUBLE) / ct))
+                  * 100000000) AS BIGINT)) AS BIGINT) / 100000000.0, 4) AS kl
          FROM ltf JOIN lt USING (lang), ct
          GROUP BY lang""",
     "q64_dist_ranks" ->
@@ -2866,7 +2909,10 @@ object ExtensionQueries {
            SELECT cb.bg,
                   round(ln((cb + 0.5) / (cw + 0.5 * vsz)), 8) AS logp
            FROM cb JOIN cw ON split_part(cb.bg, ' ', 1) = cw.w, v)
-         SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(CAST(round(logp * 100000000) AS BIGINT))
+                           AS BIGINT)
+                      / (count(logp) * 100000000.0), 4) AS avg_logp
          FROM bg JOIN lm USING (bg)
          GROUP BY doc_id""",
     "q75_star_join" ->
@@ -3449,12 +3495,14 @@ object ExtensionQueries {
                        CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
                 FROM c),
          e AS (SELECT doc_id, n,
-                      round((CAST(c AS DOUBLE) / n)
-                            * log2(CAST(n AS DOUBLE) / c), 8) AS term
+                      CAST(round((CAST(c AS DOUBLE) / n)
+                            * log2(CAST(n AS DOUBLE) / c) * 100000000)
+                        AS BIGINT) AS term_e8
                FROM tt)
          SELECT doc_id, CAST(max(n) AS BIGINT) AS n_words,
                 count(*) AS n_distinct,
-                round(sum(term), 4) AS entropy_bits
+                round(CAST(sum(term_e8) AS BIGINT) / 100000000.0, 4)
+                  AS entropy_bits
          FROM e GROUP BY doc_id""",
     "q113_pmi" ->
       """WITH dw AS (SELECT DISTINCT doc_id,
@@ -3507,13 +3555,13 @@ object ExtensionQueries {
                         ORDER BY cn DESC, w) AS rnk
                FROM c),
          p AS (SELECT lang,
-                      round(ln(CAST(rnk AS DOUBLE)), 8) AS x,
-                      round(ln(CAST(cn AS DOUBLE)), 8) AS y
+                      CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                      CAST(round(ln(CAST(cn AS DOUBLE)) * 1000000) AS BIGINT) AS y
                FROM r WHERE rnk <= 200)
          SELECT lang, count(*) AS n_pts,
-                round((count(*) * sum(x * y) - sum(x) * sum(y))
-                      / (count(*) * sum(x * x) - sum(x) * sum(x)), 4)
-                  AS zipf_slope
+                round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                      / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE),
+                      4) AS zipf_slope
          FROM p GROUP BY lang""",
     "q117_ann_range" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -3584,10 +3632,13 @@ object ExtensionQueries {
            JOIN sig b ON b.doc_id = v.doc_b AND b.j = a.j
            GROUP BY 1, 2, 3),
          err AS (SELECT jaccard, est,
-                        round(abs(est - jaccard), 8) AS err FROM est)
+                        CAST(round(abs(est - jaccard) * 100000000) AS BIGINT)
+                          AS err_e8 FROM est)
          SELECT count(*) AS n_pairs,
-                round(avg(err), 4) AS mean_abs_err,
-                round(max(err), 4) AS max_abs_err,
+                round(CAST(sum(err_e8) AS BIGINT)
+                      / (count(*) * 100000000.0), 4) AS mean_abs_err,
+                round(CAST(max(err_e8) AS BIGINT) / 100000000.0, 4)
+                  AS max_abs_err,
                 CAST(sum(CASE WHEN (est >= 0.2) <> (jaccard >= 0.2)
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped
          FROM err""",
@@ -4128,12 +4179,37 @@ object ExtensionQueries {
                          coalesce(o.o, 0) AS o
                   FROM r CROSS JOIN c
                   LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
-         terms AS (SELECT round(
+         terms AS (SELECT CAST(round(
                      (CAST(o * nn - r * c AS DOUBLE)
                       * CAST(o * nn - r * c AS DOUBLE))
-                     / CAST(nn * r * c AS DOUBLE), 8) AS term
+                     / CAST(nn * r * c AS DOUBLE) * 100000000) AS BIGINT)
+                     AS term_e8
                    FROM grid, n)
-         SELECT count(*) AS n_cells, round(sum(term), 4) AS chi2
+         SELECT count(*) AS n_cells,
+                round(CAST(sum(term_e8) AS BIGINT) / 100000000.0, 4) AS chi2
          FROM terms""",
+    "q151_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                               event_type
+                        FROM events),
+         nb AS (SELECT count(*) AS nb FROM
+                (SELECT DISTINCT user_id, day FROM items)),
+         itemn AS (SELECT event_type, count(*) AS cn
+                   FROM items GROUP BY 1),
+         sup AS (SELECT a.event_type AS ante, b.event_type AS cons,
+                        count(*) AS support
+                 FROM items a JOIN items b
+                   ON a.user_id = b.user_id AND a.day = b.day
+                  AND a.event_type <> b.event_type
+                 GROUP BY 1, 2)
+         SELECT ante, cons, support,
+                CAST(floor(support * 10000.0 / na.cn) AS BIGINT)
+                  AS confidence_bp,
+                round(CAST(support AS DOUBLE) * nb.nb
+                      / CAST(na.cn * nc.cn AS DOUBLE), 6) AS lift
+         FROM sup
+         JOIN itemn na ON na.event_type = ante
+         JOIN itemn nc ON nc.event_type = cons
+         CROSS JOIN nb""",
   )
 }

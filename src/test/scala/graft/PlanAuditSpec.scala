@@ -106,6 +106,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("sorted_intersect_count"), s"native verify kernel missing:\n$p")
   }
 
+  test("ranked top-k filters run through WindowGroupLimit (map-side group cut)") {
+    // rank-then-filter must not sort whole partitions: Spark's
+    // WindowGroupLimit keeps only each group's top-k BEFORE the
+    // exchange (partial) and after (final) — at 100 TB this is the
+    // difference between shuffling k rows per group and all of them
+    Seq("q29_ann_brute", "q104_attribution").foreach { name =>
+      val p = plan(name)
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$name: no partial+final WindowGroupLimit:\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffled join") {
     // the optimizer's runtime row-level filtering: a selective dim
     // filter becomes a bloom probe INSIDE the fact scan, so at 100 TB

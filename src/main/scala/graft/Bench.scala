@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // 1-minute system load average sampled BEFORE Spark spins up, so it
+    // measures EXTERNAL machine load, not this bench's own 32 threads.
+    // Recorded in the emitted JSON ("load_avg") so an artifact captured
+    // under contention is self-identifying (r5's official bench ran at
+    // load ~2.8 and three unchanged queries read >1.5x their r4 times).
+    val loadAvg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -72,7 +80,7 @@ object Bench {
     val total = results.map(_._2).sum
     val filt = only.map(f =>
       s""","filter":"${f.toSeq.sorted.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filt}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg$filt}""")
     spark.stop()
   }
 }

@@ -19,10 +19,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * of corpus size, not of eval-set cardinality), and the false
   * positives it admits are removed by the exact verify join — the
   * OUTPUT is exact either way, only the prefilter data structure
-  * changes. The filter is built driver-side and embedded in the plan
-  * as a foldable binary literal, so a very large eval set costs
-  * driver memory and plan size; cap it (or switch to an explicit
-  * broadcast variable) past ~10⁸ grams.
+  * changes. The filter is built driver-side; UP TO `literalMaxBytes`
+  * it is embedded in the plan as a foldable binary literal (codegen'd
+  * probe, zero per-task setup), and PAST that size it ships as a
+  * broadcast variable probed through a lazily-deserialized closure —
+  * a 10⁸-gram eval set (~120 MB of bitset at fpp=0.01) then costs one
+  * torrent broadcast instead of a 120 MB plan tree serialized into
+  * every task. Both paths produce identical output (spec-asserted).
   *
   * Scale shape: the corpus gram explosion is filtered by the bloom in
   * the SAME scan stage (`BloomFilterMightContain` is codegen'd, the
@@ -39,6 +42,29 @@ object Decontaminate {
     ColumnBridge.column(BloomFilterMightContain(
       ColumnBridge.expression(lit(bloomBytes)),
       ColumnBridge.expression(value)))
+
+  /** Executor-side bloom probe over a BROADCAST of the serialized
+    * filter — the big-eval-set twin of [[bloom_might_contain]]: the
+    * bitset ships once per executor via torrent broadcast instead of
+    * riding inside every serialized task's plan tree. The filter is
+    * deserialized lazily ONCE per executor JVM (transient lazy val),
+    * so per-row cost is the same two hash probes as the literal path. */
+  private class BloomProbe(bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      extends Serializable {
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes.value))
+    def mightContain(h: Long): Boolean = bf.mightContain(h)
+  }
+
+  /** Broadcast-variable form of [[bloom_might_contain]]. */
+  def bloom_might_contain_bcast(
+      spark: org.apache.spark.sql.SparkSession,
+      bloomBytes: Array[Byte],
+      value: Column): Column = {
+    val probe = new BloomProbe(spark.sparkContext.broadcast(bloomBytes))
+    udf((h: Long) => probe.mightContain(h)).apply(value)
+  }
 
   private def gramHashes(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
@@ -57,7 +83,8 @@ object Decontaminate {
       corpus: DataFrame,
       evalDocs: DataFrame,
       n: Int = 6,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      literalMaxBytes: Long = 8L << 20): DataFrame = {
     val evalGrams = gramHashes(evalDocs, n).select(col("gh")).distinct()
       .localCheckpoint()
     val expected = math.max(evalGrams.count(), 1L)
@@ -67,8 +94,16 @@ object Decontaminate {
       bf.writeTo(out)
       out.toByteArray
     }
+    // small filter → codegen'd foldable-literal probe; big filter →
+    // broadcast variable (plan stays small, bitset ships once per
+    // executor). Output is identical either way — only the prefilter's
+    // transport changes, and the exact verify join below removes every
+    // false positive both paths admit.
+    val probe: Column => Column =
+      if (bytes.length <= literalMaxBytes) bloom_might_contain(bytes, _)
+      else bloom_might_contain_bcast(corpus.sparkSession, bytes, _)
     val contaminated = gramHashes(corpus, n)
-      .filter(bloom_might_contain(bytes, col("gh")))
+      .filter(probe(col("gh")))
       .join(evalGrams, "gh") // hash-exact verify: kills bloom false positives
       .select(col("doc_id"))
       .distinct()

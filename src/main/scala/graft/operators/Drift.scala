@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * Everything is integer until the final division: values discretize
   * to cents (a BOUNDED domain, so the cumulative window runs over at
   * most |domain| rows at any corpus size), and the sup is taken over
-  * |ca·nb − cb·na| — exact cross-multiplied longs — so two engines (or
-  * two runs) can never disagree about where the max lands. Used by
+  * |ca·nb − cb·na| — exact cross-multiplied decimal(38,0) — so two
+  * engines (or two runs) can never disagree about where the max lands,
+  * and no row count an engine can hold overflows the products. Used by
   * q126 in batch form and by [[graft.streaming.StreamingDrift]] per
   * micro-batch.
   */
@@ -26,7 +27,14 @@ object Drift {
     * Output: one row (n_a, n_b, ks_stat). An EMPTY side reads as
     * ks_stat = 1.0 (maximal drift), never null — a feed that stopped
     * producing data must trip the monitor's threshold, not read as
-    * healthy because null compares false. */
+    * healthy because null compares false.
+    *
+    * The cross-products ca·tb − cb·ta are taken in decimal(38,0):
+    * with counts carried as int64, each factor can reach ~9.2e18, so
+    * the long product would overflow once a side exceeds ~3e9 rows —
+    * decimal keeps the sup argmax exact to ~1e19 rows per side (any
+    * corpus). The final division runs in double, which is what a
+    * 6-dp-rounded statistic needs. */
   def ksFromHists(a: DataFrame, b: DataFrame): DataFrame = {
     val byC = a.select(col("cents"), col("n").as("na"), lit(0L).as("nb"))
       .unionAll(b.select(col("cents"), lit(0L).as("na"), col("n").as("nb")))
@@ -35,11 +43,13 @@ object Drift {
     val w = Window.orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byC.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val dec = "decimal(19,0)" // long-range factor; product → decimal(38,0)
     byC
       .withColumn("ca", sum(col("na")).over(w))
       .withColumn("cb", sum(col("nb")).over(w))
       .crossJoin(broadcast(tot))
-      .select(abs(col("ca") * col("tb") - col("cb") * col("ta")).as("d_num"),
+      .select(abs(col("ca").cast(dec) * col("tb").cast(dec) -
+        col("cb").cast(dec) * col("ta").cast(dec)).as("d_num"),
         col("ta"), col("tb"))
       .agg(max(col("d_num")).as("max_num"),
         max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
@@ -50,7 +60,8 @@ object Drift {
         when(coalesce(col("n_a"), lit(0L)) === 0 ||
           coalesce(col("n_b"), lit(0L)) === 0, lit(1.0))
           .otherwise(
-            round(col("max_num").cast("double") / (col("n_a") * col("n_b")), 6))
+            round(col("max_num").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double")), 6))
           .as("ks_stat"))
   }
 

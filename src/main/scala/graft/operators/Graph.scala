@@ -124,6 +124,91 @@ object Graph {
     }
   }
 
+  /** Full PageRank semantics for DIRECTED graphs: dangling-node mass
+    * redistribution plus an optional early exit on rank convergence —
+    * the two pieces [[pageRankWeighted]] deliberately omits (an
+    * undirected edge list has no dangling nodes, and a benchmark query
+    * wants a pinned iteration count).
+    *
+    * Recurrence, all integer micro-units (1e6 = rank 1.0), replayable
+    * bit-for-bit by any engine incl. the DuckDB oracle:
+    *   D          = Σ rank(v) over v with no out-edge      (dangling mass)
+    *   contrib(e) = rank(src)·d·w div (100·Σw(src))
+    *   rank'(v)   = (100−d)·10⁴ + Σ contrib(e→v) + D·d div (100·N)
+    * Every node — dangling, source-only, isolated-in — appears in every
+    * round's output (the node frame left-joins the contribution sums).
+    *
+    * Early exit: with `convergedDeltaMicro ≥ 0`, iteration stops once
+    * max |rank − prevRank| ≤ the tolerance (exact integer compare, so
+    * the stopping round is engine- and run-stable — the CC convergence
+    * pattern from DedupGroups). Each round then pays one driver-side
+    * scalar agg, which is why the fixed-count ops don't do this by
+    * default. Returns (ranks, roundsRun).
+    *
+    * Scale shape: identical to [[pageRankWeighted]] — stationary
+    * src-partitioned checkpointed edges, node-sized frames broadcast
+    * (or shuffle-joined with broadcastNodes=false); the dangling mass
+    * adds one node-frame anti-join + single-row agg per round, and the
+    * node count is computed once. Edges: (src, dst[, w]); a missing `w`
+    * column means unweighted. */
+  def pageRankDirected(
+      edges: DataFrame,
+      maxIterations: Int,
+      dampingPct: Int = 85,
+      convergedDeltaMicro: Long = -1L,
+      broadcastNodes: Boolean = true): (DataFrame, Int) = {
+    require(maxIterations >= 1, "pageRank needs at least one iteration")
+    require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
+    def nodeSide(df: DataFrame): DataFrame =
+      if (broadcastNodes) broadcast(df) else df
+    val withW =
+      if (edges.columns.contains("w")) edges else edges.withColumn("w", lit(1L))
+    // repartition before the checkpoint (see pageRankWeighted): keeps
+    // the frozen edge scan at full parallelism under AQE coalescing
+    val e0 = withW.repartition(col("src")).localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val nNodes = nodes.count() // iteration-invariant scalar
+    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val e = e0.join(nodeSide(outW), "src").localCheckpoint()
+    val outNodes = outW.select(col("src").as("node")).localCheckpoint()
+    val baseRank = (100L - dampingPct) * 10000L
+    var ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIterations && !converged) {
+      // mass parked on dangling nodes this round — a single-row frame,
+      // broadcast into every partition of the rank update
+      val dang = ranks.join(nodeSide(outNodes), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+      val contribs = e
+        .join(nodeSide(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"),
+          expr(s"(rank * $dampingPct * w) div (100 * wsum)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("node"), col("csum"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(baseRank) + coalesce(col("csum"), lit(0L)) +
+            expr(s"(dmass * $dampingPct) div (100 * ${nNodes}L)")).as("rank"))
+        .localCheckpoint() // read twice: the delta check and next round
+      rounds += 1
+      if (convergedDeltaMicro >= 0L) {
+        val delta = next
+          .join(ranks.select(col("node"), col("rank").as("prev")), "node")
+          .agg(max(abs(col("rank") - col("prev"))).as("d"))
+          .collect()(0).getLong(0)
+        converged = delta <= convergedDeltaMicro
+      }
+      ranks = next
+    }
+    (ranks, rounds)
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts as its own community and each round adopts the most
     * frequent label among its NEIGHBORS (ties → smallest label), all

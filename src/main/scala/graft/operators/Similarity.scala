@@ -107,8 +107,15 @@ object Similarity {
       lambdaBp: Int = 7000,
       pool: Int = 100): DataFrame = {
     val spark = corpus.sparkSession
+    // pool+1 then re-limit: when the query IS a corpus member its
+    // self-match burns one slot; when it is NOT, all pool+1 survive the
+    // filter and the pool would silently grow — re-limiting by rank
+    // keeps the O(k·pool) contract either way (rank is unique per q_id,
+    // so orderBy+limit is deterministic)
     val cand = bruteForceTopK(query, corpus, pool + 1)
       .filter(col("vec_id") =!= col("q_id"))
+      .orderBy(col("rank"))
+      .limit(pool)
       .select(col("vec_id"), col("sim"))
       .localCheckpoint() // feeds qsims, the semi-join, and nothing re-scans
     val vecs = corpus

@@ -1869,7 +1869,10 @@ object ExtensionQueries {
     val r = docs.groupBy(col("lang")).agg(count(lit(1)).as("r"))
     val c = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
     val n = docs.agg(count(lit(1)).as("nn"))
-    r.crossJoin(c)
+    // both margins are cardinality-bounded (langs × sources); broadcast
+    // keeps the grid build a map-side replicate like every other
+    // bounded cross join in this file
+    r.crossJoin(broadcast(c))
       .join(o, Seq("lang", "source"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(n))
@@ -1911,6 +1914,21 @@ object ExtensionQueries {
           .as("confidence_bp"),
         round(col("support").cast("double") * col("nb")
           / (col("n_ante") * col("n_cons")).cast("double"), 6).as("lift"))
+  }
+
+  /** Directed PageRank with dangling-mass redistribution (3 unrolled
+    * iterations): part→supplier edges only, so every supplier node is
+    * DANGLING — its rank mass re-enters the walk as a uniform share
+    * instead of leaking (q87's undirected graph can't exercise this;
+    * without redistribution total mass here would shrink ~39% per
+    * round). Same integer micro-unit recurrence, oracle-replayed. */
+  val q152PagerankDangling: Q = (s, dir) => {
+    val edges = t(s, dir, "lineitem")
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    Graph.pageRankDirected(edges, maxIterations = 3)._1
+      .select(col("node"), col("rank").as("pr"))
   }
 
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
@@ -2057,6 +2075,7 @@ object ExtensionQueries {
     "q148_returns_top" -> q148ReturnsTop,
     "q149_gini" -> q149Gini,
     "q150_chi2_independence" -> q150Chi2Independence,
+    "q152_pagerank_dangling" -> q152PagerankDangling,
     "q151_assoc_rules" -> q151AssocRules,
   )
 
@@ -3759,11 +3778,19 @@ object ExtensionQueries {
                   CAST(sum(nb) OVER (ORDER BY cents
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
            FROM byc),
-         t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM byc)
+         t AS (SELECT COALESCE(CAST(sum(na) AS BIGINT), 0) AS ta,
+                      COALESCE(CAST(sum(nb) AS BIGINT), 0) AS tb FROM byc),
+         m AS (SELECT max(abs(ca * tb - cb * ta)) AS mx FROM cum, t)
+         -- degenerate-input guard mirroring Drift.ksFromHists: an empty
+         -- side (or both empty) must read as one row with ks_stat = 1.0,
+         -- not a 0/0 null or zero rows — t and m are GROUP-BY-less
+         -- aggregates, so each emits exactly one row on empty input
          SELECT ta AS n_a, tb AS n_b,
-                round(CAST(max(abs(ca * tb - cb * ta)) AS DOUBLE) / (ta * tb), 6)
-                  AS ks_stat
-         FROM cum, t GROUP BY ta, tb""",
+                CASE WHEN ta = 0 OR tb = 0 THEN 1.0
+                     ELSE round(CAST(mx AS DOUBLE) /
+                            (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6)
+                END AS ks_stat
+         FROM t, m""",
     "q127_zorder" ->
       """SELECT event_id, user_id, d,
                 CAST(list_sum(list_transform(range(0, 16),
@@ -4211,5 +4238,56 @@ object ExtensionQueries {
          JOIN itemn na ON na.event_type = ante
          JOIN itemn nc ON nc.event_type = cons
          CROSS JOIN nb""",
+    // replays pageRankDirected's integer recurrence exactly: dangling
+    // mass D_k = Σ pr over nodes with no out-edge, every node gets
+    // base + Σcontrib + (D_k·85)//(100·N) each round
+    "q152_pagerank_dangling" ->
+      """WITH edges AS (
+           SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM lineitem),
+         nodes AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM edges
+                    UNION ALL SELECT dst FROM edges)),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         d1 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM r0
+                WHERE node NOT IN (SELECT src FROM deg)),
+         it1 AS (SELECT n.node,
+                        150000 + COALESCE(c.csum, 0)
+                          + (d1.dm * 85) // (100 * nn.n) AS pr
+                 FROM nodes n
+                 LEFT JOIN (SELECT e.dst AS node,
+                                   sum((r.pr * 85) // (100 * d.deg)) AS csum
+                            FROM edges e JOIN r0 r ON r.node = e.src
+                            JOIN deg d ON d.src = e.src
+                            GROUP BY e.dst) c ON c.node = n.node,
+                 d1, nn),
+         d2 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM it1
+                WHERE node NOT IN (SELECT src FROM deg)),
+         it2 AS (SELECT n.node,
+                        150000 + COALESCE(c.csum, 0)
+                          + (d2.dm * 85) // (100 * nn.n) AS pr
+                 FROM nodes n
+                 LEFT JOIN (SELECT e.dst AS node,
+                                   sum((r.pr * 85) // (100 * d.deg)) AS csum
+                            FROM edges e JOIN it1 r ON r.node = e.src
+                            JOIN deg d ON d.src = e.src
+                            GROUP BY e.dst) c ON c.node = n.node,
+                 d2, nn),
+         d3 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM it2
+                WHERE node NOT IN (SELECT src FROM deg)),
+         it3 AS (SELECT n.node,
+                        150000 + COALESCE(c.csum, 0)
+                          + (d3.dm * 85) // (100 * nn.n) AS pr
+                 FROM nodes n
+                 LEFT JOIN (SELECT e.dst AS node,
+                                   sum((r.pr * 85) // (100 * d.deg)) AS csum
+                            FROM edges e JOIN it2 r ON r.node = e.src
+                            JOIN deg d ON d.src = e.src
+                            GROUP BY e.dst) c ON c.node = n.node,
+                 d3, nn)
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM it3""",
   )
 }

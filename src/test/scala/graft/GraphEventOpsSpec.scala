@@ -97,6 +97,13 @@ class GraphEventOpsSpec extends SparkSpec {
     val clean = Decontaminate.bloomClean(corpus, evalSet, n = 6)
       .select("doc_id").as[Long].collect().toSet
     assert(clean == Set(2L, 4L))
+    // big-eval-set transport: literalMaxBytes=0 forces the broadcast-
+    // variable probe; the output must be identical to the foldable-
+    // literal path (only the prefilter's transport changes)
+    val cleanBcast = Decontaminate
+      .bloomClean(corpus, evalSet, n = 6, literalMaxBytes = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanBcast == clean)
   }
 
   test("markovTransitions: counts and floor-division basis points") {

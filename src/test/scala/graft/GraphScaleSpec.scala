@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The graph operators' CLUSTER path: `broadcastNodes=false` is what a
+  * graph whose node frame exceeds executor memory must run, so its
+  * results must be bit-identical to the broadcast path (same integer
+  * recurrence, different join strategy) and its plan must actually
+  * shuffle-join the stationary checkpointed edges instead of
+  * broadcasting the node frame. Also pins [[Graph.pageRankDirected]]'s
+  * dangling-mass arithmetic and convergence early-exit.
+  */
+class GraphScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def liEdges = Graph.bipartiteEdges(
+    Tables.load(spark, sf, "lineitem"), "l_partkey", "l_suppkey", "p", "s")
+
+  private def liEdgesWeighted = Graph.bipartiteEdgesWeighted(
+    Tables.load(spark, sf, "lineitem"), "l_partkey", "l_suppkey", "p", "s")
+
+  /** Run `f` with automatic broadcast fully disabled, so a join is
+    * broadcast ONLY if the operator hinted it. */
+  private def noAutoBroadcast[A](f: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(k => spark.conf.set(k, "-1"))
+      f
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("pageRankWeighted: broadcastNodes=false ≡ true on the q87/q108 graphs") {
+    val unw = Graph.pageRankWeighted(liEdges.withColumn("w", lit(1L)),
+      iterations = 3).as[(String, Long)].collect().toMap
+    val unwShuffle = noAutoBroadcast {
+      Graph.pageRankWeighted(liEdges.withColumn("w", lit(1L)),
+        iterations = 3, broadcastNodes = false)
+        .as[(String, Long)].collect().toMap
+    }
+    assert(unwShuffle == unw, "unweighted shuffle path diverged from broadcast")
+    val w = Graph.pageRankWeighted(liEdgesWeighted, iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val wShuffle = noAutoBroadcast {
+      Graph.pageRankWeighted(liEdgesWeighted, iterations = 3,
+        broadcastNodes = false).as[(String, Long)].collect().toMap
+    }
+    assert(wShuffle == w, "weighted shuffle path diverged from broadcast")
+  }
+
+  test("labelPropagation: broadcastNodes=false ≡ true on the q102 graph") {
+    val b = Graph.labelPropagation(liEdges, rounds = 3)
+      .as[(String, String)].collect().toMap
+    val s = noAutoBroadcast {
+      Graph.labelPropagation(liEdges, rounds = 3, broadcastNodes = false)
+        .as[(String, String)].collect().toMap
+    }
+    assert(s == b)
+  }
+
+  test("bfsHops: broadcastNodes=false ≡ true on the q97 graph") {
+    val sources = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_suppkey") < 5)
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+      .distinct()
+    val b = Graph.bfsHops(liEdges, sources, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    val s = noAutoBroadcast {
+      Graph.bfsHops(liEdges, sources, rounds = 3, broadcastNodes = false)
+        .as[(String, Long)].collect().toMap
+    }
+    assert(s == b)
+  }
+
+  test("pageRankDirected: broadcastNodes=false ≡ true (dangling graph)") {
+    val edges = Tables.load(spark, sf, "lineitem")
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    val b = Graph.pageRankDirected(edges, maxIterations = 3)._1
+      .as[(String, Long)].collect().toMap
+    val s = noAutoBroadcast {
+      Graph.pageRankDirected(edges, maxIterations = 3,
+        broadcastNodes = false)._1.as[(String, Long)].collect().toMap
+    }
+    assert(s == b)
+  }
+
+  test("broadcastNodes=false plan shuffle-joins the edges; true broadcasts") {
+    def lastRoundPlan(broadcastNodes: Boolean): String = noAutoBroadcast {
+      Graph.pageRankWeighted(liEdgesWeighted, iterations = 1,
+        broadcastNodes = broadcastNodes)
+        .queryExecution.executedPlan.toString
+    }
+    // the checkpointed edge list is iteration-stationary; with the hint
+    // OFF the per-round node join must be a co-partitioned shuffle join
+    // (the only shape that survives a node frame past executor memory)
+    val off = lastRoundPlan(broadcastNodes = false)
+    assert(!off.contains("BroadcastExchange"),
+      s"broadcastNodes=false still broadcasts the node frame:\n$off")
+    assert(off.contains("SortMergeJoin") || off.contains("ShuffledHashJoin"),
+      s"no shuffle join against the stationary edges:\n$off")
+    val on = lastRoundPlan(broadcastNodes = true)
+    assert(on.contains("BroadcastExchange"),
+      s"broadcastNodes=true did not broadcast the node frame:\n$on")
+  }
+
+  test("pageRankDirected: dangling mass is redistributed, integer-exact") {
+    // a→b, a→c: b and c are dangling; N=3, all start at 1e6
+    //   D₁ = 2e6; contrib = (1e6·85) div 200 = 425000
+    //   share = (2e6·85) div 300 = 566666; base = 150000
+    val edges = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val (r1, rounds) = Graph.pageRankDirected(edges, maxIterations = 1)
+    val m = r1.as[(String, Long)].collect().toMap
+    assert(rounds == 1)
+    assert(m == Map("a" -> 716666L, "b" -> 1141666L, "c" -> 1141666L))
+    // mass conserved up to the two floor-division losses
+    assert(m.values.sum == 2999998L)
+  }
+
+  test("pageRankDirected: early exit stops at the pinned round, ≡ fixed run") {
+    // 2-cycle: exact fixpoint after round 1 (rank' = 150000 + 850000)
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val (rc, cycRounds) = Graph.pageRankDirected(cyc, maxIterations = 5,
+      convergedDeltaMicro = 0L)
+    assert(cycRounds == 1)
+    assert(rc.as[(String, Long)].collect().toMap ==
+      Map("a" -> 1000000L, "b" -> 1000000L))
+    // dangling fan-out: per-round max delta is 283334, 80278, 22746 —
+    // tolerance 25000 must stop EXACTLY at round 3
+    val fan = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val (conv, fanRounds) = Graph.pageRankDirected(fan, maxIterations = 10,
+      convergedDeltaMicro = 25000L)
+    assert(fanRounds == 3)
+    val fixed = Graph.pageRankDirected(fan, maxIterations = 3)._1
+    assert(conv.as[(String, Long)].collect().toMap ==
+      fixed.as[(String, Long)].collect().toMap)
+  }
+
+  test("pageRankDirected: every node appears in the output (incl. isolated-in)") {
+    // z has only an out-edge; c only in-edges; all three must be ranked
+    val edges = Seq(("z", "c"), ("a", "c")).toDF("src", "dst")
+    val nodes = Graph.pageRankDirected(edges, maxIterations = 2)._1
+      .select("node").as[String].collect().toSet
+    assert(nodes == Set("a", "z", "c"))
+  }
+}

@@ -214,6 +214,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
+  test("mmrRerank: candidate pool stays at `pool` when the query is not in the corpus") {
+    // 3 corpus vectors, pool=2: with an external query nothing is
+    // self-filtered, so the pool must be re-limited to 2 — vec 3 (the
+    // 3rd-ranked candidate) must never be selectable
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.436f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0)) // most diverse, but outside the pool
+      .toDF("vec_id", "embedding", "label")
+    val query = Seq((99L, Array(0.98f, 0.199f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(query, corpus, k = 2, lambdaBp = 7000, pool = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // an unlimited pool would pick the diverse vec 3 second; the
+    // contract-sized pool only holds {1, 2}
+    assert(got.toSet == Set(1L, 2L))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
     import graft.store.SnapshotDiff
     val o = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))

@@ -1,0 +1,38 @@
+package graft.message
+
+/** K7 delivery transport seam (bot/botrun.py:306: the Discord webhook
+  * POST). The engine builds and renders messages branch-exact; the
+  * final socket is environment-off here, so delivery is an interface a
+  * deployment implements — a real webhook client slots in as
+  * `new MessageSender { def send(n, msg) = http.post(url, msg) }`
+  * without touching pipeline or streaming code (see README).
+  *
+  * Contract: `send` must either deliver or throw. The caller flags the
+  * message `posted` only AFTER `send` returns, so delivery is
+  * at-least-once under crash replay — a crash between send and flag
+  * re-sends on recovery; a message is never flagged unsent (the same
+  * ordering the reference's bot loop uses, botrun.py:306-309).
+  */
+trait MessageSender {
+  def send(replayNumber: Int, message: String): Unit
+}
+
+object MessageSender {
+  /** Build-only mode: messages accumulate unposted (the pre-bot half
+    * of the reference, where Airflow writes and the bot drains later). */
+  val none: Option[MessageSender] = None
+}
+
+/** File-backed test double: one line per delivery,
+  * `<replay>\t<message>` with the message newline-escaped — the spec
+  * reads it back to assert exactly-once-per-posted-flag behavior. */
+class FileMessageSender(path: String) extends MessageSender with Serializable {
+  def send(replayNumber: Int, message: String): Unit = {
+    val line = replayNumber + "\t" +
+      message.replace("\\", "\\\\").replace("\n", "\\n") + "\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path), line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+}

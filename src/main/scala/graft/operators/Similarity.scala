@@ -226,6 +226,65 @@ object Similarity {
     corpus.write.partitionBy("label")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
 
+  /** Route vectors to their NEAREST centroid (cosine argmax, ties to
+    * the smallest label) keeping the embedding — the assignment step of
+    * the IVF append path. One broadcast-centroid scan per call, no
+    * corpus shuffle; `vec_id` must be unique within `vectors`.
+    * Output: (vec_id, embedding, label, csim). */
+  def assignToCentroids(vectors: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("label"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("graft_v", asDouble(col("embedding")))
+      .crossJoin(broadcast(cent.select(col("label"), col("centroid"))))
+      .withColumn("csim", round(cosine(col("graft_v"), col("centroid")), 6))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("csim"))
+  }
+
+  /** Append NEW vectors to a persisted IVF index: each vector lands in
+    * its nearest centroid's partition, so probes keep pruning correctly
+    * without an index rebuild — the incremental chapter of the
+    * write-once-at-ingest story (the band index's
+    * [[MinHashLsh.writeBandIndex]] append twin). The centroid table is
+    * NOT re-fit here; run [[ivfRefitCheck]] periodically and rebuild
+    * (writeIvfIndex + fresh centroids) when it trips. */
+  def appendIvfIndex(newVectors: DataFrame, cent: DataFrame, dir: String): Unit =
+    assignToCentroids(newVectors, cent)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .write.partitionBy("label")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+
+  /** Centroid-drift gate for the append-only index: two-sample KS
+    * (q126's integer-exact machinery) between the INDEX's and the NEW
+    * BATCH's cosine-to-own-centroid distributions. A batch the current
+    * centroids still describe scores like the corpus (low KS); a
+    * distribution shift parks far from every centroid and the statistic
+    * rises — `refit = ks_stat ≥ threshold` says rebuild before probe
+    * recall quietly decays. The index side is one full scan (a periodic
+    * audit, not a per-batch cost); sample it upstream for very large
+    * indexes. Output: one row (n_a, n_b, ks_stat, refit). */
+  def ivfRefitCheck(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      cent: DataFrame,
+      newVectors: DataFrame,
+      ksThreshold: Double = 0.2): DataFrame = {
+    // the index side scores against its OWN partition's centroid (an
+    // equi-join on the partition label — no argmax rescan of k
+    // centroids); the batch side is scored by the same assignment the
+    // append path would use
+    val idx = spark.read.parquet(indexDir)
+      .select(col("label"), asDouble(col("embedding")).as("graft_v"))
+      .join(broadcast(cent), "label")
+      .select(round(cosine(col("graft_v"), col("centroid")), 6).as("csim"))
+    val batch = assignToCentroids(newVectors, cent).select(col("csim"))
+    Drift.ks(idx, col("csim"), batch, col("csim"))
+      .select(col("n_a"), col("n_b"), col("ks_stat"),
+        (col("ks_stat") >= ksThreshold).as("refit"))
+  }
+
   /** IVF probe against a PERSISTED index: routes on the centroid
     * table, then reads ONLY the probed clusters' partitions (the
     * label set is collected — centroid-count-sized — so the filter is

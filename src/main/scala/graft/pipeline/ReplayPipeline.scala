@@ -88,4 +88,24 @@ class ReplayPipeline(spark: SparkSession, store: TableStore) {
       .orderBy(col("replay_number"))
       .limit(1)
       .collect().headOption.map(r => (r.getInt(0), r.getString(2)))
+
+  /** Bot delivery loop (botrun.py:297-309): drain every unposted
+    * message oldest-first through the transport, flagging `posted`
+    * only AFTER each successful send. At-least-once under crash
+    * replay: a crash between send and flag re-sends that one message
+    * on recovery; the flag is never set for an unsent one, so nothing
+    * is lost. Idempotent across calls — a second drain sends nothing.
+    * Returns the number of messages sent. */
+  def deliverUnposted(sender: graft.message.MessageSender): Int = {
+    var sent = 0
+    var next = nextUnposted()
+    while (next.isDefined) {
+      val (replay, text) = next.get
+      sender.send(replay, text)
+      store.markPosted(replay)
+      sent += 1
+      next = nextUnposted()
+    }
+    sent
+  }
 }

@@ -25,12 +25,21 @@ object ReplayStream {
     StructField("html", StringType),
     StructField("json", StringType)))
 
+  /** `sender`: the K7 delivery transport ([[graft.message.MessageSender]]).
+    * When provided, each batch ends with a posted-flag drain — every
+    * unposted message (including ones a crashed earlier run built but
+    * never delivered) goes through the transport and is flagged
+    * `posted` after the send returns: at-least-once delivery, and a
+    * replayed batch re-sends nothing already flagged. None keeps the
+    * build-only behavior (messages accumulate unposted for a separate
+    * bot drain, the reference's Airflow/bot split). */
   def start(
       spark: SparkSession,
       store: TableStore,
       inputDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
+      sender: Option[graft.message.MessageSender] = None): StreamingQuery = {
     val pipeline = new ReplayPipeline(spark, store)
     spark.readStream
       .schema(inputSchema)
@@ -53,6 +62,7 @@ object ReplayStream {
           if (pipeline.ingest(replay, r.getAs[String]("html"), r.getAs[String]("json")))
             pipeline.createMessage(replay)
         }
+        sender.foreach(pipeline.deliverUnposted)
         ()
       }
       .start()

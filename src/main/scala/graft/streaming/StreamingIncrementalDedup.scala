@@ -36,17 +36,28 @@ object StreamingIncrementalDedup {
 
   def bandIndexPath(corpusPath: String): String = corpusPath + "_bands"
 
+  /** `compactEvery`: every N batches, [[graft.store.Layout.compact]]
+    * rewrites the band index's small files (a per-batch append writes a
+    * file per touched band partition, so a year of micro-batches is
+    * millions of kilobyte files and the probe's index scan pays
+    * per-file open cost instead of reading data). 0 disables. Probe
+    * results are unchanged by compaction (same rows, fewer files —
+    * spec-asserted), and a crash mid-compaction leaves the originals
+    * either live or under a dot-prefixed aside dir that readers and
+    * re-runs ignore. */
   def start(
       spark: SparkSession,
       docsStream: DataFrame,
       corpusPath: String,
       checkpointDir: String,
       threshold: Double = 0.5,
-      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+      compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L << 20): StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions._
         // 1. collapse within-batch near-dups to the min-id keeper
@@ -93,6 +104,17 @@ object StreamingIncrementalDedup {
         val cleanStable = clean.localCheckpoint()
         MinHashLsh.writeBandIndex(cleanStable, idxPath)
         cleanStable.write.mode("append").parquet(corpusPath)
+        // periodic small-file maintenance AFTER this batch's writes:
+        // compaction rewrites committed files only, so a replay of this
+        // batch (crash before the checkpoint commits) re-runs the same
+        // idempotent appends against the compacted layout unchanged.
+        // The corpus gets the same treatment — its per-batch appends
+        // accumulate small files at the same rate as the index's.
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            fs.exists(idxHadoopPath)) {
+          graft.store.Layout.compact(spark, idxPath, compactTargetBytes)
+          graft.store.Layout.compact(spark, corpusPath, compactTargetBytes)
+        }
         ()
       }
       .start()

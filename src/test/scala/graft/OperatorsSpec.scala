@@ -270,6 +270,47 @@ class OperatorsSpec extends SparkSpec {
       s"no partition pruning in plan:\n$plan")
   }
 
+  test("ivf index lifecycle: appended vectors probe identically; drift gates re-fit") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.1f), 1), (3L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("ivflife").toString + "/idx"
+    Similarity.writeIvfIndex(corpus, dir)
+    val cent = Similarity.centroids(corpus)
+    // a later batch, no labels: the append path must route each vector
+    // to its nearest centroid's partition
+    val batch = Seq(
+      (10L, Array(0.9f, 0.05f)), (11L, Array(-0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(batch, cent, dir)
+    val assigned = Similarity.assignToCentroids(batch, cent)
+      .select("vec_id", "embedding", "label")
+    val routes = assigned.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    assert(routes == Map(10L -> 0, 11L -> 1))
+    // indexed probe after the append ≡ in-memory ivfTopK over the same
+    // (original ∪ assigned) corpus — the lifecycle's core contract
+    val full = corpus.unionByName(assigned)
+    val q = Seq((99L, Array(-1.0f, 0.05f), 1)).toDF("vec_id", "embedding", "label")
+    val viaIndex = Similarity.ivfTopKIndexed(spark, dir, q, cent, k = 10)
+    val direct = Similarity.ivfTopK(q, full, cent, k = 10)
+    assert(rowSet(viaIndex) == rowSet(direct))
+    assert(viaIndex.filter(col("vec_id") === 11L).count() == 1,
+      "appended vector not visible through the persisted index")
+    // drift gate: a batch the centroids still describe does not trip
+    // re-fit; an orthogonal-shifted batch must
+    val same = Similarity.ivfRefitCheck(spark, dir, cent, batch)
+      .select("refit").as[Boolean].head()
+    assert(!same, "same-distribution batch tripped the re-fit gate")
+    val shifted = Seq(
+      (20L, Array(0.0f, 1.0f)), (21L, Array(0.05f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val drifted = Similarity.ivfRefitCheck(spark, dir, cent, shifted)
+      .select("ks_stat", "refit").as[(Double, Boolean)].head()
+    assert(drifted._2, s"orthogonal batch must trip re-fit (ks=${drifted._1})")
+  }
+
   test("ivf routes the query to its own tight cluster") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),

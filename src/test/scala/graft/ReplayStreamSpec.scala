@@ -81,6 +81,51 @@ class ReplayStreamSpec extends SparkSpec {
     assert(store.read("messages").filter(col("posted") <=> true).count() == 2)
   }
 
+  test("MessageSender seam: file-backed transport, posted-flag idempotence under replay") {
+    val in = Files.createTempDirectory("graft-sender-in").toString
+    val ckpt = Files.createTempDirectory("graft-sender-ckpt").toString
+    val root = Files.createTempDirectory("graft-sender-store").toString
+    val store = new TableStore(spark, root)
+    val outFile = Files.createTempDirectory("graft-sender-out").toString + "/sent.log"
+    val sender = new graft.message.FileMessageSender(outFile)
+
+    // discover→ingest→message→deliver in one streaming run
+    writeDoc(in, "a.json", 700)
+    ReplayStream.start(spark, store, in, ckpt, Trigger.AvailableNow(),
+      sender = Some(sender)).awaitTermination()
+    val sent1 = Files.readAllLines(Paths.get(outFile))
+    assert(sent1.size == 1 && sent1.get(0).startsWith("700\t"),
+      s"expected one delivery for replay 700, got $sent1")
+    assert(store.read("messages").filter(col("posted") <=> true).count() == 1)
+
+    // crash-replay of the delivered state: a fresh drain sends NOTHING —
+    // the posted flag, not transport memory, is the idempotence guard
+    val pipeline = new graft.pipeline.ReplayPipeline(spark, store)
+    assert(pipeline.deliverUnposted(sender) == 0)
+    assert(Files.readAllLines(Paths.get(outFile)).size == 1)
+
+    // a duplicate drop plus a new replay: only the new one is delivered
+    writeDoc(in, "b.json", 700)
+    writeDoc(in, "c.json", 701)
+    ReplayStream.start(spark, store, in, ckpt, Trigger.AvailableNow(),
+      sender = Some(sender)).awaitTermination()
+    val sent2 = Files.readAllLines(Paths.get(outFile))
+    assert(sent2.size == 2 && sent2.get(1).startsWith("701\t"), s"got $sent2")
+    assert(store.read("messages").filter(col("posted") <=> true).count() == 2)
+
+    // crash between build and send (message exists, never delivered):
+    // a build-only run leaves 702 unposted; the next drain picks it up
+    // — at-least-once, nothing lost
+    val in2 = Files.createTempDirectory("graft-sender-in2").toString
+    val ckpt2 = Files.createTempDirectory("graft-sender-ckpt2").toString
+    writeDoc(in2, "d.json", 702)
+    ReplayStream.start(spark, store, in2, ckpt2, Trigger.AvailableNow(),
+      sender = None).awaitTermination() // build-only: 702 accumulates unposted
+    assert(pipeline.deliverUnposted(sender) == 1)
+    assert(Files.readAllLines(Paths.get(outFile)).size == 3)
+    assert(store.read("messages").filter(!(col("posted") <=> true)).count() == 0)
+  }
+
   test("drain resumes a replay half-processed by a crashed run") {
     val in = Files.createTempDirectory("graft-resume-in").toString
     val ckpt = Files.createTempDirectory("graft-resume-ckpt").toString

@@ -96,4 +96,50 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
       assert(viaIndex == viaDirect && viaIndex.nonEmpty)
     } finally q.stop()
   }
+
+  test("periodic compaction bounds index files; probe results unchanged") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val corpus = Files.createTempDirectory("graft-inc-dedup4").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-inc-ckpt4").toString
+    // per-band files pile up one per batch; compact every 4 batches
+    val q = StreamingIncrementalDedup.start(
+      spark, in.toDF().toDF("doc_id", "text"), corpus, ckpt,
+      threshold = 0.2, trigger = Trigger.ProcessingTime("25 milliseconds"),
+      compactEvery = 4, compactTargetBytes = 128L << 20)
+    def parquetFiles(dir: String): Int = {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: Path): Int = fs.listStatus(p)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .map(s => if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.startsWith("part-")) 1 else 0).sum
+      walk(root)
+    }
+    try {
+      // 8 batches of distinct docs → 8 appends per touched band dir;
+      // compaction fires after batches 4 and 8
+      (1 to 8).foreach { i =>
+        in.addData((i.toLong, s"unique document number $i with body words $i $i"))
+        q.processAllAvailable()
+      }
+      val idxPath = StreamingIncrementalDedup.bandIndexPath(corpus)
+      val idx = spark.read.parquet(idxPath)
+      // every band partition compacted to its data's size — at this
+      // scale one file per band dir (8 uncompacted appends would leave 8)
+      val bands = idx.select("band").distinct().count().toInt
+      assert(parquetFiles(idxPath) == bands,
+        s"expected $bands compacted files, got ${parquetFiles(idxPath)}")
+      assert(parquetFiles(corpus) == 1,
+        s"corpus not compacted: ${parquetFiles(corpus)} files")
+      // rows, and therefore probe results, are untouched by compaction
+      val direct = graft.operators.MinHashLsh
+        .bandBucketsDirect(spark.read.parquet(corpus))
+      assert(idx.select("doc_id", "band", "bucket").collect().toSet ==
+        direct.collect().toSet)
+      assert(spark.read.parquet(corpus).count() == 8)
+    } finally q.stop()
+  }
 }

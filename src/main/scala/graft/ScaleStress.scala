@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local scale-stress harness: synthesize a deterministic `copies`×
+  * version of the big testdata tables, run the heaviest / most
+  * overflow-sensitive queries on both scales, and report per-query
+  * wall-clock scaling factors plus a plan-shape diff.
+  *
+  *   runMain graft.ScaleStress [srcDir] [outRoot] [copies]
+  *
+  * Each copy is an INDEPENDENT shard: primary keys are offset per copy,
+  * document words carry a per-copy suffix (so no shingle/minhash ever
+  * matches across copies), and `source` is salted per copy (so the
+  * lang×source blocking of the fuzzy/entity queries keeps constant
+  * block sizes). That makes the EXPECTED cost of every operator ~linear
+  * in `copies` — a measured superlinear factor is a real scaling
+  * bottleneck (quadratic pair growth, an unsplit partition, overflow
+  * retry), not an artifact of the fixture design. Generation is fully
+  * deterministic: no RNG, no timestamps, pure column arithmetic.
+  *
+  * Output: one JSON line per run —
+  *   {"copies":N,"gen_sec":…,"queries":{name:{"src_sec":…,"scaled_sec":…,
+  *    "factor":…,"rows":…,"plan_same":bool}},"plan_diffs":{name:"…"}}
+  * `plan_same` compares the operator-shape fingerprint (node kinds in
+  * tree order, sizes/ids stripped) of the two plans — the PLANS.md
+  * audit, automated.
+  */
+object ScaleStress {
+
+  /** Heavy + overflow-sensitive set (VERDICT r5 item 2) plus the
+    * embedding-blocked pair query for vector coverage. */
+  val heavies: Seq[String] = Seq(
+    "q87_pagerank", "q97_bfs_hops", "q102_label_prop",
+    "q108_pagerank_weighted", "q152_pagerank_dangling",
+    "q42_curation", "q76_dedup_keep_best", "q101_entity_resolution",
+    "q44_incremental_dedup", "q26_lsh_neardup",
+    "q109_trend_slope", "q138_burstiness", "q126_ks_drift",
+    "q150_chi2_independence", "q28_embed_neardup", "q53_semantic_clusters")
+
+  /** Operator-shape fingerprint: node kind per plan line, positions
+    * preserved, ids/sizes/exprs stripped. */
+  private def planShape(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.toString.linesIterator.map { l =>
+      val t = l.dropWhile(c => !c.isLetter)
+      t.takeWhile(_.isLetterOrDigit)
+    }.filter(_.nonEmpty).toSeq
+
+  /** Time plan build + execution together (by-name `mk`): the graph /
+    * dedup operators run eager localCheckpoints while the plan is
+    * BUILT, so clocking only the action would miss most of their work. */
+  private def timeNoop(mk: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    mk.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Write `copies` disjoint shards of the four big tables into
+    * `outDir` (directories named `<table>.parquet`, so Tables.load
+    * reads them like the originals; events keeps its raw int64-nanos
+    * `ts` so the loader's nanos→micros conversion applies unchanged). */
+  def generate(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
+    val mult = broadcast(
+      spark.range(copies).select(col("id").as("graft_copy")))
+    def keyed(df: DataFrame): DataFrame = df.crossJoin(mult)
+    def off(c: String, base: Long) = col(c) + col("graft_copy") * lit(base)
+    def write(df: DataFrame, name: String): Unit =
+      df.drop("graft_copy").write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/$name.parquet")
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docBase = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    write(keyed(docs).select(
+      off("doc_id", docBase).as("doc_id"),
+      // per-copy word suffix: copy k's shingles/minhashes can never
+      // collide with copy 0's, so dedup work scales linearly
+      when(col("graft_copy") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1~"), col("graft_copy").cast("string")))).as("text"),
+      col("lang"),
+      // per-copy source salt keeps lang×source blocks constant-size
+      when(col("graft_copy") === 0, col("source"))
+        .otherwise(concat(col("source"), lit("~"),
+          col("graft_copy").cast("string"))).as("source"),
+      col("graft_copy")).withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars", "graft_copy"),
+      "documents")
+
+    // raw read keeps ts as int64 nanos (no nanosAsLong round-trip skew)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    val evBase = events.agg(max(col("event_id"))).head.getLong(0) + 1
+    val userBase = events.agg(max(col("user_id"))).head.getLong(0) + 1
+    write(keyed(events).select(
+      off("event_id", evBase).as("event_id"), col("ts"),
+      off("user_id", userBase).as("user_id"),
+      col("event_type"), col("value"), col("props"), col("graft_copy")),
+      "events")
+
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val okBase = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+    val pkBase = li.agg(max(col("l_partkey"))).head.getLong(0) + 1
+    val skBase = li.agg(max(col("l_suppkey"))).head.getLong(0) + 1
+    write(keyed(li).select(
+      (Seq(off("l_orderkey", okBase).as("l_orderkey"),
+        off("l_partkey", pkBase).as("l_partkey"),
+        off("l_suppkey", skBase).as("l_suppkey")) ++
+        li.columns.filterNot(Set("l_orderkey", "l_partkey", "l_suppkey"))
+          .map(col)) :+ col("graft_copy"): _*),
+      "lineitem")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val vBase = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val lBase = emb.agg(max(col("label"))).head.getInt(0) + 1
+    write(keyed(emb).select(
+      off("vec_id", vBase).as("vec_id"), col("embedding"),
+      (col("label") + col("graft_copy") * lit(lBase)).cast("int").as("label"),
+      col("graft_copy")),
+      "embeddings")
+
+    // passthrough dims so the dir is a complete table set
+    Tables.starSchema.filterNot(_ == "lineitem").foreach { name =>
+      spark.read.parquet(s"$srcDir/$name.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-scale-stress")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Tables.localSession("graft-scale-stress")
+
+    val g0 = System.nanoTime()
+    generate(spark, srcDir, outDir, copies)
+    val genSec = (System.nanoTime() - g0) / 1e9
+
+    val results = heavies.map { name =>
+      val fn = SparkEntry.queries(name)
+      // shape + warmup count per scale, then min-of-2 timed passes
+      // (each pass rebuilds the plan from scratch — see timeNoop)
+      val srcDf = fn(spark, srcDir)
+      val srcShape = planShape(srcDf)
+      srcDf.count()
+      val srcSec = Seq.fill(2)(timeNoop(fn(spark, srcDir))).min
+      val scaledDf = fn(spark, outDir)
+      val scaledShape = planShape(scaledDf)
+      val rows = scaledDf.count()
+      val scaledSec = Seq.fill(2)(timeNoop(fn(spark, outDir))).min
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val planSame = srcShape == scaledShape
+      val diff = if (planSame) "" else {
+        val a = srcShape.groupBy(identity).view.mapValues(_.size).toMap
+        val b = scaledShape.groupBy(identity).view.mapValues(_.size).toMap
+        (a.keySet ++ b.keySet).toSeq.sorted
+          .filter(k => a.getOrElse(k, 0) != b.getOrElse(k, 0))
+          .map(k => s"$k:${a.getOrElse(k, 0)}->${b.getOrElse(k, 0)}")
+          .mkString(",")
+      }
+      System.err.println(f"[stress] $name src=$srcSec%.2fs scaled=$scaledSec%.2fs " +
+        f"factor=${scaledSec / srcSec}%.1f rows=$rows planSame=$planSame $diff")
+      (name, srcSec, scaledSec, rows, planSame, diff)
+    }
+    val qs = results.map { case (n, s, sc, rows, same, _) =>
+      f""""$n":{"src_sec":$s%.3f,"scaled_sec":$sc%.3f,"factor":${sc / s}%.2f,"rows":$rows,"plan_same":$same}"""
+    }.mkString("{", ",", "}")
+    val diffs = results.filterNot(_._5).map { case (n, _, _, _, _, d) =>
+      s""""$n":"$d""""
+    }.mkString("{", ",", "}")
+    println(s"""{"copies":$copies,"gen_sec":$genSec,"queries":$qs,"plan_diffs":$diffs}""")
+    spark.stop()
+  }
+}

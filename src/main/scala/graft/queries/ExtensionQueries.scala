@@ -1931,6 +1931,28 @@ object ExtensionQueries {
       .select(col("node"), col("rank").as("pr"))
   }
 
+  /** ANN recall audit: per query, how many of the exact top-10 the
+    * nprobe=1 IVF probe actually returned (basis points). The accuracy
+    * contract for the approximate index — q91's pattern applied to
+    * vector search: at 100 TB only the IVF path is affordable, and
+    * this query is the gate that keeps its recall honest (nprobe and
+    * re-fit cadence are tuned against exactly this readout). Counts
+    * exact ints, one floor division — engine-stable. */
+  val q153AnnRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, e, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val ivf = Similarity.ivfTopK(q, e, Similarity.centroids(e), k = 10, nprobe = 1)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    brute.join(ivf, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_brute"), col("n_hits"),
+        expr("(n_hits * 10000) div n_brute").as("recall_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2076,6 +2098,7 @@ object ExtensionQueries {
     "q149_gini" -> q149Gini,
     "q150_chi2_independence" -> q150Chi2Independence,
     "q152_pagerank_dangling" -> q152PagerankDangling,
+    "q153_ann_recall" -> q153AnnRecall,
     "q151_assoc_rules" -> q151AssocRules,
   )
 
@@ -4289,5 +4312,46 @@ object ExtensionQueries {
                             GROUP BY e.dst) c ON c.node = n.node,
                  d3, nn)
          SELECT node, CAST(pr AS BIGINT) AS pr FROM it3""",
+    // q29's brute-force top-k joined against q30's IVF top-k: recall@10
+    "q153_ann_recall" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+         b AS (SELECT q_id, vec_id FROM (
+                 SELECT q.q_id, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.q_id
+                          ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                                   e.vec_id) AS rank
+                 FROM q, e)
+               WHERE rank <= 10),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         probes AS (
+           SELECT q_id, qv, label AS probe_label FROM (
+             SELECT q.q_id, q.qv, c.label,
+                    ROW_NUMBER() OVER (PARTITION BY q.q_id
+                      ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+                               c.label) AS prn
+             FROM q, cent c)
+           WHERE prn = 1),
+         i AS (SELECT q_id, vec_id FROM (
+                 SELECT p.q_id, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY p.q_id
+                          ORDER BY round(list_cosine_similarity(p.qv, e.v), 6) DESC,
+                                   e.vec_id) AS rank
+                 FROM probes p JOIN e ON e.label = p.probe_label)
+               WHERE rank <= 10)
+         SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+                CAST(sum(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_hits,
+                CAST((CAST(sum(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END)
+                           AS BIGINT) * 10000) // count(*) AS BIGINT)
+                  AS recall_bp
+         FROM b LEFT JOIN i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+         GROUP BY b.q_id""",
   )
 }

@@ -1953,6 +1953,30 @@ object ExtensionQueries {
         expr("(n_hits * 10000) div n_brute").as("recall_bp"))
   }
 
+  /** Duplicate-span coverage: per document, the fraction of its
+    * DISTINCT word-8-grams that also occur in at least one other
+    * document, in basis points — the doc-level "how much of this text
+    * is duplicated elsewhere" readout (the exact-substring-dedup
+    * signal, doc-granular where q52 is gram-granular and q137 is
+    * ingest-order-dependent). One gram explode + one df count + one
+    * semi-join back; every aggregation partial-combines map-side, and
+    * the gram space is the same one the LSH pipeline already shuffles. */
+  val q154DupSpanCoverage: Q = (s, dir) => {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.WordShingles.word_shingles(col("text"), 8))).as("g"))
+    val shared = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dup = grams.join(shared, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        expr("(coalesce(n_dup, 0) * 10000) div n_grams").as("dup_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2099,6 +2123,7 @@ object ExtensionQueries {
     "q150_chi2_independence" -> q150Chi2Independence,
     "q152_pagerank_dangling" -> q152PagerankDangling,
     "q153_ann_recall" -> q153AnnRecall,
+    "q154_dup_span" -> q154DupSpanCoverage,
     "q151_assoc_rules" -> q151AssocRules,
   )
 
@@ -4353,5 +4378,26 @@ object ExtensionQueries {
                   AS recall_bp
          FROM b LEFT JOIN i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
          GROUP BY b.q_id""",
+    // q52's 8-gram spelling, folded back per doc: distinct grams,
+    // df ≥ 2 marks a gram duplicated, coverage in floor basis points
+    "q154_dup_span" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(s) - 6),
+                         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]
+                              || ' ' || s[i+4] || ' ' || s[i+5] || ' ' || s[i+6]
+                              || ' ' || s[i+7]))) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+         shared AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                 FROM g GROUP BY doc_id),
+         dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+                 FROM g WHERE gram IN (SELECT gram FROM shared)
+                 GROUP BY doc_id)
+         SELECT p.doc_id, p.n_grams,
+                CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+                CAST((COALESCE(d.n_dup, 0) * 10000) // p.n_grams AS BIGINT)
+                  AS dup_bp
+         FROM per p LEFT JOIN dup d ON d.doc_id = p.doc_id""",
   )
 }

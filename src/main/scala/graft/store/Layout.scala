@@ -88,11 +88,19 @@ object Layout {
     * every rename checked — a failure aborts with the original files
     * either live or under `.old`, never lost. Returns
     * (filesBefore, filesAfter) over the dirs it rewrote; running it
-    * again is a no-op. */
+    * again is a no-op.
+    *
+    * `sortCols`: pass the cluster key of a [[writeRangeClustered]] /
+    * [[writeZOrdered]] table and the rewrite range-partitions + sorts
+    * on it, so compaction PRESERVES the disjoint per-file key ranges
+    * the layout exists for — the default hash repartition would
+    * scramble rows across files and silently destroy the row-group
+    * min/max pruning every later scan depends on. */
   def compact(
       spark: SparkSession,
       dir: String,
-      targetBytes: Long = 128L << 20): (Int, Int) = {
+      targetBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -121,9 +129,12 @@ object Layout {
         // dirs as partition values
         val staged = new Path(leaf.getParent, s".${leaf.getName}.compact")
         if (fs.exists(staged)) fs.delete(staged, true)
-        spark.read.parquet(leaf.toString)
-          .repartition(want)
-          .write.parquet(staged.toString)
+        val data = spark.read.parquet(leaf.toString)
+        val arranged =
+          if (sortCols.isEmpty) data.repartition(want)
+          else data.repartitionByRange(want, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        arranged.write.parquet(staged.toString)
         val aside = new Path(leaf.getParent, s".${leaf.getName}.old")
         if (fs.exists(aside)) fs.delete(aside, true)
         require(fs.rename(leaf, aside),

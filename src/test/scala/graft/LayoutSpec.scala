@@ -70,6 +70,44 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compact(spark, dir) == (0, 0))
   }
 
+  test("compact(sortCols) preserves the disjoint ranges of a clustered table") {
+    val dir = java.nio.file.Files.createTempDirectory("compactsort").toString + "/t"
+    // a clustered table that accumulated small appends: 8 range-
+    // clustered writes of 2 files each → 16 files with overlapping
+    // ranges ACROSS appends (each append is internally disjoint)
+    val parts = (0 until 8).map { a =>
+      ((1 + a) to 1000 by 8).map(i => ((i * 7919) % 1000, s"v$i-$a")).toDF("k", "v")
+    }
+    Layout.writeRangeClustered(parts.head, dir, Seq("k"), numFiles = 2)
+    parts.tail.foreach(p =>
+      p.repartitionByRange(2, col("k")).sortWithinPartitions(col("k"))
+        .write.mode("append").parquet(dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    assert(files.length == 16)
+    val before = rowSet(spark.read.parquet(dir))
+    // compact to few files, PRESERVING the cluster key order
+    val (b, a) = Layout.compact(spark, dir, targetBytes = 8L << 10,
+      sortCols = Seq("k"))
+    assert(b == 16 && a < 16)
+    assert(rowSet(spark.read.parquet(dir)) == before)
+    // post-compaction files must again cover disjoint k ranges — the
+    // default hash repartition would scramble them and silently kill
+    // row-group file-skipping
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k")))
+        .collect().head
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $hi > $lo")
+      case _ =>
+    }
+  }
+
   test("range-clustered files cover disjoint key ranges (file-skip precondition)") {
     val dir = java.nio.file.Files.createTempDirectory("cluster").toString + "/t"
     val df = (1 to 1000).map(i => ((i * 7919) % 1000, s"v$i")).toDF("k", "v")

@@ -24,12 +24,15 @@ object MessageSender {
 }
 
 /** File-backed test double: one line per delivery,
-  * `<replay>\t<message>` with the message newline-escaped — the spec
-  * reads it back to assert exactly-once-per-posted-flag behavior. */
+  * `<replay>\t<message>` with the message newline-escaped (\r too —
+  * readAllLines treats a bare CR as a terminator, and CRLF fragments
+  * can survive from parsed replay HTML) — the spec reads it back to
+  * assert exactly-once-per-posted-flag behavior. */
 class FileMessageSender(path: String) extends MessageSender with Serializable {
   def send(replayNumber: Int, message: String): Unit = {
     val line = replayNumber + "\t" +
-      message.replace("\\", "\\\\").replace("\n", "\\n") + "\n"
+      message.replace("\\", "\\\\").replace("\r", "\\r")
+        .replace("\n", "\\n") + "\n"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path), line.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,

@@ -170,6 +170,12 @@ object Graph {
       .unionAll(e0.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val nNodes = nodes.count() // iteration-invariant scalar
+    // empty graph: no recurrence to run, and nNodes=0 would turn the
+    // dangling-share division into an ANSI error (and the convergence
+    // delta agg into a null the collect would NPE on) — return the
+    // empty rank frame directly
+    if (nNodes == 0L)
+      return (nodes.withColumn("rank", lit(1000000L)), 0)
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     val e = e0.join(nodeSide(outW), "src").localCheckpoint()
     val outNodes = outW.select(col("src").as("node")).localCheckpoint()

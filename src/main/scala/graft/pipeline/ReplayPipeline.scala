@@ -95,17 +95,20 @@ class ReplayPipeline(spark: SparkSession, store: TableStore) {
     * replay: a crash between send and flag re-sends that one message
     * on recovery; the flag is never set for an unsent one, so nothing
     * is lost. Idempotent across calls — a second drain sends nothing.
-    * Returns the number of messages sent. */
+    * The unposted backlog is collected ONCE (it is bounded by the
+    * posting cadence; re-scanning the table per message would make a
+    * crash-recovery drain of M messages pay M full scans), then sent
+    * and flagged row by row with the same crash semantics. Returns the
+    * number of messages sent. */
   def deliverUnposted(sender: graft.message.MessageSender): Int = {
-    var sent = 0
-    var next = nextUnposted()
-    while (next.isDefined) {
-      val (replay, text) = next.get
+    val backlog = store.read("messages")
+      .filter(!(col("posted") <=> true))
+      .orderBy(col("replay_number"))
+      .collect().map(r => (r.getInt(0), r.getString(2)))
+    backlog.foreach { case (replay, text) =>
       sender.send(replay, text)
       store.markPosted(replay)
-      sent += 1
-      next = nextUnposted()
     }
-    sent
+    backlog.length
   }
 }

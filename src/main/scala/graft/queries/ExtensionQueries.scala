@@ -3828,7 +3828,10 @@ object ExtensionQueries {
            FROM byc),
          t AS (SELECT COALESCE(CAST(sum(na) AS BIGINT), 0) AS ta,
                       COALESCE(CAST(sum(nb) AS BIGINT), 0) AS tb FROM byc),
-         m AS (SELECT max(abs(ca * tb - cb * ta)) AS mx FROM cum, t)
+         -- HUGEINT products mirror the Spark side's decimal(38,0)
+         -- hardening: BIGINT ca*tb wraps/errors past ~3e9 rows/side
+         m AS (SELECT max(abs(CAST(ca AS HUGEINT) * tb
+                              - CAST(cb AS HUGEINT) * ta)) AS mx FROM cum, t)
          -- degenerate-input guard mirroring Drift.ksFromHists: an empty
          -- side (or both empty) must read as one row with ks_stat = 1.0,
          -- not a 0/0 null or zero rows — t and m are GROUP-BY-less

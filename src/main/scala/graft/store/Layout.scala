@@ -96,12 +96,59 @@ object Layout {
     * the layout exists for — the default hash repartition would
     * scramble rows across files and silently destroy the row-group
     * min/max pruning every later scan depends on. */
+  /** Roll back a crash-interrupted [[compact]] swap: any `.N.old`
+    * aside dir whose live sibling `N` is MISSING is renamed back into
+    * place (and stale `.N.compact` staging deleted). A reader that
+    * merely ignores dot-prefixed dirs would see the table as absent —
+    * for an ingest pipeline that "absent" silently becomes "start
+    * empty", which loses the whole corpus's dedup history, so every
+    * consumer of a compacted dir must recover before reading.
+    * [[compact]] itself calls this first; long-lived streams call it
+    * per batch. Returns the number of dirs restored. */
+  def recoverCompaction(spark: SparkSession, dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var restored = 0
+    def heal(asideDir: Path): Unit = {
+      val name = asideDir.getName.stripPrefix(".").stripSuffix(".old")
+      val live = new Path(asideDir.getParent, name)
+      val staged = new Path(asideDir.getParent, s".$name.compact")
+      if (fs.exists(asideDir) && !fs.exists(live)) {
+        // crashed between move-aside and move-into-place: the staged
+        // output (if complete) and the originals both exist — restore
+        // the originals (always safe; a re-run just re-compacts)
+        if (fs.exists(staged)) fs.delete(staged, true)
+        require(fs.rename(asideDir, live),
+          s"recoverCompaction: failed to restore $asideDir to $live")
+        restored += 1
+      }
+    }
+    // the table dir itself may be the stranded one (non-partitioned
+    // tables compact their root): look for a sibling aside
+    heal(new Path(target.getParent, s".${target.getName}.old"))
+    def walk(p: Path): Unit =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+        val entries = fs.listStatus(p)
+        entries.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith(".old")).foreach(s => heal(s.getPath))
+        entries.filter(s => s.isDirectory &&
+          !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+          .foreach(s => walk(s.getPath))
+      }
+    walk(target)
+    restored
+  }
+
   def compact(
       spark: SparkSession,
       dir: String,
       targetBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil): (Int, Int) = {
     import org.apache.hadoop.fs.Path
+    recoverCompaction(spark, dir) // heal any crash-interrupted swap first
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leafDirs(p: Path): Seq[Path] = {

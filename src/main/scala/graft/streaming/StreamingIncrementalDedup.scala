@@ -42,9 +42,11 @@ object StreamingIncrementalDedup {
     * millions of kilobyte files and the probe's index scan pays
     * per-file open cost instead of reading data). 0 disables. Probe
     * results are unchanged by compaction (same rows, fewer files —
-    * spec-asserted), and a crash mid-compaction leaves the originals
-    * either live or under a dot-prefixed aside dir that readers and
-    * re-runs ignore. */
+    * spec-asserted). A crash mid-swap can leave a dir parked under its
+    * dot-prefixed aside name; every batch runs
+    * [[graft.store.Layout.recoverCompaction]] first, so the replayed
+    * batch sees the restored corpus — never an "empty" one that would
+    * silently forget the dedup history (spec-asserted). */
   def start(
       spark: SparkSession,
       docsStream: DataFrame,
@@ -72,6 +74,12 @@ object StreamingIncrementalDedup {
         val idxHadoopPath = new org.apache.hadoop.fs.Path(idxPath)
         val fs = corpusHadoopPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        // a crash mid-compaction leaves the corpus (or a band
+        // partition) parked under a dot-prefixed aside dir; an exists
+        // check that merely ignored it would silently restart dedup
+        // from an EMPTY corpus — restore before looking
+        graft.store.Layout.recoverCompaction(spark, corpusPath)
+        graft.store.Layout.recoverCompaction(spark, idxPath)
         val clean =
           if (fs.exists(corpusHadoopPath)) {
             val corpus = spark.read.parquet(corpusPath)

@@ -70,6 +70,36 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compact(spark, dir) == (0, 0))
   }
 
+  test("recoverCompaction restores dirs stranded mid-swap (leaf and root)") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("recover").toString
+    val dir = base + "/t"
+    val df = (1 to 300).map(i => (i.toLong, s"v$i", s"p${i % 3}")).toDF("id", "v", "p")
+    df.repartition(4).write.partitionBy("p").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = rowSet(spark.read.parquet(dir)
+      .select(col("id"), col("v"), col("p").cast("string")))
+    // crash between move-aside and move-into-place on one partition
+    // leaf: live dir gone, originals under .old, stale staging present
+    assert(fs.rename(new Path(s"$dir/p=p1"), new Path(s"$dir/.p=p1.old")))
+    (1 to 5).map(i => (i.toLong, "junk")).toDF("id", "v")
+      .write.parquet(s"$dir/.p=p1.compact")
+    assert(spark.read.parquet(dir).count() < 300) // p1 invisible
+    assert(graft.store.Layout.recoverCompaction(spark, dir) == 1)
+    assert(rowSet(spark.read.parquet(dir)
+      .select(col("id"), col("v"), col("p").cast("string"))) == all)
+    assert(!fs.exists(new Path(s"$dir/.p=p1.compact")))
+    // same crash on the TABLE ROOT (non-partitioned tables compact
+    // their root): the whole dir is parked under a sibling aside
+    assert(fs.rename(new Path(dir), new Path(s"$base/.t.old")))
+    assert(!fs.exists(new Path(dir)))
+    assert(graft.store.Layout.recoverCompaction(spark, dir) == 1)
+    assert(rowSet(spark.read.parquet(dir)
+      .select(col("id"), col("v"), col("p").cast("string"))) == all)
+    // healthy dir: no-op
+    assert(graft.store.Layout.recoverCompaction(spark, dir) == 0)
+  }
+
   test("compact(sortCols) preserves the disjoint ranges of a clustered table") {
     val dir = java.nio.file.Files.createTempDirectory("compactsort").toString + "/t"
     // a clustered table that accumulated small appends: 8 range-

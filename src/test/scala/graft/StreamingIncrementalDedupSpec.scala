@@ -97,6 +97,36 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a crash mid-compaction cannot silently restart dedup from an empty corpus") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.hadoop.fs.Path
+    val in = MemoryStream[(Long, String)]
+    val root = Files.createTempDirectory("graft-inc-dedup5").toString
+    val corpus = root + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-inc-ckpt5").toString
+    val q = StreamingIncrementalDedup.start(
+      spark, in.toDF().toDF("doc_id", "text"), corpus, ckpt,
+      threshold = 0.2, trigger = Trigger.ProcessingTime("25 milliseconds"))
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      // simulate a compaction that died between move-aside and
+      // move-into-place: the corpus dir is GONE, originals parked
+      // under the dot-prefixed aside the batch's exists-check ignores
+      val fs = new Path(corpus).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new Path(corpus), new Path(s"$root/.corpus.old")))
+      // next batch: a near-dup of the stranded doc 1 — without
+      // recovery the batch would see "no corpus", skip the history
+      // check, and admit it
+      in.addData((9L, "the quick brown fox jumps over the lazy cat"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus).select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L), s"corpus after recovery+dedup: $ids")
+    } finally q.stop()
+  }
+
   test("periodic compaction bounds index files; probe results unchanged") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]

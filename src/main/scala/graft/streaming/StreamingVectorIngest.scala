@@ -20,7 +20,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * needs a re-fit. The check runs BEFORE the batch appends (drift of
   * new data vs the index as it stood), and the log is written before
   * the index so a crash can only duplicate a log row, never lose one —
-  * dedupe by batch_id on read.
+  * and the duplicate is bit-identical (same batch vs same index
+  * state), so [[driftLog]]'s `distinct` collapses it exactly.
   *
   * Delivery is at-least-once-with-idempotent-filtering, same as the
   * dedup stream: a replayed batch's vec_ids are already in the index,
@@ -30,6 +31,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamingVectorIngest {
 
   def driftLogPath(indexDir: String): String = indexDir + "_drift"
+
+  /** The drift log, deduplicated: a crash between the log append and
+    * the index append replays the batch and re-writes an IDENTICAL
+    * row (same batch_id, same distributions), so exact `distinct`
+    * is the correct collapse. Read through this, not the raw path. */
+  def driftLog(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(driftLogPath(indexDir)).distinct()
 
   def start(
       spark: SparkSession,

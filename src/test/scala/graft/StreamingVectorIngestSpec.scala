@@ -56,7 +56,7 @@ class StreamingVectorIngestSpec extends SparkSpec {
 
       // drift log: one row per non-empty batch after the baseline
       // exists, none for the all-replay batch, in-distribution → no refit
-      val log = spark.read.parquet(StreamingVectorIngest.driftLogPath(dir))
+      val log = StreamingVectorIngest.driftLog(spark, dir)
       assert(log.count() == 2, s"expected 2 drift rows, got ${log.count()}")
       assert(log.filter(col("refit")).count() == 0,
         "in-distribution batches must not trip the re-fit gate")
@@ -80,7 +80,7 @@ class StreamingVectorIngestSpec extends SparkSpec {
       // index's ~1 → KS 1.0 → refit
       in.addData((20L, Array(0.0f, 1.0f)), (21L, Array(0.05f, -1.0f)))
       q.processAllAvailable()
-      val log = spark.read.parquet(StreamingVectorIngest.driftLogPath(dir))
+      val log = StreamingVectorIngest.driftLog(spark, dir)
       assert(log.count() == 1 && log.filter(col("refit")).count() == 1,
         "orthogonal batch must log refit=true")
     } finally q.stop()

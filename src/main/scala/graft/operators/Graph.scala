@@ -282,6 +282,120 @@ object Graph {
     }
   }
 
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected graph, given CANONICAL edges `(a, b)` with `a < b`,
+    * each pair once. Output: (node, deg, tri, coeff_bp) for every node
+    * with at least one edge, where coeff_bp is the local clustering
+    * coefficient in basis points with floor division —
+    * `2·tri·10⁴ div (deg·(deg−1))`, 0 for degree-1 nodes — so the
+    * result replays bit-identically in any integer engine.
+    *
+    * Scale shape — degree-ordered orientation (the textbook
+    * O(m^{3/2}) bound): every edge is oriented from its lower to its
+    * higher endpoint in the total order (degree, node), which caps
+    * every node's out-degree at O(√m) regardless of skew — a celebrity
+    * node with 10⁷ followers contributes wedges only through its few
+    * HIGHER-ordered neighbors, not through C(10⁷, 2) follower pairs.
+    * The wedge build is then a src-co-partitioned self-join of the
+    * oriented list, closed by one (src,dst)-keyed hash join back
+    * against it; each triangle is found exactly once, and the corner
+    * attribution is a map-side-combined count. Nothing is broadcast
+    * (AQE upgrades the tiny sides at test scale on its own) and
+    * nothing touches the driver. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical pairs, materialized once: referenced by the degree
+    // build, the wedge self-join, and the closing probe
+    val ed = edges.select(col("a"), col("b")).distinct()
+      .repartition(col("a")).localCheckpoint()
+    val deg = ed.select(col("a").as("node"))
+      .unionAll(ed.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient low→high in (deg, node) order; carry dst's order key for
+    // the wedge comparator below
+    val da = deg.select(col("node").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("node").as("b"), col("deg").as("degb"))
+    val oriented = ed.join(da, "a").join(db, "b")
+      .select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("degb").as("degdst")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"), col("dega").as("degdst")))
+          .as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"),
+        col("o.degdst").as("degdst"))
+      .repartition(col("src")).localCheckpoint()
+    // wedges from each src's out-neighbor pairs, ordered by the SAME
+    // total order the orientation used, so the closing edge — if the
+    // triangle exists — is oriented exactly (b, c)
+    val o2 = oriented.select(col("src"), col("dst").as("dst2"),
+      col("degdst").as("degdst2"))
+    val wedges = oriented.join(o2, "src")
+      .filter(struct(col("degdst"), col("dst")) <
+        struct(col("degdst2"), col("dst2")))
+      .select(col("src").as("ta"), col("dst").as("tb"), col("dst2").as("tc"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("tb"), col("dst").as("tc")),
+      Seq("tb", "tc"))
+    val corners = tris.select(col("ta").as("node"))
+      .unionAll(tris.select(col("tb").as("node")))
+      .unionAll(tris.select(col("tc").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .select(col("node"), col("deg"), col("tri"),
+        when(col("deg") >= 2,
+          expr("(tri * 2 * 10000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("coeff_bp"))
+  }
+
+  /** k-core peel: iteratively remove nodes of degree < k (with their
+    * edges) from an undirected graph, given CANONICAL edges `(a, b)`
+    * with `a < b`. Each round drops every current sub-k node
+    * SIMULTANEOUSLY, so the round sequence — and therefore the fixed-
+    * round result — is engine-replayable. `rounds ≥ 0` pins the peel
+    * count (a benchmark wants a stable plan; extra rounds past the
+    * fixpoint are no-ops, so over-provisioning rounds is safe);
+    * `rounds = -1` peels to the true k-core, checking convergence via
+    * one edge-count per round (the DedupGroups pattern). Returns the
+    * surviving nodes with their in-core degree.
+    *
+    * Scale shape per round: one src-keyed degree aggregation
+    * (map-side-combined) and two semi-joins against the node-sized
+    * survivor frame; the shrinking edge list is re-materialized each
+    * round (the edge set CHANGES per round, so PageRank's stationary-
+    * edge broadcast trick does not apply — this is the DedupGroups /
+    * connected-components shape instead). */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "kCorePeel needs k >= 1")
+    require(rounds >= -1, "rounds must be >= 0, or -1 for fixpoint")
+    var sym = edges.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(edges.select(col("b").as("s"), col("a").as("d")))
+      .repartition(col("s")).localCheckpoint()
+    val toFixpoint = rounds == -1
+    // the edge count drives the convergence check only — fixed-round
+    // mode never touches the driver between rounds
+    var n = if (toFixpoint) sym.count() else -1L
+    var done = toFixpoint && n == 0L
+    var r = 0
+    while (!done && (toFixpoint || r < rounds)) {
+      val keep = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("s"))
+      sym = sym
+        .join(keep, Seq("s"), "left_semi")
+        .join(keep.select(col("s").as("d")), Seq("d"), "left_semi")
+        .select(col("s"), col("d"))
+        .localCheckpoint()
+      r += 1
+      if (toFixpoint) {
+        val after = sym.count()
+        done = after == n || after == 0L
+        n = after
+      }
+    }
+    sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      .select(col("s").as("node"), col("deg"))
+  }
+
   /** Bounded-depth BFS: minimum hop count from a source node set,
     * `rounds` frontier expansions (nodes further than `rounds` hops
     * are absent from the output). The other Pregel shape next to

@@ -1977,6 +1977,35 @@ object ExtensionQueries {
         expr("(coalesce(n_dup, 0) * 10000) div n_grams").as("dup_bp"))
   }
 
+  /** Triangle counts + local clustering coefficient over the embedding
+    * near-dup graph (q28's build, loosened to label-blocked cosine
+    * ≥ 0.25 so the graph has structure at every scale factor) via
+    * degree-ordered orientation — the O(m^{3/2}) distributed algorithm,
+    * skew-immune because orientation caps every out-degree at O(√m).
+    * Coefficient in floor basis points, so the whole readout is
+    * integer-exact. The structural companion to q35's components: CC
+    * says WHICH docs clump, the coefficient says HOW CLIQUE-LIKE each
+    * clump is (near-1 ⇒ true duplicate pile; low ⇒ chain of borderline
+    * matches that transitive dedup would over-merge). */
+  val q155TriangleCoeff: Q = (s, dir) =>
+    Graph.triangleCounts(
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.25)
+        .select(col("vec_a").as("a"), col("vec_b").as("b")))
+
+  /** Bounded k-core peel of the same near-dup graph: 3 synchronized
+    * rounds of "drop nodes with degree < 2", survivors with their
+    * in-core degree. The density gate on top of q155: a node outside
+    * the 2-core hangs off the dup structure by a single edge (likely a
+    * borderline false positive), while the core is the part worth
+    * clustering. Fixed rounds keep the oracle replayable — extra
+    * rounds past the fixpoint are no-ops, and the operator's
+    * `rounds = -1` mode peels to the true core (spec-pinned). */
+  val q156KcorePeel: Q = (s, dir) =>
+    Graph.kCorePeel(
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.25)
+        .select(col("vec_a").as("a"), col("vec_b").as("b")),
+      k = 2, rounds = 3)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2124,6 +2153,8 @@ object ExtensionQueries {
     "q152_pagerank_dangling" -> q152PagerankDangling,
     "q153_ann_recall" -> q153AnnRecall,
     "q154_dup_span" -> q154DupSpanCoverage,
+    "q155_triangle_coeff" -> q155TriangleCoeff,
+    "q156_kcore_peel" -> q156KcorePeel,
     "q151_assoc_rules" -> q151AssocRules,
   )
 
@@ -4402,5 +4433,49 @@ object ExtensionQueries {
                 CAST((COALESCE(d.n_dup, 0) * 10000) // p.n_grams AS BIGINT)
                   AS dup_bp
          FROM per p LEFT JOIN dup d ON d.doc_id = p.doc_id""",
+    // naive a<b<c triple join — O(m^3/2) orientation is a Spark-side
+    // optimization with identical counts; coefficient floor-divided
+    "q155_triangle_coeff" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ed AS (SELECT a.vec_id AS a, b.vec_id AS b
+                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25),
+         deg AS (SELECT node, count(*) AS deg FROM
+                 (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+                 GROUP BY node),
+         tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+                 FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+                 JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         tc AS (SELECT node, count(*) AS tri FROM
+                (SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri
+                 UNION ALL SELECT tc FROM tri)
+                GROUP BY node)
+         SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+                CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+                CAST(CASE WHEN d.deg >= 2
+                     THEN (COALESCE(t.tri, 0) * 2 * 10000)
+                          // (d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS coeff_bp
+         FROM deg d LEFT JOIN tc t ON t.node = d.node""",
+    // 3 unrolled peel rounds: degrees → keep (deg >= 2) → restrict
+    "q156_kcore_peel" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ed AS (SELECT a.vec_id AS a, b.vec_id AS b
+                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25),
+         s0 AS (SELECT a AS s, b AS d FROM ed UNION ALL SELECT b, a FROM ed),
+         k1 AS (SELECT s FROM s0 GROUP BY s HAVING count(*) >= 2),
+         s1 AS (SELECT s, d FROM s0 WHERE s IN (SELECT s FROM k1)
+                                      AND d IN (SELECT s FROM k1)),
+         k2 AS (SELECT s FROM s1 GROUP BY s HAVING count(*) >= 2),
+         s2 AS (SELECT s, d FROM s1 WHERE s IN (SELECT s FROM k2)
+                                      AND d IN (SELECT s FROM k2)),
+         k3 AS (SELECT s FROM s2 GROUP BY s HAVING count(*) >= 2),
+         s3 AS (SELECT s, d FROM s2 WHERE s IN (SELECT s FROM k3)
+                                      AND d IN (SELECT s FROM k3))
+         SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM s3 GROUP BY s""",
   )
 }

@@ -283,5 +283,57 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(ranks.map(_._2).sum <= nNodes * 1000000L)
   }
 
+  test("triangleCounts: hand-counted diamond + isolated edge") {
+    // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4); plus a
+    // disconnected edge (5,6) with no triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L)).toDF("a", "b")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 10000L)),          // 2·1·10⁴ div (2·1)
+      2L -> ((3L, 2L, 6666L)),           // 2·2·10⁴ div (3·2) = 40000 div 6
+      3L -> ((3L, 2L, 6666L)),
+      4L -> ((2L, 1L, 10000L)),
+      5L -> ((1L, 0L, 0L)),
+      6L -> ((1L, 0L, 0L))))
+  }
+
+  test("triangleCounts: triangle-free bipartite graph counts zero") {
+    val facts = (1 to 60).map(i => (i.toLong % 5, (i.toLong * 3) % 7))
+      .toDF("pk", "sk")
+    // canonical (a, b): the 'p' prefix sorts before 's' lexicographically
+    val canon = Graph.bipartiteEdges(facts, "pk", "sk", "p", "s")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val out = Graph.triangleCounts(canon)
+    assert(out.filter(col("tri") =!= 0L || col("coeff_bp") =!= 0L).count() == 0)
+    assert(out.count() == 12) // 5 p-nodes + 7 s-nodes, all edge-covered
+  }
+
+  test("kCorePeel: fixpoint strips the tail, fixed rounds replay the cascade") {
+    // triangle 1-2-3 with a 2-hop tail 3-4-5: the 2-core is the triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    def run(rounds: Int) = Graph.kCorePeel(edges, k = 2, rounds)
+      .as[(Long, Long)].collect().toMap
+    // round 1 only sees node 5 under-degree; 4 falls in round 2
+    assert(run(1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    assert(run(2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(run(-1) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // over-provisioned fixed rounds are no-ops past the fixpoint
+    assert(run(10) == run(-1))
+  }
+
+  test("kCorePeel: graph below k empties out, both modes") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.kCorePeel(path, k = 2, rounds = -1).count() == 0)
+    assert(Graph.kCorePeel(path, k = 2, rounds = 5).count() == 0)
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.kCorePeel(empty, k = 2, rounds = -1).count() == 0)
+    assert(Graph.kCorePeel(empty, k = 2, rounds = 3).count() == 0)
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

@@ -336,9 +336,10 @@ object Graph {
     val tris = wedges.join(
       oriented.select(col("src").as("tb"), col("dst").as("tc")),
       Seq("tb", "tc"))
-    val corners = tris.select(col("ta").as("node"))
-      .unionAll(tris.select(col("tb").as("node")))
-      .unionAll(tris.select(col("tc").as("node")))
+    // one corner row per triangle vertex via explode — a 3-way union of
+    // selects re-executes the wedge join once PER BRANCH (plan-audited)
+    val corners = tris
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
     deg.join(corners, Seq("node"), "left")
       .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))

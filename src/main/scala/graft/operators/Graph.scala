@@ -349,6 +349,44 @@ object Graph {
           .otherwise(lit(0L)).as("coeff_bp"))
   }
 
+  /** Common-neighbor link prediction: for every NON-adjacent node pair
+    * with at least one shared neighbor, the shared-neighbor count and
+    * neighborhood Jaccard in floor basis points —
+    * `common·10⁴ div (deg(a) + deg(b) − common)`. Input is CANONICAL
+    * edges `(a, b)`, `a < b`; output pairs are canonical too.
+    *
+    * Scale shape: wedge generation is the quadratic step — a center of
+    * degree d emits C(d, 2) pairs, and unlike triangle counting there
+    * is no orientation trick (every wedge must be seen from its
+    * center, however the center ranks). The standard mitigation is the
+    * `maxCenterDegree` cap: hyper-hub centers are EXCLUDED from wedge
+    * generation (a 10⁷-degree celebrity asserts nothing about its
+    * followers' pairwise affinity — every pair would "share" it), the
+    * same shape as the LSH bucket cap. The cap decision is one
+    * node-sized aggregate; degrees in the Jaccard denominator still
+    * count ALL edges. Everything downstream is co-partitioned
+    * (x,y)-keyed aggregation with map-side partials. */
+  def commonNeighborPairs(
+      edges: DataFrame, maxCenterDegree: Long = 1024L): DataFrame = {
+    val ed = edges.select(col("a"), col("b")).distinct()
+      .repartition(col("a")).localCheckpoint()
+    val sym = ed.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(ed.select(col("b").as("c"), col("a").as("n")))
+    val deg = sym.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    val centers = deg.filter(col("deg") <= maxCenterDegree).select(col("c"))
+    val fanout = sym.join(centers, Seq("c"), "left_semi")
+    val n2 = fanout.select(col("c"), col("n").as("n2"))
+    val cn = fanout.join(n2, "c")
+      .filter(col("n") < col("n2"))
+      .groupBy(col("n").as("a"), col("n2").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(ed, Seq("a", "b"), "left_anti")
+    cn.join(deg.select(col("c").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("c").as("b"), col("deg").as("degb")), "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("(common * 10000) div (dega + degb - common)").as("jaccard_bp"))
+  }
+
   /** k-core peel: iteratively remove nodes of degree < k (with their
     * edges) from an undirected graph, given CANONICAL edges `(a, b)`
     * with `a < b`. Each round drops every current sub-k node

@@ -2006,6 +2006,20 @@ object ExtensionQueries {
         .select(col("vec_a").as("a"), col("vec_b").as("b")),
       k = 2, rounds = 3)
 
+  /** Common-neighbor link prediction over the near-dup graph: every
+    * non-adjacent pair sharing ≥ 1 neighbor, with neighborhood Jaccard
+    * in floor basis points. The dedup-specific reading: a high-Jaccard
+    * non-edge is a near-dup pair the pairwise threshold MISSED but the
+    * neighborhood structure implies — the candidates a second, cheaper
+    * verification pass should rescore. Wedge centers are degree-capped
+    * (the hot-node mitigation; no-op at test scale, load-bearing at
+    * 100 TB), Jaccard denominators still count all edges. */
+  val q157LinkPredict: Q = (s, dir) =>
+    Graph.commonNeighborPairs(
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.25)
+        .select(col("vec_a").as("a"), col("vec_b").as("b")),
+      maxCenterDegree = 1024L)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2155,6 +2169,7 @@ object ExtensionQueries {
     "q154_dup_span" -> q154DupSpanCoverage,
     "q155_triangle_coeff" -> q155TriangleCoeff,
     "q156_kcore_peel" -> q156KcorePeel,
+    "q157_link_predict" -> q157LinkPredict,
     "q151_assoc_rules" -> q151AssocRules,
   )
 
@@ -4477,5 +4492,26 @@ object ExtensionQueries {
                                       AND d IN (SELECT s FROM k3))
          SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
          FROM s3 GROUP BY s""",
+    // every wedge from its center (degree-capped, no-op here), pair
+    // counts, adjacency excluded, Jaccard floor-divided
+    "q157_link_predict" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ed AS (SELECT a.vec_id AS a, b.vec_id AS b
+                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25),
+         sym AS (SELECT a AS c, b AS n FROM ed UNION ALL SELECT b, a FROM ed),
+         deg AS (SELECT c, count(*) AS deg FROM sym GROUP BY c),
+         centers AS (SELECT c FROM deg WHERE deg <= 1024),
+         w AS (SELECT e1.n AS x, e2.n AS y
+               FROM sym e1 JOIN sym e2 ON e1.c = e2.c AND e1.n < e2.n
+               WHERE e1.c IN (SELECT c FROM centers)),
+         cn AS (SELECT x, y, count(*) AS common FROM w GROUP BY x, y),
+         na AS (SELECT cn.* FROM cn WHERE NOT EXISTS
+                (SELECT 1 FROM ed WHERE ed.a = cn.x AND ed.b = cn.y))
+         SELECT na.x AS a, na.y AS b, CAST(na.common AS BIGINT) AS common,
+                CAST((na.common * 10000) // (da.deg + db.deg - na.common)
+                     AS BIGINT) AS jaccard_bp
+         FROM na JOIN deg da ON da.c = na.x JOIN deg db ON db.c = na.y""",
   )
 }

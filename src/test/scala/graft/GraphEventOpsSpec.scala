@@ -326,6 +326,28 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(run(10) == run(-1))
   }
 
+  test("commonNeighborPairs: hand-checked wedges, adjacency excluded") {
+    // triangle 1-2-3 with a pendant 3-4: non-adjacent pairs sharing a
+    // neighbor are (1,4) and (2,4), both through center 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.commonNeighborPairs(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // deg(1)=2, deg(4)=1, common=1 → 10000 div (2+1−1) = 5000
+    assert(got == Map((1L, 4L) -> ((1L, 5000L)), (2L, 4L) -> ((1L, 5000L))))
+  }
+
+  test("commonNeighborPairs: the degree cap excludes hub centers") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    // all leaf pairs share only the center (deg 3): present under a
+    // loose cap, gone when the cap excludes it
+    val loose = Graph.commonNeighborPairs(star, maxCenterDegree = 3L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(loose == Set((2L, 3L, 1L, 10000L), (2L, 4L, 1L, 10000L),
+      (3L, 4L, 1L, 10000L)))
+    assert(Graph.commonNeighborPairs(star, maxCenterDegree = 2L).count() == 0)
+  }
+
   test("kCorePeel: graph below k empties out, both modes") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     assert(Graph.kCorePeel(path, k = 2, rounds = -1).count() == 0)

@@ -235,6 +235,102 @@ object Graph {
     (ranks, rounds)
   }
 
+  /** Personalized PageRank (random walk with restart): teleport mass
+    * lands ONLY on the `seeds` set, so ranks measure proximity to the
+    * seeds rather than global importance — the curation primitive
+    * behind "expand a trusted corpus": seed with vetted documents,
+    * walk the similarity/link graph, harvest the high-rank frontier.
+    *
+    * Recurrence, integer micro-units, total mass pinned at N·10⁶
+    * (matching [[pageRankDirected]] so the two are comparable):
+    *   rank₀(v)   = 10⁶·N div S for v ∈ seeds, else 0
+    *   D          = Σ rank(v) over v with no out-edge
+    *   contrib(e) = rank(src)·d·w div (100·Σw(src))
+    *   rank'(v)   = Σ contrib(e→v) +
+    *                1[v ∈ seeds]·((100−d)·10⁴·N div S + D·d div (100·S))
+    * Dangling mass restarts at the seeds too (the standard PPR walk:
+    * a walker who falls off the graph teleports home). All terms are
+    * int64: rank can concentrate to ~N·10⁶ on one node, so the
+    * contrib product rank·d·w stays in range to N ≈ 10¹¹ unweighted —
+    * document-graph scale, and 10⁵× today's largest fixture.
+    *
+    * Seeds not present in the graph are ignored (they can receive no
+    * walk mass); seeds ∩ nodes = ∅ throws rather than emitting the
+    * all-zero frame a silent empty intersection would produce.
+    * Early exit and broadcastNodes behave as in [[pageRankDirected]].
+    * Returns (ranks, roundsRun). */
+  def pageRankPersonalized(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxIterations: Int,
+      dampingPct: Int = 85,
+      convergedDeltaMicro: Long = -1L,
+      broadcastNodes: Boolean = true): (DataFrame, Int) = {
+    require(maxIterations >= 1, "pageRank needs at least one iteration")
+    require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
+    def nodeSide(df: DataFrame): DataFrame =
+      if (broadcastNodes) broadcast(df) else df
+    val withW =
+      if (edges.columns.contains("w")) edges else edges.withColumn("w", lit(1L))
+    val e0 = withW.repartition(col("src")).localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val nNodes = nodes.count()
+    if (nNodes == 0L) return (nodes.withColumn("rank", lit(0L)), 0)
+    val sd = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi").localCheckpoint()
+    val nSeeds = sd.count()
+    require(nSeeds > 0L, "no seed is a node of the graph")
+    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val e = e0.join(nodeSide(outW), "src").localCheckpoint()
+    val outNodes = outW.select(col("src").as("node")).localCheckpoint()
+    // per-seed teleport and initial mass: driver-side exact int div
+    val baseSeed = (100L - dampingPct) * 10000L * nNodes / nSeeds
+    val initSeed = 1000000L * nNodes / nSeeds
+    // the seed indicator rides the node frame through every round
+    val nodeFlags = nodes
+      .join(sd.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .localCheckpoint()
+    var ranks = nodeFlags
+      .select(col("node"),
+        when(col("is_seed") === 1, lit(initSeed)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIterations && !converged) {
+      val dang = ranks.join(nodeSide(outNodes), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+      val contribs = e
+        .join(nodeSide(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"),
+          expr(s"(rank * $dampingPct * w) div (100 * wsum)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("node"), col("csum"))
+      val next = nodeFlags
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (coalesce(col("csum"), lit(0L)) +
+            when(col("is_seed") === 1,
+              lit(baseSeed) +
+                expr(s"(dmass * $dampingPct) div (100 * ${nSeeds}L)"))
+              .otherwise(lit(0L))).as("rank"))
+        .localCheckpoint()
+      rounds += 1
+      if (convergedDeltaMicro >= 0L) {
+        val delta = next
+          .join(ranks.select(col("node"), col("rank").as("prev")), "node")
+          .agg(max(abs(col("rank") - col("prev"))).as("d"))
+          .collect()(0).getLong(0)
+        converged = delta <= convergedDeltaMicro
+      }
+      ranks = next
+    }
+    (ranks, rounds)
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts as its own community and each round adopts the most
     * frequent label among its NEIGHBORS (ties → smallest label), all
@@ -350,10 +446,18 @@ object Graph {
   }
 
   /** Common-neighbor link prediction: for every NON-adjacent node pair
-    * with at least one shared neighbor, the shared-neighbor count and
+    * with at least one shared neighbor, the shared-neighbor count,
     * neighborhood Jaccard in floor basis points —
-    * `common·10⁴ div (deg(a) + deg(b) − common)`. Input is CANONICAL
-    * edges `(a, b)`, `a < b`; output pairs are canonical too.
+    * `common·10⁴ div (deg(a) + deg(b) − common)` — and two
+    * center-weighted scores that discount promiscuous neighbors:
+    * Adamic–Adar `Σ_c 1/ln(deg(c))` in floor micro-units and
+    * resource allocation `Σ_c 1/deg(c)` in floor ppm. Both are summed
+    * as integers (each term floors to int64 BEFORE the sum), so the
+    * result is add-order-independent and bit-identical across engines
+    * — the same exact-recurrence discipline as the PageRank micro
+    * units. A wedge center always has degree ≥ 2, so `ln(deg)` never
+    * divides by zero. Input is CANONICAL edges `(a, b)`, `a < b`;
+    * output pairs are canonical too.
     *
     * Scale shape: wedge generation is the quadratic step — a center of
     * degree d emits C(d, 2) pairs, and unlike triangle counting there
@@ -373,18 +477,22 @@ object Graph {
     val sym = ed.select(col("a").as("c"), col("b").as("n"))
       .unionAll(ed.select(col("b").as("c"), col("a").as("n")))
     val deg = sym.groupBy(col("c")).agg(count(lit(1)).as("deg"))
-    val centers = deg.filter(col("deg") <= maxCenterDegree).select(col("c"))
-    val fanout = sym.join(centers, Seq("c"), "left_semi")
+    val centers = deg.filter(col("deg") <= maxCenterDegree)
+    val fanout = sym.join(centers, Seq("c"))
     val n2 = fanout.select(col("c"), col("n").as("n2"))
     val cn = fanout.join(n2, "c")
       .filter(col("n") < col("n2"))
       .groupBy(col("n").as("a"), col("n2").as("b"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("cast(floor(1000000.0 / ln(deg)) as bigint)"))
+          .as("aa_micro"),
+        sum(expr("1000000 div deg")).as("ra_ppm"))
       .join(ed, Seq("a", "b"), "left_anti")
     cn.join(deg.select(col("c").as("a"), col("deg").as("dega")), "a")
       .join(deg.select(col("c").as("b"), col("deg").as("degb")), "b")
       .select(col("a"), col("b"), col("common"),
-        expr("(common * 10000) div (dega + degb - common)").as("jaccard_bp"))
+        expr("(common * 10000) div (dega + degb - common)").as("jaccard_bp"),
+        col("aa_micro"), col("ra_ppm"))
   }
 
   /** k-core peel: iteratively remove nodes of degree < k (with their

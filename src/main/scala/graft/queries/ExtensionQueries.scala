@@ -2008,17 +2008,39 @@ object ExtensionQueries {
 
   /** Common-neighbor link prediction over the near-dup graph: every
     * non-adjacent pair sharing ≥ 1 neighbor, with neighborhood Jaccard
-    * in floor basis points. The dedup-specific reading: a high-Jaccard
-    * non-edge is a near-dup pair the pairwise threshold MISSED but the
-    * neighborhood structure implies — the candidates a second, cheaper
-    * verification pass should rescore. Wedge centers are degree-capped
-    * (the hot-node mitigation; no-op at test scale, load-bearing at
+    * in floor basis points plus integer-exact Adamic–Adar and
+    * resource-allocation scores (promiscuous shared neighbors count
+    * less). The dedup-specific reading: a high-scoring non-edge is a
+    * near-dup pair the pairwise threshold MISSED but the neighborhood
+    * structure implies — the candidates a second, cheaper verification
+    * pass should rescore. Wedge centers are degree-capped (the
+    * hot-node mitigation; no-op at test scale, load-bearing at
     * 100 TB), Jaccard denominators still count all edges. */
   val q157LinkPredict: Q = (s, dir) =>
     Graph.commonNeighborPairs(
       Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.25)
         .select(col("vec_a").as("a"), col("vec_b").as("b")),
       maxCenterDegree = 1024L)
+
+  /** Personalized PageRank (3 unrolled iterations) over the
+    * part→supplier bipartite graph, seeded at parts 1-5: teleport AND
+    * dangling mass restart at the seeds only, so rank is proximity to
+    * the seed set — the "expand a trusted corpus" curation primitive.
+    * Every supplier node is dangling here, so the restart-at-seeds
+    * path carries ~39% of total mass per round — the oracle replays
+    * the exact integer recurrence. */
+  val q158PprSeeds: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val edges = li
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    val seeds = li.filter(col("l_partkey") <= 5)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+      .distinct()
+    Graph.pageRankPersonalized(edges, seeds, maxIterations = 3)._1
+      .select(col("node"), col("rank").as("pr"))
+  }
 
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
@@ -2170,6 +2192,7 @@ object ExtensionQueries {
     "q155_triangle_coeff" -> q155TriangleCoeff,
     "q156_kcore_peel" -> q156KcorePeel,
     "q157_link_predict" -> q157LinkPredict,
+    "q158_ppr_seeds" -> q158PprSeeds,
     "q151_assoc_rules" -> q151AssocRules,
   )
 
@@ -4493,7 +4516,8 @@ object ExtensionQueries {
          SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
          FROM s3 GROUP BY s""",
     // every wedge from its center (degree-capped, no-op here), pair
-    // counts, adjacency excluded, Jaccard floor-divided
+    // counts + per-center AA/RA terms floored to ints BEFORE the sum
+    // (add-order-independent), adjacency excluded, Jaccard floor-divided
     "q157_link_predict" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
@@ -4502,16 +4526,87 @@ object ExtensionQueries {
                 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25),
          sym AS (SELECT a AS c, b AS n FROM ed UNION ALL SELECT b, a FROM ed),
          deg AS (SELECT c, count(*) AS deg FROM sym GROUP BY c),
-         centers AS (SELECT c FROM deg WHERE deg <= 1024),
-         w AS (SELECT e1.n AS x, e2.n AS y
+         w AS (SELECT e1.n AS x, e2.n AS y, d.deg
                FROM sym e1 JOIN sym e2 ON e1.c = e2.c AND e1.n < e2.n
-               WHERE e1.c IN (SELECT c FROM centers)),
-         cn AS (SELECT x, y, count(*) AS common FROM w GROUP BY x, y),
+               JOIN deg d ON d.c = e1.c
+               WHERE d.deg <= 1024),
+         cn AS (SELECT x, y, count(*) AS common,
+                       CAST(sum(CAST(floor(1000000.0 / ln(deg)) AS BIGINT))
+                            AS BIGINT) AS aa_micro,
+                       CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm
+                FROM w GROUP BY x, y),
          na AS (SELECT cn.* FROM cn WHERE NOT EXISTS
                 (SELECT 1 FROM ed WHERE ed.a = cn.x AND ed.b = cn.y))
          SELECT na.x AS a, na.y AS b, CAST(na.common AS BIGINT) AS common,
                 CAST((na.common * 10000) // (da.deg + db.deg - na.common)
-                     AS BIGINT) AS jaccard_bp
+                     AS BIGINT) AS jaccard_bp,
+                na.aa_micro, na.ra_ppm
          FROM na JOIN deg da ON da.c = na.x JOIN deg db ON db.c = na.y""",
+    // q152's integer recurrence with teleport AND dangling mass
+    // restarting at the seed set only (seed share = floor-divided once
+    // per round, exactly as the Spark side's driver-computed literals)
+    "q158_ppr_seeds" ->
+      """WITH edges AS (
+           SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM lineitem),
+         nodes AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM edges
+                    UNION ALL SELECT dst FROM edges)),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         seeds AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node
+                   FROM lineitem WHERE l_partkey <= 5),
+         ns AS (SELECT count(*) AS s FROM seeds),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         r0 AS (SELECT n.node,
+                       CASE WHEN sd.node IS NOT NULL
+                            THEN (1000000 * nn.n) // ns.s ELSE 0 END AS pr
+                FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node, nn, ns),
+         d1 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM r0
+                WHERE node NOT IN (SELECT src FROM deg)),
+         it1 AS (SELECT n.node,
+                        COALESCE(c.csum, 0) + CASE WHEN sd.node IS NOT NULL
+                          THEN (150000 * nn.n) // ns.s
+                             + (d1.dm * 85) // (100 * ns.s)
+                          ELSE 0 END AS pr
+                 FROM nodes n
+                 LEFT JOIN seeds sd ON sd.node = n.node
+                 LEFT JOIN (SELECT e.dst AS node,
+                                   sum((r.pr * 85) // (100 * d.deg)) AS csum
+                            FROM edges e JOIN r0 r ON r.node = e.src
+                            JOIN deg d ON d.src = e.src
+                            GROUP BY e.dst) c ON c.node = n.node,
+                 d1, nn, ns),
+         d2 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM it1
+                WHERE node NOT IN (SELECT src FROM deg)),
+         it2 AS (SELECT n.node,
+                        COALESCE(c.csum, 0) + CASE WHEN sd.node IS NOT NULL
+                          THEN (150000 * nn.n) // ns.s
+                             + (d2.dm * 85) // (100 * ns.s)
+                          ELSE 0 END AS pr
+                 FROM nodes n
+                 LEFT JOIN seeds sd ON sd.node = n.node
+                 LEFT JOIN (SELECT e.dst AS node,
+                                   sum((r.pr * 85) // (100 * d.deg)) AS csum
+                            FROM edges e JOIN it1 r ON r.node = e.src
+                            JOIN deg d ON d.src = e.src
+                            GROUP BY e.dst) c ON c.node = n.node,
+                 d2, nn, ns),
+         d3 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM it2
+                WHERE node NOT IN (SELECT src FROM deg)),
+         it3 AS (SELECT n.node,
+                        COALESCE(c.csum, 0) + CASE WHEN sd.node IS NOT NULL
+                          THEN (150000 * nn.n) // ns.s
+                             + (d3.dm * 85) // (100 * ns.s)
+                          ELSE 0 END AS pr
+                 FROM nodes n
+                 LEFT JOIN seeds sd ON sd.node = n.node
+                 LEFT JOIN (SELECT e.dst AS node,
+                                   sum((r.pr * 85) // (100 * d.deg)) AS csum
+                            FROM edges e JOIN it2 r ON r.node = e.src
+                            JOIN deg d ON d.src = e.src
+                            GROUP BY e.dst) c ON c.node = n.node,
+                 d3, nn, ns)
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM it3""",
   )
 }

@@ -331,10 +331,14 @@ class GraphEventOpsSpec extends SparkSpec {
     // neighbor are (1,4) and (2,4), both through center 3
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val got = Graph.commonNeighborPairs(edges)
-      .as[(Long, Long, Long, Long)].collect()
-      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
-    // deg(1)=2, deg(4)=1, common=1 → 10000 div (2+1−1) = 5000
-    assert(got == Map((1L, 4L) -> ((1L, 5000L)), (2L, 4L) -> ((1L, 5000L))))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // deg(1)=2, deg(4)=1, common=1 → 10000 div (2+1−1) = 5000;
+    // the shared center 3 has deg 3 → AA floor(1e6/ln 3) = 910239,
+    // RA 1000000 div 3 = 333333
+    assert(got == Map(
+      (1L, 4L) -> ((1L, 5000L, 910239L, 333333L)),
+      (2L, 4L) -> ((1L, 5000L, 910239L, 333333L))))
   }
 
   test("commonNeighborPairs: the degree cap excludes hub centers") {
@@ -342,10 +346,64 @@ class GraphEventOpsSpec extends SparkSpec {
     // all leaf pairs share only the center (deg 3): present under a
     // loose cap, gone when the cap excludes it
     val loose = Graph.commonNeighborPairs(star, maxCenterDegree = 3L)
-      .as[(Long, Long, Long, Long)].collect().toSet
-    assert(loose == Set((2L, 3L, 1L, 10000L), (2L, 4L, 1L, 10000L),
-      (3L, 4L, 1L, 10000L)))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(loose == Set(
+      (2L, 3L, 1L, 10000L, 910239L, 333333L),
+      (2L, 4L, 1L, 10000L, 910239L, 333333L),
+      (3L, 4L, 1L, 10000L, 910239L, 333333L)))
     assert(Graph.commonNeighborPairs(star, maxCenterDegree = 2L).count() == 0)
+  }
+
+  test("pageRankPersonalized: hand-checked 2-cycle recurrence") {
+    // 1⇄2, seed {1}: n=2, s=1, base=300000, init r(1)=2e6
+    // round 1: r = (300000, 1700000); round 2: r = (1745000, 255000)
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def run(iters: Int): Map[Long, Long] =
+      Graph.pageRankPersonalized(edges, seeds, maxIterations = iters)._1
+        .as[(Long, Long)].collect().toMap
+    assert(run(1) == Map(1L -> 300000L, 2L -> 1700000L))
+    assert(run(2) == Map(1L -> 1745000L, 2L -> 255000L))
+  }
+
+  test("pageRankPersonalized: dangling mass restarts at the seeds") {
+    // 1→{2,3}, seed {1}: both sinks are dangling; their round-1 mass
+    // (2,550,000 micro) must re-enter at the seed, not leak
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.pageRankPersonalized(edges, seeds, maxIterations = 2)._1
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2617500L, 2L -> 191250L, 3L -> 191250L))
+    assert(got.values.sum == 3000000L) // total mass conserved exactly
+  }
+
+  test("pageRankPersonalized: absent seeds ignored, all-absent throws") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val one = Graph.pageRankPersonalized(
+      edges, Seq(Tuple1(1L)).toDF("node"), maxIterations = 2)._1
+      .as[(Long, Long)].collect().toMap
+    val withGhost = Graph.pageRankPersonalized(
+      edges, Seq(1L, 99L).toDF("node"), maxIterations = 2)._1
+      .as[(Long, Long)].collect().toMap
+    assert(one == withGhost)
+    intercept[IllegalArgumentException] {
+      Graph.pageRankPersonalized(
+        edges, Seq(Tuple1(99L)).toDF("node"), maxIterations = 1)
+    }
+  }
+
+  test("pageRankPersonalized: convergence exit and shuffle path agree") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(2L)).toDF("node")
+    val (bc, _) = Graph.pageRankPersonalized(edges, seeds, maxIterations = 4)
+    val (sh, _) = Graph.pageRankPersonalized(
+      edges, seeds, maxIterations = 4, broadcastNodes = false)
+    assert(bc.as[(Long, Long)].collect().toMap ==
+      sh.as[(Long, Long)].collect().toMap)
+    // a huge tolerance stops after the first delta check
+    val (_, rounds) = Graph.pageRankPersonalized(
+      edges, seeds, maxIterations = 10, convergedDeltaMicro = 5000000L)
+    assert(rounds == 1)
   }
 
   test("kCorePeel: graph below k empties out, both modes") {

@@ -495,6 +495,77 @@ object Graph {
         col("aa_micro"), col("ra_ppm"))
   }
 
+  /** Deterministic random-walk corpus over an undirected graph
+    * (node2vec-style input for embedding training): `walksPerNode`
+    * walks start at every node and take `walkLength` uniform steps.
+    * Output is one row per visited position — (start, walk, step,
+    * node), step 0 = the start itself.
+    *
+    * "Random" is a salted md5 draw, NOT rand(): step t of walk w at
+    * node v picks neighbor index `h24(salt:v:w:t) mod deg(v)` over the
+    * dst-sorted adjacency, so re-runs (and the DuckDB oracle) replay
+    * the exact same corpus, and re-salting draws an independent one —
+    * the same discipline as [[graft.operators.Sampling]]. The 24-bit
+    * draw is uniform to a bias of deg/2²⁴ (negligible below
+    * hub-degree ~10⁵; hubs above that only lose draw uniformity, not
+    * determinism).
+    *
+    * Scale shape: the ranked adjacency is built once — one groupBy
+    * collecting each node's sorted neighbor list (bounded by max
+    * degree, the LSH-bucket-cap memory shape), posexploded to (src,
+    * idx, dst) and checkpointed src-partitioned. Each step is one
+    * broadcast join against the node-sized degree frame (compute the
+    * pick) plus one (src, idx)-keyed equi-join against the stationary
+    * adjacency — the frontier (N·walksPerNode rows) moves, edges
+    * never re-shuffle. `broadcastNodes=false` swaps the mandatory
+    * degree broadcast for a shuffle join, as in [[pageRankDirected]]. */
+  def randomWalks(
+      edges: DataFrame,
+      walksPerNode: Int,
+      walkLength: Int,
+      salt: String = "graft-walk",
+      broadcastNodes: Boolean = true): DataFrame = {
+    require(walksPerNode >= 1, "walksPerNode must be >= 1")
+    require(walkLength >= 1, "walkLength must be >= 1")
+    def nodeSide(df: DataFrame): DataFrame =
+      if (broadcastNodes) broadcast(df) else df
+    val ed = edges.select(col("a"), col("b")).distinct()
+    val sym = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
+    val grouped = sym.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    val degs = grouped
+      .select(col("src").as("cur"), size(col("ns")).cast("bigint").as("deg"))
+      .localCheckpoint()
+    val adj = grouped
+      .selectExpr("src", "posexplode(ns) as (idx, dst)")
+      .select(col("src").as("cur"), col("idx").cast("bigint").as("pick"),
+        col("dst"))
+      .repartition(col("cur")).localCheckpoint()
+    var frontier = degs.select(col("cur").as("start"))
+      .withColumn("walk",
+        explode(sequence(lit(0L), lit(walksPerNode.toLong - 1L))))
+      .withColumn("cur", col("start"))
+      .localCheckpoint()
+    def positions(step: Int, f: DataFrame): DataFrame =
+      f.select(col("start"), col("walk"), lit(step.toLong).as("step"),
+        col("cur").as("node"))
+    var out = positions(0, frontier)
+    for (t <- 1 to walkLength) {
+      frontier = frontier
+        .join(nodeSide(degs), "cur")
+        .withColumn("pick",
+          expr(s"cast(conv(substring(md5(concat('$salt:', " +
+            s"cast(cur as string), ':', cast(walk as string), ':$t')), " +
+            s"1, 6), 16, 10) as bigint) % deg"))
+        .join(adj, Seq("cur", "pick"))
+        .select(col("start"), col("walk"), col("dst").as("cur"))
+        .localCheckpoint()
+      out = out.unionAll(positions(t, frontier))
+    }
+    out
+  }
+
   /** k-core peel: iteratively remove nodes of degree < k (with their
     * edges) from an undirected graph, given CANONICAL edges `(a, b)`
     * with `a < b`. Each round drops every current sub-k node

@@ -2022,6 +2022,17 @@ object ExtensionQueries {
         .select(col("vec_a").as("a"), col("vec_b").as("b")),
       maxCenterDegree = 1024L)
 
+  /** Deterministic random-walk corpus over the near-dup graph: 2 walks
+    * per node, 3 steps each, every draw a salted-md5 pick over the
+    * dst-sorted adjacency — the node2vec-style input a graph-embedding
+    * trainer consumes, generated replayably (re-runs and the oracle
+    * produce the byte-identical corpus; re-salting redraws). */
+  val q159RandomWalks: Q = (s, dir) =>
+    Graph.randomWalks(
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.25)
+        .select(col("vec_a").as("a"), col("vec_b").as("b")),
+      walksPerNode = 2, walkLength = 3)
+
   /** Personalized PageRank (3 unrolled iterations) over the
     * part→supplier bipartite graph, seeded at parts 1-5: teleport AND
     * dangling mass restart at the seeds only, so rank is proximity to
@@ -2193,6 +2204,7 @@ object ExtensionQueries {
     "q156_kcore_peel" -> q156KcorePeel,
     "q157_link_predict" -> q157LinkPredict,
     "q158_ppr_seeds" -> q158PprSeeds,
+    "q159_random_walks" -> q159RandomWalks,
     "q151_assoc_rules" -> q151AssocRules,
   )
 
@@ -4608,5 +4620,63 @@ object ExtensionQueries {
                             GROUP BY e.dst) c ON c.node = n.node,
                  d3, nn, ns)
          SELECT node, CAST(pr AS BIGINT) AS pr FROM it3""",
+    // the walk recurrence unrolled 3 steps: each step's pick is the
+    // first 24 md5 bits (hex chars via the instr alphabet, q79's
+    // pattern) mod the current node's degree, over dst-sorted adjacency
+    "q159_random_walks" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ed AS (SELECT a.vec_id AS a, b.vec_id AS b
+                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25),
+         sym AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+         degs AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         adj AS (SELECT src, dst,
+                        CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+                             - 1 AS BIGINT) AS pick
+                 FROM sym),
+         w0 AS (SELECT d.src AS start, w.walk, d.src AS cur
+                FROM degs d, (SELECT unnest(range(0, 2)) AS walk) w),
+         h1 AS (SELECT f.start, f.walk, f.cur, d.deg,
+                       md5('graft-walk:' || CAST(f.cur AS VARCHAR) || ':' ||
+                           CAST(f.walk AS VARCHAR) || ':1') AS h
+                FROM w0 f JOIN degs d ON d.src = f.cur),
+         s1 AS (SELECT h1.start, h1.walk, a.dst AS cur
+                FROM h1 JOIN adj a ON a.src = h1.cur AND a.pick =
+                  ((((((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 6, 1)) - 1) % h1.deg),
+         h2 AS (SELECT f.start, f.walk, f.cur, d.deg,
+                       md5('graft-walk:' || CAST(f.cur AS VARCHAR) || ':' ||
+                           CAST(f.walk AS VARCHAR) || ':2') AS h
+                FROM s1 f JOIN degs d ON d.src = f.cur),
+         s2 AS (SELECT h2.start, h2.walk, a.dst AS cur
+                FROM h2 JOIN adj a ON a.src = h2.cur AND a.pick =
+                  ((((((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 6, 1)) - 1) % h2.deg),
+         h3 AS (SELECT f.start, f.walk, f.cur, d.deg,
+                       md5('graft-walk:' || CAST(f.cur AS VARCHAR) || ':' ||
+                           CAST(f.walk AS VARCHAR) || ':3') AS h
+                FROM s2 f JOIN degs d ON d.src = f.cur),
+         s3 AS (SELECT h3.start, h3.walk, a.dst AS cur
+                FROM h3 JOIN adj a ON a.src = h3.cur AND a.pick =
+                  ((((((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(h, 6, 1)) - 1) % h3.deg)
+         SELECT start, CAST(walk AS BIGINT) AS walk,
+                CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+         UNION ALL SELECT start, walk, 1, cur FROM s1
+         UNION ALL SELECT start, walk, 2, cur FROM s2
+         UNION ALL SELECT start, walk, 3, cur FROM s3""",
   )
 }

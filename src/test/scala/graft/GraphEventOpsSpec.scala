@@ -406,6 +406,36 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(rounds == 1)
   }
 
+  test("randomWalks: degree-1 chain is fully determined") {
+    // single edge 1-2: every node has one neighbor, so every walk
+    // alternates start, other, start, other — no hash freedom at all
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val got = Graph.randomWalks(edges, walksPerNode = 2, walkLength = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = (for {
+      start <- Seq(1L, 2L); walk <- Seq(0L, 1L); step <- 0L to 3L
+    } yield (start, walk, step, if (step % 2 == 0) start else 3L - start)).toSet
+    assert(got == expected)
+  }
+
+  test("randomWalks: transitions are edges, replayable, re-salt redraws") {
+    val es = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = es.toSeq.toDF("a", "b") // K4: every step has 3 choices
+    def corpus(salt: String): Set[(Long, Long, Long, Long)] =
+      Graph.randomWalks(edges, walksPerNode = 1, walkLength = 4, salt = salt)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val c1 = corpus("graft-walk")
+    assert(c1.size == 4 * 5) // 4 starts x steps 0..4, no dead ends
+    assert(c1 == corpus("graft-walk")) // byte-identical replay
+    assert(c1 != corpus("another-salt")) // independent redraw
+    c1.groupBy(t => (t._1, t._2)).values.foreach { rows =>
+      val path = rows.toSeq.sortBy(_._3).map(_._4)
+      path.sliding(2).foreach { case Seq(x, y) =>
+        assert(es.contains((math.min(x, y), math.max(x, y))), s"$x-$y")
+      }
+    }
+  }
+
   test("kCorePeel: graph below k empties out, both modes") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     assert(Graph.kCorePeel(path, k = 2, rounds = -1).count() == 0)

@@ -35,14 +35,20 @@ import org.apache.spark.sql.functions._
 object ScaleStress {
 
   /** Heavy + overflow-sensitive set (VERDICT r5 item 2) plus the
-    * embedding-blocked pair query for vector coverage. */
+    * embedding-blocked pair query for vector coverage, plus the
+    * quadratic-risk graph ops: q157's wedge enumeration is the one
+    * operator whose cost law is C(deg,2) per center (the degree cap
+    * is the mitigation under test), q159's walk joins must stay
+    * frontier-linear. */
   val heavies: Seq[String] = Seq(
     "q87_pagerank", "q97_bfs_hops", "q102_label_prop",
     "q108_pagerank_weighted", "q152_pagerank_dangling",
     "q42_curation", "q76_dedup_keep_best", "q101_entity_resolution",
     "q44_incremental_dedup", "q26_lsh_neardup",
     "q109_trend_slope", "q138_burstiness", "q126_ks_drift",
-    "q150_chi2_independence", "q28_embed_neardup", "q53_semantic_clusters")
+    "q150_chi2_independence", "q28_embed_neardup", "q53_semantic_clusters",
+    "q155_triangle_coeff", "q157_link_predict", "q158_ppr_seeds",
+    "q159_random_walks")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

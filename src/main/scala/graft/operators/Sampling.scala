@@ -188,4 +188,103 @@ object Sampling {
         .when(b < lit(cutHex(valRate + testRate)), "test")
         .otherwise("train"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by how target-like its hashed-unigram profile
+    * is — Σ_b n_{d,b} · log(p_target(b) / p_raw(b)) with add-1
+    * smoothing over 16 hashed feature buckets (the md5-last-hex-digit
+    * family q131 uses, so the whole feature space is fixed-size with no
+    * vocabulary to ship). `isTarget` marks the rows that define the
+    * target distribution; everything else is the raw pool.
+    *
+    * Determinism: each bucket's log-ratio is fixed to an e8-scaled
+    * INTEGER before the per-doc sum (the q84/q112 convention — a float
+    * sum of rounded terms is add-order nondeterministic even within one
+    * engine), so the oracle replays weights bit-exactly. The bucket
+    * table is 16 rows and broadcast; the corpus sees one scan + one
+    * (doc, bucket) partial-aggregated groupBy — no per-doc state, no
+    * vocabulary shuffle, which is exactly why hashed features scale
+    * where vocabulary TF-IDF needs a corpus-wide dictionary.
+    * Output: (doc_id, n_tokens, llr_e8, avg_llr) — a resampler keeps
+    * rows with probability ∝ exp(avg_llr / T).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val b = docs
+      .select(col("doc_id"), isTarget.as("graft_tgt"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(md5(w), 32, 1))") - 1)
+          .cast("bigint"))
+      .select(col("doc_id"), col("graft_tgt"), col("bucket"))
+    val cnt = b.groupBy(col("bucket"))
+      .agg(sum(when(col("graft_tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("graft_tgt"), 1L).otherwise(0L)).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lr = cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(((col("ct") + 1).cast("double") / (col("tt") + 16)) /
+          ((col("cr") + 1).cast("double") / (col("tr") + 16))) * 1e8)
+          .cast("bigint").as("llr_e8"))
+    b.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("llr_e8")).as("llr_e8"))
+      .select(col("doc_id"), col("n_tokens"), col("llr_e8"),
+        // + 0.0 folds IEEE −0.0 to +0.0 (DuckDB's round keeps the
+        // sign of a tiny negative; a ±0.0 pair sorts differently in
+        // the driver's string-keyed row ordering)
+        (round(col("llr_e8").cast("double") / (col("n_tokens") * lit(1e8)), 4)
+          + lit(0.0)).as("avg_llr"))
+  }
+
+  /** Token-budget greedy selection: rank rows by `score` (desc, key
+    * tiebreak) and keep the prefix whose cumulative `tokens` stays
+    * within `budgetPct`% of the corpus total — the "best N tokens under
+    * a training budget" cut every curation run ends with. The budget is
+    * integer arithmetic (total · pct div 100) so the cut row is
+    * engine-exact.
+    *
+    * Scale shape: the cumulative sum is a two-level prefix scan — rows
+    * partition into score BANDS (integer `score div bandWidth`), the
+    * running sum is a per-band window, and each band's offset (total
+    * tokens of all better bands) comes from a band-count-sized
+    * triangular self-join that broadcasts back — there is NO
+    * single-partition global window anywhere (the r1 top-k lesson).
+    * Parallelism is bounded by the band count: size `bandWidth` to the
+    * score distribution (default 500 → 21 bands over a 0..10000 bp
+    * score). Output: the selected rows as (key, score, n_tokens,
+    * cum_tokens).
+    */
+  def budgetSelect(
+      df: DataFrame,
+      key: Column,
+      score: Column,
+      tokens: Column,
+      budgetPct: Int = 25,
+      bandWidth: Int = 500): DataFrame = {
+    require(budgetPct >= 0 && budgetPct <= 100, s"budgetPct: $budgetPct")
+    val d = df.select(key.as("key"), score.cast("bigint").as("score"),
+      tokens.cast("bigint").as("n_tokens"))
+      .withColumn("graft_band", expr(s"score div $bandWidth"))
+    val bandTot = d.groupBy(col("graft_band"))
+      .agg(sum(col("n_tokens")).as("graft_bt"))
+    // offset(band) = tokens in all strictly-better bands; triangular
+    // join over ≤ (maxScore/bandWidth + 1) aggregated rows
+    val off = bandTot.as("a")
+      .join(bandTot.select(col("graft_band").as("hb"), col("graft_bt").as("hbt")).as("b"),
+        col("hb") > col("graft_band"), "left")
+      .groupBy(col("graft_band"))
+      .agg(coalesce(sum(col("hbt")), lit(0L)).as("graft_off"))
+    val total = bandTot.agg(sum(col("graft_bt")).as("graft_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_band"))
+      .orderBy(col("score").desc, col("key"))
+    d.join(broadcast(off), Seq("graft_band"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_tokens",
+        (col("graft_off") + sum(col("n_tokens")).over(w)).cast("bigint"))
+      .filter(col("cum_tokens") <= expr(s"(graft_total * $budgetPct) div 100"))
+      .select(col("key"), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -472,4 +472,39 @@ object Similarity {
         round(dot(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid
+    * (the k-means E-step, via [[assignClusters]]), then inside each
+    * cluster drop any vector that has a cosine near-duplicate with a
+    * SMALLER id — a deterministic greedy keeper rule (the paper keeps
+    * one member per within-cluster duplicate set; id order makes the
+    * choice engine-replayable, so the DuckDB oracle checks the actual
+    * prune set, not just counts).
+    *
+    * Scale shape: assignment is one broadcast-centroid corpus scan;
+    * the pair search is blocked by cluster — never a corpus cross
+    * product — and the quadratic term is bounded by cluster size,
+    * which is the paper's own design point (k is chosen so n/k fits a
+    * worker; here the ~n/k member block broadcasts for the same
+    * reason as [[nearDupPairs]]). Output: (vec_id, cluster, kept).
+    */
+  def semDedup(corpus: DataFrame, cent: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignClusters(corpus, cent)
+      .select(col("vec_id"), col("cluster"))
+    val e = withUnit(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      "v", "vn")
+      .join(assigned, Seq("vec_id"))
+    val a = e.select(col("cluster"), col("vec_id").as("vec_a"), col("vn").as("va"))
+    val b = e.select(col("cluster"), col("vec_id").as("vec_b"), col("vn").as("vb"))
+    // v has a smaller near-dup  ⇔  v appears as the b side of a pair
+    val dups = a.join(broadcast(b), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b") &&
+        round(dot(col("va"), col("vb")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("graft_dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("graft_dup").isNull.as("kept"))
+  }
 }

@@ -2053,6 +2053,32 @@ object ExtensionQueries {
       .select(col("node"), col("rank").as("pr"))
   }
 
+  /** SemDeDup semantic dedup over embeddings: nearest-centroid
+    * clusters (q53's assignment), then within-cluster cosine ≥ 0.3
+    * pruned to the smallest-id keeper — the full curation decision,
+    * not just the pair list (q28). See Similarity.semDedup. */
+  val q160Semdedup: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.semDedup(e, Similarity.centroids(e), threshold = 0.3)
+  }
+
+  /** DSIR hashed-unigram importance weights: target = English docs,
+    * raw = everything else; per-doc e8-exact log-likelihood-ratio
+    * score a resampler turns into keep probabilities. */
+  val q161DsirWeights: Q = (s, dir) =>
+    Sampling.dsirWeights(t(s, dir, "documents"), col("lang") === "en")
+
+  /** Token-budget greedy selection: the best-quality prefix (q21's
+    * composite score, doc_id tiebreak) that fits 25% of the corpus's
+    * tokens — banded two-level prefix scan, no global window. */
+  val q162BudgetSelect: Q = (s, dir) =>
+    Sampling.budgetSelect(
+      TextOps.qualityFeatures(t(s, dir, "documents")),
+      key = col("doc_id"), score = col("quality_score_bp"),
+      tokens = col("n_words"), budgetPct = 25)
+      .select(col("key").as("doc_id"), col("score"), col("n_tokens"),
+        col("cum_tokens"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2206,6 +2232,9 @@ object ExtensionQueries {
     "q158_ppr_seeds" -> q158PprSeeds,
     "q159_random_walks" -> q159RandomWalks,
     "q151_assoc_rules" -> q151AssocRules,
+    "q160_semdedup" -> q160Semdedup,
+    "q161_dsir_weights" -> q161DsirWeights,
+    "q162_budget_select" -> q162BudgetSelect,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4678,5 +4707,69 @@ object ExtensionQueries {
          UNION ALL SELECT start, walk, 1, cur FROM s1
          UNION ALL SELECT start, walk, 2, cur FROM s2
          UNION ALL SELECT start, walk, 3, cur FROM s3""",
+    "q160_semdedup" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         a AS (SELECT vec_id, cluster, v FROM (
+                 SELECT e.vec_id, c.label AS cluster, e.v,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                   c.label) AS rn
+                 FROM e, cent c)
+               WHERE rn = 1),
+         dup AS (SELECT DISTINCT y.vec_id
+                 FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3)
+         SELECT a.vec_id, a.cluster,
+                a.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+         FROM a""",
+    "q161_dsir_weights" ->
+      """WITH b AS (SELECT doc_id, lang = 'en' AS tgt,
+                           CAST(instr('0123456789abcdef', substr(md5(w), 32, 1)) - 1
+                             AS BIGINT) AS bucket
+                    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                          FROM documents)),
+         cnt AS (SELECT bucket,
+                        CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                        CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+                 FROM b GROUP BY bucket),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                        CAST(sum(cr) AS BIGINT) AS tr FROM cnt),
+         lr AS (SELECT bucket,
+                       CAST(round(ln(((ct + 1) / CAST(tt + 16 AS DOUBLE)) /
+                                     ((cr + 1) / CAST(tr + 16 AS DOUBLE))) * 1e8)
+                         AS BIGINT) AS llr_e8
+                FROM cnt, tot),
+         d AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                CAST(sum(n * llr_e8) AS BIGINT) AS llr_e8,
+                round(CAST(sum(n * llr_e8) AS BIGINT)
+                      / (CAST(sum(n) AS BIGINT) * 1e8), 4) + 0.0 AS avg_llr
+         FROM d JOIN lr USING (bucket)
+         GROUP BY doc_id""",
+    "q162_budget_select" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+                        + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+                                / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+                        + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+                                       / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS score
+           FROM documents),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM q),
+         r AS (SELECT doc_id, score, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS cum_tokens
+               FROM q)
+         SELECT doc_id, score, n_tokens, cum_tokens
+         FROM r, tot
+         WHERE cum_tokens <= (total * 25) // 100""",
   )
 }

@@ -675,4 +675,49 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set(
       ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L), ("2024-01-02", 0L, 1L)))
   }
+
+  test("semDedup: within-cluster near-dup drops to the smallest id, across clusters kept") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.99f, 0.05f), "a"),  // near-dup of 1 → dropped
+      (3L, Array(0.7f, 0.7f), "a"),    // same cluster, far → kept
+      (4L, Array(0.0f, 1.0f), "b"),    // other cluster → kept
+      (5L, Array(0.05f, 0.99f), "b"))  // near-dup of 4 → dropped
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semDedup(vecs, Similarity.centroids(vecs), threshold = 0.98)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> false))
+  }
+
+  test("dsirWeights: target-only vocabulary scores positive, raw-only negative") {
+    // two disjoint one-word vocabularies hash to (whatever) buckets;
+    // the target doc's bucket is target-heavy → positive log-ratio
+    val d = Seq(
+      (1L, "alpha alpha alpha alpha", true),
+      (2L, "omega omega omega omega", false))
+      .toDF("doc_id", "text", "tgt")
+    val got = Sampling.dsirWeights(d, col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) > 0 && got(2L) < 0)
+    // weights replay bit-identically
+    val again = Sampling.dsirWeights(d, col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
+  test("budgetSelect: best-score prefix under the token budget, exact cut") {
+    val d = Seq(
+      (1L, 9000L, 40L), (2L, 8000L, 40L), (3L, 7000L, 40L), (4L, 6000L, 40L))
+      .toDF("doc_id", "score", "n_tok")
+    // total 160 tokens, 50% budget = 80 → exactly the top-2 fit
+    val got = Sampling.budgetSelect(d, col("doc_id"), col("score"),
+      col("n_tok"), budgetPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == Set((1L, 40L), (2L, 80L)))
+    // bands narrower than the score spacing must not change the cut
+    val banded = Sampling.budgetSelect(d, col("doc_id"), col("score"),
+      col("n_tok"), budgetPct = 50, bandWidth = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(banded == got)
+  }
 }

@@ -48,7 +48,12 @@ object ScaleStress {
     "q109_trend_slope", "q138_burstiness", "q126_ks_drift",
     "q150_chi2_independence", "q28_embed_neardup", "q53_semantic_clusters",
     "q155_triangle_coeff", "q157_link_predict", "q158_ppr_seeds",
-    "q159_random_walks")
+    "q159_random_walks",
+    // q160: within-cluster pairs stay constant-size (labels offset per
+    // copy) but the E-step is n·k like q53 → expected ≤ copies²;
+    // q161/q162 are scan-bound with e8-scaled int64 sums under test
+    // for overflow headroom
+    "q160_semdedup", "q161_dsir_weights", "q162_budget_select")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

@@ -507,4 +507,63 @@ object Similarity {
     assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("graft_dup").isNull.as("kept"))
   }
+
+  /** Incremental [[semDedup]]: dedup a NEW batch against the already-
+    * KEPT corpus — the online rule every continuous ingest needs. A new
+    * vector is dropped iff it near-duplicates (cosine ≥ threshold,
+    * same nearest-centroid cluster) either (a) any kept corpus vector,
+    * or (b) a smaller-id vector of its own batch (the batch-greedy rule
+    * of [[semDedup]], so a batch containing internal duplicates keeps
+    * exactly one).
+    *
+    * Note the deliberate semantic: corpus probes go against the KEPT
+    * set only — the online rule — not against every vector ever seen.
+    * Across batches the two differ on similarity chains (a~b, b~c,
+    * a≁c: with a kept and b dropped in an earlier batch, a later c is
+    * kept — only kept vectors are probed; the batch rule over
+    * {a,b,c} would let the dropped b shadow c). Inside one batch the
+    * smaller-id rule shadows exactly like [[semDedup]], so
+    * `semDedupAgainst(batch, empty, …) ≡ semDedup(batch, …)`.
+    *
+    * Scale shape: like [[MinHashLsh.nearDuplicatesAgainstIndex]], the
+    * corpus-side work is bounded by the batch's clusters — `kept`
+    * should be the label-partitioned IVF index ([[writeIvfIndex]]
+    * layout), so the semi-join on cluster prunes to the partitions the
+    * batch actually touches; the batch side is broadcast (batches are
+    * small by construction). Output: (vec_id, cluster, kept).
+    */
+  def semDedupAgainst(
+      newVecs: DataFrame,
+      keptVecs: DataFrame,
+      cent: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assignClusters(newVecs, cent)
+      .select(col("vec_id"), col("cluster"))
+    val nb = withUnit(
+      newVecs.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      "v", "vn")
+      .join(assigned, Seq("vec_id"))
+    // (a) vs the kept corpus: kept is cluster-partitioned at scale, the
+    // batch side broadcasts into it
+    val kb = withUnit(
+      keptVecs.select(col("label").as("cluster"), col("vec_id").as("kept_id"),
+        asDouble(col("embedding")).as("kv")),
+      "kv", "kn")
+    val dupVsKept = kb
+      .join(broadcast(nb.select(col("cluster"), col("vec_id"), col("vn"))),
+        Seq("cluster"))
+      .filter(round(dot(col("kn"), col("vn")), 6) >= threshold)
+      .select(col("vec_id"))
+    // (b) within the batch: the batch-greedy smaller-id rule
+    val a = nb.select(col("cluster"), col("vec_id").as("vec_a"), col("vn").as("va"))
+    val b = nb.select(col("cluster"), col("vec_id").as("vec_b"), col("vn").as("vb"))
+    val dupInBatch = a.join(broadcast(b), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b") &&
+        round(dot(col("va"), col("vb")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id"))
+    val dups = dupVsKept.union(dupInBatch).distinct()
+      .withColumn("graft_dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("graft_dup").isNull.as("kept"))
+  }
 }

@@ -689,6 +689,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> false))
   }
 
+  test("semDedupAgainst: kept-set probe, batch rule inside the batch, chain keeps c") {
+    // one cluster; cos(a,b)=cos(b,c)=cos25°≈0.906 ≥ 0.9, cos(a,c)=cos50°≈0.643 < 0.9
+    val a = Array(1.0f, 0.0f)
+    val b = Array(math.cos(0.4363).toFloat, math.sin(0.4363).toFloat)
+    val c = Array(math.cos(0.8727).toFloat, math.sin(0.8727).toFloat)
+    val all = Seq((1L, a, "x"), (2L, b, "x"), (3L, c, "x"))
+      .toDF("vec_id", "embedding", "label")
+    val cent = Similarity.centroids(all)
+    // batch rule: dropped b still shadows c → only a kept
+    val batch = Similarity.semDedup(all, cent, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(batch == Map(1L -> true, 2L -> false, 3L -> false))
+    // online rule across batches: b was dropped in an earlier batch so
+    // only kept {a} is probed → a later-batch c is KEPT (the batch rule
+    // over {a,b,c} dropped it)
+    val kept = Seq((1L, a, "x")).toDF("vec_id", "embedding", "label")
+    val online = Similarity.semDedupAgainst(
+      Seq((3L, c, "x")).toDF("vec_id", "embedding", "label"),
+      kept, cent, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(online == Map(3L -> true))
+    // same batch: the smaller-id in-batch rule shadows like semDedup
+    val oneBatch = Similarity.semDedupAgainst(
+      Seq((2L, b, "x"), (3L, c, "x")).toDF("vec_id", "embedding", "label"),
+      kept, cent, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(oneBatch == Map(2L -> false, 3L -> false))
+    // empty kept set ≡ the batch rule on the new batch alone
+    val empty = Seq.empty[(Long, Array[Float], String)]
+      .toDF("vec_id", "embedding", "label")
+    val fresh = Similarity.semDedupAgainst(all, empty, cent, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(fresh == batch)
+  }
+
   test("dsirWeights: target-only vocabulary scores positive, raw-only negative") {
     // two disjoint one-word vocabularies hash to (whatever) buckets;
     // the target doc's bucket is target-heavy → positive log-ratio

@@ -325,4 +325,59 @@ class PropertySpec extends SparkSpec {
       assert(ab >= 0.0 && ab <= 1.0)
     }
   }
+
+  test("budgetSelect: selected set is a sort-prefix, fits the budget, maximal") {
+    import graft.operators.Sampling
+    val rowGen = Gen.zip(Gen.choose(0L, 10000L), Gen.choose(1L, 200L))
+    for ((rows, pct) <- samples(Gen.zip(Gen.listOfN(60, rowGen), Gen.choose(5, 95)), 4)) {
+      val df = rows.zipWithIndex
+        .map { case ((sc, tk), i) => (i.toLong, sc, tk) }
+        .toDF("key", "score", "n_tok")
+      val got = Sampling.budgetSelect(df, col("key"), col("score"), col("n_tok"),
+        budgetPct = pct)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+      val budget = rows.map(_._2).sum * pct / 100
+      val sorted = rows.zipWithIndex
+        .map { case ((sc, tk), i) => (i.toLong, sc, tk) }
+        .sortBy { case (k, sc, _) => (-sc, k) }
+      // expected: the maximal prefix of the (score desc, key) order
+      // whose running token total stays within the budget
+      var cum = 0L
+      val expect = sorted.takeWhile { case (_, _, tk) => cum += tk; cum <= budget }
+      assert(got.map(_._1).toSeq == expect.map(_._1),
+        s"pct=$pct budget=$budget got=${got.map(_._1).toList}")
+      if (got.nonEmpty) assert(got.last._4 <= budget)
+    }
+  }
+
+  test("dsirWeights: per-doc weight equals brute-force bucket arithmetic") {
+    import graft.operators.Sampling
+    val docGen = Gen.zip(Gen.listOfN(12, word).map(_.mkString(" ")), Gen.oneOf(true, false))
+    for (docs <- samples(Gen.listOfN(10, docGen), 3)) {
+      val df = docs.zipWithIndex.map { case ((t, tgt), i) => (i.toLong, t, tgt) }
+        .toDF("doc_id", "text", "tgt")
+      val got = Sampling.dsirWeights(df, col("tgt"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> r._3).toMap
+      // brute force in plain Scala with the same md5-hex bucket family
+      def bucket(w: String): Int = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        "0123456789abcdef".indexOf(d(31))
+      }
+      val toks = docs.zipWithIndex.flatMap { case ((t, tgt), i) =>
+        t.split(" ").map(w => (i.toLong, tgt, bucket(w))) }
+      val tt = toks.count(_._2).toLong
+      val tr = toks.count(!_._2).toLong
+      val llr = (0 until 16).map { b =>
+        val ct = toks.count(x => x._2 && x._3 == b).toLong
+        val cr = toks.count(x => !x._2 && x._3 == b).toLong
+        b -> math.round(math.log(((ct + 1).toDouble / (tt + 16)) /
+          ((cr + 1).toDouble / (tr + 16))) * 1e8)
+      }.toMap
+      val expect = toks.groupBy(_._1).view
+        .mapValues(_.map(x => llr(x._3)).sum).toMap
+      assert(got == expect)
+    }
+  }
 }

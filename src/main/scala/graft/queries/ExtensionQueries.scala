@@ -2079,6 +2079,35 @@ object ExtensionQueries {
       .select(col("key").as("doc_id"), col("score"), col("n_tokens"),
         col("cum_tokens"))
 
+  /** The modern curation capstone: quality gate → exact-dedup keeper →
+    * SemDeDup over the survivors' embeddings → token-budget selection
+    * (q42's classic chain extended with the embedding-space stage and
+    * the budget cut; q21 + q24 + q160 + q162 composed end-to-end).
+    * Docs without an embedding can't be semantically deduped and pass
+    * that stage untouched (a partial-coverage embedding store); the
+    * budget is 30% of the SURVIVORS' tokens. */
+  val q163CurationBudget: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val scored = docs
+      .join(TextOps.qualityFeatures(docs)
+        .select(col("doc_id"), col("n_words"), col("quality_score_bp")),
+        Seq("doc_id"))
+      .filter(col("quality_score_bp") >= 4000)
+    val keep = scored.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val exact = scored.join(keep, Seq("doc_id"))
+    val survVecs = t(s, dir, "embeddings")
+      .join(exact.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val dropped = Similarity
+      .semDedup(survVecs, Similarity.centroids(survVecs), threshold = 0.3)
+      .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+    val afterSem = exact.join(dropped, Seq("doc_id"), "left_anti")
+    Sampling.budgetSelect(afterSem, col("doc_id"), col("quality_score_bp"),
+      col("n_words"), budgetPct = 30)
+      .select(col("key").as("doc_id"), col("score"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2235,6 +2264,7 @@ object ExtensionQueries {
     "q160_semdedup" -> q160Semdedup,
     "q161_dsir_weights" -> q161DsirWeights,
     "q162_budget_select" -> q162BudgetSelect,
+    "q163_curation_budget" -> q163CurationBudget,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4771,5 +4801,47 @@ object ExtensionQueries {
          SELECT doc_id, score, n_tokens, cum_tokens
          FROM r, tot
          WHERE cum_tokens <= (total * 25) // 100""",
+    "q163_curation_budget" ->
+      """WITH q AS (
+           SELECT doc_id, text,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+                        + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+                                / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+                        + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+                                       / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS score
+           FROM documents),
+         surv AS (SELECT * FROM q WHERE score >= 4000),
+         keep AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+         ex AS (SELECT surv.doc_id, surv.n_tokens, surv.score
+                FROM surv JOIN keep USING (doc_id)),
+         e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id IN (SELECT doc_id FROM ex)),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         a AS (SELECT vec_id, cluster, v FROM (
+                 SELECT e.vec_id, c.label AS cluster, e.v,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                   c.label) AS rn
+                 FROM e, cent c)
+               WHERE rn = 1),
+         dup AS (SELECT DISTINCT y.vec_id
+                 FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3),
+         after AS (SELECT * FROM ex
+                   WHERE doc_id NOT IN (SELECT vec_id FROM dup)),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM after),
+         r AS (SELECT doc_id, score, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS cum_tokens
+               FROM after)
+         SELECT doc_id, score, n_tokens, cum_tokens
+         FROM r, tot
+         WHERE cum_tokens <= (total * 30) // 100""",
   )
 }

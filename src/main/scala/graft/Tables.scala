@@ -15,17 +15,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-      // ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and truncate to
-      // micros — exactly what DuckDB does when it loads TIMESTAMP_NS.
-      // timestamp_ntz so downstream writes stay naive-micros like the
-      // source data (and like DuckDB's read) — session TZ is UTC, so the
-      // wall-clock value is unchanged.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across testdata generations. Spark rejects
+      // NANOS ([PARQUET_TYPE_ILLEGAL]) unless read as raw longs, so
+      // enable nanosAsLong and branch on what actually materialized:
+      // a LongType column is raw nanos → truncate to micros (exactly
+      // what DuckDB does when it loads TIMESTAMP_NS); a timestamp
+      // column is already micros → only normalize the type. Either way
+      // the result is timestamp_ntz so downstream writes stay
+      // naive-micros like the source data (and like DuckDB's read) —
+      // session TZ is UTC, so the wall-clock value is unchanged.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions
-          .expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val tsExpr = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+        case _ => org.apache.spark.sql.functions.col("ts")
+      }
+      raw.withColumn("ts", tsExpr.cast("timestamp_ntz"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` queries (needed for

@@ -73,14 +73,21 @@ object Bench {
       // (observed: 3.2s standalone vs 12.2s at position 100)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> times.min // steady-state: min filters JIT/GC noise (failures → -1)
+      // steady-state: min filters JIT/GC noise (failures → -1); the raw
+      // readings ride along so a load-contaminated capture is visible
+      // per query (a clean min with a 3× outlier pass reads as noise,
+      // two agreeing slow passes read as a real regression)
+      (name, times.min, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val raw = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val filt = only.map(f =>
       s""","filter":"${f.toSeq.sorted.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg$filt}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","load_avg":$loadAvg$filt}""")
     spark.stop()
   }
 }

@@ -53,7 +53,11 @@ object ScaleStress {
     // copy) but the E-step is n·k like q53 → expected ≤ copies²;
     // q161/q162 are scan-bound with e8-scaled int64 sums under test
     // for overflow headroom
-    "q160_semdedup", "q161_dsir_weights", "q162_budget_select")
+    "q160_semdedup", "q161_dsir_weights", "q162_budget_select",
+    // q165: q160's pair term on the broadcastBlocks=false shuffle path —
+    // same ≤ copies² E-step envelope, now with a co-partitioned pair
+    // join instead of the mandatory corpus broadcast
+    "q165_semdedup_shuffle")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

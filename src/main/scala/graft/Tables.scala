@@ -23,14 +23,41 @@ object Tables {
       // what DuckDB does when it loads TIMESTAMP_NS); a timestamp
       // column is already micros → only normalize the type. Either way
       // the result is timestamp_ntz so downstream writes stay
-      // naive-micros like the source data (and like DuckDB's read) —
-      // session TZ is UTC, so the wall-clock value is unchanged.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive-micros like the source data (and like DuckDB's read).
+      // The TIMESTAMP→NTZ cast reinterprets through the SESSION zone,
+      // so a non-UTC session would silently shift every event time —
+      // fail fast instead of corrupting.
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "Tables.load requires spark.sql.session.timeZone=UTC — the " +
+          "events ts TIMESTAMP→timestamp_ntz normalization is " +
+          "wall-clock-preserving only under UTC")
+      // the legacy flag must not leak into unrelated parquet reads (a
+      // future nanos column elsewhere would silently load as Long) —
+      // but it CANNOT be restored unconditionally: the scan re-reads
+      // SQLConf when an ACTION is planned (buildReaderWithPartitionValues
+      // captures it into the task-side hadoopConf), so for a genuinely
+      // nanos-typed generation the flag has to stay set for the
+      // DataFrame to stay executable. Restore it only when the data
+      // turned out not to need it.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val saved = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        saved match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
       val tsExpr = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
+        case LongType => // raw nanos → micros, like DuckDB's TIMESTAMP_NS read
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-        case _ => org.apache.spark.sql.functions.col("ts")
+        case TimestampType | TimestampNTZType =>
+          org.apache.spark.sql.functions.col("ts")
+        case other => // a malformed generation must fail, not load garbage
+          throw new IllegalStateException(
+            s"events.ts has unexpected type $other — expected " +
+              "TIMESTAMP(NANOS-as-Long), TIMESTAMP, or TIMESTAMP_NTZ")
       }
       raw.withColumn("ts", tsExpr.cast("timestamp_ntz"))
     } else spark.read.parquet(s"$dir/$name.parquet")

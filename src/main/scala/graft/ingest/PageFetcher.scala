@@ -1,0 +1,65 @@
+package graft.ingest
+
+/** S1-S3 acquisition transport seam — the ingest-side twin of the K7
+  * [[graft.message.MessageSender]] seam (reference transport:
+  * main.py:64-67 listing/replay GETs, functions.py:14-16 JSON GET).
+  *
+  * The engine's parsing and pipeline layers consume page BODIES; where
+  * those bodies come from is a deployment concern, so the three fetches
+  * are one interface. A real HTTP deployment is a single class:
+  * {{{
+  * class HttpPageFetcher(base: String) extends PageFetcher {
+  *   private def get(url: String): Option[String] = ...   // http client
+  *   def listing(): Option[String] = get(s"$base/games/")
+  *   def replayHtml(id: Int): Option[String] = get(s"$base/games/$id/")
+  *   def replayJson(id: Int): Option[String] = get(s"$base/games/$id/data/")
+  * }
+  * }}}
+  * — and plugs into [[graft.streaming.ListingStream]] /
+  * [[graft.sources.PollSource]] via [[PageFetcher.fetchFn]] /
+  * [[PageFetcher.listingPoller]] without touching ingest, pipeline, or
+  * streaming code (README recipe).
+  *
+  * Contract: `None` means "page unavailable right now" (HTTP error,
+  * missing file) — callers treat it as a skipped tick, never a crash.
+  * Error PAGES (the stats site's 404 body) are content, not transport:
+  * they flow through and are dropped by [[ReplayHtml.validPages]]'s
+  * is_404 gate, same as the reference.
+  */
+trait PageFetcher {
+  /** S2: the replay listing page body. */
+  def listing(): Option[String]
+
+  /** S1: one replay's stats page body. */
+  def replayHtml(id: Int): Option[String]
+
+  /** S3: one replay's JSON payload. */
+  def replayJson(id: Int): Option[String]
+
+  /** Adapter for [[graft.streaming.ListingStream]]'s `fetch` seam:
+    * both bodies of a replay, or `None` if either is unavailable (a
+    * half-fetched replay must not half-ingest). */
+  final def fetchFn: Int => Option[(String, String)] =
+    id => for (h <- replayHtml(id); j <- replayJson(id)) yield (h, j)
+
+  /** Adapter for [[graft.sources.PollSource.register]]: each streaming
+    * trigger polls one listing snapshot. */
+  final def listingPoller: () => Option[String] = () => listing()
+}
+
+/** File-backed double (default): pages are files in a directory —
+  * `listing.html`, `<id>.html`, `<id>.json` — the reference's own
+  * offline-development pattern (functions.py:131-135) and what every
+  * spec and demo runs on. A missing file reads as an unavailable page,
+  * exactly like a failed GET. */
+class DirectoryPageFetcher(dir: String) extends PageFetcher with Serializable {
+  private def read(name: String): Option[String] = {
+    val p = java.nio.file.Paths.get(dir, name)
+    if (java.nio.file.Files.isRegularFile(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
+  def listing(): Option[String] = read("listing.html")
+  def replayHtml(id: Int): Option[String] = read(s"$id.html")
+  def replayJson(id: Int): Option[String] = read(s"$id.json")
+}

@@ -29,6 +29,25 @@ object Drift {
     * producing data must trip the monitor's threshold, not read as
     * healthy because null compares false.
     *
+    * The cumulative counts run as a BANDED two-level prefix sum (the
+    * [[graft.operators.Sampling.budgetSelect]] trick): cents values
+    * band by their high bits (arithmetic shiftright — floor semantics,
+    * so negative cents band monotonically), each band prefix-sums
+    * internally partitioned by band, and each row adds the total of
+    * every EARLIER band from a band-level running sum. A task orders at
+    * most max(2¹⁶, nBands) rows, nBands = occupied 2¹⁶-wide value
+    * ranges — where the single unpartitioned `Window.orderBy(cents)`
+    * this replaces funneled EVERY distinct cents through one task.
+    * Envelope: any metric whose cents span ≲ 2³² (prices, scores,
+    * ratios, ±$21M at cent resolution — every q126/q134-shaped input)
+    * is fully bounded: ≤ 2¹⁶ bands, each ≤ 2¹⁶ rows, and the
+    * band-total frame is broadcast-small by the same bound. A metric
+    * occupying an astronomically wider range degrades gracefully
+    * (band level grows as span/2¹⁶) — pre-scale such a column before
+    * histogramming, as cent discretization is the wrong resolution for
+    * it anyway. Results are bit-identical to the naive window (exact
+    * integer prefix sums, property-tested), not an approximation.
+    *
     * The cross-products ca·tb − cb·ta are taken in decimal(38,0):
     * with counts carried as int64, each factor can reach ~9.2e18, so
     * the long product would overflow once a side exceeds ~3e9 rows —
@@ -36,17 +55,34 @@ object Drift {
     * corpus). The final division runs in double, which is what a
     * 6-dp-rounded statistic needs. */
   def ksFromHists(a: DataFrame, b: DataFrame): DataFrame = {
+    // materialized once: the merged histogram feeds THREE subtrees
+    // (within-band cumsum, band totals, grand totals) — without the
+    // checkpoint each would re-run the upstream scan+aggregation
     val byC = a.select(col("cents"), col("n").as("na"), lit(0L).as("nb"))
       .unionAll(b.select(col("cents"), lit(0L).as("na"), col("n").as("nb")))
       .groupBy(col("cents"))
       .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
-    val w = Window.orderBy(col("cents"))
+      .withColumn("band", expr("shiftright(cents, 16)"))
+      .localCheckpoint()
+    // level 1: cumulative within each band (bounded at 2^16 rows/task)
+    val wIn = Window.partitionBy(col("band")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // level 2: running total of all EARLIER bands — band-count-sized
+    val wBand = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandTot = byC.groupBy(col("band"))
+      .agg(sum(col("na")).as("bna"), sum(col("nb")).as("bnb"))
+      .select(col("band"),
+        coalesce(sum(col("bna")).over(wBand), lit(0L)).as("pna"),
+        coalesce(sum(col("bnb")).over(wBand), lit(0L)).as("pnb"))
     val tot = byC.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     val dec = "decimal(19,0)" // long-range factor; product → decimal(38,0)
     byC
-      .withColumn("ca", sum(col("na")).over(w))
-      .withColumn("cb", sum(col("nb")).over(w))
+      .withColumn("ca", sum(col("na")).over(wIn))
+      .withColumn("cb", sum(col("nb")).over(wIn))
+      .join(broadcast(bandTot), Seq("band"))
+      .withColumn("ca", col("ca") + col("pna"))
+      .withColumn("cb", col("cb") + col("pnb"))
       .crossJoin(broadcast(tot))
       .select(abs(col("ca").cast(dec) * col("tb").cast(dec) -
         col("cb").cast(dec) * col("ta").cast(dec)).as("d_num"),

@@ -456,22 +456,40 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by cluster label
-    * (vectors in different clusters are never compared). */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    * (vectors in different clusters are never compared).
+    *
+    * `broadcastBlocks` picks the pair-join strategy. The default
+    * broadcasts the b side: at test scale a sort-merge join on ~10
+    * label keys caps parallelism at 10, and broadcast keeps all scan
+    * partitions busy. But the hint is frame-level and MANDATORY — a
+    * corpus past executor memory fails rather than degrading — so at
+    * corpus scale pass `broadcastBlocks=false`: both sides hash-
+    * partition on the block key and the planner picks a co-partitioned
+    * shuffle join, whose memory footprint is one block per task, never
+    * the whole corpus. Results are identical either way
+    * (SemDedupScaleSpec). */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      broadcastBlocks: Boolean = true): DataFrame = {
     val e = withUnit(
       corpus.select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v")),
       "v", "vn")
     val a = e.select(col("label"), col("vec_id").as("vec_a"), col("vn").as("va"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"), col("vn").as("vb"))
-    // broadcast one side: a sort-merge join on ~10 label keys caps
-    // parallelism at 10; broadcast keeps all scan partitions busy. (At
-    // corpus scale the block would be an LSH bucket, not a broadcast.)
-    a.join(broadcast(b), Seq("label"))
+    pairJoin(a, b, "label", broadcastBlocks)
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(dot(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** The blocked pair join shared by [[nearDupPairs]] / [[semDedup]]:
+    * broadcast the b side (small-corpus fast path, mandatory-broadcast
+    * caveat in the callers' docs) or co-partition both sides on the
+    * block key for a shuffle join bounded by block size. */
+  private def pairJoin(a: DataFrame, b: DataFrame, key: String,
+      broadcastBlocks: Boolean): DataFrame =
+    if (broadcastBlocks) a.join(broadcast(b), Seq(key))
+    else a.repartition(col(key)).join(b.repartition(col(key)), Seq(key))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to its nearest centroid
@@ -486,10 +504,17 @@ object Similarity {
     * the pair search is blocked by cluster — never a corpus cross
     * product — and the quadratic term is bounded by cluster size,
     * which is the paper's own design point (k is chosen so n/k fits a
-    * worker; here the ~n/k member block broadcasts for the same
-    * reason as [[nearDupPairs]]). Output: (vec_id, cluster, kept).
+    * worker). The pair-join strategy is `broadcastBlocks`: the default
+    * broadcasts the (cluster, id, vec) frame — fastest when the whole
+    * corpus fits an executor, as at test scale — but the hint is
+    * mandatory, so at 100-TB corpus scale pass `broadcastBlocks=false`
+    * and both pair sides hash-partition on `cluster` for a shuffle
+    * join whose per-task footprint is one cluster block, the paper's
+    * n/k. Identical output either way (SemDedupScaleSpec).
+    * Output: (vec_id, cluster, kept).
     */
-  def semDedup(corpus: DataFrame, cent: DataFrame, threshold: Double): DataFrame = {
+  def semDedup(corpus: DataFrame, cent: DataFrame, threshold: Double,
+      broadcastBlocks: Boolean = true): DataFrame = {
     val assigned = assignClusters(corpus, cent)
       .select(col("vec_id"), col("cluster"))
     val e = withUnit(
@@ -499,7 +524,7 @@ object Similarity {
     val a = e.select(col("cluster"), col("vec_id").as("vec_a"), col("vn").as("va"))
     val b = e.select(col("cluster"), col("vec_id").as("vec_b"), col("vn").as("vb"))
     // v has a smaller near-dup  ⇔  v appears as the b side of a pair
-    val dups = a.join(broadcast(b), Seq("cluster"))
+    val dups = pairJoin(a, b, "cluster", broadcastBlocks)
       .filter(col("vec_a") < col("vec_b") &&
         round(dot(col("va"), col("vb")), 6) >= threshold)
       .select(col("vec_b").as("vec_id")).distinct()
@@ -565,5 +590,27 @@ object Similarity {
       .withColumn("graft_dup", lit(true))
     assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("graft_dup").isNull.as("kept"))
+  }
+
+  /** [[semDedupAgainst]] probing a PERSISTED kept-set index (the
+    * [[writeIvfIndex]] label-partitioned layout): the batch's distinct
+    * clusters are collected — centroid-count-bounded, driver-size — so
+    * the index read carries a static `isin` the scan prunes on at
+    * planning time (PartitionFilters, the [[ivfTopKIndexed]] contract).
+    * At 100 TB the kept set IS the ingest's IVF index, and a batch
+    * touching c of k clusters reads c/k of the files, not a filtered
+    * full scan. Results ≡ [[semDedupAgainst]] over the loaded index
+    * (spec-asserted). */
+  def semDedupAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      newVecs: DataFrame,
+      cent: DataFrame,
+      threshold: Double): DataFrame = {
+    val clusters = assignClusters(newVecs, cent)
+      .select(col("cluster")).distinct().collect().map(_.get(0))
+    val kept = spark.read.parquet(indexDir)
+      .filter(col("label").isin(clusters: _*))
+    semDedupAgainst(newVecs, kept, cent, threshold)
   }
 }

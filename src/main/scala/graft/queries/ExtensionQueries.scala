@@ -2108,6 +2108,39 @@ object ExtensionQueries {
         col("cum_tokens"))
   }
 
+  /** Incremental SemDeDup: a new batch (vec_id ≡ 0 mod 10) deduped
+    * against the KEPT survivors of a prior [[Similarity.semDedup]] pass
+    * over the rest of the corpus — the online rule every continuous
+    * ingest runs (q44's incremental-MinHash split, embedding edition).
+    * The oracle pins the chain semantics: prior vectors that were
+    * DROPPED are never probed, so a batch vector similar only to a
+    * dropped prior vector is kept. See Similarity.semDedupAgainst. */
+  val q164SemdedupIncr: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val cent = Similarity.centroids(e)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val prior = e.filter(col("vec_id") % 10 =!= 0)
+    val kept = prior
+      .join(Similarity.semDedup(prior, cent, threshold = 0.3)
+        .filter(col("kept")).select(col("vec_id"), col("cluster")),
+        Seq("vec_id"))
+      .select(col("cluster").as("label"), col("vec_id"), col("embedding"))
+    Similarity.semDedupAgainst(batch, kept, cent, threshold = 0.3)
+  }
+
+  /** [[q160Semdedup]] on the cluster join strategy: broadcastBlocks =
+    * false co-partitions both pair sides on `cluster` instead of
+    * broadcasting the corpus — the plan a 100-TB corpus must run. Same
+    * oracle as q160 (results are identical by construction; the
+    * equivalence is also spec-asserted in SemDedupScaleSpec), kept as
+    * its own entry so the driver bench + ScaleStress time the shuffle
+    * path by name. */
+  val q165SemdedupShuffle: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.semDedup(e, Similarity.centroids(e), threshold = 0.3,
+      broadcastBlocks = false)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2265,6 +2298,8 @@ object ExtensionQueries {
     "q161_dsir_weights" -> q161DsirWeights,
     "q162_budget_select" -> q162BudgetSelect,
     "q163_curation_budget" -> q163CurationBudget,
+    "q164_semdedup_incr" -> q164SemdedupIncr,
+    "q165_semdedup_shuffle" -> q165SemdedupShuffle,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4843,5 +4878,62 @@ object ExtensionQueries {
          SELECT doc_id, score, n_tokens, cum_tokens
          FROM r, tot
          WHERE cum_tokens <= (total * 30) // 100""",
+    "q164_semdedup_incr" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         a AS (SELECT vec_id, cluster, v FROM (
+                 SELECT e.vec_id, c.label AS cluster, e.v,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                   c.label) AS rn
+                 FROM e, cent c)
+               WHERE rn = 1),
+         prior AS (SELECT * FROM a WHERE vec_id % 10 <> 0),
+         pdup AS (SELECT DISTINCT y.vec_id
+                  FROM prior x JOIN prior y
+                    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3),
+         kept AS (SELECT * FROM prior
+                  WHERE vec_id NOT IN (SELECT vec_id FROM pdup)),
+         batch AS (SELECT * FROM a WHERE vec_id % 10 = 0),
+         dvk AS (SELECT DISTINCT b.vec_id
+                 FROM kept k JOIN batch b ON k.cluster = b.cluster
+                 WHERE round(list_cosine_similarity(k.v, b.v), 6) >= 0.3),
+         dib AS (SELECT DISTINCT y.vec_id
+                 FROM batch x JOIN batch y
+                   ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3),
+         dup AS (SELECT vec_id FROM dvk UNION SELECT vec_id FROM dib)
+         SELECT b.vec_id, b.cluster,
+                b.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+         FROM batch b""",
+    "q165_semdedup_shuffle" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         a AS (SELECT vec_id, cluster, v FROM (
+                 SELECT e.vec_id, c.label AS cluster, e.v,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                   c.label) AS rn
+                 FROM e, cent c)
+               WHERE rn = 1),
+         dup AS (SELECT DISTINCT y.vec_id
+                 FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3)
+         SELECT a.vec_id, a.cluster,
+                a.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+         FROM a""",
   )
 }

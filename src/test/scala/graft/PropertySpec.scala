@@ -326,6 +326,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("drift: banded KS prefix ≡ naive single-window on band-crossing cents") {
+    import graft.operators.Drift
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the pre-banding implementation, verbatim: one unpartitioned
+    // cumulative window — the reference the banded plan must match
+    def naiveKs(a: DataFrame, b: DataFrame): Double = {
+      val byC = a.select(col("cents"), col("n").as("na"), lit(0L).as("nb"))
+        .unionAll(b.select(col("cents"), lit(0L).as("na"), col("n").as("nb")))
+        .groupBy(col("cents"))
+        .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+      val w = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byC.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val dec = "decimal(19,0)"
+      byC.withColumn("ca", sum(col("na")).over(w))
+        .withColumn("cb", sum(col("nb")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(abs(col("ca").cast(dec) * col("tb").cast(dec) -
+          col("cb").cast(dec) * col("ta").cast(dec)).as("d_num"),
+          col("ta"), col("tb"))
+        .agg(max(col("d_num")).as("max_num"),
+          max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
+        .select(round(col("max_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("ks_stat"))
+        .collect().head.getDouble(0)
+    }
+    def hist(vs: List[Long]): DataFrame =
+      vs.toDF("cents").groupBy(col("cents")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    // cents spanning many 2^16 bands on BOTH sides of zero: the
+    // arithmetic-shiftright banding must stay monotone through the
+    // negative range, and band-boundary rows must take exactly the
+    // earlier bands' totals
+    val wide = Gen.nonEmptyListOf(Gen.choose(-5000000L, 5000000L))
+    // plus adversarial boundary values around band edges (k·2^16 ± 1)
+    val edges = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(-40L, 40L), Gen.oneOf(-1L, 0L, 1L))
+      .map { case (k, d) => (k << 16) + d })
+    for ((as, bs) <- samples(Gen.zip(wide, edges), 4)) {
+      val (ha, hb) = (hist(as), hist(bs))
+      val banded = Drift.ksFromHists(ha, hb)
+        .collect().head.getAs[Double]("ks_stat")
+      assert(banded == naiveKs(ha, hb),
+        s"banded KS diverged from the naive window")
+      // self-distance stays 0 through the banded path too
+      assert(Drift.ksFromHists(ha, ha)
+        .collect().head.getAs[Double]("ks_stat") == 0.0)
+    }
+  }
+
   test("budgetSelect: selected set is a sort-prefix, fits the budget, maximal") {
     import graft.operators.Sampling
     val rowGen = Gen.zip(Gen.choose(0L, 10000L), Gen.choose(1L, 200L))

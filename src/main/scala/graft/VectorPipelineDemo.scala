@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Similarity
+import graft.streaming.VectorCurationPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** CLI demo of the continuous vector-curation pipeline
+  * ([[graft.streaming.VectorCurationPipeline]]):
+  *
+  *   runMain graft.VectorPipelineDemo [sfDir]
+  *
+  * Seeds generation 0 of a kept-set IVF index from the testdata
+  * embeddings, then streams three batches through the full chain —
+  * ingest → SemDeDup against the kept index → routed append →
+  * drift-gated re-fit:
+  *
+  *   1. a batch of exact re-deliveries (replay idempotence: nothing
+  *      appends, nothing logs);
+  *   2. a batch of in-distribution variants (SemDeDup drops the
+  *      near-dups, survivors append into their clusters, drift low);
+  *   3. a batch from a shifted distribution (KS trips → the pipeline
+  *      REBUILDS the index as generation 1 behind the atomic pointer
+  *      swap).
+  *
+  * After the re-fit it audits the contract that matters: the pruned
+  * probe over the live generation equals brute force over the kept set.
+  */
+object VectorPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val spark = Tables.localSession("graft-vector-pipeline-demo", cores = 4)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vec-demo").toString + "/vecs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-vec-demo-ckpt").toString
+
+    // generation 0: the corpus with its label column as the cluster
+    val seed = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    VectorCurationPipeline.init(spark, seed, root)
+    val nSeed = seed.count()
+    println(s"[demo] gen0 seeded: $nSeed vectors, " +
+      s"gen=${VectorCurationPipeline.currentGen(spark, root)}")
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = VectorCurationPipeline.start(
+      spark, in.toDF().toDF("vec_id", "embedding"), root, ckpt,
+      threshold = 0.995, ksThreshold = 0.2,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      val base = seed.orderBy(col("vec_id")).limit(3)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+
+      // batch 1: exact re-delivery of seed vectors → all filtered
+      in.addData(base.toIndexedSeq)
+      q.processAllAvailable()
+      val gen0 = spark.read.parquet(VectorCurationPipeline.idxDir(root, 0L))
+      println(s"[demo] replay batch: index still ${gen0.count()} rows, " +
+        s"drift rows=${driftRows(spark, root)}")
+
+      // batch 2: near-dup variants (tiny perturbation → SemDeDup drops)
+      // plus one genuinely new direction per existing cluster
+      val variants = base.map { case (id, v) =>
+        (id + 1000000L, v.map(x => x * 0.999f))
+      }
+      in.addData(variants.toIndexedSeq)
+      q.processAllAvailable()
+      println(s"[demo] variant batch: index " +
+        s"${spark.read.parquet(VectorCurationPipeline.idxDir(root, 0L)).count()} " +
+        s"rows (same-cluster near-dups dropped, boundary-cluster " +
+        s"survivors appended), gen=" +
+        s"${VectorCurationPipeline.currentGen(spark, root)}, " +
+        s"drift rows=${driftRows(spark, root)}")
+
+      // batch 3: shifted distribution — orthogonal-ish vectors → re-fit
+      val dim = base.head._2.length
+      val shifted = (1 to 5).map { i =>
+        val v = Array.fill(dim)(0.0f); v(i % dim) = 1.0f; v((i + 1) % dim) = -1.0f
+        (2000000L + i, v)
+      }
+      in.addData(shifted)
+      q.processAllAvailable()
+      val gen = VectorCurationPipeline.currentGen(spark, root)
+      println(s"[demo] shifted batch: gen=$gen (re-fit " +
+        s"${if (gen > 0) "performed" else "not triggered"}), " +
+        s"drift log:")
+      VectorCurationPipeline.driftLog(spark, root)
+        .orderBy(col("batch_id")).show(truncate = false)
+
+      // the audit: pruned probe over the live generation ≡ brute force
+      val idxDir = VectorCurationPipeline.idxDir(root, gen)
+      val cent = spark.read.parquet(VectorCurationPipeline.centDir(root, gen))
+      val members = spark.read.parquet(idxDir).localCheckpoint()
+      val nClusters = cent.count().toInt
+      val queries = members.orderBy(col("vec_id").desc).limit(3)
+        .select(col("vec_id"), col("embedding"), lit(0).as("label"))
+      val probe = Similarity.ivfTopKIndexed(
+        spark, idxDir, queries, cent, k = 5, nprobe = nClusters)
+        .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
+      val brute = Similarity.bruteForceTopK(queries, members, k = 5)
+        .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
+      val same = probe.unionAll(brute).distinct().count() == brute.count()
+      println(s"[demo] probe ≡ brute-force over kept set: $same " +
+        s"(index ${members.count()} rows, $nClusters clusters, gen $gen)")
+      require(same, "post-re-fit probe diverged from brute force")
+    } finally q.stop()
+    spark.stop()
+  }
+
+  private def driftRows(
+      spark: org.apache.spark.sql.SparkSession, root: String): Long =
+    try VectorCurationPipeline.driftLog(spark, root).count()
+    catch { case _: Throwable => 0L } // no log written yet
+}

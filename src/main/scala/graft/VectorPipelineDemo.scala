@@ -64,17 +64,27 @@ object VectorPipelineDemo {
       println(s"[demo] replay batch: index still ${gen0.count()} rows, " +
         s"drift rows=${driftRows(spark, root)}")
 
-      // batch 2: near-dup variants (tiny perturbation → SemDeDup drops)
-      // plus one genuinely new direction per existing cluster
-      val variants = base.map { case (id, v) =>
+      // batch 2: scaled copies (same DIRECTION as a kept vector —
+      // unit-normalization makes them cosine-1.0 duplicates, SemDeDup
+      // drops any that land in their source's cluster) plus cross-
+      // cluster midpoints (genuinely new directions between two kept
+      // vectors — survivors)
+      val dups = base.map { case (id, v) =>
         (id + 1000000L, v.map(x => x * 0.999f))
       }
-      in.addData(variants.toIndexedSeq)
+      val mixes = base.sliding(2).zipWithIndex.map { case (pair, i) =>
+        (3000000L + i,
+          pair.head._2.zip(pair.last._2).map { case (x, y) => (x + y) / 2 })
+      }.toSeq
+      val before = spark.read
+        .parquet(VectorCurationPipeline.idxDir(root, 0L)).count()
+      in.addData((dups ++ mixes).toIndexedSeq)
       q.processAllAvailable()
-      println(s"[demo] variant batch: index " +
-        s"${spark.read.parquet(VectorCurationPipeline.idxDir(root, 0L)).count()} " +
-        s"rows (same-cluster near-dups dropped, boundary-cluster " +
-        s"survivors appended), gen=" +
+      val after = spark.read
+        .parquet(VectorCurationPipeline.idxDir(root, 0L)).count()
+      println(s"[demo] variant batch (${dups.length} same-direction dups + " +
+        s"${mixes.length} midpoint directions): index $before → $after rows " +
+        s"(${after - before} survived SemDeDup), gen=" +
         s"${VectorCurationPipeline.currentGen(spark, root)}, " +
         s"drift rows=${driftRows(spark, root)}")
 
@@ -100,14 +110,18 @@ object VectorPipelineDemo {
       val nClusters = cent.count().toInt
       val queries = members.orderBy(col("vec_id").desc).limit(3)
         .select(col("vec_id"), col("embedding"), lit(0).as("label"))
-      val probe = Similarity.ivfTopKIndexed(
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      val probe = rows(Similarity.ivfTopKIndexed(
         spark, idxDir, queries, cent, k = 5, nprobe = nClusters)
-        .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
-      val brute = Similarity.bruteForceTopK(queries, members, k = 5)
-        .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
-      val same = probe.unionAll(brute).distinct().count() == brute.count()
+        .select(col("q_id"), col("vec_id"), col("sim"), col("rank")))
+      val brute = rows(Similarity.bruteForceTopK(queries, members, k = 5)
+        .select(col("q_id"), col("vec_id"), col("sim"), col("rank")))
+      // exact multiset equality — a subset-only or empty probe must FAIL
+      val same = probe.nonEmpty && probe == brute
       println(s"[demo] probe ≡ brute-force over kept set: $same " +
-        s"(index ${members.count()} rows, $nClusters clusters, gen $gen)")
+        s"(${probe.size} hit rows, index ${members.count()} rows, " +
+        s"$nClusters clusters, gen $gen)")
       require(same, "post-re-fit probe diverged from brute force")
     } finally q.stop()
     spark.stop()
@@ -116,5 +130,6 @@ object VectorPipelineDemo {
   private def driftRows(
       spark: org.apache.spark.sql.SparkSession, root: String): Long =
     try VectorCurationPipeline.driftLog(spark, root).count()
-    catch { case _: Throwable => 0L } // no log written yet
+    // only "log not written yet" reads as 0 — real failures propagate
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 }

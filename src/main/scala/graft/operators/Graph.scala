@@ -119,26 +119,41 @@ object Graph {
     * past executor memory fails rather than degrading — so for graphs
     * whose node frame can't broadcast, pass broadcastNodes=false to
     * let the planner pick a co-partitioned shuffle join against the
-    * src-partitioned checkpointed edges. */
+    * src-partitioned checkpointed edges.
+    *
+    * `perRoundCheckpoint`: `None` (default) auto-decides round
+    * materialization — plan statistics when the input has them, an
+    * exact count of the already-materialized edge list when it does
+    * not (a checkpointed/cached input's stats degrade to
+    * defaultSizeInBytes, which must not read as "huge"). A caller
+    * whose edge source is known to defeat the size estimate (heavily
+    * compressed repetitive parquet under-estimates ~10×; see the
+    * semDedup broadcastBlocks notes) pins the behavior with
+    * `Some(true)`/`Some(false)` — results are bit-identical either
+    * way, only the plan shape changes. */
   def pageRankWeighted(
       edges: DataFrame, iterations: Int, dampingPct: Int = 85,
-      broadcastNodes: Boolean = true): DataFrame = {
+      broadcastNodes: Boolean = true,
+      perRoundCheckpoint: Option[Boolean] = None): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
     def nodeSide(df: DataFrame): DataFrame =
       if (broadcastNodes) broadcast(df) else df
-    // repartition before the checkpoint: AQE coalesces the (small at
-    // test scale) edge derivation to a handful of partitions, and a
-    // checkpoint frozen that way caps every round's scan parallelism
     // adaptive round fusion (see PerRoundCheckpointStatsBytes): small
     // graphs fuse all rounds into one plan; big graphs materialize each
     // round so round k's broadcast build never re-embeds rounds 1..k-1.
-    // Decided from plan statistics BEFORE the checkpoint (a checkpointed
-    // frame's stats degrade to defaultSizeInBytes) — zero extra jobs.
-    val perRound =
-      edges.queryExecution.optimizedPlan.stats.sizeInBytes >
-        PerRoundCheckpointStatsBytes
+    // Plan statistics are read BEFORE the checkpoint and cost zero
+    // jobs; defaultSizeInBytes-sized stats mean "unknown", not "huge",
+    // and fall back to the exact cached-block count.
+    val statsBytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    val statsKnown = statsBytes < BigInt(Long.MaxValue) / 2
+    // repartition before the checkpoint: AQE coalesces the (small at
+    // test scale) edge derivation to a handful of partitions, and a
+    // checkpoint frozen that way caps every round's scan parallelism
     val e0 = edges.repartition(col("src")).localCheckpoint()
+    val perRound = perRoundCheckpoint.getOrElse(
+      if (statsKnown) statsBytes > PerRoundCheckpointStatsBytes
+      else e0.count() > 2000000L)
     def roundEnd(df: DataFrame): DataFrame =
       if (perRound) df.localCheckpoint() else df
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))

@@ -568,9 +568,20 @@ object Similarity {
       newVecs: DataFrame,
       keptVecs: DataFrame,
       cent: DataFrame,
+      threshold: Double): DataFrame =
+    semDedupAgainstAssigned(newVecs,
+      assignClusters(newVecs, cent).select(col("vec_id"), col("cluster")),
+      keptVecs, threshold)
+
+  /** [[semDedupAgainst]] with the batch's cluster assignment already
+    * computed — the shared body, so [[semDedupAgainstIndex]] can reuse
+    * ONE assignment pass for both its partition-pruning collect and
+    * the probe itself. */
+  private def semDedupAgainstAssigned(
+      newVecs: DataFrame,
+      assigned: DataFrame,
+      keptVecs: DataFrame,
       threshold: Double): DataFrame = {
-    val assigned = assignClusters(newVecs, cent)
-      .select(col("vec_id"), col("cluster"))
     val nb = withUnit(
       newVecs.select(col("vec_id"), asDouble(col("embedding")).as("v")),
       "v", "vn")
@@ -639,7 +650,9 @@ object Similarity {
     *
     * Scale shape: the test set is benchmark-sized — broadcast — so this
     * is ONE train-corpus scan with |test| dot products per row,
-    * map-side max-aggregated; no shuffle of the corpus ever. Output:
+    * map-side max-aggregated; no shuffle of the corpus ever. An empty
+    * test set returns every train vector clean with `max_sim` null
+    * (there is no worst hit to report). Output:
     * (vec_id, max_sim, n_hits, contaminated). */
   def semanticDecontaminate(
       train: DataFrame,
@@ -651,14 +664,19 @@ object Similarity {
     val te = withUnit(
       test.select(col("vec_id").as("t_id"), asDouble(col("embedding")).as("tv")),
       "tv", "tn")
-    tr.crossJoin(broadcast(te))
+    // LEFT cross join, not crossJoin: an EMPTY test set must still
+    // return every train vector (max_sim null, zero hits, clean) — a
+    // plain cross join would return 0 rows and a caller keeping
+    // contaminated=false rows would silently drop the whole corpus
+    tr.join(broadcast(te), lit(true), "left")
       .select(col("vec_id"),
         round(dot(col("vn"), col("tn")), 6).as("sim"))
       .groupBy(col("vec_id"))
       .agg(max(col("sim")).as("max_sim"),
         sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_hits"))
-      .select(col("vec_id"), col("max_sim"), col("n_hits"),
-        (col("n_hits") > 0L).as("contaminated"))
+      .select(col("vec_id"), col("max_sim"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
   }
 
   /** [[semDedupAgainst]] probing a PERSISTED kept-set index (the
@@ -676,10 +694,15 @@ object Similarity {
       newVecs: DataFrame,
       cent: DataFrame,
       threshold: Double): DataFrame = {
-    val clusters = assignClusters(newVecs, cent)
-      .select(col("cluster")).distinct().collect().map(_.get(0))
+    // one assignment pass, materialized batch-sized: read twice (the
+    // pruning collect and the probe) — without the checkpoint the
+    // broadcast-centroid argmax would run for both subtrees
+    val assigned = assignClusters(newVecs, cent)
+      .select(col("vec_id"), col("cluster")).localCheckpoint()
+    val clusters = assigned.select(col("cluster")).distinct()
+      .collect().map(_.get(0))
     val kept = spark.read.parquet(indexDir)
       .filter(col("label").isin(clusters: _*))
-    semDedupAgainst(newVecs, kept, cent, threshold)
+    semDedupAgainstAssigned(newVecs, assigned, kept, threshold)
   }
 }

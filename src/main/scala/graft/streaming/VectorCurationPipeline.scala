@@ -21,9 +21,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     batches always see a complete generation — never a half-written
   *     rebuild (a crash mid-re-fit leaves CURRENT on the old gen and
   *     the next drift trip redoes the work)
-  *   - `drift`       — the KS log, one row per non-replay batch; read
-  *     through [[driftLog]] (crash replay can only duplicate a row
-  *     bit-identically, never lose one — `distinct` collapses exactly)
+  *   - `drift/batch_id=<k>` — the KS log, one row per non-replay
+  *     batch, each batch's row written with per-directory OVERWRITE:
+  *     a crash replay re-scores whatever subset of the batch is still
+  *     un-indexed and REPLACES its own row (same batch_id directory),
+  *     so the log can never grow duplicate or contradictory rows for
+  *     one batch — the last attempt's verdict wins, which is also the
+  *     attempt whose append actually completed
   *
   * Per micro-batch, in order:
   *   1. replay idempotence: vec_ids already in the live index drop by
@@ -89,9 +93,12 @@ object VectorCurationPipeline {
     setCurrentGen(spark, root, 0L)
   }
 
-  /** The drift log, crash-duplicate-collapsed. */
+  /** The drift log: (batch_id, n_a, n_b, ks_stat, refit), batch_id
+    * recovered from the hive-style per-batch directory (partition
+    * discovery types it int — widened to bigint for callers). */
   def driftLog(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(driftPath(root)).distinct()
+    spark.read.parquet(driftPath(root))
+      .withColumn("batch_id", col("batch_id").cast("bigint"))
 
   def start(
       spark: SparkSession,
@@ -116,19 +123,25 @@ object VectorCurationPipeline {
           .localCheckpoint() // read 3×: emptiness, drift, dedup+append
         if (!fresh.isEmpty) {
           // 2. drift vs the index as it stood (before this batch lands);
-          // materialized so the log row and the refit branch agree
+          // materialized so the log row and the refit branch agree.
+          // Written with OVERWRITE into this batch's own directory: a
+          // crash replay (which re-scores only the still-un-indexed
+          // remainder of the batch) replaces its row instead of
+          // appending a second, contradictory one
           val drift = Similarity
             .ivfRefitCheck(spark, idx, cent, fresh, ksThreshold)
-            .select(lit(batchId).as("batch_id"), col("n_a"), col("n_b"),
-              col("ks_stat"), col("refit"))
+            .select(col("n_a"), col("n_b"), col("ks_stat"), col("refit"))
             .localCheckpoint()
-          drift.write.mode("append").parquet(driftPath(root))
-          // 3. SemDeDup against the kept set (pruned probe)
+          drift.write.mode("overwrite")
+            .parquet(s"${driftPath(root)}/batch_id=$batchId")
+          // 3. SemDeDup against the kept set (pruned probe);
+          // materialized batch-sized — read twice (emptiness + append)
           val survivors = fresh.join(
             Similarity
               .semDedupAgainstIndex(spark, idx, fresh, cent, threshold)
               .filter(col("kept")).select(col("vec_id")),
             Seq("vec_id"))
+            .localCheckpoint()
           // 4. survivors land in their nearest-centroid partitions
           if (!survivors.isEmpty)
             Similarity.appendIvfIndex(survivors, cent, idx)

@@ -708,6 +708,14 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false))
     // every train vector reports its worst hit, flagged or not
     assert(Similarity.semanticDecontaminate(train, test_, 0.9).count() == 3)
+    // EMPTY test set: all train rows still come back, clean, null worst
+    // hit — a caller keeping contaminated=false must keep everything
+    val emptyTest = test_.filter(col("vec_id") < 0)
+    val clean = Similarity.semanticDecontaminate(train, emptyTest, 0.9)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1),
+        r.getLong(2), r.getBoolean(3))).toSet
+    assert(clean == Set((1L, true, 0L, false), (2L, true, 0L, false),
+      (3L, true, 0L, false)))
   }
 
   test("semDedup: within-cluster near-dup drops to the smallest id, across clusters kept") {

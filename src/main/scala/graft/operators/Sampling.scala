@@ -158,6 +158,36 @@ object Sampling {
     * group (one domain with 10⁸ pages) sorts in one partition, in which
     * case cap in two stages: pre-filter with `samplePredicate` at a
     * rate that overshoots the cap, then rank the survivors. */
+  /** Temperature-scaled mixture weights (the mT5/data-mixing rule):
+    * each group's sampling weight is n^α / Σ n^α — α < 1 flattens the
+    * natural size distribution so small sources are up-sampled without
+    * drowning large ones; α = 1 is proportional, α = 0 uniform.
+    *
+    * Cross-engine discipline: the transcendental n^α is computed once
+    * per GROUP (group-count-sized, not corpus-sized), rounded to an
+    * e8-scaled integer immediately (the q161 ln convention), and the
+    * normalizer is an exact integer sum — so float add-order can never
+    * move a 6-dp weight. One corpus scan for the token totals; the
+    * rest is group-count-sized arithmetic. Output:
+    * (<groupCol>, n_tokens, weight). */
+  def temperatureWeights(
+      df: DataFrame,
+      groupCol: String,
+      tokens: Column,
+      alpha: Double = 0.3): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1]: $alpha")
+    val perG = df.groupBy(col(groupCol))
+      .agg(sum(tokens).as("n_tokens"))
+    val powed = perG.withColumn("p_e8",
+      round(pow(col("n_tokens").cast("double"), lit(alpha)) * lit(1e8))
+        .cast("bigint"))
+    val tot = powed.agg(sum(col("p_e8")).as("tp"))
+    powed.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"),
+        round(col("p_e8").cast("double") / col("tp").cast("double"), 6)
+          .as("weight"))
+  }
+
   def groupCap(
       df: DataFrame,
       groupCols: Seq[String],

@@ -2152,6 +2152,26 @@ object ExtensionQueries {
       k = 5, minSim = 0.1, maxSim = 0.9)
   }
 
+  /** Cluster-balanced subsample: at most 20 vectors per semantic
+    * cluster (q53's nearest-centroid assignment), drawn by the q68
+    * deterministic salted-md5 rank — the diversity-quota step that
+    * stops one dense mode from dominating a curated corpus. */
+  val q169ClusterBalance: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Sampling.groupCap(
+      Similarity.assignClusters(e, Similarity.centroids(e))
+        .select(col("vec_id"), col("cluster")),
+      Seq("cluster"), col("vec_id"), maxPerGroup = 20)
+  }
+
+  /** Temperature-scaled source mixture (α = 0.3): per-source sampling
+    * weights n_tokens^α / Σ n^α — the standard up-sample-the-tail
+    * mixing rule for multi-source training corpora. See
+    * Sampling.temperatureWeights. */
+  val q170TempMixture: Q = (s, dir) =>
+    Sampling.temperatureWeights(t(s, dir, "documents"), "source",
+      TextOps.wordCount(col("text")), alpha = 0.3)
+
   /** Embedding-space decontamination: every train vector (vec_id ≢ 0
     * mod 25) scored by its worst cosine against the held-out
     * test/benchmark sample (vec_id ≡ 0 mod 25) — the semantic twin of
@@ -2326,6 +2346,8 @@ object ExtensionQueries {
     "q165_semdedup_shuffle" -> q165SemdedupShuffle,
     "q167_hard_negatives" -> q167HardNegatives,
     "q168_semantic_decontam" -> q168SemanticDecontam,
+    "q169_cluster_balance" -> q169ClusterBalance,
+    "q170_temp_mixture" -> q170TempMixture,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4984,5 +5006,39 @@ object ExtensionQueries {
                 CAST(sum(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
                 CAST(sum(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) > 0 AS contaminated
          FROM p GROUP BY vec_id""",
+    "q169_cluster_balance" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         a AS (SELECT vec_id, cluster FROM (
+                 SELECT e.vec_id, c.label AS cluster,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                   c.label) AS rn
+                 FROM e, cent c)
+               WHERE rn = 1)
+         SELECT vec_id, cluster, rk AS grp_rank FROM (
+           SELECT vec_id, cluster,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                       ORDER BY md5('graft-cap:' || CAST(vec_id AS VARCHAR)), vec_id)
+                       AS BIGINT) AS rk
+           FROM a)
+         WHERE rk <= 20""",
+    "q170_temp_mixture" ->
+      """WITH s AS (SELECT source,
+                           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY source),
+         p AS (SELECT source, n_tokens,
+                      CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1e8) AS BIGINT) AS p_e8
+               FROM s),
+         t AS (SELECT CAST(sum(p_e8) AS BIGINT) AS tp FROM p)
+         SELECT source, n_tokens,
+                round(CAST(p_e8 AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS weight
+         FROM p, t""",
   )
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means over an embedding column — the
+  * "learn the clusters" step in front of [[Similarity.semDedup]] and the
+  * IVF index: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) clusters
+  * with k-means before its within-cluster dedup, and IVF probe recall is
+  * exactly centroid quality. Until now every clustering consumer took
+  * the pre-assigned `label` column as given; this operator produces the
+  * centroid table those consumers already accept ((cluster, centroid) ≡
+  * the (label, centroid) shape of [[Similarity.centroids]]).
+  *
+  * Everything is replayable — no RNG state anywhere:
+  *  - seeding is farthest-point (k-center greedy) from the smallest
+  *    vec_id, cosine distances rounded to 6 dp, ties to the smallest
+  *    vec_id;
+  *  - every centroid (seeds included) has its components rounded to
+  *    6 dp, so float summation order cannot drift across engines and
+  *    iterations cannot compound drift;
+  *  - assignment is cosine argmax with ties to the smallest cluster id.
+  * The DuckDB oracle (q171) replays the whole loop — seeding, E/M
+  * rounds, final assignment — not just row counts.
+  *
+  * Scale shape: each E-step is ONE corpus scan against a DRIVER-HELD
+  * k-row centroid list (k native dot products per row, argmax computed
+  * scan-locally via sort_array over a (csim, cluster) struct array — no
+  * window, NO corpus shuffle at all); each M-step is a k-sized partial
+  * aggregate ([[graft.functions.VectorAgg.vec_sum]], no posexplode
+  * blowup). Centroids are collected to the driver between rounds —
+  * k·dim doubles, bounded by construction — so every round's plan stays
+  * shallow: lineage cannot grow with iterations (the fused-multi-round
+  * PageRank blowup, designed out from the start). Seeding costs k−1
+  * additional bounded scans; k and iters are small constants next to
+  * the corpus.
+  */
+object Clustering {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** 6-dp component rounding — the engine-parity convention every
+    * similarity operator here shares. */
+  private def r6vec(c: Column): Column = transform(c, x => round(x, 6))
+
+  /** Driver-held centroids: (cluster id, 6-dp-rounded components). */
+  private type Cent = Seq[(Long, Seq[Double])]
+
+  private def centDf(spark: SparkSession, cent: Cent): DataFrame = {
+    import spark.implicits._
+    cent.toDF("cluster", "centroid")
+  }
+
+  /** Cosine argmax against a driver-held centroid list, scan-local:
+    * build the (csim, cluster) struct per centroid, sort_array
+    * descending on (csim, −cluster) — max similarity, ties to the
+    * SMALLEST cluster — and take the head. k dot products per row, no
+    * shuffle, no window: the E-step a 100-TB corpus can afford.
+    * Output: input columns + (cluster, csim). */
+  private def assignLocal(e: DataFrame, cent: Cent): DataFrame = {
+    // + 0.0 folds a −0.0 rounded cosine to +0.0 BEFORE it becomes an
+    // ordering key: Double.compare puts −0.0 below +0.0, so without the
+    // fold two clusters tying "at zero" could pick differently across
+    // engines (and the output column would string-sort differently in
+    // the driver's row hash)
+    val scored = array(cent.map { case (id, c) =>
+      struct(
+        (round(Similarity.cosine(col("graft_v"), typedlit(c)), 6) + lit(0.0))
+          .as("csim"),
+        lit(-id).as("negc"),
+        lit(id).as("cluster"))
+    }: _*)
+    e.withColumn("graft_best",
+        element_at(sort_array(scored, asc = false), 1))
+      .withColumn("cluster", col("graft_best.cluster"))
+      .withColumn("csim", col("graft_best.csim"))
+      .drop("graft_best")
+  }
+
+  /** Farthest-point (k-center greedy) seeds: seed 0 is the smallest
+    * vec_id's vector; each next seed is the vector whose LARGEST
+    * rounded cosine to the chosen seeds is smallest (i.e. the point
+    * farthest from the seed set), ties to the smallest vec_id. Seed
+    * components are rounded to 6 dp at selection, and the later
+    * distance scans probe the ROUNDED seeds — one convention for both
+    * engines. k−1 sequential scans, each one pass with ≤k−1 dot
+    * products per row and a 1-row global argmin (a bounded driver
+    * action per seed). Output: (cluster 0..k−1, centroid). */
+  def farthestPointSeeds(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "farthestPointSeeds needs k >= 1")
+    val spark = corpus.sparkSession
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_v"))
+    def vecOf(df: DataFrame): Seq[Double] = {
+      val rows = df.select(r6vec(col("graft_v"))).take(1)
+      require(rows.nonEmpty, "farthestPointSeeds needs a non-empty corpus")
+      rows(0).getSeq[Double](0)
+    }
+    var seeds = Vector[Seq[Double]](vecOf(e.orderBy(col("vec_id")).limit(1)))
+    while (seeds.size < k) {
+      // + 0.0: −0.0 must not order below +0.0 in the argmin (see
+      // assignLocal)
+      val cos = seeds.map(s =>
+        round(Similarity.cosine(col("graft_v"), typedlit(s)), 6) + lit(0.0))
+      val maxCos = if (cos.size == 1) cos.head else greatest(cos: _*)
+      seeds = seeds :+ vecOf(
+        e.withColumn("graft_mx", maxCos)
+          .orderBy(col("graft_mx"), col("vec_id")).limit(1))
+    }
+    centDf(spark, seeds.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+  }
+
+  private def collectCent(df: DataFrame): Cent =
+    df.select(col("cluster"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+  /** Lloyd's k-means centroid table after `iters` E-steps (≥1) with an
+    * M-step between consecutive E-steps: cent₀ = farthest-point seeds,
+    * centᵢ = per-cluster element-wise mean (rounded 6 dp) of the
+    * vectors centᵢ₋₁ assigns. A cluster that captures no vectors keeps
+    * its previous centroid (never goes null/empty). The result is the
+    * (cluster, centroid) table [[Similarity.assignClusters]] /
+    * [[Similarity.semDedup]] / [[Similarity.writeIvfIndex]] consume as
+    * (label, centroid). */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeansCentroids needs iters >= 1")
+    val spark = corpus.sparkSession
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_v"))
+    var cent = collectCent(farthestPointSeeds(corpus, k))
+    for (_ <- 1 until iters) {
+      val means = assignLocal(e, cent)
+        .groupBy(col("cluster"))
+        .agg(graft.functions.VectorAgg.vec_sum(col("graft_v")).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"),
+          transform(col("vs"), x => round(x / col("n"), 6)).as("centroid"))
+      val updated = collectCent(means).toMap
+      cent = cent.map { case (id, c) => (id, updated.getOrElse(id, c)) }
+    }
+    centDf(spark, cent)
+  }
+
+  /** k-means assignment under the FINAL centroids of
+    * [[kmeansCentroids]]: `iters` E-steps total, the last one producing
+    * the output — (vec_id, cluster, csim), csim the rounded cosine to
+    * the winning centroid. Equivalent to
+    * `Similarity.assignClusters(corpus, kmeansCentroids(...))` minus
+    * the is_rep flag, but computed scan-locally (no per-vector window,
+    * no corpus shuffle) — asserted by ClusteringSpec. */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cent = collectCent(kmeansCentroids(corpus, k, iters))
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_v"))
+    assignLocal(e, cent).select(col("vec_id"), col("cluster"), col("csim"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dimensionality reduction for the embedding column.
+  *
+  * [[rpProject]] is a deterministic Johnson–Lindenstrauss sketch: a
+  * Rademacher (±1) projection preserves pairwise inner products in
+  * expectation (Achlioptas 2003, "Database-friendly random
+  * projections"), so cosine ranking in the projected space is an
+  * approximation of full-space ranking at outDim/dim of the arithmetic
+  * and memory bandwidth — the cheap first pass in a two-stage ANN
+  * (project → shortlist → exact re-rank), and a 4× shrink of any
+  * similarity-bound shuffle. The signs come from the same md5 family as
+  * [[Similarity.lshBucket]] (prefix "rp:" keeps them independent of the
+  * LSH planes), so the DuckDB oracle (q172) replays the projection
+  * bit-for-bit and the recall audit checks actual neighbor sets, not
+  * just counts.
+  *
+  * Scale shape: outDim native dot products per row, scan-local — no
+  * shuffle, no UDF, no state. The projected column is itself an
+  * embedding, so every downstream operator ([[Similarity.bruteForceTopK]],
+  * IVF, LSH, [[Clustering.kmeans]]) runs on it unchanged.
+  */
+object Projection {
+
+  /** Project `v` (array<double>, `dim` components) to `outDim`
+    * components: out_m = Σ_j v_j · r(m,j) / √outDim with r(m,j) = ±1 by
+    * md5("rp:m:j"), each component rounded to 6 dp (the engine-parity
+    * convention — float summation order can never drift the sketch). */
+  def rpProject(v: Column, outDim: Int = 16, dim: Int = 64): Column = {
+    val scale = math.sqrt(outDim.toDouble)
+    array(Similarity.hyperplanes(outDim, dim, "rp:").map { plane =>
+      round(Similarity.dot(v, typedlit(plane)) / scale, 6)
+    }: _*)
+  }
+
+  /** The corpus with its embedding replaced by the `outDim`-component
+    * JL sketch — drop-in input for any similarity operator. */
+  def projectCorpus(corpus: DataFrame, outDim: Int = 16, dim: Int = 64): DataFrame =
+    corpus.withColumn("embedding",
+      rpProject(col("embedding").cast("array<double>"), outDim, dim))
+}

@@ -350,10 +350,14 @@ object Similarity {
   }
 
   /** Deterministic Rademacher hyperplanes for sign-LSH: component
-    * (h, j) is ±1 by the first hex char of md5("h:j") — reproducible in
-    * any engine (the DuckDB oracle replays the same formula), no RNG
-    * state to ship. */
-  private[operators] def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    * (h, j) is ±1 by the first hex char of md5("<prefix>h:j") —
+    * reproducible in any engine (the DuckDB oracle replays the same
+    * formula), no RNG state to ship. A non-empty `prefix` yields an
+    * independent plane family (the JL projection in
+    * [[Projection.rpProject]] uses "rp:" so its directions never
+    * coincide with the LSH buckets'). */
+  private[operators] def hyperplanes(
+      numPlanes: Int, dim: Int, prefix: String = ""): Seq[Seq[Double]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String): String = {
       digest.reset()
@@ -361,7 +365,7 @@ object Similarity {
     }
     (0 until numPlanes).map { h =>
       (1 to dim).map { j =>
-        if ("02468ace".contains(md5hex(s"$h:$j").head)) 1.0 else -1.0
+        if ("02468ace".contains(md5hex(s"$prefix$h:$j").head)) 1.0 else -1.0
       }
     }
   }

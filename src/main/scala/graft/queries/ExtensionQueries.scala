@@ -2185,6 +2185,40 @@ object ExtensionQueries {
       threshold = 0.3)
   }
 
+  /** Learned semantic clusters: deterministic Lloyd k-means (k = 4,
+    * 2 E-steps) with farthest-point seeding from the smallest vec_id —
+    * the clustering q53/q160/q169 consume as a GIVEN label column,
+    * now produced by the engine itself (the SemDeDup paper's own
+    * pipeline order: k-means, then within-cluster dedup). The oracle
+    * replays the full loop — seeding scans, E/M rounds, final
+    * assignment — so the centroid math is pinned, not just counts.
+    * See Clustering.kmeans. */
+  val q171Kmeans: Q = (s, dir) =>
+    Clustering.kmeans(t(s, dir, "embeddings"), k = 4, iters = 2)
+
+  /** JL random-projection recall audit: brute-force cosine top-10 in
+    * the 16-component Rademacher sketch space (4× less arithmetic and
+    * bandwidth per comparison) scored against full-space top-10 —
+    * recall@10 per query in basis points, the accuracy contract of the
+    * project → shortlist → re-rank ANN pattern (q153's audit shape,
+    * projection edition). See Projection.rpProject. */
+  val q172RpRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, e, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val ep = Projection.projectCorpus(e, outDim = 16)
+    val proj = Similarity
+      .bruteForceTopK(ep.filter(col("vec_id") < 20), ep, k = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    brute.join(proj, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_brute"), col("n_hits"),
+        expr("(n_hits * 10000) div n_brute").as("recall_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2348,6 +2382,8 @@ object ExtensionQueries {
     "q168_semantic_decontam" -> q168SemanticDecontam,
     "q169_cluster_balance" -> q169ClusterBalance,
     "q170_temp_mixture" -> q170TempMixture,
+    "q171_kmeans" -> q171Kmeans,
+    "q172_rp_recall" -> q172RpRecall,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5040,5 +5076,100 @@ object ExtensionQueries {
          SELECT source, n_tokens,
                 round(CAST(p_e8 AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS weight
          FROM p, t""",
+    // full Lloyd loop replay: farthest-point seeding (3 scans), E-step
+    // under the rounded seeds, 6-dp-rounded M-step means, final E-step;
+    // + 0.0 folds −0.0 rounded cosines before they become ordering keys
+    "q171_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s1 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM e ORDER BY vec_id LIMIT 1),
+         d2 AS (SELECT e.vec_id, e.v,
+                       round(list_cosine_similarity(e.v, s1.c), 6) + 0.0 AS mx
+                FROM e, s1),
+         s2 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM d2 ORDER BY mx, vec_id LIMIT 1),
+         d3 AS (SELECT d2.vec_id, d2.v,
+                       greatest(d2.mx,
+                         round(list_cosine_similarity(d2.v, s2.c), 6) + 0.0) AS mx
+                FROM d2, s2),
+         s3 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM d3 ORDER BY mx, vec_id LIMIT 1),
+         d4 AS (SELECT d3.vec_id, d3.v,
+                       greatest(d3.mx,
+                         round(list_cosine_similarity(d3.v, s3.c), 6) + 0.0) AS mx
+                FROM d3, s3),
+         s4 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM d4 ORDER BY mx, vec_id LIMIT 1),
+         cent0 AS (SELECT CAST(0 AS BIGINT) AS cluster, c FROM s1
+                   UNION ALL SELECT 1, c FROM s2
+                   UNION ALL SELECT 2, c FROM s3
+                   UNION ALL SELECT 3, c FROM s4),
+         a1 AS (SELECT vec_id, cluster FROM (
+                  SELECT e.vec_id, c0.cluster,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, c0.c), 6) + 0.0
+                                      DESC,
+                                    c0.cluster) AS rn
+                  FROM e, cent0 c0)
+                WHERE rn = 1),
+         m1 AS (SELECT cluster, list(cx ORDER BY j) AS c FROM (
+                  SELECT a1.cluster, j,
+                         round(avg(e.v[CAST(j AS INT)]), 6) AS cx
+                  FROM a1 JOIN e USING (vec_id),
+                       (SELECT unnest(range(1, 65)) AS j)
+                  GROUP BY a1.cluster, j)
+                GROUP BY cluster),
+         cent1 AS (SELECT c0.cluster, coalesce(m1.c, c0.c) AS c
+                   FROM cent0 c0 LEFT JOIN m1 ON c0.cluster = m1.cluster)
+         SELECT vec_id, cluster, csim FROM (
+           SELECT e.vec_id, c1.cluster,
+                  round(list_cosine_similarity(e.v, c1.c), 6) + 0.0 AS csim,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v, c1.c), 6) + 0.0 DESC,
+                             c1.cluster) AS rn
+           FROM e, cent1 c1)
+         WHERE rn = 1""",
+    // the JL sketch replayed sign-for-sign (md5 'rp:m:j' family),
+    // then q153's recall-audit shape over projected-space vs
+    // full-space brute-force top-10
+    "q172_rp_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         rp AS (SELECT m, j,
+                       CASE WHEN substr(md5('rp:' || CAST(m AS VARCHAR) || ':'
+                                            || CAST(j AS VARCHAR)), 1, 1)
+                            IN ('0','2','4','6','8','a','c','e')
+                            THEN 1.0 ELSE -1.0 END AS c
+                FROM (SELECT unnest(range(0, 16)) AS m),
+                     (SELECT unnest(range(1, 65)) AS j)),
+         p AS (SELECT vec_id, list(pm ORDER BY m) AS pv FROM (
+                 SELECT vec_id, m,
+                        round(sum(c * v[CAST(j AS INT)]) / 4.0, 6) AS pm
+                 FROM e, rp GROUP BY vec_id, m)
+               GROUP BY vec_id),
+         qf AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+         b AS (SELECT q_id, vec_id FROM (
+                 SELECT qf.q_id, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qf.q_id
+                          ORDER BY round(list_cosine_similarity(qf.qv, e.v), 6) DESC,
+                                   e.vec_id) AS rank
+                 FROM qf, e)
+               WHERE rank <= 10),
+         qp AS (SELECT vec_id AS q_id, pv AS qpv FROM p WHERE vec_id < 20),
+         pr AS (SELECT q_id, vec_id FROM (
+                  SELECT qp.q_id, p.vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qp.q_id
+                           ORDER BY round(list_cosine_similarity(qp.qpv, p.pv), 6)
+                                      DESC,
+                                    p.vec_id) AS rank
+                  FROM qp, p)
+                WHERE rank <= 10)
+         SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+                CAST(sum(CASE WHEN pr.vec_id IS NULL THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_hits,
+                CAST((CAST(sum(CASE WHEN pr.vec_id IS NULL THEN 0 ELSE 1 END)
+                           AS BIGINT) * 10000) // count(*) AS BIGINT)
+                  AS recall_bp
+         FROM b LEFT JOIN pr ON pr.q_id = b.q_id AND pr.vec_id = b.vec_id
+         GROUP BY b.q_id""",
   )
 }

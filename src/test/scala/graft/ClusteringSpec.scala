@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Clustering, Similarity, Projection}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic k-means (Clustering) + JL projection (Projection):
+  * seeding, Lloyd rounds, empty-cluster fallback, scan-local-vs-window
+  * assignment equivalence, and projection shape/determinism.
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight groups on orthogonal axes + ids chosen so group A holds
+  // the smallest vec_id (the seed anchor)
+  private def corpus: DataFrame = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 0.1f, 0.9f, 0.1f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f, 0.2f)),
+    (4L, Seq(0.95f, 0.05f, 0.0f, 0.0f)),
+  ).toDF("vec_id", "embedding")
+
+  test("farthestPointSeeds: seed 0 is the smallest vec_id, next seed is the far group") {
+    val seeds = Clustering.farthestPointSeeds(corpus, 2).orderBy("cluster").collect()
+    assert(seeds.length == 2)
+    assert(seeds(0).getSeq[Double](1) == Seq(1.0, 0.0, 0.0, 0.0))
+    // v2 and v3 are both orthogonal to v0 (cos 0): the vec_id tie-break
+    // picks v2
+    assert(seeds(1).getSeq[Double](1) == Seq(0.0, 0.1, 0.9, 0.1))
+  }
+
+  test("kmeans separates the two groups and lands centroids on the group means") {
+    val cent = Clustering.kmeansCentroids(corpus, k = 2, iters = 3)
+      .orderBy("cluster").collect()
+    // cluster 0 ← {0,1,4}: mean (0.95, 0.05, 0, 0); cluster 1 ← {2,3}
+    assert(cent(0).getSeq[Double](1) == Seq(0.95, 0.05, 0.0, 0.0))
+    assert(cent(1).getSeq[Double](1) == Seq(0.0, 0.05, 0.95, 0.15))
+    val byCluster = Clustering.kmeans(corpus, k = 2, iters = 3)
+      .groupBy("cluster").agg(sort_array(collect_list("vec_id")).as("ids"))
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(byCluster(0L) == Seq(0L, 1L, 4L))
+    assert(byCluster(1L) == Seq(2L, 3L))
+  }
+
+  test("kmeans is deterministic across invocations") {
+    val a = rowSet(Clustering.kmeans(corpus, k = 2, iters = 3))
+    val b = rowSet(Clustering.kmeans(corpus, k = 2, iters = 3))
+    assert(a == b)
+  }
+
+  test("scan-local assignment ≡ assignClusters window argmax under the same centroids") {
+    val cent = Clustering.kmeansCentroids(corpus, k = 2, iters = 2)
+    val local = rowSet(Clustering.kmeans(corpus, k = 2, iters = 2))
+    val window = rowSet(
+      Similarity.assignClusters(corpus, cent.withColumnRenamed("cluster", "label"))
+        .select(col("vec_id"), col("cluster"), col("csim")))
+    assert(local == window)
+  }
+
+  test("a cluster that captures no vectors keeps its seed centroid") {
+    // two distinct vectors, k=3: the third farthest-point seed must
+    // duplicate an existing one (everything is at max-cos 1.0 to the
+    // seed set), so its cluster is shadowed by the tie-to-smallest rule
+    // and stays empty through every M-step
+    val tiny = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val cent = Clustering.kmeansCentroids(tiny, k = 3, iters = 3)
+      .orderBy("cluster").collect()
+    assert(cent.length == 3)
+    // cluster 2's seed duplicates cluster 0's vector; it captured
+    // nothing, so the M-steps must have left it at the seed
+    assert(cent(2).getSeq[Double](1) == cent(0).getSeq[Double](1))
+    val assigned = Clustering.kmeans(tiny, k = 3, iters = 3)
+    assert(assigned.filter(col("cluster") === 2L).isEmpty)
+    assert(assigned.count() == 3)
+  }
+
+  test("kmeans feeds semDedup directly as its centroid table") {
+    val cent = Clustering.kmeansCentroids(corpus, k = 2, iters = 2)
+      .withColumnRenamed("cluster", "label")
+    val out = Similarity.semDedup(corpus, cent, threshold = 0.995)
+    assert(out.count() == 5)
+    // v4 near-duplicates v0 (cos 0.9986) and v1 (0.9984); every other
+    // pair sits below 0.995 — exactly v4 is dropped
+    assert(out.filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+      == Set(4L))
+  }
+
+  test("rpProject: deterministic, right arity, preserves the dominant neighbor") {
+    val dim = 64
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        (if (j % 3 == i % 3) 1.0f else 0.0f) + 0.01f * ((i * 7 + j) % 5)))
+    }.toDF("vec_id", "embedding")
+    val p = Projection.projectCorpus(vecs, outDim = 16, dim = dim)
+    val rows = p.select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+    assert(rows.forall(_.getSeq[Double](1).length == 16))
+    val again = Projection.projectCorpus(vecs, outDim = 16, dim = dim)
+    assert(rowSet(p) == rowSet(again))
+    // vectors sharing i % 3 are near-parallel in full space; the sketch
+    // must keep each query's top non-self neighbor inside its own family
+    val top = Similarity.bruteForceTopK(p, p, k = 2)
+      .filter(col("rank") === 2)
+      .select(col("q_id"), col("vec_id")).collect()
+    assert(top.nonEmpty)
+    top.foreach(r => assert(r.getLong(0) % 3 == r.getLong(1) % 3,
+      s"projected top-1 neighbor of ${r.getLong(0)} left its family: ${r.getLong(1)}"))
+  }
+}

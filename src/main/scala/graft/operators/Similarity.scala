@@ -38,7 +38,7 @@ object Similarity {
   /** Unit-normalize once per vector so every pairwise similarity is a
     * single dot product (3× less arithmetic than cosine per pair — the
     * difference between one corpus scan and three at 100 TB). */
-  private def withUnit(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+  private[operators] def withUnit(df: DataFrame, vecCol: String, outCol: String): DataFrame =
     df.withColumn("graft_nrm", sqrt(dot(col(vecCol), col(vecCol))))
       .withColumn(outCol, transform(col(vecCol), x => x / col("graft_nrm")))
       .drop("graft_nrm")

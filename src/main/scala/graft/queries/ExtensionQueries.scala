@@ -2219,6 +2219,27 @@ object ExtensionQueries {
         expr("(n_hits * 10000) div n_brute").as("recall_bp"))
   }
 
+  /** PQ/ADC recall audit: asymmetric-distance top-10 over 4×4-bit
+    * product-quantization codes (exact query vs codebook-compressed
+    * corpus — 2 bytes per vector instead of 256) scored against
+    * full-space top-10. The compressed-domain third rung of the ANN
+    * accuracy ladder next to IVF (q153) and the JL sketch (q172).
+    * See Projection.pqAdcTopK. */
+  val q173PqRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, e, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val adc = Projection.pqAdcTopK(q, e, k = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    brute.join(adc, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_brute"), col("n_hits"),
+        expr("(n_hits * 10000) div n_brute").as("recall_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2384,6 +2405,7 @@ object ExtensionQueries {
     "q170_temp_mixture" -> q170TempMixture,
     "q171_kmeans" -> q171Kmeans,
     "q172_rp_recall" -> q172RpRecall,
+    "q173_pq_recall" -> q173PqRecall,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5170,6 +5192,72 @@ object ExtensionQueries {
                            AS BIGINT) * 10000) // count(*) AS BIGINT)
                   AS recall_bp
          FROM b LEFT JOIN pr ON pr.q_id = b.q_id AND pr.vec_id = b.vec_id
+         GROUP BY b.q_id""",
+    // PQ replay: unit-normalize, 4 subspaces x 4 sign planes (md5
+    // 'pq:sub:h:j', j relative to the subspace), codebook means rounded
+    // 6 dp, ADC = sum of subspace dots vs the exact query — then the
+    // q153 recall-audit shape vs full-space brute force
+    "q173_pq_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         u AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn,
+                      v
+               FROM e),
+         hp AS (SELECT sub, h, j,
+                       CASE WHEN substr(md5('pq:' || CAST(sub AS VARCHAR) || ':'
+                                             || CAST(h AS VARCHAR) || ':'
+                                             || CAST(j AS VARCHAR)), 1, 1)
+                            IN ('0','2','4','6','8','a','c','e')
+                            THEN 1.0 ELSE -1.0 END AS c
+                FROM (SELECT unnest(range(0, 4)) AS sub),
+                     (SELECT unnest(range(0, 4)) AS h),
+                     (SELECT unnest(range(1, 17)) AS j)),
+         bits AS (SELECT vec_id, sub, h,
+                         CASE WHEN round(sum(c * vn[CAST(sub * 16 + j AS INT)]), 6) > 0
+                              THEN 1 ELSE 0 END AS bit
+                  FROM u, hp GROUP BY vec_id, sub, h),
+         codes AS (SELECT vec_id, sub,
+                          CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(h AS INT)))
+                               AS BIGINT) AS code
+                   FROM bits GROUP BY vec_id, sub),
+         cb AS (SELECT sub, code, list(cx ORDER BY j2) AS cbv FROM (
+                  SELECT codes.sub, codes.code, j2,
+                         round(avg(u.vn[CAST(codes.sub * 16 + j2 AS INT)]), 6) AS cx
+                  FROM codes JOIN u USING (vec_id),
+                       (SELECT unnest(range(1, 17)) AS j2)
+                  GROUP BY codes.sub, codes.code, j2)
+                GROUP BY sub, code),
+         qsub AS (SELECT vec_id AS q_id, sub,
+                         list_slice(vn, sub * 16 + 1, sub * 16 + 16) AS qv
+                  FROM u, (SELECT unnest(range(0, 4)) AS sub)
+                  WHERE vec_id < 20),
+         adc AS (SELECT qsub.q_id, codes.vec_id,
+                        round(sum(list_dot_product(qsub.qv, cb.cbv)), 6) + 0.0 AS sim
+                 FROM codes
+                 JOIN cb ON cb.sub = codes.sub AND cb.code = codes.code
+                 JOIN qsub ON qsub.sub = codes.sub
+                 GROUP BY qsub.q_id, codes.vec_id),
+         tk AS (SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, vec_id) AS rank
+                  FROM adc)
+                WHERE rank <= 10),
+         qf AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+         b AS (SELECT q_id, vec_id FROM (
+                 SELECT qf.q_id, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qf.q_id
+                          ORDER BY round(list_cosine_similarity(qf.qv, e.v), 6) DESC,
+                                   e.vec_id) AS rank
+                 FROM qf, e)
+               WHERE rank <= 10)
+         SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+                CAST(sum(CASE WHEN tk.vec_id IS NULL THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_hits,
+                CAST((CAST(sum(CASE WHEN tk.vec_id IS NULL THEN 0 ELSE 1 END)
+                           AS BIGINT) * 10000) // count(*) AS BIGINT)
+                  AS recall_bp
+         FROM b LEFT JOIN tk ON tk.q_id = b.q_id AND tk.vec_id = b.vec_id
          GROUP BY b.q_id""",
   )
 }

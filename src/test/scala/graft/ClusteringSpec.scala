@@ -111,4 +111,42 @@ class ClusteringSpec extends SparkSpec {
     top.foreach(r => assert(r.getLong(0) % 3 == r.getLong(1) % 3,
       s"projected top-1 neighbor of ${r.getLong(0)} left its family: ${r.getLong(1)}"))
   }
+
+  // two orthogonal families: ids 0-2 point along dim 1, ids 3-5 along
+  // dim 17 (a different subspace), so PQ cells and ADC scores separate
+  // them exactly
+  private def pqCorpus: DataFrame = (0L to 5L).map { i =>
+    val axis = if (i < 3) 0 else 16
+    (i, (0 until 64).map(j => if (j == axis) 1.0f else 0.0f))
+  }.toDF("vec_id", "embedding")
+
+  test("pqCodebook: bounded rows, subspace-arity centroids, deterministic codes") {
+    val cb = Projection.pqCodebook(pqCorpus).collect()
+    assert(cb.length <= 4 * 16)
+    assert(cb.forall(_.getSeq[Double](2).length == 16))
+    val codes = pqCorpus
+      .select(col("vec_id"),
+        Projection.pqCodeArray(col("embedding").cast("array<double>")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(codes.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 16)))
+    // identical vectors get identical codes; the two families differ
+    // in their own subspace
+    assert(codes(0L) == codes(1L) && codes(3L) == codes(4L))
+    assert(codes(0L) != codes(3L))
+  }
+
+  test("pqAdcTopK: exact on pure cells, ranks stay inside the family") {
+    val res = Projection.pqAdcTopK(pqCorpus, pqCorpus, k = 3)
+    val rows = res.collect()
+    assert(rows.length == 6 * 3)
+    // every cell holds identical subvectors, so ADC is exact: own
+    // family scores 1.0, the orthogonal family 0.0 — top-3 of each
+    // query is exactly its own family
+    rows.foreach { r =>
+      val (qid, vid, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert((qid < 3) == (vid < 3), s"q$qid ranked cross-family v$vid")
+      assert(sim == 1.0, s"pure-cell ADC of q$qid/v$vid was $sim, not 1.0")
+    }
+    assert(rowSet(res) == rowSet(Projection.pqAdcTopK(pqCorpus, pqCorpus, k = 3)))
+  }
 }

@@ -57,7 +57,13 @@ object ScaleStress {
     // q165: q160's pair term on the broadcastBlocks=false shuffle path —
     // same ≤ copies² E-step envelope, now with a co-partitioned pair
     // join instead of the mandatory corpus broadcast
-    "q165_semdedup_shuffle")
+    "q165_semdedup_shuffle",
+    // q171: iterative Lloyd rounds with driver-collected centroids —
+    // k is FIXED (not per-copy like q53's labels), so expected ~linear;
+    // a superlinear factor would mean per-round lineage is growing.
+    // q173/q174: compressed-domain ADC and sketch-shortlist-rerank —
+    // scan-bound scoring plus a per-query rank window, expected ~linear
+    "q171_kmeans", "q173_pq_recall", "q174_rp_rerank")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

@@ -151,4 +151,17 @@ object Clustering {
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_v"))
     assignLocal(e, cent).select(col("vec_id"), col("cluster"), col("csim"))
   }
+
+  /** Per-cluster quality contract of a [[kmeans]] assignment: member
+    * count, EXACT integer sum of the 6-dp cosines in micro-units (no
+    * float mean — add-order could flip a rounded mean across engines),
+    * and the worst member — the convergence/coherence readout an
+    * operator like SemDeDup tunes k and iters against (q153's
+    * accuracy-contract idea, clustering edition). One k-sized partial
+    * aggregate. Output: (cluster, n_vecs, sum_csim_e6, min_csim). */
+  def clusterQuality(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("csim") * lit(1e6)).cast("bigint")).as("sum_csim_e6"),
+        min(col("csim")).as("min_csim"))
 }

@@ -42,6 +42,52 @@ object Projection {
     corpus.withColumn("embedding",
       rpProject(col("embedding").cast("array<double>"), outDim, dim))
 
+  /** Two-stage ANN — the production use of the JL sketch: shortlist
+    * `shortlist` candidates per query by cosine in the projected space
+    * (outDim/dim of the arithmetic and bandwidth of a full-space
+    * scan), then re-rank ONLY the shortlist exactly in full space.
+    * Over-fetching (shortlist ≫ k) recovers the recall the sketch
+    * loses while the expensive full-dim scoring touches
+    * |queries|·shortlist pairs instead of |queries|·|corpus| — at
+    * 100 TB the sketch pass is the only corpus-wide scan, and the
+    * re-rank reads full vectors for a semi-joined sliver of rows.
+    * Ties and rounding follow [[Similarity.bruteForceTopK]] exactly,
+    * so `shortlist = |corpus|` degenerates to the exact result.
+    * Output: (q_id, vec_id, sim, rank). */
+  def rpRerankTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      shortlist: Int = 50,
+      outDim: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val cand = Similarity
+      .bruteForceTopK(projectCorpus(queries, outDim, dim),
+        projectCorpus(corpus, outDim, dim), shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // full-dim vectors join INTO the candidate pairs, so the exact dot
+    // products — and the full-width embedding shuffle — only ever touch
+    // shortlist rows; same rounding/tie conventions as bruteForceTopK,
+    // so shortlist = |corpus| degenerates to the exact result
+    val c = Similarity.withUnit(
+      corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "v", "vn")
+      .select(col("vec_id"), col("vn"))
+    val q = Similarity.withUnit(
+      queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv")),
+      "qv", "qn")
+      .select(col("q_id"), col("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cand.join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.dot(col("qn"), col("vn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Product-quantization codes of a UNIT-normalized vector: the
     * vector splits into `m` contiguous subspaces of dim/m components,
     * each coded by a `bits`-plane sign-LSH (md5 family "pq:<sub>:" —

@@ -2240,6 +2240,27 @@ object ExtensionQueries {
         expr("(n_hits * 10000) div n_brute").as("recall_bp"))
   }
 
+  /** Two-stage ANN: JL-sketch shortlist (50 per query) → exact
+    * full-space re-rank to top-10 — the production composition of
+    * q172's sketch (cheap corpus-wide pass) and q29's exactness
+    * (expensive pass bounded to the shortlist). The oracle pins the
+    * actual re-ranked rows — ids, sims, ranks — not a recall summary.
+    * See Projection.rpRerankTopK. */
+  val q174RpRerank: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Projection.rpRerankTopK(e.filter(col("vec_id") < 20), e,
+      k = 10, shortlist = 50)
+  }
+
+  /** k-means quality contract: per-cluster member count, exact
+    * micro-unit cosine sum, and worst member under q171's learned
+    * centroids — the coherence readout k/iters tune against (q153's
+    * accuracy-contract idea, clustering edition). See
+    * Clustering.clusterQuality. */
+  val q175KmeansQuality: Q = (s, dir) =>
+    Clustering.clusterQuality(
+      Clustering.kmeans(t(s, dir, "embeddings"), k = 4, iters = 2))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2406,6 +2427,8 @@ object ExtensionQueries {
     "q171_kmeans" -> q171Kmeans,
     "q172_rp_recall" -> q172RpRecall,
     "q173_pq_recall" -> q173PqRecall,
+    "q174_rp_rerank" -> q174RpRerank,
+    "q175_kmeans_quality" -> q175KmeansQuality,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5259,5 +5282,100 @@ object ExtensionQueries {
                   AS recall_bp
          FROM b LEFT JOIN tk ON tk.q_id = b.q_id AND tk.vec_id = b.vec_id
          GROUP BY b.q_id""",
+    // q172's sketch CTEs, then: shortlist = projected-space top-50,
+    // re-rank = exact cosine over ONLY the shortlist pairs, top-10 —
+    // the oracle pins ids, sims, AND ranks of the final result
+    "q174_rp_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         rp AS (SELECT m, j,
+                       CASE WHEN substr(md5('rp:' || CAST(m AS VARCHAR) || ':'
+                                            || CAST(j AS VARCHAR)), 1, 1)
+                            IN ('0','2','4','6','8','a','c','e')
+                            THEN 1.0 ELSE -1.0 END AS c
+                FROM (SELECT unnest(range(0, 16)) AS m),
+                     (SELECT unnest(range(1, 65)) AS j)),
+         p AS (SELECT vec_id, list(pm ORDER BY m) AS pv FROM (
+                 SELECT vec_id, m,
+                        round(sum(c * v[CAST(j AS INT)]) / 4.0, 6) AS pm
+                 FROM e, rp GROUP BY vec_id, m)
+               GROUP BY vec_id),
+         qp AS (SELECT vec_id AS q_id, pv AS qpv FROM p WHERE vec_id < 20),
+         sl AS (SELECT q_id, vec_id FROM (
+                  SELECT qp.q_id, p.vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qp.q_id
+                           ORDER BY round(list_cosine_similarity(qp.qpv, p.pv), 6)
+                                      DESC,
+                                    p.vec_id) AS rank
+                  FROM qp, p)
+                WHERE rank <= 50),
+         qf AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20)
+         SELECT q_id, vec_id, sim, rank FROM (
+           SELECT sl.q_id, sl.vec_id,
+                  round(list_cosine_similarity(qf.qv, e.v), 6) AS sim,
+                  ROW_NUMBER() OVER (PARTITION BY sl.q_id
+                    ORDER BY round(list_cosine_similarity(qf.qv, e.v), 6) DESC,
+                             sl.vec_id) AS rank
+           FROM sl
+           JOIN e ON e.vec_id = sl.vec_id
+           JOIN qf ON qf.q_id = sl.q_id)
+         WHERE rank <= 10""",
+    // q171's full Lloyd replay, folded to the per-cluster contract:
+    // exact integer micro-unit cosine sums, no float means
+    "q175_kmeans_quality" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s1 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM e ORDER BY vec_id LIMIT 1),
+         d2 AS (SELECT e.vec_id, e.v,
+                       round(list_cosine_similarity(e.v, s1.c), 6) + 0.0 AS mx
+                FROM e, s1),
+         s2 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM d2 ORDER BY mx, vec_id LIMIT 1),
+         d3 AS (SELECT d2.vec_id, d2.v,
+                       greatest(d2.mx,
+                         round(list_cosine_similarity(d2.v, s2.c), 6) + 0.0) AS mx
+                FROM d2, s2),
+         s3 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM d3 ORDER BY mx, vec_id LIMIT 1),
+         d4 AS (SELECT d3.vec_id, d3.v,
+                       greatest(d3.mx,
+                         round(list_cosine_similarity(d3.v, s3.c), 6) + 0.0) AS mx
+                FROM d3, s3),
+         s4 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM d4 ORDER BY mx, vec_id LIMIT 1),
+         cent0 AS (SELECT CAST(0 AS BIGINT) AS cluster, c FROM s1
+                   UNION ALL SELECT 1, c FROM s2
+                   UNION ALL SELECT 2, c FROM s3
+                   UNION ALL SELECT 3, c FROM s4),
+         a1 AS (SELECT vec_id, cluster FROM (
+                  SELECT e.vec_id, c0.cluster,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, c0.c), 6) + 0.0
+                                      DESC,
+                                    c0.cluster) AS rn
+                  FROM e, cent0 c0)
+                WHERE rn = 1),
+         m1 AS (SELECT cluster, list(cx ORDER BY j) AS c FROM (
+                  SELECT a1.cluster, j,
+                         round(avg(e.v[CAST(j AS INT)]), 6) AS cx
+                  FROM a1 JOIN e USING (vec_id),
+                       (SELECT unnest(range(1, 65)) AS j)
+                  GROUP BY a1.cluster, j)
+                GROUP BY cluster),
+         cent1 AS (SELECT c0.cluster, coalesce(m1.c, c0.c) AS c
+                   FROM cent0 c0 LEFT JOIN m1 ON c0.cluster = m1.cluster),
+         a2 AS (SELECT vec_id, cluster, csim FROM (
+                  SELECT e.vec_id, c1.cluster,
+                         round(list_cosine_similarity(e.v, c1.c), 6) + 0.0 AS csim,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, c1.c), 6) + 0.0
+                                      DESC,
+                                    c1.cluster) AS rn
+                  FROM e, cent1 c1)
+                WHERE rn = 1)
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(sum(CAST(round(csim * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_csim_e6,
+                min(csim) AS min_csim
+         FROM a2 GROUP BY cluster""",
   )
 }

@@ -149,4 +149,31 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(rowSet(res) == rowSet(Projection.pqAdcTopK(pqCorpus, pqCorpus, k = 3)))
   }
+
+  test("rpRerankTopK with a full-corpus shortlist degenerates to exact brute force") {
+    val dim = 64
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, (0 until dim).map(j => 0.1f * ((i * 13 + j * 7) % 11) + 0.01f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    val exact = rowSet(Similarity.bruteForceTopK(q, vecs, k = 4))
+    val rerank = rowSet(Projection.rpRerankTopK(q, vecs, k = 4, shortlist = 8))
+    assert(rerank == exact)
+    // a narrow shortlist still returns k rows with ranks 1..k per query
+    val narrow = Projection.rpRerankTopK(q, vecs, k = 2, shortlist = 4)
+    assert(narrow.groupBy("q_id").count().collect().forall(_.getLong(1) == 2))
+  }
+
+  test("clusterQuality: exact micro-unit sums reconstruct the assignment") {
+    val assigned = Clustering.kmeans(corpus, k = 2, iters = 3)
+    val quality = Clustering.clusterQuality(assigned).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(quality.keySet == Set(0L, 1L))
+    assert(quality(0L)._1 == 3 && quality(1L)._1 == 2)
+    val byHand = assigned.collect().groupBy(_.getLong(1)).map { case (c, rs) =>
+      (c, rs.map(r => math.round(r.getDouble(2) * 1e6)).sum)
+    }
+    assert(quality.map { case (c, (_, s, _)) => (c, s) } == byHand)
+    quality.values.foreach { case (_, _, worst) => assert(worst >= -1.0 && worst <= 1.0) }
+  }
 }

@@ -2261,6 +2261,20 @@ object ExtensionQueries {
     Clustering.clusterQuality(
       Clustering.kmeans(t(s, dir, "embeddings"), k = 4, iters = 2))
 
+  /** SemDeDup end-to-end as the paper runs it: k-means FIRST
+    * (q171's learned centroids — no given label column anywhere), then
+    * the within-cluster cosine prune. q160 consumes the testdata's
+    * pre-assigned labels; this is the same decision with the
+    * clustering learned in-engine, so a corpus with no clustering
+    * metadata at all can be semantically deduped. */
+  val q176SemdedupLearned: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.semDedup(e,
+      Clustering.kmeansCentroids(e, k = 4, iters = 2)
+        .withColumnRenamed("cluster", "label"),
+      threshold = 0.3)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2429,6 +2443,7 @@ object ExtensionQueries {
     "q173_pq_recall" -> q173PqRecall,
     "q174_rp_rerank" -> q174RpRerank,
     "q175_kmeans_quality" -> q175KmeansQuality,
+    "q176_semdedup_learned" -> q176SemdedupLearned,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5377,5 +5392,62 @@ object ExtensionQueries {
                   AS sum_csim_e6,
                 min(csim) AS min_csim
          FROM a2 GROUP BY cluster""",
+    // q171's learned-centroid chain (seeding, E, M) feeding q160's
+    // within-cluster smaller-id prune — SemDeDup with zero given labels
+    "q176_semdedup_learned" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s1 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM e ORDER BY vec_id LIMIT 1),
+         d2 AS (SELECT e.vec_id, e.v,
+                       round(list_cosine_similarity(e.v, s1.c), 6) + 0.0 AS mx
+                FROM e, s1),
+         s2 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM d2 ORDER BY mx, vec_id LIMIT 1),
+         d3 AS (SELECT d2.vec_id, d2.v,
+                       greatest(d2.mx,
+                         round(list_cosine_similarity(d2.v, s2.c), 6) + 0.0) AS mx
+                FROM d2, s2),
+         s3 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM d3 ORDER BY mx, vec_id LIMIT 1),
+         d4 AS (SELECT d3.vec_id, d3.v,
+                       greatest(d3.mx,
+                         round(list_cosine_similarity(d3.v, s3.c), 6) + 0.0) AS mx
+                FROM d3, s3),
+         s4 AS (SELECT list_transform(v, x -> round(x, 6)) AS c
+                FROM d4 ORDER BY mx, vec_id LIMIT 1),
+         cent0 AS (SELECT CAST(0 AS BIGINT) AS cluster, c FROM s1
+                   UNION ALL SELECT 1, c FROM s2
+                   UNION ALL SELECT 2, c FROM s3
+                   UNION ALL SELECT 3, c FROM s4),
+         a1 AS (SELECT vec_id, cluster FROM (
+                  SELECT e.vec_id, c0.cluster,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, c0.c), 6) + 0.0
+                                      DESC,
+                                    c0.cluster) AS rn
+                  FROM e, cent0 c0)
+                WHERE rn = 1),
+         m1 AS (SELECT cluster, list(cx ORDER BY j) AS c FROM (
+                  SELECT a1.cluster, j,
+                         round(avg(e.v[CAST(j AS INT)]), 6) AS cx
+                  FROM a1 JOIN e USING (vec_id),
+                       (SELECT unnest(range(1, 65)) AS j)
+                  GROUP BY a1.cluster, j)
+                GROUP BY cluster),
+         cent1 AS (SELECT c0.cluster, coalesce(m1.c, c0.c) AS c
+                   FROM cent0 c0 LEFT JOIN m1 ON c0.cluster = m1.cluster),
+         a AS (SELECT vec_id, cluster, v FROM (
+                 SELECT e.vec_id, c1.cluster, e.v,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY round(list_cosine_similarity(e.v, c1.c), 6) DESC,
+                                   c1.cluster) AS rn
+                 FROM e, cent1 c1)
+               WHERE rn = 1),
+         dup AS (SELECT DISTINCT y.vec_id
+                 FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3)
+         SELECT a.vec_id, a.cluster,
+                a.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+         FROM a""",
   )
 }

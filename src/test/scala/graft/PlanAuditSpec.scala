@@ -69,6 +69,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global row_number exchange:\n$p")
   }
 
+  test("q171: the k-means assignment is scan-local — no exchange, no window") {
+    val p = plan("q171_kmeans")
+    assert(!p.contains("Exchange"), s"k-means E-step shuffles the corpus:\n$p")
+    assert(!p.contains("Window"), s"k-means argmax uses a window:\n$p")
+  }
+
+  test("q173/q174: compressed-domain and re-rank ANN never shuffle the corpus side") {
+    val adc = plan("q173_pq_recall")
+    assert(adc.contains("BroadcastNestedLoopJoin"),
+      "ADC query set should broadcast into the corpus scan")
+    // the final brute-vs-adc recall join runs over two k·|queries|-row
+    // frames — tiny, AQE converts it at runtime — so only the SCORING
+    // joins are pinned broadcast-side: every hash join in the plan must
+    // be a broadcast one
+    assert(!adc.replaceAll("SortMergeJoin \\[q_id.*", "").contains("SortMergeJoin"),
+      s"ADC shuffled a scoring join side:\n$adc")
+    val rr = plan("q174_rp_rerank")
+    assert(rr.contains("BroadcastNestedLoopJoin"),
+      "sketch shortlist pass should broadcast the query set")
+    assert(!rr.contains("SortMergeJoin"),
+      s"re-rank shuffled instead of broadcasting the bounded side:\n$rr")
+  }
+
   test("q50: BM25 term/corpus stats broadcast, top-k via TakeOrdered") {
     val p = plan("q50_bm25")
     assert(p.contains("BroadcastHashJoin"), s"df stats join not broadcast:\n$p")

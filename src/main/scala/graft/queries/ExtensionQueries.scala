@@ -2095,7 +2095,10 @@ object ExtensionQueries {
       .filter(col("quality_score_bp") >= 4000)
     val keep = scored.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val exact = scored.join(keep, Seq("doc_id"))
+    // materialized once: exact feeds BOTH the embedding semi-join and
+    // the post-SemDeDup anti-join — without the checkpoint each re-runs
+    // the docs scan + quality features + dedup groupBy
+    val exact = scored.join(keep, Seq("doc_id")).localCheckpoint()
     val survVecs = t(s, dir, "embeddings")
       .join(exact.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     val dropped = Similarity

@@ -121,21 +121,49 @@ object Clustering {
     * (cluster, centroid) table [[Similarity.assignClusters]] /
     * [[Similarity.semDedup]] / [[Similarity.writeIvfIndex]] consume as
     * (label, centroid). */
+  /** One Lloyd round from driver-held centroids: assign (scan-local),
+    * then per-cluster rounded means; empty clusters keep their previous
+    * centroid. */
+  private def lloydRound(e: DataFrame, cent: Cent): Cent = {
+    val means = assignLocal(e, cent)
+      .groupBy(col("cluster"))
+      .agg(graft.functions.VectorAgg.vec_sum(col("graft_v")).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("cluster"),
+        transform(col("vs"), x => round(x / col("n"), 6)).as("centroid"))
+    val updated = collectCent(means).toMap
+    cent.map { case (id, c) => (id, updated.getOrElse(id, c)) }
+  }
+
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, "kmeansCentroids needs iters >= 1")
     val spark = corpus.sparkSession
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_v"))
     var cent = collectCent(farthestPointSeeds(corpus, k))
-    for (_ <- 1 until iters) {
-      val means = assignLocal(e, cent)
-        .groupBy(col("cluster"))
-        .agg(graft.functions.VectorAgg.vec_sum(col("graft_v")).as("vs"),
-          count(lit(1)).as("n"))
-        .select(col("cluster"),
-          transform(col("vs"), x => round(x / col("n"), 6)).as("centroid"))
-      val updated = collectCent(means).toMap
-      cent = cent.map { case (id, c) => (id, updated.getOrElse(id, c)) }
-    }
+    for (_ <- 1 until iters) cent = lloydRound(e, cent)
+    centDf(spark, cent)
+  }
+
+  /** Warm-start Lloyd: `rounds` full assign-then-mean rounds from an
+    * EXISTING centroid table ((cluster, centroid) or (label, centroid))
+    * — the periodic RE-FIT primitive for a live index: centroids drift
+    * with the ingest distribution, so heal them from where they are
+    * instead of re-seeding from scratch (which would also renumber
+    * clusters and orphan a partitioned index's directory layout; this
+    * keeps ids stable). Same determinism contract as [[kmeansCentroids]];
+    * a cluster that captures nothing keeps its previous centroid. */
+  def kmeansFrom(corpus: DataFrame, initCent: DataFrame, rounds: Int = 1): DataFrame = {
+    require(rounds >= 1, "kmeansFrom needs rounds >= 1")
+    val spark = corpus.sparkSession
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_v"))
+    val named =
+      if (initCent.columns.contains("label"))
+        initCent.withColumnRenamed("label", "cluster")
+      else initCent
+    var cent = collectCent(
+      named.select(col("cluster").cast("bigint").as("cluster"),
+        asDouble(col("centroid")).as("centroid")))
+    for (_ <- 1 to rounds) cent = lloydRound(e, cent)
     centDf(spark, cent)
   }
 

@@ -19,6 +19,34 @@ object TextOps {
     size(regexp_extract_all(text, lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])"), lit(1)))
       .cast("bigint")
 
+  /** Deterministic hashed bag-of-words document embedding: each word
+    * lands in one of `dim` buckets by its md5 tail (the q161/DSIR
+    * hashing convention, two hex chars → 0..255 → div 256/dim), and the
+    * document's vector is the bucket-count array as array<double> —
+    * a model-free bridge that lets every vector operator (Similarity,
+    * Clustering, Projection) run on RAW TEXT with no embedding model in
+    * the loop. Feature hashing (Weinberger et al. 2009) at the document
+    * level; cosine over these vectors is a word-distribution similarity.
+    *
+    * Scale shape: one explode + one (doc, bucket) count + one dense
+    * re-assembly aggregate — all partial-combining, no joins, and the
+    * vector width is a constant `dim`. Output: (doc_id, embedding). */
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(256 % dim == 0, s"hashEmbed dim must divide 256, got $dim")
+    val per = 256 / dim
+    val b = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("bucket", expr(
+        "cast(((instr('0123456789abcdef', substring(md5(w), 31, 1)) - 1) * 16 + " +
+          s"instr('0123456789abcdef', substring(md5(w), 32, 1)) - 1) div $per " +
+          "as bigint)"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
+    b.groupBy(col("doc_id"))
+      .agg(array((0 until dim).map(i =>
+        sum(when(col("bucket") === i, col("n")).otherwise(0L)).cast("double")): _*)
+        .as("embedding"))
+  }
+
   /** Quality features + a composite score (length/punct/stopword ratios —
     * the standard cheap quality heuristics). Ratios are reported in
     * basis points via floor(x·10⁴): float division is bit-identical

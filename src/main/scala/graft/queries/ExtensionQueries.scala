@@ -2278,6 +2278,32 @@ object ExtensionQueries {
       threshold = 0.3)
   }
 
+  /** Model-free semantic neighbors over RAW TEXT: every 25th document's
+    * nearest same-language neighbor by cosine over hashed bag-of-words
+    * vectors (TextOps.hashEmbed, 64 md5 buckets) — the documents table
+    * entering the vector-operator world with no embedding model in the
+    * loop. The sampled query side broadcasts into one corpus scan
+    * (q168's sampling shape); at corpus scale the pair term blocks by
+    * LSH bucket instead of language, unchanged. */
+  val q177HashEmbedNn: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val d = TextOps.hashEmbed(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val q = d.filter(col("doc_id") % 25 === 0)
+      .select(col("lang"), col("doc_id"), col("embedding").as("qv"))
+    val c = d.select(col("lang"), col("doc_id").as("nn_id"),
+      col("embedding").as("cv"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    c.join(broadcast(q), Seq("lang"))
+      .filter(col("nn_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("nn_id"),
+        round(Similarity.cosine(col("cv"), col("qv")), 6).as("sim"))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2447,6 +2473,7 @@ object ExtensionQueries {
     "q174_rp_rerank" -> q174RpRerank,
     "q175_kmeans_quality" -> q175KmeansQuality,
     "q176_semdedup_learned" -> q176SemdedupLearned,
+    "q177_hash_embed_nn" -> q177HashEmbedNn,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5452,5 +5479,36 @@ object ExtensionQueries {
          SELECT a.vec_id, a.cluster,
                 a.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
          FROM a""",
+    // hashed bag-of-words replayed bucket-for-bucket (the q161 md5-tail
+    // convention, two hex chars // 4 -> 64 buckets), then the sampled
+    // within-language nearest-neighbor argmax
+    "q177_hash_embed_nn" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+         b AS (SELECT doc_id,
+                      CAST(((instr('0123456789abcdef', substr(md5(w), 31, 1)) - 1)
+                             * 16 +
+                            instr('0123456789abcdef', substr(md5(w), 32, 1)) - 1)
+                           // 4 AS BIGINT) AS bucket
+               FROM w),
+         c AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         v AS (SELECT doc_id, list(cnt ORDER BY i) AS v FROM (
+                 SELECT c.doc_id, i.i,
+                        CAST(coalesce(sum(CASE WHEN c.bucket = i.i THEN c.n END), 0)
+                             AS DOUBLE) AS cnt
+                 FROM c, (SELECT unnest(range(0, 64)) AS i) i
+                 GROUP BY c.doc_id, i.i)
+               GROUP BY doc_id),
+         d AS (SELECT v.doc_id, documents.lang, v.v
+               FROM v JOIN documents USING (doc_id)),
+         q AS (SELECT * FROM d WHERE doc_id % 25 = 0)
+         SELECT doc_id, nn_id, sim FROM (
+           SELECT q.doc_id, d.doc_id AS nn_id,
+                  round(list_cosine_similarity(q.v, d.v), 6) AS sim,
+                  ROW_NUMBER() OVER (PARTITION BY q.doc_id
+                    ORDER BY round(list_cosine_similarity(q.v, d.v), 6) DESC,
+                             d.doc_id) AS rn
+           FROM q JOIN d ON d.lang = q.lang AND d.doc_id <> q.doc_id)
+         WHERE rn = 1""",
   )
 }

@@ -150,6 +150,31 @@ class ClusteringSpec extends SparkSpec {
     assert(rowSet(res) == rowSet(Projection.pqAdcTopK(pqCorpus, pqCorpus, k = 3)))
   }
 
+  test("kmeansFrom: one warm-start round ≡ one more seeded iteration; accepts label naming") {
+    val c3 = Clustering.kmeansCentroids(corpus, k = 2, iters = 3)
+    val c4 = rowSet(Clustering.kmeansCentroids(corpus, k = 2, iters = 4))
+    assert(rowSet(Clustering.kmeansFrom(corpus, c3, rounds = 1)) == c4)
+    assert(rowSet(Clustering.kmeansFrom(
+      corpus, c3.withColumnRenamed("cluster", "label"), rounds = 1)) == c4)
+  }
+
+  test("hashEmbed: 64 buckets, component sum = word count, identical text = identical vector") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "completely different words entirely here now"),
+    ).toDF("doc_id", "text")
+    val v = graft.operators.TextOps.hashEmbed(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(v.forall(_._2.length == 64))
+    v.foreach { case (id, vec) =>
+      assert(vec.sum == (if (id == 3L) 6.0 else 6.0), s"doc $id bucket mass")
+      assert(vec.forall(_ >= 0.0))
+    }
+    assert(v(0)._2 == v(1)._2, "identical text must hash identically")
+    assert(v(0)._2 != v(2)._2, "different text should land differently")
+  }
+
   test("rpRerankTopK with a full-corpus shortlist degenerates to exact brute force") {
     val dim = 64
     val vecs = (0 until 8).map { i =>

@@ -47,6 +47,38 @@ object TextOps {
         .as("embedding"))
   }
 
+  /** C4-style line-level corpus dedup (Raffel et al. 2020 drop
+    * repeated lines; CCNet dedups paragraph hashes): a "line" is a
+    * ". "-separated sentence unit, and any line occurring in ≥ `minDf`
+    * DISTINCT documents is corpus boilerplate — removed from EVERY
+    * document (unlike doc-level dedup, which keeps one copy). The
+    * readout carries the cleaned text's md5, so the oracle pins the
+    * actual surviving text in original order, not just counts.
+    *
+    * Scale shape: one explode + one distinct line-frequency aggregate +
+    * one per-doc re-assembly aggregate, all partial-combining; the
+    * line-df table is the only shuffle-sized term (bounded by distinct
+    * lines — the same key space the 8-gram passes already shuffle).
+    * Output: (doc_id, n_lines, n_dropped, clean_hash). */
+  def lineDedup(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+      .toDF("doc_id", "pos", "line")
+    val dup = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("line")).withColumn("graft_dup", lit(true))
+    lines.join(dup, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("graft_dup"), 1L).otherwise(0L)).as("n_dropped"),
+        md5(concat_ws(". ",
+          transform(
+            array_sort(collect_list(
+              when(col("graft_dup").isNull, struct(col("pos"), col("line"))))),
+            x => x.getField("line")))).as("clean_hash"))
+  }
+
   /** Quality features + a composite score (length/punct/stopword ratios —
     * the standard cheap quality heuristics). Ratios are reported in
     * basis points via floor(x·10⁴): float division is bit-identical

@@ -2304,6 +2304,15 @@ object ExtensionQueries {
       .drop("graft_rn")
   }
 
+  /** C4-style line-level dedup: sentence units occurring in ≥2 distinct
+    * documents are corpus boilerplate, removed from every doc; the
+    * cleaned text is pinned by md5 in original order. The line-granular
+    * complement of q24 (doc-level exact) and q52/q154 (gram-level
+    * readouts) — those MEASURE duplication, this one performs the cut.
+    * See TextOps.lineDedup. */
+  val q178LineDedup: Q = (s, dir) =>
+    TextOps.lineDedup(t(s, dir, "documents"), minDf = 2)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2474,6 +2483,7 @@ object ExtensionQueries {
     "q175_kmeans_quality" -> q175KmeansQuality,
     "q176_semdedup_learned" -> q176SemdedupLearned,
     "q177_hash_embed_nn" -> q177HashEmbedNn,
+    "q178_line_dedup" -> q178LineDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5510,5 +5520,28 @@ object ExtensionQueries {
                              d.doc_id) AS rn
            FROM q JOIN d ON d.lang = q.lang AND d.doc_id <> q.doc_id)
          WHERE rn = 1""",
+    // position-aware line explode (the q130 struct_pack pattern),
+    // distinct-doc line frequency, kept-line re-assembly in order;
+    // empty survivor sets hash '' (coalesce matches Spark's concat_ws)
+    "q178_line_dedup" ->
+      """WITH l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(0, len(s)),
+                               i -> struct_pack(pos := i, line := s[i + 1]))) AS u
+                 FROM (SELECT doc_id, string_split(text, '. ') AS s
+                       FROM documents))),
+         d AS (SELECT line FROM (
+                 SELECT line, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, line FROM l)
+                 GROUP BY line)
+               WHERE df >= 2)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_dropped,
+                md5(coalesce(
+                  string_agg(l.line, '. ' ORDER BY l.pos)
+                    FILTER (WHERE d.line IS NULL), '')) AS clean_hash
+         FROM l LEFT JOIN d ON l.line = d.line
+         GROUP BY doc_id""",
   )
 }

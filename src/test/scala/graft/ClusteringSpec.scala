@@ -175,6 +175,26 @@ class ClusteringSpec extends SparkSpec {
     assert(v(0)._2 != v(2)._2, "different text should land differently")
   }
 
+  test("lineDedup: shared lines drop everywhere, unique text survives in order") {
+    val docs = Seq(
+      (1L, "unique one. SHARED AD. unique two"),
+      (2L, "other text. SHARED AD. more text"),
+      (3L, "totally original. nothing shared"),
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.lineDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 2L, 0L)))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0)._4 == h("unique one. unique two"), "order must be preserved")
+    assert(out(2)._4 == h("totally original. nothing shared"))
+    // a doc that is ALL boilerplate hashes the empty string
+    val all = Seq((1L, "X. Y"), (2L, "X. Y")).toDF("doc_id", "text")
+    graft.operators.TextOps.lineDedup(all).collect()
+      .foreach(r => assert(r.getString(3) == h("")))
+  }
+
   test("rpRerankTopK with a full-corpus shortlist degenerates to exact brute force") {
     val dim = 64
     val vecs = (0 until 8).map { i =>

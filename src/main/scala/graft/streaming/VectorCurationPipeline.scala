@@ -42,6 +42,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      re-assign every member to its nearest new centroid) written as
   *      generation k+1, then the pointer swap. k stays fixed — this
   *      heals centroid drift, it does not grow the codebook.
+  *      `refitRounds > 0` strengthens the healing with that many full
+  *      warm-start Lloyd rounds ([[graft.operators.Clustering.kmeansFrom]])
+  *      between the M and the final E — cluster ids stay stable either
+  *      way, so the generation layout never renumbers.
   *
   * Scale shape: every per-batch term is bounded by the batch (the
   * index-side work is pruned to the batch's clusters); the re-fit is
@@ -107,6 +111,7 @@ object VectorCurationPipeline {
       checkpointDir: String,
       threshold: Double = 0.3,
       ksThreshold: Double = 0.2,
+      refitRounds: Int = 0,
       trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -150,7 +155,12 @@ object VectorCurationPipeline {
             val members = spark.read.parquet(idx)
               .select(col("vec_id"), col("embedding"), col("label"))
               .localCheckpoint()
-            val newCent = Similarity.centroids(members).localCheckpoint()
+            val healed = Similarity.centroids(members)
+            val newCent = (if (refitRounds > 0)
+              graft.operators.Clustering
+                .kmeansFrom(members, healed, refitRounds)
+                .withColumnRenamed("cluster", "label")
+            else healed).localCheckpoint()
             val reassigned = Similarity
               .assignToCentroids(members.select(col("vec_id"), col("embedding")),
                 newCent)

@@ -90,4 +90,44 @@ class VectorCurationPipelineSpec extends SparkSpec {
         "post-re-fit pruned probe diverged from brute force")
     } finally q.stop()
   }
+
+  test("refitRounds > 0: warm-start Lloyd rounds in the re-fit, same invariants") {
+    implicit val ctx = spark.sqlContext
+    val seed = Seq(
+      (0L, vec(5.71), 0), (1L, vec(0.0), 0),
+      (2L, vec(174.29), 1), (3L, vec(180.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft-cur2").toString + "/vecs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur2-ckpt").toString
+    VectorCurationPipeline.init(spark, seed, root)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = VectorCurationPipeline.start(
+      spark, in.toDF().toDF("vec_id", "embedding"), root, ckpt,
+      threshold = 0.9999, ksThreshold = 0.2, refitRounds = 2,
+      trigger = Trigger.ProcessingTime("25 milliseconds"))
+    try {
+      in.addData((20L, vec(90.0)), (21L, vec(271.0)))
+      q.processAllAvailable()
+      assert(VectorCurationPipeline.currentGen(spark, root) == 1L,
+        "the drifted batch must advance the generation pointer")
+      val gen1Idx = spark.read.parquet(
+        VectorCurationPipeline.idxDir(root, 1L)).localCheckpoint()
+      assert(gen1Idx.count() == 6, "re-fit must preserve every kept member")
+      // cluster ids never renumber: the generation still has labels {0, 1}
+      assert(gen1Idx.select(col("label")).distinct().as[Int].collect().toSet
+        .subsetOf(Set(0, 1)))
+      val newCent = spark.read.parquet(VectorCurationPipeline.centDir(root, 1L))
+      assert(newCent.count() == 2, "warm-start healing must not grow the codebook")
+      val queries = Seq((99L, vec(2.0), 0), (98L, vec(95.0), 0))
+        .toDF("vec_id", "embedding", "label")
+      val probe = Similarity.ivfTopKIndexed(
+        spark, VectorCurationPipeline.idxDir(root, 1L), queries, newCent,
+        k = 6, nprobe = 2)
+        .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
+      val brute = Similarity.bruteForceTopK(queries, gen1Idx, k = 6)
+        .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
+      assert(rowSet(probe) == rowSet(brute),
+        "post-warm-re-fit pruned probe diverged from brute force")
+    } finally q.stop()
+  }
 }

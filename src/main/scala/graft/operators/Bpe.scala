@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer LEARNING and application — the
+  * "train the tokenizer on the corpus" stage of an LLM data pipeline,
+  * distributed the way the cost law wants it:
+  *
+  *   - The ONE corpus-sized job is [[wordFreq]] — a single
+  *     explode + partially-aggregated groupBy producing the
+  *     (word, freq) vocabulary. At 100 TB of text the distinct-word
+  *     frame is ~10⁷–10⁸ rows — thousands of times smaller than the
+  *     corpus — and every learning round after it runs on THAT frame,
+  *     never on raw text again (exactly how sentencepiece/HF trainers
+  *     operate: BPE statistics are word-frequency-weighted, so the
+  *     aggregate is lossless for learning).
+  *   - Each merge round is: adjacent-pair counts over the vocab frame
+  *     (weighted by word freq, one partial-aggregated groupBy), a
+  *     driver-collected ARGMAX of exactly one row (the k-means-centroid
+  *     pattern — bounded driver state, never the data), and a
+  *     codegen'd higher-order-function fold applying the merge. The
+  *     vocab frame is localCheckpoint'ed per round so round k's plan
+  *     never re-embeds folds 1..k-1 (the fused-iteration blowup
+  *     [[Graph]] hit at 30× — same medicine, applied from day one).
+  *   - Encoding a corpus with the learned merges never re-runs the
+  *     fold per occurrence: [[encodeStats]] joins document words to the
+  *     ALREADY-ENCODED vocabulary (token count per distinct word) —
+  *     the per-word memoization real tokenizers use, as a join. The
+  *     vocab side broadcasts by default; pass `broadcastVocab=false`
+  *     for a shuffle join when the vocabulary itself is huge.
+  *
+  * Merge-application semantics are the standard greedy left-to-right
+  * rule: scan the symbol sequence once, merging every non-overlapping
+  * adjacent (lhs, rhs) as soon as it is seen — `aa a` from `a a a`,
+  * `aa aa` from `a a a a`. Ties in the per-round argmax break on
+  * (count DESC, lhs ASC, rhs ASC) so two engines (or two runs) always
+  * learn the identical merge table. Used by q179/q180; oracle-pinned
+  * against a DuckDB re-implementation of the same recurrence.
+  */
+object Bpe {
+
+  /** One learned merge: 1-based rank, the two symbols merged, and the
+    * freq-weighted adjacent-pair count that made it the round's argmax. */
+  final case class Merge(rank: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** (w, freq) vocabulary of a whitespace-tokenized text column — the
+    * single corpus-sized scan in BPE learning. Map-side partial
+    * aggregation does the heavy lifting; the shuffle moves only
+    * (word, partial-count) pairs. */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Seed state: each word as its character sequence. `split(w, '')`
+    * can emit a trailing empty token depending on engine/version, so
+    * empties are filtered — the symbol alphabet is exactly the
+    * characters of the vocabulary. */
+  private def initialSymbols(words: DataFrame): DataFrame =
+    words.select(col("w"), col("freq"),
+      filter(split(col("w"), ""), x => x =!= lit("")).as("syms"))
+
+  private def sqlStr(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Greedy left-to-right merge of adjacent (lhs, rhs) occurrences in
+    * the `syms` array — one codegen-friendly fold, no UDF. */
+  private def applyMerge(lhs: String, rhs: String): Column = {
+    val l = sqlStr(lhs); val r = sqlStr(rhs); val m = sqlStr(lhs + rhs)
+    expr(
+      s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+         |  IF(size(acc) > 0 AND element_at(acc, -1) = '$l' AND x = '$r',
+         |     concat(slice(acc, 1, size(acc) - 1), array('$m')),
+         |     concat(acc, array(x))))""".stripMargin)
+  }
+
+  /** Freq-weighted adjacent-pair counts of the current symbol state.
+    * The index struct names the fields explicitly (arrays_zip field
+    * naming varies with expression shape across Spark versions). */
+  private def pairCounts(syms: DataFrame): DataFrame =
+    syms.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"))
+        .as("p"))
+      .select(col("freq"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .groupBy(col("lhs"), col("rhs")).agg(sum(col("freq")).as("pair_count"))
+
+  /** Learn up to `nMerges` BPE merges over a (w, freq) vocabulary.
+    * Returns the merge table and the final per-word symbol state
+    * (w, freq, syms) — the encoded vocabulary [[encodeStats]] joins
+    * against. Stops early (with fewer merges) once no adjacent pair
+    * remains. Driver state is ONE (lhs, rhs, count) row per round. */
+  def learn(words: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 1, "Bpe.learn needs nMerges >= 1")
+    // vocab-sized; checkpoint so each round's jobs start from
+    // materialized state instead of re-deriving every earlier fold
+    var syms = initialSymbols(words).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = pairCounts(syms)
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, l, r, c)
+        syms = syms.withColumn("syms", applyMerge(l, r)).localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** Merge table as a DataFrame: (rank, lhs, rhs, pair_count). */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank").cast("bigint").as("rank"), col("lhs"), col("rhs"),
+        col("pair_count"))
+  }
+
+  /** Per-document tokenization stats under an encoded vocabulary
+    * (the (w, freq, syms) frame [[learn]] returns): word, character
+    * and BPE-token counts. The fold already ran ONCE per distinct
+    * word; this is a join + aggregate, so the corpus-sized side is
+    * touched exactly once more. `broadcastVocab=false` switches the
+    * vocab side to a shuffle join for vocabularies too large to ship
+    * to every executor. */
+  def encodeStats(docs: DataFrame, vocabSyms: DataFrame,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val v0 = vocabSyms.select(col("w"),
+      length(col("w")).cast("bigint").as("n_char"),
+      size(col("syms")).cast("bigint").as("n_sym"))
+    val v = if (broadcastVocab) broadcast(v0) else v0
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(v, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_char")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+}

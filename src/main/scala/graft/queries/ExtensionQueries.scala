@@ -2313,6 +2313,46 @@ object ExtensionQueries {
   val q178LineDedup: Q = (s, dir) =>
     TextOps.lineDedup(t(s, dir, "documents"), minDf = 2)
 
+  /** BPE tokenizer LEARNING: the 6-round merge table over the corpus
+    * vocabulary — (rank, lhs, rhs, pair_count). The corpus is scanned
+    * exactly once (word-freq aggregate); every round after runs on the
+    * vocab-sized frame with one driver-held argmax row. See
+    * [[graft.operators.Bpe]]. */
+  val q179BpeMerges: Q = (s, dir) => {
+    val (merges, _) = Bpe.learn(Bpe.wordFreq(t(s, dir, "documents")), nMerges = 6)
+    Bpe.mergesDf(s, merges)
+  }
+
+  /** BPE application under the q179 merges: per-document word / char /
+    * BPE-token counts via the encoded-vocabulary join (the fold runs
+    * once per DISTINCT word, never per occurrence) — the real
+    * "token-count your corpus with the tokenizer you just trained"
+    * stage a token-budget cut (q162) consumes. */
+  val q180BpeEncode: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    Bpe.encodeStats(docs, vocab)
+  }
+
+  /** SOFT dedup: instead of dropping exact duplicates (q24), weight
+    * every copy by 1/n_copies so each distinct content contributes one
+    * unit of sampling mass — the repetition-aware reweighting that
+    * keeps natural duplication signal while un-biasing the mixture.
+    * Output per doc: copy count, weight in basis points, and the doc's
+    * weighted token mass (floor basis-point arithmetic, integer-exact
+    * across engines). One hash-groupBy + one broadcast-eligible join
+    * back on the hash — same shuffle shape as exact dedup. */
+  val q181SoftDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        TextOps.wordCount(col("text")).as("n_tokens"))
+    val copies = docs.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, Seq("h"))
+      .select(col("doc_id"), col("n_copies"),
+        expr("10000 div n_copies").as("weight_bp"),
+        expr("(n_tokens * (10000 div n_copies))").as("token_mass_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2484,7 +2524,40 @@ object ExtensionQueries {
     "q176_semdedup_learned" -> q176SemdedupLearned,
     "q177_hash_embed_nn" -> q177HashEmbedNn,
     "q178_line_dedup" -> q178LineDedup,
+    "q179_bpe_merges" -> q179BpeMerges,
+    "q180_bpe_encode" -> q180BpeEncode,
+    "q181_soft_dedup" -> q181SoftDedup,
   )
+
+  /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
+    * recurrence as chained CTEs: w0 = char-split vocab, then per round
+    * (pair counts via zipped parallel unnest → deterministic argmax →
+    * greedy left-to-right fold via list_reduce over a '|'-joined
+    * accumulator — safe because the testdata alphabet is [a-y ];
+    * the ENGINE uses real arrays and has no such restriction). */
+  private def bpeOracleCtes(nRounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |            string_split(w, '') AS syms
+        |     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |     WHERE w <> '' GROUP BY w)""".stripMargin)
+    for (i <- 1 to nRounds) {
+      val p = i - 1
+      sb.append(s""",
+        | p$i AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |     SELECT freq, unnest(syms[1:len(syms)-1]) AS lhs,
+        |            unnest(syms[2:len(syms)]) AS rhs
+        |     FROM w$p WHERE len(syms) >= 2) GROUP BY lhs, rhs),
+        | m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        | w$i AS (SELECT w, freq,
+        |     CASE WHEN len(syms) < 2 THEN syms ELSE string_split(list_reduce(syms, (acc, x) ->
+        |       CASE WHEN regexp_extract(acc, '([^|]*)$$') = m.lhs AND x = m.rhs
+        |            THEN regexp_replace(acc, '([^|]*)$$', m.lhs || m.rhs)
+        |            ELSE acc || '|' || x END), '|') END AS syms
+        |     FROM w$p CROSS JOIN m$i m)""".stripMargin)
+    }
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
@@ -5543,5 +5616,27 @@ object ExtensionQueries {
                     FILTER (WHERE d.line IS NULL), '')) AS clean_hash
          FROM l LEFT JOIN d ON l.line = d.line
          GROUP BY doc_id""",
+    "q179_bpe_merges" -> (bpeOracleCtes(6) + "\n " +
+      (1 to 6).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, cnt AS pair_count FROM m$i")
+        .mkString("SELECT * FROM (", " UNION ALL ", ")")),
+    "q180_bpe_encode" -> (bpeOracleCtes(6) +
+      """
+        | SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |        CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+        |        CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |       FROM documents) t
+        | JOIN w6 v ON t.w = v.w WHERE t.w <> ''
+        | GROUP BY t.doc_id""".stripMargin),
+    "q181_soft_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies FROM d GROUP BY h)
+         SELECT d.doc_id, c.n_copies,
+                10000 // c.n_copies AS weight_bp,
+                d.n_tokens * (10000 // c.n_copies) AS token_mass_bp
+         FROM d JOIN c USING (h)""",
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning + application: hand-computed merge tables on a
+  * tiny corpus, the greedy left-to-right fold law on symbol chains, and
+  * the encode join's memoization contract. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learn: hand-computed merges and greedy application") {
+    // corpus: "low low lower" — pair counts round 1 over vocab
+    //   low(2):  l-o 2, o-w 2 ; lower(1): l-o 1, o-w 1, w-e 1, e-r 1
+    //   argmax: l-o (3) beats o-w (3)? no — both 3, tie breaks lhs asc: l < o
+    val docs = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 3)
+    assert(merges.map(m => (m.rank, m.lhs, m.rhs, m.pairCount)) === Seq(
+      (1, "l", "o", 3L),   // tie with o-w broken on lhs
+      (2, "lo", "w", 3L),  // after merge 1, lo-w appears 3 times
+      (3, "e", "r", 1L)))  // low(2) is fully merged; lower: low-e 1, e-r 1
+    val state = vocab.select(col("w"), col("syms")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(state("low") === Seq("low"))
+    assert(state("lower") === Seq("low", "er"))
+  }
+
+  test("greedy fold is left-to-right non-overlapping on symbol chains") {
+    // "a a a a a a" as one word of six a's: merging (a, a) greedily
+    // gives [aa, aa, aa]; an odd chain leaves the tail singleton
+    val docs = Seq((0L, "aaaaaa"), (1L, "aaaaa")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 1)
+    assert(merges.head.lhs === "a" && merges.head.rhs === "a")
+    // 6-chain: 5 adjacent pairs; 5-chain: 4 → pair_count 9
+    assert(merges.head.pairCount === 9L)
+    val state = vocab.select(col("w"), col("syms")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(state("aaaaaa") === Seq("aa", "aa", "aa"))
+    assert(state("aaaaa") === Seq("aa", "aa", "a"))
+  }
+
+  test("learn stops early when no adjacent pair remains") {
+    val docs = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 10)
+    assert(merges.map(m => (m.lhs, m.rhs)) === Seq(("a", "b")))
+    assert(vocab.select(col("syms")).as[Seq[String]].collect().toSeq ===
+      Seq(Seq("ab")))
+  }
+
+  test("encodeStats: per-doc counts via the encoded-vocab join, both join strategies") {
+    val docs = Seq((0L, "low low lower"), (1L, "lower")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 3)
+    val expected = Seq(
+      Seq[Any](0L, 3L, 11L, 4L), // low(1)+low(1)+lower([low, er]); chars 3+3+5
+      Seq[Any](1L, 1L, 5L, 2L))
+    assert(rowSet(Bpe.encodeStats(docs, vocab)) === expected)
+    assert(rowSet(Bpe.encodeStats(docs, vocab, broadcastVocab = false)) ===
+      expected)
+  }
+
+  test("argmax tiebreak is (count desc, lhs, rhs) — deterministic re-run") {
+    val docs = Seq((0L, "xy yx xy yx")).toDF("doc_id", "text")
+    val a = Bpe.learn(Bpe.wordFreq(docs), nMerges = 2)._1
+    val b = Bpe.learn(Bpe.wordFreq(docs), nMerges = 2)._1
+    assert(a === b)
+    // x-y and y-x both count 2; x < y so (x, y) wins round 1
+    assert(a.head.lhs === "x" && a.head.rhs === "y")
+  }
+}

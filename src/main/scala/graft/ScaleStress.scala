@@ -63,7 +63,13 @@ object ScaleStress {
     // a superlinear factor would mean per-round lineage is growing.
     // q173/q174: compressed-domain ADC and sketch-shortlist-rerank —
     // scan-bound scoring plus a per-query rank window, expected ~linear
-    "q171_kmeans", "q173_pq_recall", "q174_rp_rerank")
+    "q171_kmeans", "q173_pq_recall", "q174_rp_rerank",
+    // q179: iterative BPE learning — the per-copy word suffixes grow
+    // the vocabulary ~linearly with copies, so the 6 learning rounds
+    // (pair counts + fold over the vocab frame) are expected ~linear;
+    // superlinear would mean per-round lineage is leaking past the
+    // localCheckpoint. q180 adds the corpus-side encode join.
+    "q179_bpe_merges", "q180_bpe_encode")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

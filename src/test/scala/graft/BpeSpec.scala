@@ -58,6 +58,32 @@ class BpeSpec extends SparkSpec {
       expected)
   }
 
+  test("fold invariants on random corpora: char mass conserved, token count monotone") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word))
+    for (i <- 0 until 6) {
+      val words = corpus(Gen.Parameters.default, Seed(7L + i)).get
+      val docs = words.zipWithIndex.map { case (w, j) => (j.toLong, w) }
+        .toDF("doc_id", "text")
+      val (merges, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 4)
+      val state = vocab.select(col("w"), col("syms"))
+        .as[(String, Seq[String])].collect()
+      // every word's symbols concatenate back to the word (no char
+      // created or lost by any merge), and the merge table only ever
+      // SHRINKS a sequence: |syms| <= |word|
+      state.foreach { case (w, syms) =>
+        assert(syms.mkString === w, s"char mass broken for '$w'")
+        assert(syms.nonEmpty && syms.size <= w.length)
+      }
+      // ranks are 1..k with positive counts
+      assert(merges.map(_.rank) === (1 to merges.size))
+      assert(merges.forall(_.pairCount > 0))
+    }
+  }
+
   test("argmax tiebreak is (count desc, lhs, rhs) — deterministic re-run") {
     val docs = Seq((0L, "xy yx xy yx")).toDF("doc_id", "text")
     val a = Bpe.learn(Bpe.wordFreq(docs), nMerges = 2)._1

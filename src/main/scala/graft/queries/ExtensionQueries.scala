@@ -2353,6 +2353,25 @@ object ExtensionQueries {
         expr("(n_tokens * (10000 div n_copies))").as("token_mass_bp"))
   }
 
+  /** Token-budget selection measured in LEARNED-tokenizer tokens: q162's
+    * quality-ranked greedy cut, but the cost of each document is its
+    * q180 BPE token count, not its whitespace word count — budgets are
+    * spent in the tokens the model actually trains on. Composes the
+    * whole tokenizer block: learn (vocab-frame rounds) → encode
+    * (memoized join) → banded budget scan. */
+  val q182BpeBudget: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    val enc = Bpe.encodeStats(docs, vocab)
+    val scored = TextOps.qualityFeatures(docs)
+      .select(col("doc_id"), col("quality_score_bp"))
+    Sampling.budgetSelect(enc.join(scored, Seq("doc_id")),
+      key = col("doc_id"), score = col("quality_score_bp"),
+      tokens = col("n_bpe_tokens"), budgetPct = 25)
+      .select(col("key").as("doc_id"), col("score"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2527,6 +2546,7 @@ object ExtensionQueries {
     "q179_bpe_merges" -> q179BpeMerges,
     "q180_bpe_encode" -> q180BpeEncode,
     "q181_soft_dedup" -> q181SoftDedup,
+    "q182_bpe_budget" -> q182BpeBudget,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -5638,5 +5658,26 @@ object ExtensionQueries {
                 10000 // c.n_copies AS weight_bp,
                 d.n_tokens * (10000 // c.n_copies) AS token_mass_bp
          FROM d JOIN c USING (h)""",
+    "q182_bpe_budget" -> (bpeOracleCtes(6) +
+      """,
+        | enc AS (SELECT t.doc_id, CAST(sum(len(v.syms)) AS BIGINT) AS n_tokens
+        |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |               FROM documents) t
+        |         JOIN w6 v ON t.w = v.w WHERE t.w <> '' GROUP BY t.doc_id),
+        | q AS (SELECT doc_id,
+        |         CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+        |               + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+        |                       / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+        |               + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+        |                              / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS score
+        |       FROM documents),
+        | j AS (SELECT q.doc_id, q.score, enc.n_tokens
+        |       FROM q JOIN enc ON q.doc_id = enc.doc_id),
+        | tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM j),
+        | r AS (SELECT doc_id, score, n_tokens,
+        |              CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+        |                AS BIGINT) AS cum_tokens FROM j)
+        | SELECT doc_id, score, n_tokens, cum_tokens
+        | FROM r, tot WHERE cum_tokens <= (total * 25) // 100""".stripMargin),
   )
 }

@@ -2101,8 +2101,13 @@ object ExtensionQueries {
     val exact = scored.join(keep, Seq("doc_id")).localCheckpoint()
     val survVecs = t(s, dir, "embeddings")
       .join(exact.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    // the capstone is the PRODUCTION pipeline, so it runs the pair
+    // join on the corpus-scale strategy (co-partitioned shuffle, one
+    // cluster block per task) rather than the small-corpus broadcast
+    // default — q160/q165 keep timing the two strategies head-to-head
     val dropped = Similarity
-      .semDedup(survVecs, Similarity.centroids(survVecs), threshold = 0.3)
+      .semDedup(survVecs, Similarity.centroids(survVecs), threshold = 0.3,
+        broadcastBlocks = false)
       .filter(!col("kept")).select(col("vec_id").as("doc_id"))
     val afterSem = exact.join(dropped, Seq("doc_id"), "left_anti")
     Sampling.budgetSelect(afterSem, col("doc_id"), col("quality_score_bp"),

@@ -73,6 +73,13 @@ object Bench {
       // (observed: 3.2s standalone vs 12.2s at position 100)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // unpersist only MARKS blocks; the ContextCleaner frees them
+      // after a GC notices the dead refs (the 30s periodic GC above is
+      // the backstop, but sub-second queries outrun it). Forcing the
+      // GC here puts reclamation in NON-measured time — without it a
+      // heavy query reads its predecessors' block residue (q87 at 30×:
+      // 92s mid-sweep vs 38s clean-JVM for the identical plan).
+      System.gc()
       // steady-state: min filters JIT/GC noise (failures → -1); the raw
       // readings ride along so a load-contaminated capture is visible
       // per query (a clean min with a 3× outlier pass reads as noise,

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank strategy A/B: times q87's recurrence over a table dir
+  * under every (broadcastNodes, perRoundCheckpoint) combination,
+  * alternating order within each pass so host drift hits all arms
+  * equally. Used to answer "which plan shape should a graph this size
+  * run" with a measurement instead of a guess (the q87 bisect tool,
+  * generalized).
+  *
+  *   runMain graft.GraphAb [tableDir] [iterations] [passes]
+  */
+object GraphAb {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val passes = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = Tables.localSession("graft-graph-ab")
+
+    def run(bn: Boolean, prc: Boolean): Double = {
+      val t0 = System.nanoTime()
+      Graph.pageRankWeighted(
+        Graph.bipartiteEdges(Tables.load(spark, dir, "lineitem"),
+          "l_partkey", "l_suppkey", "p", "s").withColumn("w", lit(1L)),
+        iterations = iters, broadcastNodes = bn,
+        perRoundCheckpoint = Some(prc))
+        .write.format("noop").mode("overwrite").save()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val arms = Seq((true, true), (true, false), (false, true), (false, false))
+    run(arms.head._1, arms.head._2) // JIT/scan warmup, discarded
+    val times = (1 to passes).flatMap { p =>
+      val order = if (p % 2 == 0) arms.reverse else arms
+      order.map { case (bn, prc) => ((bn, prc), run(bn, prc)) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val js = arms.map { a =>
+      s""""bn=${a._1},perRound=${a._2}":${times(a)}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"dir":"$dir","iterations":$iters,"arms":$js}""")
+    spark.stop()
+  }
+}

@@ -201,6 +201,14 @@ object ScaleStress {
       val scaledSec = Seq.fill(2)(timeNoop(fn(spark, outDir))).min
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // unpersist only MARKS checkpoint/broadcast blocks; the
+      // ContextCleaner reclaims them after a GC notices the dead refs.
+      // Without this, a heavy query measures its predecessors' block
+      // residue: q87 at 30× read 92s inside the shared-JVM sweep vs
+      // 38s for the identical recurrence in a clean JVM (GraphAb).
+      // A forced GC between queries is non-measured time — factors
+      // then compare operators, not harness history.
+      System.gc()
       val planSame = srcShape == scaledShape
       val diff = if (planSame) "" else {
         val a = srcShape.groupBy(identity).view.mapValues(_.size).toMap

@@ -2377,6 +2377,24 @@ object ExtensionQueries {
         col("cum_tokens"))
   }
 
+  /** Tokenizer fertility per language under the LEARNED merges:
+    * BPE tokens per 100 words (floor bp) by lang — q144's fairness
+    * readout, re-costed in the tokenizer the corpus actually trained
+    * (languages the merges under-serve pay more tokens per word, i.e.
+    * more context budget for the same text). Vocab-join encode, one
+    * lang-keyed aggregate. */
+  val q183BpeFertility: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    Bpe.encodeStats(docs, vocab)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility_bp",
+        expr("(n_bpe_tokens * 10000) div n_words"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2552,6 +2570,7 @@ object ExtensionQueries {
     "q180_bpe_encode" -> q180BpeEncode,
     "q181_soft_dedup" -> q181SoftDedup,
     "q182_bpe_budget" -> q182BpeBudget,
+    "q183_bpe_fertility" -> q183BpeFertility,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -5684,5 +5703,19 @@ object ExtensionQueries {
         |                AS BIGINT) AS cum_tokens FROM j)
         | SELECT doc_id, score, n_tokens, cum_tokens
         | FROM r, tot WHERE cum_tokens <= (total * 25) // 100""".stripMargin),
+    "q183_bpe_fertility" -> (bpeOracleCtes(6) +
+      """,
+        | enc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+        |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |               FROM documents) t
+        |         JOIN w6 v ON t.w = v.w WHERE t.w <> '' GROUP BY t.doc_id)
+        | SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+        |        CAST(sum(enc.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+        |        (CAST(sum(enc.n_bpe_tokens) AS BIGINT) * 10000)
+        |          // CAST(sum(enc.n_words) AS BIGINT) AS fertility_bp
+        | FROM documents d JOIN enc ON d.doc_id = enc.doc_id
+        | GROUP BY d.lang""".stripMargin),
   )
 }

@@ -19,27 +19,39 @@ object GraphAb {
     val passes = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = Tables.localSession("graft-graph-ab")
 
-    def run(bn: Boolean, prc: Boolean): Double = {
+    // intIds: same recurrence over LONG node keys (2·part / 2·supp+1,
+    // decoded back to the "p…"/"s…" strings in a final projection) —
+    // measures what the string keys cost every shuffle/broadcast/hash
+    def edges(intIds: Boolean) = {
+      val li = Tables.load(spark, dir, "lineitem")
+      (if (intIds) Graph.bipartiteEdgesLong(li, "l_partkey", "l_suppkey")
+       else Graph.bipartiteEdges(li, "l_partkey", "l_suppkey", "p", "s"))
+        .withColumn("w", lit(1L))
+    }
+    def run(bn: Boolean, prc: Boolean, intIds: Boolean): Double = {
       val t0 = System.nanoTime()
-      Graph.pageRankWeighted(
-        Graph.bipartiteEdges(Tables.load(spark, dir, "lineitem"),
-          "l_partkey", "l_suppkey", "p", "s").withColumn("w", lit(1L)),
+      val pr = Graph.pageRankWeighted(edges(intIds),
         iterations = iters, broadcastNodes = bn,
         perRoundCheckpoint = Some(prc))
-        .write.format("noop").mode("overwrite").save()
+      val out = if (!intIds) pr else pr.select(
+        Graph.decodeBipartite(col("node"), "p", "s").as("node"), col("rank"))
+      out.write.format("noop").mode("overwrite").save()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      System.gc()
       (System.nanoTime() - t0) / 1e9
     }
 
-    val arms = Seq((true, true), (true, false), (false, true), (false, false))
-    run(arms.head._1, arms.head._2) // JIT/scan warmup, discarded
+    val arms = Seq((true, true, false), (true, false, false),
+      (false, true, false), (false, false, false),
+      (true, true, true), (false, false, true))
+    run(arms.head._1, arms.head._2, arms.head._3) // JIT/scan warmup
     val times = (1 to passes).flatMap { p =>
       val order = if (p % 2 == 0) arms.reverse else arms
-      order.map { case (bn, prc) => ((bn, prc), run(bn, prc)) }
+      order.map { case (bn, prc, ii) => ((bn, prc, ii), run(bn, prc, ii)) }
     }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val js = arms.map { a =>
-      s""""bn=${a._1},perRound=${a._2}":${times(a)}"""
+      s""""bn=${a._1},perRound=${a._2},intIds=${a._3}":${times(a)}"""
     }.mkString("{", ",", "}")
     println(s"""{"dir":"$dir","iterations":$iters,"arms":$js}""")
     spark.stop()

@@ -57,6 +57,46 @@ object Graph {
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** [[bipartiteEdges]] with LONG node ids: left key k ↦ 2k, right key
+    * k ↦ 2k+1 (disjoint by parity, reversible by shift). String node
+    * ids tax EVERY per-round shuffle, broadcast build and hash probe
+    * of an iterative operator; on the 30× fixture (13.8M edges) the
+    * integer encoding measured 1.3-2.4× faster for the identical
+    * PageRank recurrence (GraphAb, alternating-arm min-of-2). Decode
+    * back to the prefixed strings with [[decodeBipartite]] in the
+    * FINAL projection only — and only for operators whose semantics
+    * never order or compare ids (rank sums, hop minima, degree
+    * counts). Label propagation must NOT switch: its tie-break is
+    * defined over the label ORDER, and "p10" < "p2" lexicographically
+    * while 10 > 2 numerically. */
+  def bipartiteEdgesLong(
+      facts: DataFrame, leftKey: String, rightKey: String): DataFrame = {
+    val pairs = facts.select(
+      (col(leftKey).cast("bigint") * 2).as("a"),
+      (col(rightKey).cast("bigint") * 2 + 1).as("b")).distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** [[bipartiteEdgesLong]] keeping multiplicity as weight `w`. */
+  def bipartiteEdgesLongWeighted(
+      facts: DataFrame, leftKey: String, rightKey: String): DataFrame = {
+    val pairs = facts.select(
+      (col(leftKey).cast("bigint") * 2).as("a"),
+      (col(rightKey).cast("bigint") * 2 + 1).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+  }
+
+  /** Inverse of the [[bipartiteEdgesLong]] encoding: the exact
+    * "<prefix><key>" string [[bipartiteEdges]] would have produced
+    * (keys are non-negative, so the arithmetic shift is exact). */
+  def decodeBipartite(node: org.apache.spark.sql.Column,
+      leftPrefix: String, rightPrefix: String): org.apache.spark.sql.Column =
+    concat(when(node % 2 === 0, lit(leftPrefix)).otherwise(lit(rightPrefix)),
+      shiftright(node, 1).cast("string"))
+
   /** [[bipartiteEdges]] keeping multiplicity: the pair's fact count
     * becomes the edge weight `w` (for [[pageRankWeighted]] — a
     * supplier shipping a part 60× matters 60× more than a one-off). */

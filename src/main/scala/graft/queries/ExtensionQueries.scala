@@ -763,21 +763,26 @@ object ExtensionQueries {
     * as co-partitioned DataFrame joins; the oracle replays the exact
     * recurrence. */
   val q87PageRank: Q = (s, dir) =>
+    // long node ids through the rounds (1.3-2.4× at 30×, see
+    // Graph.bipartiteEdgesLong), decoded to the oracle's "p…"/"s…"
+    // strings only in the final projection — rank sums never order ids
     Graph.pageRank(
-      Graph.bipartiteEdges(t(s, dir, "lineitem"),
-        "l_partkey", "l_suppkey", "p", "s"),
+      Graph.bipartiteEdgesLong(t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey"),
       iterations = 3)
-      .select(col("node"), col("rank").as("pr"))
+      .select(Graph.decodeBipartite(col("node"), "p", "s").as("node"),
+        col("rank").as("pr"))
 
   /** Weighted PageRank: q87's graph keeping pair multiplicity as the
     * edge weight — a supplier's rank share is proportional to how
     * often it actually ships the part. */
   val q108PagerankWeighted: Q = (s, dir) =>
     Graph.pageRankWeighted(
-      Graph.bipartiteEdgesWeighted(t(s, dir, "lineitem"),
-        "l_partkey", "l_suppkey", "p", "s"),
+      Graph.bipartiteEdgesLongWeighted(t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey"),
       iterations = 3)
-      .select(col("node"), col("rank").as("pr"))
+      .select(Graph.decodeBipartite(col("node"), "p", "s").as("node"),
+        col("rank").as("pr"))
 
   /** First-order Markov next-event model: per-(src → dst) transition
     * counts and conditional probability in basis points. */
@@ -874,12 +879,16 @@ object ExtensionQueries {
     * to q87's sum-propagation). */
   val q97BfsHops: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
+    // long ids through the frontier rounds (hop minima never order
+    // ids), decoded in the final projection — see q87
     val sources = li.filter(col("l_suppkey") < 5)
-      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+      .select((col("l_suppkey").cast("bigint") * 2 + 1).as("node"))
       .distinct()
     Graph.bfsHops(
-      Graph.bipartiteEdges(li, "l_partkey", "l_suppkey", "p", "s"),
+      Graph.bipartiteEdgesLong(li, "l_partkey", "l_suppkey"),
       sources, rounds = 3)
+      .select(Graph.decodeBipartite(col("node"), "p", "s").as("node"),
+        col("hop"))
   }
 
   /** Reconciliation band join: error events matched to same-day
@@ -1686,10 +1695,11 @@ object ExtensionQueries {
     * means salting/broadcast decisions). Exact counts, two
     * partial-aggregated shuffles. */
   val q140DegreeDist: Q = (s, dir) =>
-    Graph.bipartiteEdges(t(s, dir, "lineitem"),
-      "l_partkey", "l_suppkey", "p", "s")
+    Graph.bipartiteEdgesLong(t(s, dir, "lineitem"),
+      "l_partkey", "l_suppkey")
       .groupBy(col("src")).agg(count(lit(1)).as("degree"))
-      .groupBy(substring(col("src"), 1, 1).as("side"), col("degree"))
+      .groupBy(when(col("src") % 2 === 0, "p").otherwise("s").as("side"),
+        col("degree"))
       .agg(count(lit(1)).as("n_nodes"))
 
   /** One-pass data profile of the events table: row/null/distinct

@@ -1933,12 +1933,15 @@ object ExtensionQueries {
     * without redistribution total mass here would shrink ~39% per
     * round). Same integer micro-unit recurrence, oracle-replayed. */
   val q152PagerankDangling: Q = (s, dir) => {
+    // long ids through the rounds, decoded at output (see q87) — the
+    // dangling recurrence aggregates rank values, never orders ids
     val edges = t(s, dir, "lineitem")
-      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("l_partkey").cast("bigint") * 2).as("src"),
+        (col("l_suppkey").cast("bigint") * 2 + 1).as("dst"))
       .distinct()
     Graph.pageRankDirected(edges, maxIterations = 3)._1
-      .select(col("node"), col("rank").as("pr"))
+      .select(Graph.decodeBipartite(col("node"), "p", "s").as("node"),
+        col("rank").as("pr"))
   }
 
   /** ANN recall audit: per query, how many of the exact top-10 the
@@ -2052,15 +2055,17 @@ object ExtensionQueries {
     * the exact integer recurrence. */
   val q158PprSeeds: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
+    // long ids through the rounds, decoded at output (see q87)
     val edges = li
-      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("l_partkey").cast("bigint") * 2).as("src"),
+        (col("l_suppkey").cast("bigint") * 2 + 1).as("dst"))
       .distinct()
     val seeds = li.filter(col("l_partkey") <= 5)
-      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+      .select((col("l_partkey").cast("bigint") * 2).as("node"))
       .distinct()
     Graph.pageRankPersonalized(edges, seeds, maxIterations = 3)._1
-      .select(col("node"), col("rank").as("pr"))
+      .select(Graph.decodeBipartite(col("node"), "p", "s").as("node"),
+        col("rank").as("pr"))
   }
 
   /** SemDeDup semantic dedup over embeddings: nearest-centroid

@@ -36,10 +36,14 @@ object GraphAb {
       val out = if (!intIds) pr else pr.select(
         Graph.decodeBipartite(col("node"), "p", "s").as("node"), col("rank"))
       out.write.format("noop").mode("overwrite").save()
+      // stop the clock BEFORE cleanup: the unpersist + forced GC put
+      // block reclamation in NON-measured time (same principle as
+      // Bench/ScaleStress), so arms compare plans, not GC pauses
+      val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
-      (System.nanoTime() - t0) / 1e9
+      sec
     }
 
     val arms = Seq((true, true, false), (true, false, false),

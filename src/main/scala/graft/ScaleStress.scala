@@ -68,7 +68,11 @@ object ScaleStress {
     // the vocabulary ~linearly with copies, so the 6 learning rounds
     // (pair counts + fold over the vocab frame) are expected ~linear;
     // superlinear would mean per-round lineage is leaking past the
-    // localCheckpoint. q180 adds the corpus-side encode join.
+    // localCheckpoint. NOTE a leak shows up ONLY in the timing factor:
+    // q179's final frame is the driver-built merges table (the
+    // learning jobs run during plan build), so the plan fingerprint
+    // sees a LocalTableScan, not the per-round plans. q180 adds the
+    // corpus-side encode join.
     "q179_bpe_merges", "q180_bpe_encode")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
@@ -192,23 +196,32 @@ object ScaleStress {
       // shape + warmup count per scale, then min-of-2 timed passes
       // (each pass rebuilds the plan from scratch — see timeNoop)
       val srcDf = fn(spark, srcDir)
+      // unpersist only MARKS checkpoint/broadcast blocks; the
+      // ContextCleaner reclaims them after a GC notices the dead refs.
+      // Without the forced GC, a heavy measurement pays its
+      // PREDECESSORS' block residue: q87 at 30× read 92s inside the
+      // shared-JVM sweep vs 38s for the identical recurrence in a
+      // clean JVM (GraphAb). Cleanup runs after EVERY materialization
+      // (warmup counts included, both timed passes, both scales) in
+      // non-measured time, so src and scaled passes start equally
+      // clean and factors compare operators, not harness history.
+      def cleanup(): Unit = {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
+      def timed(mk: => DataFrame): Double = {
+        val s = timeNoop(mk); cleanup(); s
+      }
       val srcShape = planShape(srcDf)
       srcDf.count()
-      val srcSec = Seq.fill(2)(timeNoop(fn(spark, srcDir))).min
+      cleanup()
+      val srcSec = Seq.fill(2)(timed(fn(spark, srcDir))).min
       val scaledDf = fn(spark, outDir)
       val scaledShape = planShape(scaledDf)
       val rows = scaledDf.count()
-      val scaledSec = Seq.fill(2)(timeNoop(fn(spark, outDir))).min
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // unpersist only MARKS checkpoint/broadcast blocks; the
-      // ContextCleaner reclaims them after a GC notices the dead refs.
-      // Without this, a heavy query measures its predecessors' block
-      // residue: q87 at 30× read 92s inside the shared-JVM sweep vs
-      // 38s for the identical recurrence in a clean JVM (GraphAb).
-      // A forced GC between queries is non-measured time — factors
-      // then compare operators, not harness history.
-      System.gc()
+      cleanup()
+      val scaledSec = Seq.fill(2)(timed(fn(spark, outDir))).min
       val planSame = srcShape == scaledShape
       val diff = if (planSame) "" else {
         val a = srcShape.groupBy(identity).view.mapValues(_.size).toMap

@@ -47,15 +47,12 @@ object Graph {
       leftKey: String,
       rightKey: String,
       leftPrefix: String,
-      rightPrefix: String): DataFrame = {
-    val pairs = facts
+      rightPrefix: String): DataFrame =
+    symmetricEdges(facts
       .select(
         concat(lit(leftPrefix), col(leftKey).cast("string")).as("a"),
         concat(lit(rightPrefix), col(rightKey).cast("string")).as("b"))
-      .distinct()
-    pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-  }
+      .distinct())
 
   /** [[bipartiteEdges]] with LONG node ids: left key k ↦ 2k, right key
     * k ↦ 2k+1 (disjoint by parity, reversible by shift). String node
@@ -69,24 +66,36 @@ object Graph {
     * counts). Label propagation must NOT switch: its tie-break is
     * defined over the label ORDER, and "p10" < "p2" lexicographically
     * while 10 > 2 numerically. */
+  /** The long-id encoding, exposed so callers building their own edge
+    * or seed frames share ONE source of truth with [[decodeBipartite]]. */
+  def encodeLeft(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    key.cast("bigint") * 2
+  def encodeRight(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    key.cast("bigint") * 2 + 1
+
   def bipartiteEdgesLong(
-      facts: DataFrame, leftKey: String, rightKey: String): DataFrame = {
-    val pairs = facts.select(
-      (col(leftKey).cast("bigint") * 2).as("a"),
-      (col(rightKey).cast("bigint") * 2 + 1).as("b")).distinct()
-    pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-  }
+      facts: DataFrame, leftKey: String, rightKey: String): DataFrame =
+    symmetricEdges(facts
+      .select(encodeLeft(col(leftKey)).as("a"), encodeRight(col(rightKey)).as("b"))
+      .distinct())
 
   /** [[bipartiteEdgesLong]] keeping multiplicity as weight `w`. */
   def bipartiteEdgesLongWeighted(
-      facts: DataFrame, leftKey: String, rightKey: String): DataFrame = {
-    val pairs = facts.select(
-      (col(leftKey).cast("bigint") * 2).as("a"),
-      (col(rightKey).cast("bigint") * 2 + 1).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-    pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      facts: DataFrame, leftKey: String, rightKey: String): DataFrame =
+    symmetricEdges(facts
+      .select(encodeLeft(col(leftKey)).as("a"), encodeRight(col(rightKey)).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w")),
+      Seq("w"))
+
+  /** Emit each distinct (a, b) pair in both directions, carrying any
+    * extra columns — the shared tail of every bipartite edge builder. */
+  private def symmetricEdges(pairs: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    val fwd = pairs.select((col("a").as("src") +: col("b").as("dst") +:
+      extra.map(col)): _*)
+    val rev = pairs.select((col("b").as("src") +: col("a").as("dst") +:
+      extra.map(col)): _*)
+    fwd.unionAll(rev)
   }
 
   /** Inverse of the [[bipartiteEdgesLong]] encoding: the exact
@@ -105,16 +114,14 @@ object Graph {
       leftKey: String,
       rightKey: String,
       leftPrefix: String,
-      rightPrefix: String): DataFrame = {
-    val pairs = facts
+      rightPrefix: String): DataFrame =
+    symmetricEdges(facts
       .select(
         concat(lit(leftPrefix), col(leftKey).cast("string")).as("a"),
         concat(lit(rightPrefix), col(rightKey).cast("string")).as("b"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("w"))
-    pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
-  }
+      .agg(count(lit(1)).as("w")),
+      Seq("w"))
 
   /** PageRank over an edge list (`src`, `dst`), `iterations` unrolled
     * rounds, damping as an integer percent (85 = 0.85).

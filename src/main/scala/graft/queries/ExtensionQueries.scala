@@ -882,7 +882,7 @@ object ExtensionQueries {
     // long ids through the frontier rounds (hop minima never order
     // ids), decoded in the final projection — see q87
     val sources = li.filter(col("l_suppkey") < 5)
-      .select((col("l_suppkey").cast("bigint") * 2 + 1).as("node"))
+      .select(Graph.encodeRight(col("l_suppkey")).as("node"))
       .distinct()
     Graph.bfsHops(
       Graph.bipartiteEdgesLong(li, "l_partkey", "l_suppkey"),
@@ -1936,8 +1936,8 @@ object ExtensionQueries {
     // long ids through the rounds, decoded at output (see q87) — the
     // dangling recurrence aggregates rank values, never orders ids
     val edges = t(s, dir, "lineitem")
-      .select((col("l_partkey").cast("bigint") * 2).as("src"),
-        (col("l_suppkey").cast("bigint") * 2 + 1).as("dst"))
+      .select(Graph.encodeLeft(col("l_partkey")).as("src"),
+        Graph.encodeRight(col("l_suppkey")).as("dst"))
       .distinct()
     Graph.pageRankDirected(edges, maxIterations = 3)._1
       .select(Graph.decodeBipartite(col("node"), "p", "s").as("node"),
@@ -2057,11 +2057,11 @@ object ExtensionQueries {
     val li = t(s, dir, "lineitem")
     // long ids through the rounds, decoded at output (see q87)
     val edges = li
-      .select((col("l_partkey").cast("bigint") * 2).as("src"),
-        (col("l_suppkey").cast("bigint") * 2 + 1).as("dst"))
+      .select(Graph.encodeLeft(col("l_partkey")).as("src"),
+        Graph.encodeRight(col("l_suppkey")).as("dst"))
       .distinct()
     val seeds = li.filter(col("l_partkey") <= 5)
-      .select((col("l_partkey").cast("bigint") * 2).as("node"))
+      .select(Graph.encodeLeft(col("l_partkey")).as("node"))
       .distinct()
     Graph.pageRankPersonalized(edges, seeds, maxIterations = 3)._1
       .select(Graph.decodeBipartite(col("node"), "p", "s").as("node"),
@@ -2593,7 +2593,11 @@ object ExtensionQueries {
     * (pair counts via zipped parallel unnest → deterministic argmax →
     * greedy left-to-right fold via list_reduce over a '|'-joined
     * accumulator — safe because the testdata alphabet is [a-y ];
-    * the ENGINE uses real arrays and has no such restriction). */
+    * the ENGINE uses real arrays and has no such restriction). The
+    * per-round merge joins LEFT ... ON TRUE so an exhausted round
+    * (empty m$i — no adjacent pair left anywhere) carries the vocab
+    * through unchanged, mirroring Bpe.learn's early stop, instead of
+    * emptying every later CTE. */
   private def bpeOracleCtes(nRounds: Int): String = {
     val sb = new StringBuilder(
       """WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
@@ -2609,11 +2613,12 @@ object ExtensionQueries {
         |     FROM w$p WHERE len(syms) >= 2) GROUP BY lhs, rhs),
         | m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         | w$i AS (SELECT w, freq,
-        |     CASE WHEN len(syms) < 2 THEN syms ELSE string_split(list_reduce(syms, (acc, x) ->
+        |     CASE WHEN m.lhs IS NULL OR len(syms) < 2 THEN syms
+        |          ELSE string_split(list_reduce(syms, (acc, x) ->
         |       CASE WHEN regexp_extract(acc, '([^|]*)$$') = m.lhs AND x = m.rhs
         |            THEN regexp_replace(acc, '([^|]*)$$', m.lhs || m.rhs)
         |            ELSE acc || '|' || x END), '|') END AS syms
-        |     FROM w$p CROSS JOIN m$i m)""".stripMargin)
+        |     FROM w$p LEFT JOIN m$i m ON TRUE)""".stripMargin)
     }
     sb.toString
   }

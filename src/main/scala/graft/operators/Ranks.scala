@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranks and ntiles WITHOUT a single-partition sort — the
+  * banded two-level prefix machinery of [[Sampling.budgetSelect]] /
+  * [[Drift.ksFromHists]], generalized to per-row rank assignment so
+  * RFM-style quantile scoring (q105) holds at corpus scale.
+  *
+  * The order is (key asc|desc, tie asc) with a BIGINT key and a unique
+  * BIGINT tiebreak (the q105 shape: a metric ordered with user_id ties).
+  * rank(row) decomposes into three exact integer terms, each computed
+  * under a bounded task:
+  *
+  *   1. rows with a strictly better key — a per-DISTINCT-KEY histogram
+  *      (never the row frame), banded by the key's high bits
+  *      (`shiftright(key, keyBandBits)`, floor semantics so negative
+  *      keys band monotonically): within-band prefix sums run
+  *      partitioned by band (≤ 2^keyBandBits distinct keys per task),
+  *      and each band's offset comes from a band-count-sized triangular
+  *      self-join that broadcasts back — the [[Sampling.budgetSelect]]
+  *      trick, so there is NO unpartitioned window anywhere, not even a
+  *      band-level one.
+  *   2. equal-key rows with a strictly smaller tie BAND
+  *      (`shiftright(tie, tieBandBits)`) — a (key, tieband) histogram
+  *      prefix-summed partitioned BY KEY (tasks bounded by the tie
+  *      band count per key, span/2^tieBandBits).
+  *   3. row_number within (key, tieband), ordered by the tie — tasks
+  *      bounded by the tie key density per 2^tieBandBits range.
+  *
+  * A skewed key (10⁸ rows sharing one value) therefore never funnels
+  * one task: terms 2–3 split it across its tie bands. Every term is
+  * integer-exact, so the result is BIT-IDENTICAL to the naive
+  * `Window.orderBy` form (property-tested in RanksSpec), not an
+  * approximation. Envelope: key span ≲ 2^(keyBandBits+16) and tie span
+  * ≲ 2^(tieBandBits+16) keep every frame and task in the 2^16 regime —
+  * far beyond any id/metric domain here; widen the band bits for
+  * astronomically wider domains.
+  */
+object Ranks {
+
+  /** `df` plus `outCol` = the exact 1-based global rank of each row in
+    * (`key` asc|desc, `tie` asc) order. `key`/`tie` must be non-null and
+    * castable to bigint; `tie` must be unique per row (it is the total
+    * order's last resort — duplicate ties would make ranks ambiguous in
+    * ANY engine). */
+  def withGlobalRank(
+      df: DataFrame,
+      key: Column,
+      ascending: Boolean,
+      tie: Column,
+      outCol: String,
+      keyBandBits: Int = 16,
+      tieBandBits: Int = 12): DataFrame = {
+    // desc order = asc order of the negated key (exact for bigint)
+    val k = (if (ascending) key else -key).cast("bigint")
+    val d = df.withColumn("graft_rk_k", k)
+      .withColumn("graft_rk_tb",
+        shiftright(tie.cast("bigint"), tieBandBits))
+    // term 1: per-distinct-key histogram, banded prefix counts
+    val h1 = d.groupBy(col("graft_rk_k"))
+      .agg(count(lit(1)).as("graft_rk_c"))
+      .withColumn("graft_rk_band", shiftright(col("graft_rk_k"), keyBandBits))
+    val bandTot = h1.groupBy(col("graft_rk_band"))
+      .agg(sum(col("graft_rk_c")).as("graft_rk_bc"))
+    // offset(band) = rows in all strictly-earlier bands; triangular
+    // join over the band-count-sized aggregate, broadcast back
+    val off = bandTot
+      .join(bandTot.select(col("graft_rk_band").as("graft_rk_lb"),
+        col("graft_rk_bc").as("graft_rk_lbc")),
+        col("graft_rk_lb") < col("graft_rk_band"), "left")
+      .groupBy(col("graft_rk_band"))
+      .agg(coalesce(sum(col("graft_rk_lbc")), lit(0L)).as("graft_rk_off"))
+    val wIn = Window.partitionBy(col("graft_rk_band"))
+      .orderBy(col("graft_rk_k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before1 = h1.join(broadcast(off), Seq("graft_rk_band"))
+      .withColumn("graft_rk_b1",
+        coalesce(sum(col("graft_rk_c")).over(wIn), lit(0L)) + col("graft_rk_off"))
+      .select(col("graft_rk_k"), col("graft_rk_b1"))
+    // term 2: (key, tieband) histogram, prefix-summed per key
+    val w2 = Window.partitionBy(col("graft_rk_k"))
+      .orderBy(col("graft_rk_tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before2 = d.groupBy(col("graft_rk_k"), col("graft_rk_tb"))
+      .agg(count(lit(1)).as("graft_rk_c2"))
+      .withColumn("graft_rk_b2",
+        coalesce(sum(col("graft_rk_c2")).over(w2), lit(0L)))
+      .select(col("graft_rk_k"), col("graft_rk_tb"), col("graft_rk_b2"))
+    // term 3: row_number within (key, tieband), ordered by the tie
+    val w3 = Window.partitionBy(col("graft_rk_k"), col("graft_rk_tb"))
+      .orderBy(tie.cast("bigint"))
+    d.join(before1, Seq("graft_rk_k"))
+      .join(before2, Seq("graft_rk_k", "graft_rk_tb"))
+      .withColumn(outCol,
+        (col("graft_rk_b1") + col("graft_rk_b2") +
+          row_number().over(w3)).cast("bigint"))
+      .drop("graft_rk_k", "graft_rk_tb", "graft_rk_b1", "graft_rk_b2")
+  }
+
+  /** `df` plus `outCol` = `ntile(nTiles)` over (`key` asc|desc, `tie`
+    * asc) — the standard SQL bucketing (the first `N mod n` tiles get
+    * the extra row), computed from the banded exact rank instead of a
+    * single-partition window, so the result is bit-identical to
+    * `ntile(n).over(Window.orderBy(...))` at any scale. */
+  def withNtile(
+      df: DataFrame,
+      key: Column,
+      ascending: Boolean,
+      tie: Column,
+      nTiles: Int,
+      outCol: String,
+      keyBandBits: Int = 16,
+      tieBandBits: Int = 12): DataFrame = {
+    require(nTiles >= 1, s"withNtile needs nTiles >= 1: $nTiles")
+    val total = df.agg(count(lit(1)).as("graft_rk_n"))
+    // ntile(n) over N rows: q = N div n tiles of base size, the first
+    // r = N mod n tiles take one extra row — tile(rank) in closed form
+    // (the else branch divides by q only on rows whose rank exceeds
+    // r·(q+1) = N when q = 0, i.e. never — CASE evaluates lazily)
+    withGlobalRank(df, key, ascending, tie, "graft_rk_rank",
+      keyBandBits, tieBandBits)
+      .crossJoin(broadcast(total))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN graft_rk_rank <=
+           |       (graft_rk_n % $nTiles) * ((graft_rk_n div $nTiles) + 1)
+           |     THEN (graft_rk_rank - 1) div ((graft_rk_n div $nTiles) + 1) + 1
+           |     ELSE (graft_rk_n % $nTiles) +
+           |       (graft_rk_rank - (graft_rk_n % $nTiles) *
+           |         ((graft_rk_n div $nTiles) + 1) - 1)
+           |         div (graft_rk_n div $nTiles) + 1
+           |END""".stripMargin).cast("bigint"))
+      .drop("graft_rk_rank", "graft_rk_n")
+  }
+}

@@ -1019,9 +1019,15 @@ object ExtensionQueries {
   /** RFM segmentation: per purchasing user, recency (days since last
     * purchase, anchored to the global latest event day), frequency,
     * monetary cents; quintile scores on engine-stable orders. The
-    * ntile windows are global BUT run on the post-aggregate user frame
-    * (one row per purchasing user — dimension-sized by construction,
-    * q64's precedent); the event-scale work is all in the keyed agg. */
+    * quintiles come from [[graft.operators.Ranks.withNtile]]'s banded
+    * exact-rank machinery — bit-identical to the global `ntile(5)`
+    * window the oracle runs, but with every task bounded by the band
+    * structure instead of funneling all purchasing users through one
+    * partition three times (the r7 `weak`; purchasing users grow with
+    * the corpus, so the post-aggregate frame is data-scale, not
+    * dimension-scale). The user frame is materialized once so the
+    * three quintile passes rank it, not three re-runs of the
+    * event-scale aggregation. */
   val q105Rfm: Q = (s, dir) => {
     val ev = t(s, dir, "events")
     val anchor = ev.agg(max(col("ts").cast("date")).as("anchor_day"))
@@ -1032,13 +1038,16 @@ object ExtensionQueries {
         .cast("bigint").as("r_days"),
         count(lit(1)).as("f_n"),
         sum(round(col("value") * 100).cast("bigint")).as("m_cents"))
-    def q(c: String, asc: Boolean) = ntile(5).over(
-      Window.orderBy(if (asc) col(c).asc else col(c).desc, col("user_id")))
-      .cast("bigint")
-    rfm.select(col("user_id"), col("r_days"), col("f_n"), col("m_cents"),
-      q("r_days", asc = true).as("r_q"),   // recent buyers score high…
-      q("f_n", asc = false).as("f_q"),     // …frequent and big spenders too
-      q("m_cents", asc = false).as("m_q"))
+      .localCheckpoint()
+    val scored = Seq(
+      ("r_days", true, "r_q"),    // recent buyers score high…
+      ("f_n", false, "f_q"),      // …frequent and big spenders too
+      ("m_cents", false, "m_q"))
+      .foldLeft(rfm) { case (d, (c, asc, out)) =>
+        Ranks.withNtile(d, col(c), asc, col("user_id"), 5, out)
+      }
+    scored.select(col("user_id"), col("r_days"), col("f_n"), col("m_cents"),
+      col("r_q"), col("f_q"), col("m_q"))
   }
 
   /** Period-over-period: per event type and day, count vs the previous

@@ -69,6 +69,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global row_number exchange:\n$p")
   }
 
+  test("q105: RFM quintiles sort nothing through a single partition") {
+    val p = plan("q105_rfm")
+    // scalar counts (the ntile total) legitimately aggregate through a
+    // SinglePartition exchange of 1-row partials; the scale hazard is a
+    // SORT (or window) draining through one — the r7 weak
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val parent = lines(i - 1)
+        assert(!parent.contains("Sort") && !parent.contains("Window"),
+          s"q105 sorts a frame through one partition:\n${lines(i - 1)}\n${lines(i)}")
+      }
+    assert(!p.toLowerCase.contains("ntile"),
+      s"q105 still ranks through a global ntile window:\n$p")
+  }
+
   test("q171: the k-means assignment is scan-local — no exchange, no window") {
     val p = plan("q171_kmeans")
     assert(!p.contains("Exchange"), s"k-means E-step shuffles the corpus:\n$p")

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Ranks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The banded exact-rank machinery must be BIT-IDENTICAL to the naive
+  * single-partition `Window.orderBy` forms it replaces (q105's RFM
+  * quintiles) — same contract as Drift's banded KS: an exact integer
+  * rewrite, not an approximation. Fixtures deliberately hit the hard
+  * cases: heavy key skew (one value carrying most rows — the case the
+  * tie-band split exists for), negative keys (arithmetic-shift banding),
+  * band boundaries, N not divisible by the tile count, and N < tiles.
+  */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (key, tie) rows: skewed key 0 block, negatives, values straddling
+    * the 2^16 band boundary, sparse high values. */
+  private def fixture: DataFrame =
+    ((1 to 500).map(i => (0L, i.toLong)) ++            // heavy skew on one key
+      (1 to 97).map(i => (-(i % 7).toLong - 1, 1000L + i)) ++
+      (1 to 60).map(i => (65530L + i, 2000L + i)) ++   // band straddle
+      Seq((1L << 40, 9001L), (-(1L << 40), 9002L), (7L, 9003L)))
+      .toDF("k", "tie")
+
+  private def naiveRank(df: DataFrame, asc: Boolean): DataFrame = {
+    val o = if (asc) col("k").asc else col("k").desc
+    df.withColumn("want", row_number()
+      .over(Window.orderBy(o, col("tie"))).cast("bigint"))
+  }
+
+  private def naiveNtile(df: DataFrame, asc: Boolean, n: Int): DataFrame = {
+    val o = if (asc) col("k").asc else col("k").desc
+    df.withColumn("want", ntile(n)
+      .over(Window.orderBy(o, col("tie"))).cast("bigint"))
+  }
+
+  test("withGlobalRank ≡ global row_number window, asc and desc") {
+    Seq(true, false).foreach { asc =>
+      val got = Ranks.withGlobalRank(fixture, col("k"), asc, col("tie"), "got")
+      val both = got.join(naiveRank(fixture, asc), Seq("k", "tie"))
+      assert(both.filter(col("got") =!= col("want")).count() === 0,
+        s"banded rank diverged from the naive window (asc=$asc)")
+      assert(both.count() === fixture.count())
+    }
+  }
+
+  test("withNtile ≡ global ntile window across tile counts and orders") {
+    for (asc <- Seq(true, false); n <- Seq(2, 5, 7)) {
+      val got = Ranks.withNtile(fixture, col("k"), asc, col("tie"), n, "got")
+      val both = got.join(naiveNtile(fixture, asc, n), Seq("k", "tie"))
+      assert(both.filter(col("got") =!= col("want")).count() === 0,
+        s"banded ntile diverged (asc=$asc, n=$n)")
+    }
+  }
+
+  test("withNtile: fewer rows than tiles gives each row its own tile") {
+    val tiny = Seq((10L, 1L), (20L, 2L), (5L, 3L)).toDF("k", "tie")
+    val got = Ranks.withNtile(tiny, col("k"), ascending = true, col("tie"),
+      5, "q").orderBy(col("q")).select(col("k")).as[Long].collect().toSeq
+    assert(got === Seq(5L, 10L, 20L))
+  }
+
+  test("non-default band widths stay exact (tiny bands force many bands)") {
+    val got = Ranks.withGlobalRank(fixture, col("k"), ascending = true,
+      col("tie"), "got", keyBandBits = 2, tieBandBits = 1)
+    val both = got.join(naiveRank(fixture, asc = true), Seq("k", "tie"))
+    assert(both.filter(col("got") =!= col("want")).count() === 0,
+      "banded rank diverged under 4-wide key bands / 2-wide tie bands")
+  }
+}

@@ -92,11 +92,31 @@ object Bpe {
     * (w, freq, syms) — the encoded vocabulary [[encodeStats]] joins
     * against. Stops early (with fewer merges) once no adjacent pair
     * remains. Driver state is ONE (lhs, rhs, count) row per round. */
+  /** Checkpoint `df` and return it with the ids of the blocks the
+    * checkpoint just pinned (the getPersistentRDDs delta — exact here
+    * because learn's rounds are single-threaded), so a later round can
+    * release EXACTLY its predecessor's blocks. Without the release a
+    * learn call holds ~nRounds copies of the vocab frame until the
+    * ContextCleaner happens to run — the block-residue failure mode the
+    * r7 harness fix removed, kept out of the operator too. */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  private def releaseBlocks(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   def learn(words: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, "Bpe.learn needs nMerges >= 1")
     // vocab-sized; checkpoint so each round's jobs start from
     // materialized state instead of re-deriving every earlier fold
-    var syms = initialSymbols(words).localCheckpoint()
+    var (syms, symsIds) = checkpointTracked(initialSymbols(words))
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
@@ -109,7 +129,13 @@ object Bpe {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, c)
-        syms = syms.withColumn("syms", applyMerge(l, r)).localCheckpoint()
+        val (next, nextIds) =
+          checkpointTracked(syms.withColumn("syms", applyMerge(l, r)))
+        // the new round is materialized; the superseded round's blocks
+        // are dead weight (never referenced again) — release them now
+        releaseBlocks(syms, symsIds)
+        syms = next
+        symsIds = nextIds
         rank += 1
       }
     }
@@ -131,18 +157,28 @@ object Bpe {
     * word; this is a join + aggregate, so the corpus-sized side is
     * touched exactly once more. `broadcastVocab=false` switches the
     * vocab side to a shuffle join for vocabularies too large to ship
-    * to every executor. */
+    * to every executor.
+    *
+    * Out-of-vocabulary words are COUNTED, never silently dropped: the
+    * vocab join is a LEFT join, `n_words`/`n_chars` cover every word,
+    * `n_bpe_tokens` sums only in-vocab words (null if a doc has no
+    * in-vocab word at all), and `n_oov_words` reports the misses. A
+    * vocabulary learned from the same corpus (q180/q182/q183) has zero
+    * OOV by construction; any other vocabulary must treat
+    * `n_oov_words > 0` as "token count incomplete" instead of trusting
+    * an under-count with no signal. */
   def encodeStats(docs: DataFrame, vocabSyms: DataFrame,
       broadcastVocab: Boolean = true): DataFrame = {
     val v0 = vocabSyms.select(col("w"),
-      length(col("w")).cast("bigint").as("n_char"),
       size(col("syms")).cast("bigint").as("n_sym"))
     val v = if (broadcastVocab) broadcast(v0) else v0
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-      .join(v, Seq("w"))
+      .join(v, Seq("w"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_char")).as("n_chars"),
-        sum(col("n_sym")).as("n_bpe_tokens"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("bigint")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"),
+        sum(when(col("n_sym").isNull, 1L).otherwise(0L)).as("n_oov_words"))
   }
 }

@@ -2609,7 +2609,16 @@ object ExtensionQueries {
     * emptying every later CTE. */
   private def bpeOracleCtes(nRounds: Int): String = {
     val sb = new StringBuilder(
-      """WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      // the alphabet guard fails LOUD (DuckDB error()) if any word ever
+      // contains '|' or a backslash — the two characters that would
+      // silently corrupt the '|'-joined fold accumulator below. The
+      // engine has no such restriction (real arrays); the guard pins
+      // the ORACLE's validity envelope so richer future testdata breaks
+      // the gate instead of producing a bogus golden result.
+      """WITH w0 AS (SELECT CASE WHEN contains(w, '|') OR contains(w, chr(92))
+        |            THEN error('bpe oracle: symbol contains | or backslash')
+        |            ELSE w END AS w,
+        |            CAST(count(*) AS BIGINT) AS freq,
         |            string_split(w, '') AS syms
         |     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |     WHERE w <> '' GROUP BY w)""".stripMargin)
@@ -5697,10 +5706,12 @@ object ExtensionQueries {
       """
         | SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |        CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
-        |        CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+        |        CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+        |        CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_oov_words
         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |       FROM documents) t
-        | JOIN w6 v ON t.w = v.w WHERE t.w <> ''
+        | LEFT JOIN w6 v ON t.w = v.w WHERE t.w <> ''
         | GROUP BY t.doc_id""".stripMargin),
     "q181_soft_dedup" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h,

@@ -51,11 +51,22 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((0L, "low low lower"), (1L, "lower")).toDF("doc_id", "text")
     val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 3)
     val expected = Seq(
-      Seq[Any](0L, 3L, 11L, 4L), // low(1)+low(1)+lower([low, er]); chars 3+3+5
-      Seq[Any](1L, 1L, 5L, 2L))
+      Seq[Any](0L, 3L, 11L, 4L, 0L), // low+low+lower([low, er]); chars 3+3+5
+      Seq[Any](1L, 1L, 5L, 2L, 0L))
     assert(rowSet(Bpe.encodeStats(docs, vocab)) === expected)
     assert(rowSet(Bpe.encodeStats(docs, vocab, broadcastVocab = false)) ===
       expected)
+  }
+
+  test("encodeStats counts out-of-vocabulary words instead of dropping them") {
+    val train = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(train), nMerges = 3)
+    // 'high' never entered the vocabulary; 'all-oov' doc has no in-vocab
+    // word at all, so its token count is NULL (unknown), never 0
+    val docs = Seq((0L, "low high"), (1L, "high higher")).toDF("doc_id", "text")
+    assert(rowSet(Bpe.encodeStats(docs, vocab)) === Seq(
+      Seq[Any](0L, 2L, 7L, 1L, 1L),
+      Seq[Any](1L, 2L, 10L, null, 2L)))
   }
 
   test("fold invariants on random corpora: char mass conserved, token count monotone") {

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Bpe
+
+/** BPE learning-cost A/B: sequential [[Bpe.learn]] vs batched
+  * [[Bpe.learnBatched]] at the same target merge count, over a table
+  * dir's documents. The point under measurement is the ROUND-COUNT law
+  * (VERDICT r7 #3): each learning round costs a fixed vocab recount +
+  * driver argmax + checkpoint regardless of cluster size, so a V-merge
+  * vocabulary is bound by V sequential rounds — batching B merges per
+  * round must cut wall-clock ~B× once rounds dominate, and the gap
+  * should WIDEN as nMerges grows while being data-size-insensitive
+  * (run against sf0.01/sf0.1/a ScaleStress dir to see the data axis
+  * stay flat next to the round axis).
+  *
+  *   runMain graft.BpeAb [tableDir] [nMerges] [batch] [passes]
+  */
+object BpeAb {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val nMerges = args.lift(1).map(_.toInt).getOrElse(64)
+    val batch = args.lift(2).map(_.toInt).getOrElse(8)
+    val passes = args.lift(3).map(_.toInt).getOrElse(2)
+    val rounds = (nMerges + batch - 1) / batch
+    val spark = Tables.localSession("graft-bpe-ab")
+
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    def words() = Bpe.wordFreq(Tables.load(spark, dir, "documents"))
+    def timed(f: () => Int): (Double, Int) = {
+      val t0 = System.nanoTime()
+      val n = f()
+      val sec = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      (sec, n)
+    }
+    def seqArm() = timed(() => Bpe.learn(words(), nMerges)._1.size)
+    def batArm() = timed(() =>
+      Bpe.learnBatched(words(), rounds, batch)._1.size)
+
+    // JIT/scan warmup for both code paths, then alternating min-of-passes
+    Bpe.learn(words(), 2); Bpe.learnBatched(words(), 1, 2); cleanup()
+    val results = (1 to passes).map { p =>
+      if (p % 2 == 0) { val b = batArm(); val s = seqArm(); (s, b) }
+      else { val s = seqArm(); val b = batArm(); (s, b) }
+    }
+    val seqSec = results.map(_._1._1).min
+    val batSec = results.map(_._2._1).min
+    val (seqN, batN) = (results.head._1._2, results.head._2._2)
+    println(s"""{"dir":"$dir","n_merges":$nMerges,"batch":$batch,""" +
+      s""""rounds_seq":$seqN,"rounds_batched":$rounds,""" +
+      s""""merges_seq":$seqN,"merges_batched":$batN,""" +
+      f""""seq_sec":$seqSec%.3f,"batched_sec":$batSec%.3f,""" +
+      f""""speedup":${seqSec / batSec}%.2f}""")
+    spark.stop()
+  }
+}

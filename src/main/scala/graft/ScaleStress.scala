@@ -73,7 +73,7 @@ object ScaleStress {
     // learning jobs run during plan build), so the plan fingerprint
     // sees a LocalTableScan, not the per-round plans. q180 adds the
     // corpus-side encode join.
-    "q179_bpe_merges", "q180_bpe_encode",
+    "q179_bpe_merges", "q180_bpe_encode", "q184_bpe_batched",
     // q105: the banded exact-rank quintiles (r7's last unpartitioned
     // data-scale window, rewritten) — expected ~linear; superlinear
     // would mean a band or tie-band task is absorbing the growth

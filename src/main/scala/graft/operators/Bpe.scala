@@ -142,6 +142,91 @@ object Bpe {
     (merges.result(), syms)
   }
 
+  /** Batched BPE learning: up to `batchSize` merges per round instead
+    * of one, cutting the round count for a V-merge vocabulary from V to
+    * ~V/batchSize — [[learn]]'s fixed per-round overhead (one vocab
+    * recount + one driver round-trip + one checkpoint), not the data,
+    * is what bounds a real 32k-merge vocabulary, so rounds are the
+    * axis to compress (the standard batched-BPE trick; see BpeAb for
+    * the measured round-count law).
+    *
+    * Per round, deterministically:
+    *   1. rank the adjacent-pair counts by (count DESC, lhs, rhs) and
+    *      keep the top `poolSize` (default 4·batchSize) candidates —
+    *      driver state stays bounded by the pool, never the pair table;
+    *   2. a candidate is DISQUALIFIED if it shares a symbol with ANY
+    *      higher-ranked pool candidate — lhs/rhs overlapping the
+    *      higher pick's {lhs, rhs, lhs||rhs}, or producing the higher
+    *      pick's lhs/rhs as its own merged symbol. (Rank-prefix
+    *      conflict, not accepted-set greedy: the rule is a pure
+    *      per-candidate predicate, so the DuckDB oracle replays it as
+    *      one anti-join instead of a sequential recurrence.)
+    *   3. the first `batchSize` surviving candidates are accepted and
+    *      applied IN RANK ORDER as chained greedy folds, then the
+    *      round checkpoints once.
+    * Pair counts recorded for a round are from the round's START state
+    * (the count that ranked the candidate), exactly like [[learn]].
+    * Mutually non-conflicting merges touch disjoint symbols, so the
+    * chained application equals applying each alone.
+    *
+    * `learnBatched(words, k, 1) ≡ learn(words, k)` (the top-1 candidate
+    * never conflicts — BpeSpec pins the law), and a round whose pairs
+    * ran out stops early with fewer merges. Equivalence to SEQUENTIAL
+    * BPE for batchSize > 1 holds when no within-round pick interacts
+    * with another and no pair created mid-round would have outranked
+    * the batch — the usual batched-BPE caveat; the merge table is its
+    * own deterministic, oracle-replayable recurrence either way. */
+  def learnBatched(
+      words: DataFrame,
+      nRounds: Int,
+      batchSize: Int,
+      poolSize: Int = 0): (Seq[Merge], DataFrame) = {
+    require(nRounds >= 1, "Bpe.learnBatched needs nRounds >= 1")
+    require(batchSize >= 1, "Bpe.learnBatched needs batchSize >= 1")
+    val pool = if (poolSize > 0) poolSize else 4 * batchSize
+    require(pool >= batchSize, s"poolSize $pool < batchSize $batchSize")
+    var (syms, symsIds) = checkpointTracked(initialSymbols(words))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var round = 0
+    var exhausted = false
+    while (round < nRounds && !exhausted) {
+      val top = pairCounts(syms)
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(pool).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (top.isEmpty) exhausted = true
+      else {
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var nAccepted = 0
+        top.zipWithIndex.foreach { case ((l, r, c), i) =>
+          val conflicts = top.take(i).exists { case (hl, hr, _) =>
+            val hs = Set(hl, hr, hl + hr)
+            hs(l) || hs(r) || (l + r) == hl || (l + r) == hr
+          }
+          if (!conflicts && nAccepted < batchSize) {
+            accepted += ((l, r, c))
+            nAccepted += 1
+          }
+        }
+        val batch = accepted.result()
+        batch.foreach { case (l, r, c) =>
+          merges += Merge(rank, l, r, c)
+          rank += 1
+        }
+        val (next, nextIds) = checkpointTracked(
+          batch.foldLeft(syms) { case (df, (l, r, _)) =>
+            df.withColumn("syms", applyMerge(l, r))
+          })
+        releaseBlocks(syms, symsIds)
+        syms = next
+        symsIds = nextIds
+      }
+      round += 1
+    }
+    (merges.result(), syms)
+  }
+
   /** Merge table as a DataFrame: (rank, lhs, rhs, pair_count). */
   def mergesDf(spark: org.apache.spark.sql.SparkSession,
       merges: Seq[Merge]): DataFrame = {

@@ -2419,6 +2419,20 @@ object ExtensionQueries {
         expr("(n_bpe_tokens * 10000) div n_words"))
   }
 
+  /** BATCHED BPE learning: up to 3 merges per round for 3 rounds — the
+    * round-compression that turns [[graft.operators.Bpe.learn]]'s
+    * V sequential rounds into ~V/B (q179's recurrence is data-scale
+    * right but ROUND-scale bound: a 32k-merge vocabulary is 32k
+    * sequential driver round-trips; batching is the fix). The oracle
+    * replays the full batched recurrence — ranked pool, rank-prefix
+    * conflict disqualification, per-round chained folds — not just the
+    * table shape. BpeAb measures the round-count law at nMerges ≥ 64. */
+  val q184BpeBatched: Q = (s, dir) => {
+    val (merges, _) = Bpe.learnBatched(Bpe.wordFreq(t(s, dir, "documents")),
+      nRounds = 3, batchSize = 3)
+    Bpe.mergesDf(s, merges)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2595,6 +2609,7 @@ object ExtensionQueries {
     "q181_soft_dedup" -> q181SoftDedup,
     "q182_bpe_budget" -> q182BpeBudget,
     "q183_bpe_fertility" -> q183BpeFertility,
+    "q184_bpe_batched" -> q184BpeBatched,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -2607,21 +2622,23 @@ object ExtensionQueries {
     * (empty m$i — no adjacent pair left anywhere) carries the vocab
     * through unchanged, mirroring Bpe.learn's early stop, instead of
     * emptying every later CTE. */
+  // the alphabet guard fails LOUD (DuckDB error()) if any word ever
+  // contains '|' or a backslash — the two characters that would
+  // silently corrupt the '|'-joined fold accumulators below. The
+  // engine has no such restriction (real arrays); the guard pins
+  // the ORACLE's validity envelope so richer future testdata breaks
+  // the gate instead of producing a bogus golden result.
+  private val bpeOracleW0: String =
+    """WITH w0 AS (SELECT CASE WHEN contains(w, '|') OR contains(w, chr(92))
+      |            THEN error('bpe oracle: symbol contains | or backslash')
+      |            ELSE w END AS w,
+      |            CAST(count(*) AS BIGINT) AS freq,
+      |            string_split(w, '') AS syms
+      |     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |     WHERE w <> '' GROUP BY w)""".stripMargin
+
   private def bpeOracleCtes(nRounds: Int): String = {
-    val sb = new StringBuilder(
-      // the alphabet guard fails LOUD (DuckDB error()) if any word ever
-      // contains '|' or a backslash — the two characters that would
-      // silently corrupt the '|'-joined fold accumulator below. The
-      // engine has no such restriction (real arrays); the guard pins
-      // the ORACLE's validity envelope so richer future testdata breaks
-      // the gate instead of producing a bogus golden result.
-      """WITH w0 AS (SELECT CASE WHEN contains(w, '|') OR contains(w, chr(92))
-        |            THEN error('bpe oracle: symbol contains | or backslash')
-        |            ELSE w END AS w,
-        |            CAST(count(*) AS BIGINT) AS freq,
-        |            string_split(w, '') AS syms
-        |     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |     WHERE w <> '' GROUP BY w)""".stripMargin)
+    val sb = new StringBuilder(bpeOracleW0)
     for (i <- 1 to nRounds) {
       val p = i - 1
       sb.append(s""",
@@ -2638,6 +2655,69 @@ object ExtensionQueries {
         |            ELSE acc || '|' || x END), '|') END AS syms
         |     FROM w$p LEFT JOIN m$i m ON TRUE)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** DuckDB replay of [[graft.operators.Bpe.learnBatched]]'s batched
+    * recurrence: per round, rank the pair counts, keep the top `pool`,
+    * disqualify candidates sharing a symbol with ANY higher-ranked pool
+    * candidate (one anti-join — the rule is a per-candidate predicate,
+    * which is exactly why learnBatched uses rank-prefix conflict
+    * instead of accepted-set greedy), accept the first `batch`
+    * survivors, and apply them in rank order as `batch` chained
+    * '|'-joined folds (a NULL rule slot is an identity pass-through, so
+    * the CTE chain stays static while the accepted count is
+    * data-dependent). Merge application appends x straight onto the
+    * accumulator (last symbol l, incoming x=r ⇒ last becomes l||r) — no
+    * regex replacement, so only the w0 alphabet guard is load-bearing. */
+  private def bpeBatchedOracle(nRounds: Int, batch: Int, pool: Int): String = {
+    val sb = new StringBuilder(bpeOracleW0)
+    for (i <- 1 to nRounds) {
+      val p = i - 1
+      sb.append(s""",
+        | p$i AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |     SELECT freq, unnest(syms[1:len(syms)-1]) AS lhs,
+        |            unnest(syms[2:len(syms)]) AS rhs
+        |     FROM w$p WHERE len(syms) >= 2) GROUP BY lhs, rhs),
+        | c$i AS (SELECT lhs, rhs, cnt,
+        |     ROW_NUMBER() OVER (ORDER BY cnt DESC, lhs, rhs) AS rnk
+        |     FROM (SELECT * FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT $pool)),
+        | a$i AS (SELECT lhs, rhs, cnt, rnk,
+        |     ROW_NUMBER() OVER (ORDER BY rnk) AS arnk
+        |     FROM c$i c
+        |     WHERE NOT EXISTS (SELECT 1 FROM c$i h WHERE h.rnk < c.rnk AND (
+        |           c.lhs IN (h.lhs, h.rhs, h.lhs || h.rhs) OR
+        |           c.rhs IN (h.lhs, h.rhs, h.lhs || h.rhs) OR
+        |           (c.lhs || c.rhs) IN (h.lhs, h.rhs)))
+        |     QUALIFY arnk <= $batch),
+        | b$i AS (SELECT""".stripMargin)
+      sb.append((1 to batch).map(j =>
+        s"""
+        |     max(CASE WHEN arnk = $j THEN lhs END) AS l$j,
+        |     max(CASE WHEN arnk = $j THEN rhs END) AS r$j""".stripMargin)
+        .mkString(","))
+      sb.append(s"""
+        |     FROM a$i),""".stripMargin)
+      // chained folds: slot j applies (l_j, r_j) or passes through on NULL
+      val fold = (1 to batch).foldLeft("array_to_string(syms, '|')") {
+        (s0, j) =>
+          s"""CASE WHEN l$j IS NULL THEN $s0
+             | ELSE list_reduce(string_split($s0, '|'), (acc, x) ->
+             |   CASE WHEN regexp_extract(acc, '([^|]*)$$') = l$j AND x = r$j
+             |        THEN acc || x ELSE acc || '|' || x END) END""".stripMargin
+      }
+      sb.append(s"""
+        | w$i AS (SELECT w, freq, string_split($fold, '|') AS syms
+        |     FROM w$p, b$i)""".stripMargin)
+    }
+    sb.append(s"""
+      | SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, arnk) AS BIGINT) AS rank,
+      |        lhs, rhs, cnt AS pair_count
+      | FROM (""".stripMargin)
+    sb.append((1 to nRounds).map(i =>
+      s"SELECT $i AS rnd, arnk, lhs, rhs, cnt FROM a$i")
+      .mkString("\n UNION ALL "))
+    sb.append(")")
     sb.toString
   }
 
@@ -5757,5 +5837,6 @@ object ExtensionQueries {
         |          // CAST(sum(enc.n_words) AS BIGINT) AS fertility_bp
         | FROM documents d JOIN enc ON d.doc_id = enc.doc_id
         | GROUP BY d.lang""".stripMargin),
+    "q184_bpe_batched" -> bpeBatchedOracle(nRounds = 3, batch = 3, pool = 12),
   )
 }

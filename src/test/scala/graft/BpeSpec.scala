@@ -95,6 +95,40 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learnBatched(k, 1) ≡ learn(k): batch size one is sequential BPE") {
+    for (corpus <- Seq("low low lower", "xy yx xy yx", "aaaaaa aaaaa ab")) {
+      val docs = Seq((0L, corpus)).toDF("doc_id", "text")
+      val (seqM, seqV) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 4)
+      val (batM, batV) =
+        Bpe.learnBatched(Bpe.wordFreq(docs), nRounds = 4, batchSize = 1)
+      assert(batM === seqM, s"merge tables diverged on '$corpus'")
+      assert(rowSet(batV) === rowSet(seqV), s"final state diverged on '$corpus'")
+    }
+  }
+
+  test("learnBatched ≡ sequential when the round's picks don't interact") {
+    // pairs (a,b):9, (c,d):6, (e,f):3 share no symbol — one batched
+    // round of 3 must learn exactly what 3 sequential rounds learn,
+    // counts included (non-interaction means no count moves between)
+    val docs = (Seq.fill(9)("ab") ++ Seq.fill(6)("cd") ++ Seq.fill(3)("ef"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (seqM, seqV) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 3)
+    val (batM, batV) =
+      Bpe.learnBatched(Bpe.wordFreq(docs), nRounds = 1, batchSize = 3)
+    assert(batM === seqM)
+    assert(rowSet(batV) === rowSet(seqV))
+  }
+
+  test("learnBatched defers a candidate conflicting with a higher-ranked pick") {
+    // (a,b):5 outranks (b,a):4 and shares both symbols — round 1 may
+    // only accept (a,b); (b,a) must wait for round 2's recount
+    val docs = (Seq.fill(5)("ab") ++ Seq.fill(4)("ba"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (m, _) = Bpe.learnBatched(Bpe.wordFreq(docs), nRounds = 2, batchSize = 3)
+    assert(m.map(x => (x.rank, x.lhs, x.rhs, x.pairCount)) ===
+      Seq((1, "a", "b", 5L), (2, "b", "a", 4L)))
+  }
+
   test("argmax tiebreak is (count desc, lhs, rhs) — deterministic re-run") {
     val docs = Seq((0L, "xy yx xy yx")).toDF("doc_id", "text")
     val a = Bpe.learn(Bpe.wordFreq(docs), nMerges = 2)._1

@@ -10,14 +10,23 @@ import org.apache.spark.sql.functions._
   * run" with a measurement instead of a guess (the q87 bisect tool,
   * generalized).
   *
-  *   runMain graft.GraphAb [tableDir] [iterations] [passes]
+  *   runMain graft.GraphAb [tableDir] [iterations] [passes] [mode]
+  *
+  * mode `pr` (default) is the PageRank grid above; mode `lp` times
+  * q102's label propagation over string ids vs the ORDER-PRESERVING
+  * long ids of [[Graph.bipartiteEdgesOrderedLong]] (+ decode
+  * projection), each with broadcastNodes on/off — the measurement
+  * behind switching q102 to long ids without touching its
+  * string-ordered tie-break.
   */
 object GraphAb {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
     val passes = args.lift(2).map(_.toInt).getOrElse(2)
+    val mode = args.lift(3).getOrElse("pr")
     val spark = Tables.localSession("graft-graph-ab")
+    if (mode == "lp") { runLp(spark, dir, iters, passes); return }
 
     // intIds: same recurrence over LONG node keys (2·part / 2·supp+1,
     // decoded back to the "p…"/"s…" strings in a final projection) —
@@ -62,6 +71,41 @@ object GraphAb {
       s""""bn=${a._1},perRound=${a._2},intIds=${a._3}":${times(a)}"""
     }.mkString("{", ",", "}")
     println(s"""{"dir":"$dir","iterations":$iters,"arms":$js}""")
+    spark.stop()
+  }
+
+  private def runLp(spark: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int, passes: Int): Unit = {
+    def edges(intIds: Boolean) = {
+      val li = Tables.load(spark, dir, "lineitem")
+      if (intIds)
+        Graph.bipartiteEdgesOrderedLong(li, "l_partkey", "l_suppkey", "p", "s")
+      else Graph.bipartiteEdges(li, "l_partkey", "l_suppkey", "p", "s")
+    }
+    def run(bn: Boolean, intIds: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val lp = Graph.labelPropagation(edges(intIds), rounds = iters,
+        broadcastNodes = bn)
+      val out = if (!intIds) lp else lp.select(
+        Graph.decodeOrderedBipartite(col("node"), "p", "s").as("node"),
+        Graph.decodeOrderedBipartite(col("label"), "p", "s").as("label"))
+      out.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      sec
+    }
+    val arms = Seq((true, false), (false, false), (true, true), (false, true))
+    run(true, false); run(true, true) // JIT/scan warmup, both id families
+    val times = (1 to passes).flatMap { p =>
+      val order = if (p % 2 == 0) arms.reverse else arms
+      order.map { case (bn, ii) => ((bn, ii), run(bn, ii)) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val js = arms.map { a =>
+      s""""bn=${a._1},orderedLongIds=${a._2}":${times(a)}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"mode":"lp","dir":"$dir","rounds":$iters,"arms":$js}""")
     spark.stop()
   }
 }

@@ -978,12 +978,21 @@ object ExtensionQueries {
 
   /** Label propagation over the part↔supplier graph, 2 synchronized
     * rounds — community detection (argmax propagation; q87 is sum,
-    * q97 is min). */
+    * q97 is min). The rounds run on ORDER-PRESERVING long ids
+    * (Graph.bipartiteEdgesOrderedLong): long order == node-string
+    * order bit-exactly, so the min-label tie-break is unchanged while
+    * every per-round shuffle/broadcast/hash moves 8-byte keys instead
+    * of strings (the q87 long-id win, extended to the one operator
+    * whose semantics COMPARE ids; GraphAb's lp mode measures it).
+    * Decode back to the "p…"/"s…" strings in the final projection
+    * only — oracle unchanged. */
   val q102LabelProp: Q = (s, dir) =>
     Graph.labelPropagation(
-      Graph.bipartiteEdges(t(s, dir, "lineitem"),
+      Graph.bipartiteEdgesOrderedLong(t(s, dir, "lineitem"),
         "l_partkey", "l_suppkey", "p", "s"),
       rounds = 2)
+      .select(Graph.decodeOrderedBipartite(col("node"), "p", "s").as("node"),
+        Graph.decodeOrderedBipartite(col("label"), "p", "s").as("label"))
 
   /** Robust outlier counts per event type: median/MAD instead of q61's
     * mean/σ (a single extreme value can't move the fence). Median and

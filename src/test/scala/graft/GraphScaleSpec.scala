@@ -152,4 +152,36 @@ class GraphScaleSpec extends SparkSpec {
       .select("node").as[String].collect().toSet
     assert(nodes == Set("a", "z", "c"))
   }
+
+  test("ordered long encoding preserves node-string order and round-trips") {
+    // keys chosen to hit the lexicographic-vs-numeric traps: "p10"<"p2",
+    // "p1"<"p10" (prefix), single digits, zero, long keys, both sides
+    val keys = Seq(0L, 1L, 2L, 9L, 10L, 11L, 20L, 99L, 100L, 123L, 999L,
+      1000L, 987654321L, 999999999999L)
+    // encode via the public edge builder on a (left=key, right=key) fact:
+    // src covers BOTH sides (symmetric edges emit p- and s-encoded nodes)
+    val facts = keys.toDF("k")
+    val encoded = Graph.bipartiteEdgesOrderedLong(facts, "k", "k", "p", "s")
+      .select(col("src")).distinct()
+      .withColumn("str", Graph.decodeOrderedBipartite(col("src"), "p", "s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // decode is the exact inverse of encode
+    val expectStrs = (keys.map(k => s"p$k") ++ keys.map(k => s"s$k")).toSet
+    assert(encoded.map(_._2).toSet === expectStrs)
+    // long order == string lexicographic order
+    val byLong = encoded.sortBy(_._1).map(_._2)
+    assert(byLong === encoded.map(_._2).sorted,
+      "encoded long order diverged from string order")
+  }
+
+  test("q102 on ordered long ids ≡ label propagation over string ids") {
+    val strRes = rowSet(Graph.labelPropagation(liEdges, rounds = 2))
+    val longRes = rowSet(
+      Graph.labelPropagation(
+        Graph.bipartiteEdgesOrderedLong(Tables.load(spark, sf, "lineitem"),
+          "l_partkey", "l_suppkey", "p", "s"), rounds = 2)
+        .select(Graph.decodeOrderedBipartite(col("node"), "p", "s").as("node"),
+          Graph.decodeOrderedBipartite(col("label"), "p", "s").as("label")))
+    assert(longRes === strRes)
+  }
 }

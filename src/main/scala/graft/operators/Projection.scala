@@ -147,15 +147,24 @@ object Projection {
     * per-query top-k window over scored pairs, same as
     * [[Similarity.bruteForceTopK]]. Output: (q_id, vec_id, sim_adc,
     * rank). */
+  /** Collected codebook rows → the per-subspace literal table ADC
+    * scoring indexes into (codes absent from the corpus map to the
+    * zero vector, contributing 0 to the score). */
+  private def cbLiteral(rows: Array[org.apache.spark.sql.Row],
+      m: Int, subDim: Int, bits: Int): Seq[Seq[Seq[Double]]] = {
+    val cb = rows
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    val zero = Seq.fill(subDim)(0.0)
+    (0 until m).map { sub =>
+      (0 until (1 << bits)).map(c => cb.getOrElse((sub.toLong, c.toLong), zero))
+    }
+  }
+
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
       m: Int = 4, dim: Int = 64, bits: Int = 4): DataFrame = {
     val subDim = dim / m
-    val cb = pqCodebook(corpus, m, dim, bits).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2))).toMap
-    val zero = Seq.fill(subDim)(0.0)
-    val cbSub: Seq[Seq[Seq[Double]]] = (0 until m).map { sub =>
-      (0 until (1 << bits)).map(c => cb.getOrElse((sub.toLong, c.toLong), zero))
-    }
+    val cbSub = cbLiteral(pqCodebook(corpus, m, dim, bits).collect(),
+      m, subDim, bits)
     val cn = Similarity.withUnit(
       corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       "v", "vn")
@@ -179,5 +188,156 @@ object Projection {
       .select(col("q_id"), col("vec_id"), (round(adc, 6) + lit(0.0)).as("sim_adc"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
+  }
+
+  /** The IVF+PQ probe body shared by [[ivfPqTopK]] (in-memory) and
+    * [[ivfPqTopKIndexed]] (persisted): ADC-score the PROBED clusters'
+    * codes against each routed query, shortlist per query, then re-rank
+    * ONLY the shortlist exactly in full space. `coded` is
+    * (probe_label, vec_id, codes) — already restricted (or prunable)
+    * to probed clusters; `full` is (vec_id, vn) unit vectors for the
+    * re-rank; `qf` is (q_id, qn). Same rounding/tie conventions as
+    * [[Similarity.bruteForceTopK]] throughout. */
+  private def ivfPqSearch(
+      probes: DataFrame,
+      coded: DataFrame,
+      full: DataFrame,
+      qf: DataFrame,
+      cbSub: Seq[Seq[Seq[Double]]],
+      k: Int,
+      shortlist: Int,
+      m: Int,
+      subDim: Int): DataFrame = {
+    val adc = (0 until m).map { sub =>
+      Similarity.dot(
+        slice(col("qn"), sub * subDim + 1, subDim),
+        element_at(typedlit(cbSub(sub)),
+          element_at(col("codes"), sub + 1).cast("int") + 1))
+    }.reduce(_ + _)
+    val slW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim_adc").desc, col("vec_id"))
+    val cand = coded.join(broadcast(probes), Seq("probe_label"))
+      .select(col("q_id"), col("vec_id"),
+        (round(adc, 6) + lit(0.0)).as("sim_adc"))
+      .withColumn("graft_srank", row_number().over(slW))
+      .filter(col("graft_srank") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cand.join(full, Seq("vec_id"))
+      .join(broadcast(qf), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.dot(col("qn"), col("vn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF+PQ ANN — the composed index shape a 100-TB vector store
+    * actually deploys (the FAISS IVFPQ layout with deterministic
+    * sign-LSH cells): route each query to its `nprobe` nearest
+    * centroids (IVF), rank the probed clusters' vectors in the
+    * COMPRESSED domain (ADC over PQ codes — 2-byte reads instead of
+    * 256-byte vectors), then re-rank only the `shortlist` best exactly
+    * in full space. The corpus-wide work is one code scan of 1/k of
+    * the data per probe; full vectors are touched for
+    * |queries|·shortlist rows only. Over-fetching (shortlist ≫ k)
+    * recovers the recall the codes lose — with shortlist ≥ cluster
+    * size this degenerates to exactly [[Similarity.ivfTopK]]'s result
+    * (IvfPqSpec asserts recall ≥ the plain-IVF q153 contract at equal
+    * probe cost). Output: (q_id, vec_id, sim, rank). */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cent: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 1,
+      shortlist: Int = 50,
+      m: Int = 4,
+      dim: Int = 64,
+      bits: Int = 4): DataFrame = {
+    val subDim = dim / m
+    val probes = Similarity.routeProbes(queries, cent, nprobe)
+    val cbSub = cbLiteral(pqCodebook(corpus, m, dim, bits).collect(),
+      m, subDim, bits)
+    val coded = Similarity.withUnit(
+      corpus.select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v")),
+      "v", "vn")
+      .withColumn("codes", pqCodeArray(col("vn"), m, dim, bits))
+      .select(col("label").as("probe_label"), col("vec_id"), col("codes"))
+    val full = Similarity.withUnit(
+      corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "v", "vn")
+      .select(col("vec_id"), col("vn"))
+    val qf = Similarity.withUnit(
+      queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv")),
+      "qv", "qn")
+      .select(col("q_id"), col("qn"))
+    ivfPqSearch(probes, coded, full, qf, cbSub, k, shortlist, m, subDim)
+  }
+
+  /** Persist the IVF+PQ index: `dir/vectors` holds (vec_id, embedding,
+    * codes) PARTITIONED BY the cluster label — so a probe's code scan
+    * prunes to its cluster's directories at planning time AND column
+    * pruning keeps the wide `embedding` column out of the ADC pass
+    * (the scan reads 2-byte codes; full vectors are read only by the
+    * shortlist re-rank) — and `dir/codebook` holds the m·2^bits
+    * codebook rows. Write once at ingest, like
+    * [[Similarity.writeIvfIndex]]; the same append/re-fit lifecycle
+    * applies (route new vectors with [[Similarity.assignToCentroids]],
+    * code them, append; gate rebuilds with [[Similarity.ivfRefitCheck]]). */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String,
+      m: Int = 4, dim: Int = 64, bits: Int = 4): Unit = {
+    val coded = Similarity.withUnit(
+      corpus.select(col("label"), col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("v")),
+      "v", "vn")
+      .withColumn("codes", pqCodeArray(col("vn"), m, dim, bits))
+      .select(col("vec_id"), col("embedding"), col("codes"), col("label"))
+    coded.write.partitionBy("label")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/vectors")
+    pqCodebook(corpus, m, dim, bits).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codebook")
+  }
+
+  /** [[ivfPqTopK]] against a PERSISTED [[writeIvfPqIndex]] index: the
+    * probed labels are collected (centroid-count-bounded) into a
+    * static `isin` filter, so BOTH index reads — the codes-only ADC
+    * scan and the shortlist re-rank's embedding read — prune to the
+    * probed clusters' partitions (PartitionFilters, plan-asserted in
+    * IvfPqSpec; the ADC scan's ReadSchema provably excludes
+    * `embedding`). Results ≡ [[ivfPqTopK]] over the same corpus. */
+  def ivfPqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      cent: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 1,
+      shortlist: Int = 50,
+      m: Int = 4,
+      dim: Int = 64,
+      bits: Int = 4): DataFrame = {
+    val subDim = dim / m
+    val probes = Similarity.routeProbes(queries, cent, nprobe).localCheckpoint()
+    val labels = probes.select(col("probe_label")).distinct()
+      .collect().map(_.get(0))
+    val cbSub = cbLiteral(spark.read.parquet(s"$dir/codebook").collect(),
+      m, subDim, bits)
+    def idx = spark.read.parquet(s"$dir/vectors")
+      .filter(col("label").isin(labels: _*))
+    val coded = idx.select(col("label").as("probe_label"), col("vec_id"),
+      col("codes"))
+    val full = Similarity.withUnit(
+      idx.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "v", "vn")
+      .select(col("vec_id"), col("vn"))
+    val qf = Similarity.withUnit(
+      queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv")),
+      "qv", "qn")
+      .select(col("q_id"), col("qn"))
+    ivfPqSearch(probes, coded, full, qf, cbSub, k, shortlist, m, subDim)
   }
 }

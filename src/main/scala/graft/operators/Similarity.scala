@@ -176,8 +176,9 @@ object Similarity {
     ivfTopK(queries, corpus, centroids(corpus), k)
 
   /** Query routing for IVF: each query's `nprobe` nearest centroids.
-    * Output: (q_id, qn, probe_label). */
-  private def routeProbes(queries: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    * Output: (q_id, qn, probe_label). Shared with [[Projection]]'s
+    * IVF+PQ composition. */
+  private[operators] def routeProbes(queries: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val q = withUnit(
       queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv")),
       "qv", "qn")

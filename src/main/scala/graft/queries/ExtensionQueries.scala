@@ -2442,6 +2442,32 @@ object ExtensionQueries {
     Bpe.mergesDf(s, merges)
   }
 
+  /** IVF+PQ recall contract: the composed persisted-index shape (IVF
+    * routing → compressed-domain ADC shortlist inside the probed
+    * cluster only → exact full-space re-rank; see
+    * Projection.ivfPqTopK / writeIvfPqIndex) audited against
+    * brute-force exact top-10, per query, in basis points — q153's
+    * readout at EQUAL probe cost (nprobe=1), so the two recall columns
+    * are directly comparable and IvfPqSpec asserts ivfpq ≥ ivf. The
+    * oracle replays the whole composition: centroid routing (q30's
+    * CTEs), PQ cells + codebook + ADC (q173's), shortlist-then-re-rank
+    * (q174's) — restricted to the probed clusters. */
+  val q185IvfpqRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, e, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val ivfpq = Projection.ivfPqTopK(q, e, Similarity.centroids(e),
+      k = 10, nprobe = 1, shortlist = 50)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    brute.join(ivfpq, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_brute"), col("n_hits"),
+        expr("(n_hits * 10000) div n_brute").as("recall_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2619,6 +2645,7 @@ object ExtensionQueries {
     "q182_bpe_budget" -> q182BpeBudget,
     "q183_bpe_fertility" -> q183BpeFertility,
     "q184_bpe_batched" -> q184BpeBatched,
+    "q185_ivfpq_recall" -> q185IvfpqRecall,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -5847,5 +5874,95 @@ object ExtensionQueries {
         | FROM documents d JOIN enc ON d.doc_id = enc.doc_id
         | GROUP BY d.lang""".stripMargin),
     "q184_bpe_batched" -> bpeBatchedOracle(nRounds = 3, batch = 3, pool = 12),
+    // q30's routing + q173's PQ/ADC + q174's shortlist-re-rank,
+    // composed and restricted to each query's probed cluster
+    "q185_ivfpq_recall" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         u AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+               FROM e),
+         cent AS (
+           SELECT label, list(cx ORDER BY j) AS centroid
+           FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+                 FROM e, (SELECT unnest(range(1, 65)) AS j)
+                 GROUP BY label, j)
+           GROUP BY label),
+         qfull AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+         probes AS (
+           SELECT q_id, label AS probe_label FROM (
+             SELECT q.q_id, c.label,
+                    ROW_NUMBER() OVER (PARTITION BY q.q_id
+                      ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+                               c.label) AS prn
+             FROM qfull q, cent c)
+           WHERE prn = 1),
+         hp AS (SELECT sub, h, j,
+                       CASE WHEN substr(md5('pq:' || CAST(sub AS VARCHAR) || ':'
+                                             || CAST(h AS VARCHAR) || ':'
+                                             || CAST(j AS VARCHAR)), 1, 1)
+                            IN ('0','2','4','6','8','a','c','e')
+                            THEN 1.0 ELSE -1.0 END AS c
+                FROM (SELECT unnest(range(0, 4)) AS sub),
+                     (SELECT unnest(range(0, 4)) AS h),
+                     (SELECT unnest(range(1, 17)) AS j)),
+         bits AS (SELECT vec_id, sub, h,
+                         CASE WHEN round(sum(c * vn[CAST(sub * 16 + j AS INT)]), 6) > 0
+                              THEN 1 ELSE 0 END AS bit
+                  FROM u, hp GROUP BY vec_id, sub, h),
+         codes AS (SELECT vec_id, sub,
+                          CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(h AS INT)))
+                               AS BIGINT) AS code
+                   FROM bits GROUP BY vec_id, sub),
+         cb AS (SELECT sub, code, list(cx ORDER BY j2) AS cbv FROM (
+                  SELECT codes.sub, codes.code, j2,
+                         round(avg(u.vn[CAST(codes.sub * 16 + j2 AS INT)]), 6) AS cx
+                  FROM codes JOIN u USING (vec_id),
+                       (SELECT unnest(range(1, 17)) AS j2)
+                  GROUP BY codes.sub, codes.code, j2)
+                GROUP BY sub, code),
+         qsub AS (SELECT vec_id AS q_id, sub,
+                         list_slice(vn, sub * 16 + 1, sub * 16 + 16) AS qv
+                  FROM u, (SELECT unnest(range(0, 4)) AS sub)
+                  WHERE vec_id < 20),
+         adc AS (SELECT qsub.q_id, e2.vec_id,
+                        round(sum(list_dot_product(qsub.qv, cb.cbv)), 6) + 0.0 AS sim
+                 FROM probes p
+                 JOIN e e2 ON e2.label = p.probe_label
+                 JOIN codes ON codes.vec_id = e2.vec_id
+                 JOIN cb ON cb.sub = codes.sub AND cb.code = codes.code
+                 JOIN qsub ON qsub.q_id = p.q_id AND qsub.sub = codes.sub
+                 GROUP BY qsub.q_id, e2.vec_id),
+         sl AS (SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, vec_id) AS srank
+                  FROM adc)
+                WHERE srank <= 50),
+         rr AS (SELECT q_id, vec_id FROM (
+                  SELECT sl.q_id, sl.vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY sl.q_id
+                           ORDER BY round(list_cosine_similarity(qf.qv, e.v), 6)
+                                      DESC,
+                                    sl.vec_id) AS rank
+                  FROM sl
+                  JOIN e ON e.vec_id = sl.vec_id
+                  JOIN qfull qf ON qf.q_id = sl.q_id)
+                WHERE rank <= 10),
+         b AS (SELECT q_id, vec_id FROM (
+                 SELECT qf.q_id, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qf.q_id
+                          ORDER BY round(list_cosine_similarity(qf.qv, e.v), 6) DESC,
+                                   e.vec_id) AS rank
+                 FROM qfull qf, e)
+               WHERE rank <= 10)
+         SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+                CAST(sum(CASE WHEN rr.vec_id IS NULL THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_hits,
+                CAST((CAST(sum(CASE WHEN rr.vec_id IS NULL THEN 0 ELSE 1 END)
+                           AS BIGINT) * 10000) // count(*) AS BIGINT)
+                  AS recall_bp
+         FROM b LEFT JOIN rr ON rr.q_id = b.q_id AND rr.vec_id = b.vec_id
+         GROUP BY b.q_id""",
   )
 }

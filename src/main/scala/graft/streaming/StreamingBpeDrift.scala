@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.operators.Bpe
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous tokenizer-rot monitoring — the streaming face of the
+  * [[graft.operators.Bpe]] block: each micro-batch of documents is
+  * encoded under a FROZEN learned vocabulary (the (w, syms) frame
+  * [[Bpe.learn]] / [[Bpe.learnBatched]] returned at training time) and
+  * the batch's fertility + out-of-vocabulary rates are appended to a
+  * results table an alerting query tails. This is the production
+  * failure mode the batch block can't see: the corpus drifts, the
+  * frozen merges serve it worse, fertility (BPE tokens per 100 words)
+  * creeps up and OOV words appear — the signal to re-learn the
+  * vocabulary, exactly like [[StreamingDrift]]'s KS gate for value
+  * distributions.
+  *
+  * foreachBatch is at-least-once: each batch's one-row readout is
+  * written to its OWN `batch_id=<n>` partition with overwrite, so a
+  * replayed batch replaces its previous attempt (the
+  * [[StreamingDrift]]/[[StreamingSketch]] idempotence shape). The
+  * vocabulary is vocab-sized and frozen — pre-materialize it once;
+  * every batch is one encode join + a one-row aggregate.
+  */
+object StreamingBpeDrift {
+
+  /** One-row fertility readout of `docs` under the frozen vocabulary —
+    * the batch-equivalence surface the streaming log must match:
+    * (n_docs, n_words, n_bpe_tokens, n_oov_words, fertility_bp,
+    * oov_bp). `fertility_bp` floors tokens·10⁴/words over IN-VOCAB
+    * words only (OOV words have no token count — they are REPORTED,
+    * not guessed); both rates are null on an empty batch. */
+  def batchStats(docs: DataFrame, vocabSyms: DataFrame): DataFrame =
+    Bpe.encodeStats(docs, vocabSyms)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_words")), lit(0L)).as("n_words"),
+        coalesce(sum(col("n_bpe_tokens")), lit(0L)).as("n_bpe_tokens"),
+        coalesce(sum(col("n_oov_words")), lit(0L)).as("n_oov_words"))
+      .select(col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        col("n_oov_words"),
+        when(col("n_words") - col("n_oov_words") > 0,
+          expr("(n_bpe_tokens * 10000) div (n_words - n_oov_words)"))
+          .as("fertility_bp"),
+        when(col("n_words") > 0,
+          expr("(n_oov_words * 10000) div n_words")).as("oov_bp"))
+
+  /** Start monitoring a (doc_id, text) stream against the frozen
+    * vocabulary; one log row per micro-batch. */
+  def monitor(
+      docs: DataFrame,
+      vocabSyms: DataFrame,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batchStats(batch, vocabSyms)
+          .coalesce(1) // one row by construction
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** The monitoring log: one fertility/OOV row per batch. */
+  def readLog(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+}

@@ -252,6 +252,32 @@ object Bpe {
     * OOV by construction; any other vocabulary must treat
     * `n_oov_words > 0` as "token count incomplete" instead of trusting
     * an under-count with no signal. */
+  /** The ACTUAL token sequence per document under an encoded
+    * vocabulary — what a training pipeline writes to shards, where
+    * [[encodeStats]] only counts. Same memoized shape: the greedy fold
+    * ran once per DISTINCT word at learn time; this is a posexplode +
+    * vocab join + order-preserving reassembly (array_sort on the word
+    * position, then flatten), so the corpus is scanned once and no
+    * fold ever re-runs per occurrence. An out-of-vocabulary word falls
+    * back to its character split — the standard "unknown decomposes to
+    * the base alphabet" rule, deterministic and loud in the token
+    * count rather than silently dropped. Output: (doc_id, tokens). */
+  def encodeTokens(docs: DataFrame, vocabSyms: DataFrame,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val v0 = vocabSyms.select(col("w"), col("syms"))
+    val v = if (broadcastVocab) broadcast(v0) else v0
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .join(v, Seq("w"), "left")
+      .withColumn("graft_syms", coalesce(col("syms"),
+        filter(split(col("w"), ""), x => x =!= lit(""))))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("graft_syms")))),
+        x => x.getField("graft_syms"))).as("tokens"))
+  }
+
   def encodeStats(docs: DataFrame, vocabSyms: DataFrame,
       broadcastVocab: Boolean = true): DataFrame = {
     val v0 = vocabSyms.select(col("w"),

@@ -2468,6 +2468,34 @@ object ExtensionQueries {
         expr("(n_hits * 10000) div n_brute").as("recall_bp"))
   }
 
+  /** Exact GLOBAL rank of every document by quality (score desc,
+    * doc_id tiebreak) — the corpus-wide leaderboard every curation
+    * report wants, via [[graft.operators.Ranks.withGlobalRank]]'s
+    * banded decomposition instead of the single-partition
+    * `row_number() OVER (ORDER BY …)` the oracle runs: bit-identical
+    * ranks, every task bounded (q105's machinery exposed as the
+    * first-class operator). */
+  val q186GlobalRank: Q = (s, dir) =>
+    Ranks.withGlobalRank(
+      TextOps.qualityFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score_bp")),
+      key = col("quality_score_bp"), ascending = false,
+      tie = col("doc_id"), outCol = "rank")
+      .select(col("doc_id"), col("quality_score_bp"), col("rank"))
+
+  /** The ACTUAL per-document BPE token sequence under the learned
+    * 6-merge vocabulary — what q180 counts, materialized (the shard
+    * a training pipeline writes). Space-joined for the driver compare;
+    * see Bpe.encodeTokens for the memoized reassembly shape. */
+  val q187BpeTokens: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    Bpe.encodeTokens(docs, vocab)
+      .select(col("doc_id"),
+        size(col("tokens")).cast("bigint").as("n_tokens"),
+        array_join(col("tokens"), " ").as("tokens"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2646,6 +2674,8 @@ object ExtensionQueries {
     "q183_bpe_fertility" -> q183BpeFertility,
     "q184_bpe_batched" -> q184BpeBatched,
     "q185_ivfpq_recall" -> q185IvfpqRecall,
+    "q186_global_rank" -> q186GlobalRank,
+    "q187_bpe_tokens" -> q187BpeTokens,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -5964,5 +5994,32 @@ object ExtensionQueries {
                   AS recall_bp
          FROM b LEFT JOIN rr ON rr.q_id = b.q_id AND rr.vec_id = b.vec_id
          GROUP BY b.q_id""",
+    "q186_global_rank" ->
+      """WITH q AS (SELECT doc_id,
+                CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+                      + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+                              / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+                      + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+                                     / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS quality_score_bp
+              FROM documents)
+         SELECT doc_id, quality_score_bp,
+                CAST(ROW_NUMBER() OVER (ORDER BY quality_score_bp DESC, doc_id)
+                     AS BIGINT) AS rank
+         FROM q""",
+    "q187_bpe_tokens" -> (bpeOracleCtes(6) +
+      """,
+        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+        |            i -> struct_pack(pos := i, w := s[i]))) AS t
+        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)))
+        | SELECT tw.doc_id,
+        |        CAST(sum(len(coalesce(v.syms, string_split(tw.w, ''))))
+        |             AS BIGINT) AS n_tokens,
+        |        string_agg(array_to_string(coalesce(v.syms,
+        |                     string_split(tw.w, '')), ' '), ' '
+        |                   ORDER BY tw.pos) AS tokens
+        | FROM tw LEFT JOIN w6 v ON v.w = tw.w
+        | WHERE tw.w <> ''
+        | GROUP BY tw.doc_id""".stripMargin),
   )
 }

@@ -95,6 +95,16 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeTokens materializes the word-order token sequence; OOV falls back to chars") {
+    val train = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(train), nMerges = 3)
+    // low → [low]; lower → [low, er]; OOV 'he' → chars [h, e]
+    val docs = Seq((0L, "lower he low")).toDF("doc_id", "text")
+    val toks = Bpe.encodeTokens(docs, vocab)
+      .select(col("tokens")).as[Seq[String]].collect().head
+    assert(toks === Seq("low", "er", "h", "e", "low"))
+  }
+
   test("learnBatched(k, 1) ≡ learn(k): batch size one is sequential BPE") {
     for (corpus <- Seq("low low lower", "xy yx xy yx", "aaaaaa aaaaa ab")) {
       val docs = Seq((0L, corpus)).toDF("doc_id", "text")

@@ -76,8 +76,10 @@ object ScaleStress {
     "q179_bpe_merges", "q180_bpe_encode", "q184_bpe_batched",
     // q105: the banded exact-rank quintiles (r7's last unpartitioned
     // data-scale window, rewritten) — expected ~linear; superlinear
-    // would mean a band or tie-band task is absorbing the growth
-    "q105_rfm")
+    // would mean a band or tie-band task is absorbing the growth.
+    // q188: gram-keyed span cut — the min-struct first-occurrence rule
+    // must stay a combine-tree aggregate, never a per-gram window
+    "q105_rfm", "q188_span_cut")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

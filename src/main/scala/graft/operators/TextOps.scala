@@ -79,6 +79,55 @@ object TextOps {
             x => x.getField("line")))).as("clean_hash"))
   }
 
+  /** Exact duplicated-SPAN cut (the word-granular form of Lee et al.
+    * 2022's ExactSubstr dedup, arXiv:2107.06499): any word `l`-gram
+    * occurring more than once in the corpus keeps its FIRST occurrence
+    * (global (doc_id, pos) order) and every other occurrence has its
+    * covered words REMOVED from the document — the span-level member
+    * of the dedup family (doc-level q24 drops whole docs, line-level
+    * [[lineDedup]] cuts boilerplate units everywhere; this cuts the
+    * repeated span while keeping one copy and both documents). A span
+    * of M ≥ l duplicated words is covered by its M−l+1 grams, so the
+    * whole span disappears from non-first sites; self-repetition
+    * inside one document is cut the same way.
+    *
+    * Scale shape: gram occurrences shuffle by gram (the q26/q154 key
+    * space); the first-occurrence rule is a min-STRUCT aggregate, not
+    * a rank window, so a gram duplicated 10⁶ times costs one combine
+    * tree, never a 10⁶-row window partition; coverage explodes ≤ l
+    * positions per duplicated occurrence and distincts on
+    * (doc, position); reassembly is one per-doc sort of its own words.
+    * Output: (doc_id, n_words, n_cut, clean_text) — clean_text pins
+    * the exact surviving words in order. */
+  def spanDedup(docs: DataFrame, l: Int = 8): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      posexplode(graft.functions.WordShingles.word_shingles(col("text"), l))
+        .as(Seq("pos", "g")))
+    val firsts = occ.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("g"), col("f.doc_id").as("graft_fd"),
+        col("f.pos").as("graft_fp"))
+    val covered = occ.join(firsts, Seq("g"))
+      .filter(!(col("doc_id") === col("graft_fd") &&
+        col("pos") === col("graft_fp")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("wpos"))
+      .distinct()
+      .withColumn("graft_cov", lit(true))
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+      .join(covered, Seq("doc_id", "wpos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("graft_cov"), 1L).otherwise(0L)).as("n_cut"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("graft_cov").isNull, struct(col("wpos"), col("w"))))),
+          x => x.getField("w")), " ").as("clean_text"))
+  }
+
   /** Quality features + a composite score (length/punct/stopword ratios —
     * the standard cheap quality heuristics). Ratios are reported in
     * basis points via floor(x·10⁴): float division is bit-identical

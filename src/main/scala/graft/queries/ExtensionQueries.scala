@@ -2496,6 +2496,15 @@ object ExtensionQueries {
         array_join(col("tokens"), " ").as("tokens"))
   }
 
+  /** Exact duplicated-span CUT: every non-first occurrence of a
+    * duplicated word 8-gram loses its covered words (first occurrence
+    * by global (doc_id, pos) order survives) — the span-level dedup
+    * member q154 only MEASURES (its dup_bp readout) and q24/q178
+    * bracket from doc/line level. See TextOps.spanDedup; the oracle
+    * pins the exact surviving text per document. */
+  val q188SpanCut: Q = (s, dir) =>
+    TextOps.spanDedup(t(s, dir, "documents"), l = 8)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2676,6 +2685,7 @@ object ExtensionQueries {
     "q185_ivfpq_recall" -> q185IvfpqRecall,
     "q186_global_rank" -> q186GlobalRank,
     "q187_bpe_tokens" -> q187BpeTokens,
+    "q188_span_cut" -> q188SpanCut,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6021,5 +6031,31 @@ object ExtensionQueries {
         | FROM tw LEFT JOIN w6 v ON v.w = tw.w
         | WHERE tw.w <> ''
         | GROUP BY tw.doc_id""".stripMargin),
+    "q188_span_cut" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         occ AS (SELECT doc_id, t.pos AS pos, t.g AS g FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(s) - 6), i ->
+                 struct_pack(pos := i - 1,
+                             g := array_to_string(s[i:i+7], ' ')))) AS t
+             FROM w WHERE len(s) >= 8)),
+         nf AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos)
+                      AS rn
+             FROM occ) WHERE rn > 1),
+         cov AS (SELECT DISTINCT doc_id, pos + i AS wpos
+                 FROM nf, (SELECT unnest(range(0, 8)) AS i)),
+         wd AS (SELECT doc_id, t.wpos AS wpos, t.w AS w FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(s) + 1), i ->
+                 struct_pack(wpos := i - 1, w := s[i]))) AS t FROM w))
+         SELECT wd.doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(CASE WHEN cov.wpos IS NULL THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_cut,
+                coalesce(string_agg(CASE WHEN cov.wpos IS NULL THEN wd.w END,
+                                    ' ' ORDER BY wd.wpos), '') AS clean_text
+         FROM wd LEFT JOIN cov ON cov.doc_id = wd.doc_id
+                               AND cov.wpos = wd.wpos
+         GROUP BY wd.doc_id""",
   )
 }

@@ -797,4 +797,20 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(banded == got)
   }
+
+  test("spanDedup: duplicated 8-gram cut keeps the first occurrence only") {
+    val docs = Seq(
+      (0L, "a b c d e f g h x"),                    // first site of abcdefgh
+      (1L, "z a b c d e f g h"),                    // later site → span cut
+      (2L, "p q r s t u v w p q r s t u v w"),      // self-repetition
+      (3L, "short doc no grams")                    // < 8 words: untouched
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanDedup(docs, l = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) === ((9L, 0L, "a b c d e f g h x")))
+    assert(got(1L) === ((9L, 8L, "z")))
+    assert(got(2L) === ((16L, 8L, "p q r s t u v w")))
+    assert(got(3L) === ((4L, 0L, "short doc no grams")))
+  }
 }

@@ -1048,15 +1048,21 @@ object ExtensionQueries {
         count(lit(1)).as("f_n"),
         sum(round(col("value") * 100).cast("bigint")).as("m_cents"))
       .localCheckpoint()
+    // each quintile pipeline ranks the NARROW (metric, user_id)
+    // projection — its joins/windows shuffle two longs per row instead
+    // of the whole frame — and the scores join back on user_id
     val scored = Seq(
       ("r_days", true, "r_q"),    // recent buyers score high…
       ("f_n", false, "f_q"),      // …frequent and big spenders too
       ("m_cents", false, "m_q"))
-      .foldLeft(rfm) { case (d, (c, asc, out)) =>
-        Ranks.withNtile(d, col(c), asc, col("user_id"), 5, out)
+      .map { case (c, asc, out) =>
+        Ranks.withNtile(rfm.select(col("user_id"), col(c)),
+          col(c), asc, col("user_id"), 5, out)
+          .select(col("user_id"), col(out))
       }
-    scored.select(col("user_id"), col("r_days"), col("f_n"), col("m_cents"),
-      col("r_q"), col("f_q"), col("m_q"))
+    scored.foldLeft(rfm)((d, s) => d.join(s, Seq("user_id")))
+      .select(col("user_id"), col("r_days"), col("f_n"), col("m_cents"),
+        col("r_q"), col("f_q"), col("m_q"))
   }
 
   /** Period-over-period: per event type and day, count vs the previous

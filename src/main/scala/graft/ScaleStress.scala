@@ -193,11 +193,20 @@ object ScaleStress {
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = Tables.localSession("graft-scale-stress")
 
+    // SPARK_GRAFT_STRESS_ONLY=q105_rfm,q188_span_cut re-measures a
+    // subset against an ALREADY-GENERATED outDir (set SKIP_GEN=1) or
+    // regenerates first — for re-recording a factor after an operator
+    // change without paying the full heavies sweep.
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(heavies)(s => heavies.filter(s.contains))
+
     val g0 = System.nanoTime()
-    generate(spark, srcDir, outDir, copies)
+    if (!sys.env.get("SPARK_GRAFT_STRESS_SKIP_GEN").contains("1"))
+      generate(spark, srcDir, outDir, copies)
     val genSec = (System.nanoTime() - g0) / 1e9
 
-    val results = heavies.map { name =>
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       // shape + warmup count per scale, then min-of-2 timed passes
       // (each pass rebuilds the plan from scratch — see timeNoop)

@@ -79,7 +79,10 @@ object ScaleStress {
     // would mean a band or tie-band task is absorbing the growth.
     // q188: gram-keyed span cut — the min-struct first-occurrence rule
     // must stay a combine-tree aggregate, never a per-gram window
-    "q105_rfm", "q188_span_cut")
+    // q190: token-stream shard packing — the banded prefix sum must
+    // keep offsets off any single-partition sort while the token
+    // explode and seq_id shuffle carry the linear term
+    "q105_rfm", "q188_span_cut", "q190_token_shards")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

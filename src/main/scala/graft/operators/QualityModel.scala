@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned quality classifier: distributed full-batch logistic
+  * regression over cheap per-document quality signals, trained against
+  * the Gopher rule gate as weak supervision — the "train a fastText/LR
+  * quality filter on heuristic labels, then keep its SOFT score"
+  * pattern of public LLM-data pipelines (DCLM, FineWeb-Edu; the
+  * heuristic gives binary labels, the learned model gives a rankable
+  * score the binary rules cannot).
+  *
+  * Everything is replayable — the DuckDB oracle (q189) re-runs the
+  * whole training loop, not just the final scores:
+  *  - features derive from INTEGER counts (the q21/q51 basis-point
+  *    columns / 10⁴, plus ln(n_words)), so both engines see
+  *    bit-identical inputs;
+  *  - the margin w·x is summed in fixed written order and rounded to
+  *    6 dp, the sigmoid to 6 dp, each gradient component
+  *    avg((p−y)·xⱼ) to 6 dp, and each weight update to 6 dp — the
+  *    k-means parity convention ([[Clustering]]): rounding absorbs
+  *    cross-engine exp/add-order ulps, and no iteration can compound
+  *    drift.
+  *
+  * Scale shape (the 100-TB story): the feature pass is one corpus scan
+  * plus the (doc, word) max-tf aggregate the Gopher gate already needs;
+  * after that the corpus is OUT of the loop — each training iteration
+  * is one pass over the ~56-byte/row feature frame with a map-side
+  * partial aggregate into ONE d-component gradient row, and the model
+  * state is d driver-held doubles (the [[Clustering.kmeans]] pattern:
+  * driver-held small state, shallow per-round plans, lineage cannot
+  * grow with iterations because the features are checkpointed once).
+  * Scoring is scan-local: d multiplies per row, no shuffle, no window.
+  */
+object QualityModel {
+
+  /** Feature count incl. the intercept slot x0. */
+  val dim = 6
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Per-document training frame: (doc_id, y, x0..x5).
+    *  y  = the Gopher gate ([[TextOps.gopherRules]] `pass`) as 0/1
+    *  x0 = 1 (intercept)
+    *  x1 = ln(n_words) (6 dp)
+    *  x2 = stopword ratio, x3 = punct ratio, x4 = avg word length,
+    *  x5 = top-word repetition ratio — each the exact integer
+    *       basis-point column / 10⁴ (bit-identical across engines).
+    * One corpus scan per source frame + the (doc, word) shuffle the
+    * repetition rule needs; the output is what training iterates on. */
+  def features(docs: DataFrame): DataFrame = {
+    val g = TextOps.gopherRules(docs)
+      .select(col("doc_id"), col("pass"), col("n_words"),
+        col("avg_word_len_bp"), col("rep_ratio_bp"))
+    val q = TextOps.qualityFeatures(docs)
+      .select(col("doc_id"), col("punct_ratio_bp"), col("stopword_ratio_bp"))
+    g.join(q, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("pass"), 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        r6(log(col("n_words").cast("double"))).as("x1"),
+        (col("stopword_ratio_bp").cast("double") / 10000.0).as("x2"),
+        (col("punct_ratio_bp").cast("double") / 10000.0).as("x3"),
+        (col("avg_word_len_bp").cast("double") / 10000.0).as("x4"),
+        (col("rep_ratio_bp").cast("double") / 10000.0).as("x5"))
+  }
+
+  /** Z-score the non-intercept features: xⱼ' = round((xⱼ − mⱼ)/sⱼ, 6)
+    * with mⱼ = round(avg xⱼ, 6), sⱼ = round(stddev_pop xⱼ, 6), and a
+    * constant column (sⱼ = 0, e.g. a corpus with no punctuation) mapped
+    * to 0 via sⱼ → 1. Unstandardized, the raw features span two orders
+    * of magnitude (avg word length ~3-10 vs ratios ≤ 1) and fixed-lr
+    * full-batch GD spends its budget learning the intercept;
+    * standardized, 5 steps reach ~0.89 label agreement vs the ~0.78
+    * majority baseline. One 10-value driver collect; the rescale
+    * itself is scan-local literal arithmetic. */
+  def standardize(feats: DataFrame): DataFrame = {
+    val aggs = (1 until dim).flatMap(j => Seq(
+      r6(avg(col(s"x$j"))).as(s"m$j"),
+      r6(stddev_pop(col(s"x$j"))).as(s"s$j")))
+    val stats = feats.agg(aggs.head, aggs.tail: _*).head()
+    val ms = (1 until dim).map(j => (
+      stats.getDouble(stats.fieldIndex(s"m$j")),
+      stats.getDouble(stats.fieldIndex(s"s$j")) match {
+        case 0.0 => 1.0
+        case s => s
+      }))
+    feats.select(
+      col("doc_id") +: col("y") +: col("x0") +:
+        ms.zipWithIndex.map { case ((m, s), i) =>
+          r6((col(s"x${i + 1}") - lit(m)) / lit(s)).as(s"x${i + 1}")
+        }: _*)
+  }
+
+  /** w·x in fixed written order, rounded 6 dp (both engines evaluate
+    * the + chain left to right, so the float sum is bit-identical). */
+  private def margin(w: Seq[Double]): Column =
+    r6(w.zipWithIndex.map { case (wj, j) => lit(wj) * col(s"x$j") }
+      .reduce(_ + _))
+
+  /** σ(w·x), rounded 6 dp — exp ulp differences across engines are
+    * absorbed by the rounding (the q84 ln-parity argument). */
+  def prob(w: Seq[Double]): Column =
+    r6(lit(1.0) / (lit(1.0) + exp(-margin(w))))
+
+  private def roundHalfUp6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Mean logistic loss at `w` (6-dp per-row terms, 6-dp mean) — the
+    * train-monitoring readout; not part of the update rule. */
+  def loss(feats: DataFrame, w: Seq[Double]): Double = {
+    val p = prob(w)
+    val term = r6(-(col("y") * log(greatest(p, lit(1e-12)))
+      + (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12)))))
+    feats.agg(r6(avg(term))).head().getDouble(0)
+  }
+
+  /** `iters` full-batch gradient steps from w = 0 with fixed `lr`:
+    * wⱼ ← round(wⱼ − lr·round(avg((σ(w·x) − y)·xⱼ), 6), 6). Each step
+    * is ONE feature-frame scan producing a single d-component row
+    * (map-side partial avg, 1-row combine); the weights live on the
+    * driver between steps, so plans stay shallow at any iteration
+    * count. An empty frame returns the zero vector unchanged. */
+  def train(feats: DataFrame, lr: Double = 1.0, iters: Int = 3): Seq[Double] = {
+    var w: Seq[Double] = Seq.fill(dim)(0.0)
+    for (_ <- 1 to iters) {
+      val p = prob(w)
+      val grads = (0 until dim).map(j =>
+        r6(avg((p - col("y")) * col(s"x$j"))).as(s"g$j"))
+      val row = feats.agg(grads.head, grads.tail: _*).head()
+      if (!row.isNullAt(0))
+        w = w.zipWithIndex.map { case (wj, j) =>
+          roundHalfUp6(wj - lr * row.getDouble(j)) }
+    }
+    w
+  }
+
+  /** Score a feature frame under trained weights, scan-local:
+    * (doc_id, y, score_bp = ⌊σ·10⁴⌋, pred = σ ≥ ½). The soft score is
+    * the operator's point — a rankable quality signal where the rule
+    * gate only gives a boolean. */
+  def score(feats: DataFrame, w: Seq[Double]): DataFrame = {
+    val p = prob(w)
+    feats.select(col("doc_id"),
+      col("y").cast("bigint").as("y"),
+      floor(p * 10000).cast("bigint").as("score_bp"),
+      (p >= 0.5).as("pred"))
+  }
+}

@@ -134,4 +134,44 @@ object Ranks {
            |END""".stripMargin).cast("bigint"))
       .drop("graft_rk_rank", "graft_rk_n")
   }
+
+  /** `df` plus `outCol` = the EXCLUSIVE prefix sum of `value` in
+    * unique-`key` ascending order — sum of every strictly-earlier
+    * row's value — via the same banded decomposition as
+    * [[withGlobalRank]]: within-band window cumsum partitioned by the
+    * key's high bits plus a band-count-sized triangular offset join
+    * broadcast back, so no row ever funnels through a single-partition
+    * sort. The global-token-offset primitive behind
+    * [[SeqPack.packTokenStream]]'s stream chunking ("where in the
+    * concatenated corpus does this document start?").
+    *
+    * `key` must be unique and non-null (it is a total order);
+    * envelope: ≲ 2^16 keys per 2^bandBits key range keeps every task
+    * in the 2^16 regime — dense ids at default bandBits=16 exactly. */
+  def withPrefixSum(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      outCol: String,
+      bandBits: Int = 16): DataFrame = {
+    val d = df.withColumn("graft_ps_k", key.cast("bigint"))
+      .withColumn("graft_ps_v", value.cast("bigint"))
+      .withColumn("graft_ps_band", shiftright(col("graft_ps_k"), bandBits))
+    val bandTot = d.groupBy(col("graft_ps_band"))
+      .agg(sum(col("graft_ps_v")).as("graft_ps_bt"))
+    val off = bandTot
+      .join(bandTot.select(col("graft_ps_band").as("graft_ps_lb"),
+        col("graft_ps_bt").as("graft_ps_lbt")),
+        col("graft_ps_lb") < col("graft_ps_band"), "left")
+      .groupBy(col("graft_ps_band"))
+      .agg(coalesce(sum(col("graft_ps_lbt")), lit(0L)).as("graft_ps_off"))
+    val w = Window.partitionBy(col("graft_ps_band"))
+      .orderBy(col("graft_ps_k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(off), Seq("graft_ps_band"))
+      .withColumn(outCol,
+        (col("graft_ps_off")
+          + coalesce(sum(col("graft_ps_v")).over(w), lit(0L))).cast("bigint"))
+      .drop("graft_ps_k", "graft_ps_v", "graft_ps_band", "graft_ps_off")
+  }
 }

@@ -51,4 +51,44 @@ object SeqPack {
       .toDF("grp", "doc_id", "n_tok", "pack_id")
       .withColumnRenamed("grp", groupCol)
   }
+
+  /** GPT-style token-STREAM packing — the other canonical shard shape
+    * next to [[pack]]'s boundary-respecting first-fit: every document's
+    * token sequence plus an `eos` separator is concatenated in doc_id
+    * order into one corpus-wide stream, and the stream is cut into
+    * exact `seqLen`-token training sequences, documents split
+    * mid-stream wherever the boundary falls (what GPT-2/3-lineage
+    * pipelines feed the trainer; only the final sequence may be
+    * short).
+    *
+    * Scale shape: each document's global token offset comes from
+    * [[Ranks.withPrefixSum]]'s banded exclusive cumsum (no
+    * single-partition window over the corpus), the explode is linear,
+    * and the only corpus shuffle is the groupBy(seq_id) that
+    * assembles output sequences — the shard write itself. Sequence
+    * assembly is the sorted-collect_list pattern (slot-structs sorted
+    * scan-locally), each task holding exactly `seqLen` tokens per
+    * sequence.
+    *
+    * Input: (doc_id, tokens array<string>) — e.g.
+    * [[Bpe.encodeTokens]]'s output. Output: (seq_id, n_tokens,
+    * tokens space-joined). */
+  def packTokenStream(
+      docTokens: DataFrame, seqLen: Int, eos: String = "</s>"): DataFrame = {
+    require(seqLen >= 1, s"packTokenStream needs seqLen >= 1: $seqLen")
+    val withEos = docTokens.select(col("doc_id"),
+        concat(col("tokens"), array(lit(eos))).as("graft_toks"))
+      .withColumn("graft_n", size(col("graft_toks")).cast("bigint"))
+    Ranks.withPrefixSum(withEos, col("doc_id"), col("graft_n"), "graft_off")
+      .select(col("graft_off"),
+        posexplode(col("graft_toks")).as(Seq("graft_pos", "graft_tok")))
+      .withColumn("graft_gpos", col("graft_off") + col("graft_pos"))
+      .select(expr(s"graft_gpos div $seqLen").as("seq_id"),
+        expr(s"graft_gpos % $seqLen").as("graft_slot"), col("graft_tok"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("graft_slot"), col("graft_tok")))),
+          x => x.getField("graft_tok")), " ").as("tokens"))
+  }
 }

@@ -2511,6 +2511,34 @@ object ExtensionQueries {
   val q188SpanCut: Q = (s, dir) =>
     TextOps.spanDedup(t(s, dir, "documents"), l = 8)
 
+  /** Learned quality filter: logistic regression trained (z-scored
+    * features, 5 full-batch steps, lr 2, driver-held weights) against
+    * the Gopher gate as weak labels, then the whole corpus scored —
+    * the DCLM/FineWeb "train a classifier on heuristic labels, keep
+    * the soft score" pattern. The oracle replays the ENTIRE training
+    * loop (features → standardization → 5 gradient steps → final
+    * sigmoid), not just the output. See
+    * [[graft.operators.QualityModel]]. */
+  val q189QualityModel: Q = (s, dir) => {
+    val f = QualityModel.standardize(
+      QualityModel.features(t(s, dir, "documents"))).localCheckpoint()
+    QualityModel.score(f, QualityModel.train(f, lr = 2.0, iters = 5))
+  }
+
+  /** The training shards themselves: BPE-tokenize every document under
+    * the learned 6-merge vocabulary, concatenate token streams with an
+    * `</s>` separator in doc_id order, and cut exact 128-token training
+    * sequences across document boundaries (GPT-lineage packing; q118 is
+    * the boundary-respecting variant, q41 the within-doc chunker). The
+    * global token offsets come from [[graft.operators.Ranks
+    * .withPrefixSum]]'s banded exclusive cumsum — no single-partition
+    * window anywhere in the plan. */
+  val q190TokenShards: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    SeqPack.packTokenStream(Bpe.encodeTokens(docs, vocab), seqLen = 128)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2692,6 +2720,8 @@ object ExtensionQueries {
     "q186_global_rank" -> q186GlobalRank,
     "q187_bpe_tokens" -> q187BpeTokens,
     "q188_span_cut" -> q188SpanCut,
+    "q189_quality_model" -> q189QualityModel,
+    "q190_token_shards" -> q190TokenShards,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6063,5 +6093,128 @@ object ExtensionQueries {
          FROM wd LEFT JOIN cov ON cov.doc_id = wd.doc_id
                                AND cov.wpos = wd.wpos
          GROUP BY wd.doc_id""",
+    // full LR training replay: integer-derived features (q21/q51
+    // basis-point columns / 1e4 + ln(n_words)), z-scored against
+    // 6-dp corpus stats, Gopher pass as the 0/1 label, then `LrIters`
+    // full-batch gradient steps (lr 2) from w = 0 with the 6-dp
+    // margin/sigmoid/gradient/weight rounding convention, and the
+    // final sigmoid scored per document — see lrOracle
+    "q189_quality_model" -> lrOracle,
+    // tokenize under the learned vocab (q187's tw/w6 join), append the
+    // </s> separator, global exclusive offsets via a window cumsum
+    // (the oracle MAY use the single-partition window the engine
+    // avoids), then cut exact 128-token sequences
+    "q190_token_shards" -> (bpeOracleCtes(6) +
+      """,
+        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+        |            i -> struct_pack(pos := i, w := s[i]))) AS t
+        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
+        | dt AS (SELECT tw.doc_id,
+        |               list_append(flatten(list(coalesce(v.syms,
+        |                   string_split(tw.w, '')) ORDER BY tw.pos)),
+        |                 '</s>') AS toks
+        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
+        |        WHERE tw.w <> ''
+        |        GROUP BY tw.doc_id),
+        | o AS (SELECT doc_id, toks,
+        |              coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                0) AS off
+        |       FROM dt),
+        | tok AS (SELECT (off + t.i - 1) // 128 AS seq_id,
+        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
+        |           SELECT off, unnest(list_transform(range(1, len(toks) + 1),
+        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
+        |           FROM o))
+        | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        string_agg(tok, ' ' ORDER BY slot) AS tokens
+        | FROM tok GROUP BY seq_id""".stripMargin),
   )
+
+  /** Gradient steps / learning rate the q189 oracle replays — must
+    * match the q189QualityModel call. */
+  private lazy val LrIters = 5
+  private lazy val LrRate = "2.0"
+
+  /** σ(round(w·x, 6)) rounded 6 dp, reading weights from CTE alias `w`
+    * and features from alias `f` — the exact expression
+    * [[graft.operators.QualityModel.prob]] evaluates. */
+  private lazy val lrSigmoid: String =
+    """round(1.0 / (1.0 + exp(-round(
+      |                    w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2
+      |                    + w.w3*f.x3 + w.w4*f.x4 + w.w5*f.x5, 6))), 6)"""
+      .stripMargin
+
+  /** One training round: p$i (per-row sigmoid under w$prev), g$i
+    * (6-dp mean gradient components), w$i (6-dp weight update). */
+  private def lrRound(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""         p$i AS (SELECT f.*, $lrSigmoid AS p
+       |                FROM sfeats f, $prev w),
+       |         g$i AS (SELECT round(avg((p-y)*x0), 6) AS g0, round(avg((p-y)*x1), 6) AS g1,
+       |                       round(avg((p-y)*x2), 6) AS g2, round(avg((p-y)*x3), 6) AS g3,
+       |                       round(avg((p-y)*x4), 6) AS g4, round(avg((p-y)*x5), 6) AS g5
+       |                FROM p$i),
+       |         w$i AS (SELECT round(w.w0 - $LrRate*g.g0, 6) AS w0, round(w.w1 - $LrRate*g.g1, 6) AS w1,
+       |                       round(w.w2 - $LrRate*g.g2, 6) AS w2, round(w.w3 - $LrRate*g.g3, 6) AS w3,
+       |                       round(w.w4 - $LrRate*g.g4, 6) AS w4, round(w.w5 - $LrRate*g.g5, 6) AS w5
+       |                FROM $prev w, g$i g),""".stripMargin
+  }
+
+  private def lrOracle: String =
+    s"""WITH base AS (
+       |           SELECT doc_id,
+       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |                  CAST(floor(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |                        / len(string_split(text, ' ')) * 10000) AS BIGINT) AS avg_word_len_bp,
+       |                  CAST(floor(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\\[\\]{}-])', 1)) AS DOUBLE)
+       |                        / length(text) * 10000) AS BIGINT) AS punct_ratio_bp,
+       |                  CAST(floor(CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is|to|in)\\b')) AS DOUBLE)
+       |                        / len(string_split(text, ' ')) * 10000) AS BIGINT) AS stopword_ratio_bp,
+       |                  CAST(len(list_distinct(regexp_extract_all(text, '\\b(the|a|of|and|is|to|in)\\b'))) AS BIGINT) AS n_stop_forms
+       |           FROM documents),
+       |         wf AS (SELECT doc_id, max(c) AS max_tf
+       |                FROM (SELECT doc_id, w, count(*) AS c
+       |                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |                            FROM documents)
+       |                      GROUP BY doc_id, w)
+       |                GROUP BY doc_id),
+       |         feats AS (
+       |           SELECT doc_id,
+       |                  CASE WHEN (n_words BETWEEN 50 AND 100000)
+       |                        AND (avg_word_len_bp BETWEEN 30000 AND 100000)
+       |                        AND n_stop_forms >= 2
+       |                        AND floor(CAST(max_tf AS DOUBLE) / n_words * 10000) <= 800
+       |                       THEN 1.0 ELSE 0.0 END AS y,
+       |                  1.0 AS x0,
+       |                  round(ln(n_words), 6) AS x1,
+       |                  CAST(stopword_ratio_bp AS DOUBLE) / 10000.0 AS x2,
+       |                  CAST(punct_ratio_bp AS DOUBLE) / 10000.0 AS x3,
+       |                  CAST(avg_word_len_bp AS DOUBLE) / 10000.0 AS x4,
+       |                  CAST(floor(CAST(max_tf AS DOUBLE) / n_words * 10000) AS BIGINT)
+       |                    / 10000.0 AS x5
+       |           FROM base JOIN wf USING (doc_id)),
+       |         st AS (SELECT round(avg(x1), 6) AS m1, round(stddev_pop(x1), 6) AS s1,
+       |                       round(avg(x2), 6) AS m2, round(stddev_pop(x2), 6) AS s2,
+       |                       round(avg(x3), 6) AS m3, round(stddev_pop(x3), 6) AS s3,
+       |                       round(avg(x4), 6) AS m4, round(stddev_pop(x4), 6) AS s4,
+       |                       round(avg(x5), 6) AS m5, round(stddev_pop(x5), 6) AS s5
+       |                FROM feats),
+       |         sfeats AS (
+       |           SELECT f.doc_id, f.y, f.x0,
+       |                  round((f.x1 - t.m1) / (CASE WHEN t.s1 = 0 THEN 1.0 ELSE t.s1 END), 6) AS x1,
+       |                  round((f.x2 - t.m2) / (CASE WHEN t.s2 = 0 THEN 1.0 ELSE t.s2 END), 6) AS x2,
+       |                  round((f.x3 - t.m3) / (CASE WHEN t.s3 = 0 THEN 1.0 ELSE t.s3 END), 6) AS x3,
+       |                  round((f.x4 - t.m4) / (CASE WHEN t.s4 = 0 THEN 1.0 ELSE t.s4 END), 6) AS x4,
+       |                  round((f.x5 - t.m5) / (CASE WHEN t.s5 = 0 THEN 1.0 ELSE t.s5 END), 6) AS x5
+       |           FROM feats f, st t),
+       |         w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+       |                       0.0 AS w3, 0.0 AS w4, 0.0 AS w5),
+       |${(1 to LrIters).map(lrRound).mkString("\n")}
+       |         fin AS (SELECT * FROM w$LrIters)
+       |         SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+       |                CAST(floor($lrSigmoid * 10000) AS BIGINT) AS score_bp,
+       |                $lrSigmoid >= 0.5 AS pred
+       |         FROM sfeats f, fin w""".stripMargin
 }

@@ -188,6 +188,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L))
   }
 
+  test("packTokenStream: exact L-cuts across doc boundaries, short tail") {
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d")),
+      (3L, Seq("e", "f", "g", "h", "i")),
+      (4L, Seq("j")))
+      .toDF("doc_id", "tokens")
+    // stream with </s> separators: a b c </s> d </s> e f g h i </s> j </s>
+    val got = SeqPack.packTokenStream(d, seqLen = 4)
+      .select("seq_id", "n_tokens", "tokens")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, 4L, "a b c </s>"),
+      (1L, 4L, "d </s> e f"),
+      (2L, 4L, "g h i </s>"),
+      (3L, 2L, "j </s>")))
+    // conservation law: every token lands in exactly one slot
+    assert(got.map(_._2).sum === 3 + 1 + 5 + 1 + 4)
+  }
+
   test("simhash nearDupPairs: identical docs pair at hamming 0, unrelated don't") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

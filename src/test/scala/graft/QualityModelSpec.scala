@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.QualityModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Laws for the learned quality filter (logistic regression with
+  * driver-held weights, q189): exact zero-lr/standardization algebra,
+  * determinism, monotone training loss, and "actually learned
+  * something" (beats the majority baseline on its own labels) on the
+  * sf0.001 corpus the oracle also replays.
+  */
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val feats: DataFrame =
+    QualityModel.standardize(
+      QualityModel.features(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents")))
+      .localCheckpoint()
+
+  test("lr = 0 leaves the weights at zero and every score at σ(0) = ½") {
+    val w = QualityModel.train(feats, lr = 0.0, iters = 3)
+    assert(w === Seq.fill(QualityModel.dim)(0.0))
+    val s = QualityModel.score(feats, w)
+    assert(s.filter(col("score_bp") =!= 5000L || !col("pred")).count() === 0)
+  }
+
+  test("training is deterministic across runs") {
+    val w1 = QualityModel.train(feats, lr = 2.0, iters = 5)
+    val w2 = QualityModel.train(feats, lr = 2.0, iters = 5)
+    assert(w1 === w2)
+    assert(w1 !== Seq.fill(QualityModel.dim)(0.0), "training never moved")
+  }
+
+  test("full-batch loss decreases strictly at every step of the schedule") {
+    val losses = (0 to 5).map(i =>
+      QualityModel.loss(feats, QualityModel.train(feats, lr = 2.0, iters = i)))
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss went $a -> $b within $losses")
+    }
+  }
+
+  test("learned scores beat the majority baseline on the training labels") {
+    val w = QualityModel.train(feats, lr = 2.0, iters = 5)
+    val s = QualityModel.score(feats, w).localCheckpoint()
+    val n = s.count().toDouble
+    val base = s.filter(col("y") === 1L).count() / n
+    val acc = s.filter(
+      (col("pred") && col("y") === 1L) || (!col("pred") && col("y") === 0L))
+      .count() / n
+    assert(acc > math.max(base, 1 - base) + 0.05,
+      s"acc $acc vs majority ${math.max(base, 1 - base)}")
+    val Seq(m1, m0) = Seq(1L, 0L).map(v =>
+      s.filter(col("y") === v).agg(avg(col("score_bp"))).head().getDouble(0))
+    assert(m1 > m0, s"no separation: mean score y=1 $m1 vs y=0 $m0")
+  }
+
+  test("standardize: exact z-scores, constant column to 0, intercept kept") {
+    // hand-built feature frame: x1 = {1,2,3} has mean 2, 6-dp pop-std
+    // 0.816497 (division is by the ROUNDED std, so ±1.224744, not
+    // sqrt(3/2)); x2 constant (stddev 0 -> divisor 1 -> all 0)
+    val f = Seq(
+      (1L, 1.0, 1.0, 1.0, 7.5, 0.0, 0.0, 0.0),
+      (2L, 0.0, 1.0, 2.0, 7.5, 0.0, 0.0, 0.0),
+      (3L, 1.0, 1.0, 3.0, 7.5, 0.0, 0.0, 0.0))
+      .toDF("doc_id", "y", "x0", "x1", "x2", "x3", "x4", "x5")
+    val got = rowSet(QualityModel.standardize(f)
+      .select(col("doc_id"), col("x0"), col("x1"), col("x2")))
+    assert(got === Seq(
+      Seq(1L, 1.0, -1.224744, 0.0),
+      Seq(2L, 1.0, 0.0, 0.0),
+      Seq(3L, 1.0, 1.224744, 0.0)))
+  }
+}

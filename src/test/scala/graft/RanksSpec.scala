@@ -63,6 +63,30 @@ class RanksSpec extends SparkSpec {
     assert(got === Seq(5L, 10L, 20L))
   }
 
+  test("withPrefixSum ≡ exclusive global window cumsum (bands, negatives)") {
+    // unique keys straddling a 2^16 band boundary, negative keys, a
+    // sparse astronomically-high key; values include negatives
+    val rows = ((-7L to -1L) ++ (65500L to 65600L) ++ Seq(1L << 40, 123L, 7L))
+      .zipWithIndex.map { case (k, i) => (k, (i * 13 % 29).toLong - 7) }
+    val df = rows.toDF("key", "v")
+    val got = Ranks.withPrefixSum(df, col("key"), col("v"), "got")
+      .select(col("key"), col("got"))
+    val want = df.withColumn("want", coalesce(
+        sum(col("v")).over(Window.orderBy(col("key"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("key"), col("want"))
+    val both = got.join(want, Seq("key"))
+    assert(both.count() === rows.size)
+    assert(both.filter(col("got") =!= col("want")).count() === 0,
+      "banded prefix sum diverged from the naive exclusive window cumsum")
+    // tiny bands force many band offsets through the triangular join
+    val gotTiny = Ranks.withPrefixSum(df, col("key"), col("v"), "got",
+      bandBits = 2).select(col("key"), col("got"))
+    assert(gotTiny.join(want, Seq("key"))
+      .filter(col("got") =!= col("want")).count() === 0,
+      "banded prefix sum diverged under 4-wide bands")
+  }
+
   test("non-default band widths stay exact (tiny bands force many bands)") {
     val got = Ranks.withGlobalRank(fixture, col("k"), ascending = true,
       col("tie"), "got", keyBandBits = 2, tieBandBits = 1)

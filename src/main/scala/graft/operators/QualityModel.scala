@@ -75,17 +75,31 @@ object QualityModel {
     * standardized, 5 steps reach ~0.89 label agreement vs the ~0.78
     * majority baseline. One 10-value driver collect; the rescale
     * itself is scan-local literal arithmetic. */
-  def standardize(feats: DataFrame): DataFrame = {
+  def standardize(feats: DataFrame): DataFrame =
+    applyStats(feats, statsOf(feats))
+
+  /** The frozen (mean, divisor) pair per non-intercept feature — one
+    * 10-value driver collect. Capture these at TRAINING time and replay
+    * them on later batches ([[applyStats]]): a scoring batch must be
+    * standardized against the training corpus's statistics, not its
+    * own (the [[graft.streaming.StreamingQualityDrift]] contract). */
+  def statsOf(feats: DataFrame): Seq[(Double, Double)] = {
     val aggs = (1 until dim).flatMap(j => Seq(
       r6(avg(col(s"x$j"))).as(s"m$j"),
       r6(stddev_pop(col(s"x$j"))).as(s"s$j")))
     val stats = feats.agg(aggs.head, aggs.tail: _*).head()
-    val ms = (1 until dim).map(j => (
+    (1 until dim).map(j => (
       stats.getDouble(stats.fieldIndex(s"m$j")),
       stats.getDouble(stats.fieldIndex(s"s$j")) match {
         case 0.0 => 1.0
         case s => s
       }))
+  }
+
+  /** Rescale a feature frame under frozen stats — scan-local literal
+    * arithmetic, no aggregation. */
+  def applyStats(feats: DataFrame, ms: Seq[(Double, Double)]): DataFrame = {
+    require(ms.size == dim - 1, s"need ${dim - 1} stat pairs, got ${ms.size}")
     feats.select(
       col("doc_id") +: col("y") +: col("x0") +:
         ms.zipWithIndex.map { case ((m, s), i) =>

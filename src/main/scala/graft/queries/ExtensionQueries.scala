@@ -2539,6 +2539,27 @@ object ExtensionQueries {
     SeqPack.packTokenStream(Bpe.encodeTokens(docs, vocab), seqLen = 128)
   }
 
+  /** Curation by LEARNED quality under a token budget — the DCLM
+    * recipe end-to-end: train the q189 classifier on the rule-gate
+    * labels, score every document, keep the best-scoring prefix whose
+    * cumulative words fit 25% of the corpus (q162's banded budget cut,
+    * driven by the learned soft score instead of the heuristic). The
+    * oracle replays training AND selection. */
+  val q191LearnedCuration: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val f = QualityModel.standardize(
+      QualityModel.features(docs)).localCheckpoint()
+    val scored = QualityModel
+      .score(f, QualityModel.train(f, lr = 2.0, iters = 5))
+      .join(docs.select(col("doc_id"),
+        TextOps.wordCount(col("text")).as("n_words")), Seq("doc_id"))
+    Sampling.budgetSelect(scored,
+      key = col("doc_id"), score = col("score_bp"),
+      tokens = col("n_words"), budgetPct = 25)
+      .select(col("key").as("doc_id"), col("score"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2722,6 +2743,7 @@ object ExtensionQueries {
     "q188_span_cut" -> q188SpanCut,
     "q189_quality_model" -> q189QualityModel,
     "q190_token_shards" -> q190TokenShards,
+    "q191_learned_curation" -> q191LearnedCuration,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6130,6 +6152,26 @@ object ExtensionQueries {
         | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |        string_agg(tok, ' ' ORDER BY slot) AS tokens
         | FROM tok GROUP BY seq_id""".stripMargin),
+    // the full LR replay (training CTEs shared with q189) feeding
+    // q162's budget-cut shape: score every doc with the learned
+    // sigmoid, keep the best prefix within 25% of corpus words
+    "q191_learned_curation" -> (lrOracleCtes + s""",
+        | scored AS (SELECT f.doc_id,
+        |        CAST(floor($lrSigmoid * 10000) AS BIGINT) AS score
+        |        FROM sfeats f, fin w),
+        | tk AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents),
+        | q AS (SELECT scored.doc_id, scored.score, tk.n_tokens
+        |       FROM scored JOIN tk USING (doc_id)),
+        | tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM q),
+        | r AS (SELECT doc_id, score, n_tokens,
+        |              CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+        |                AS BIGINT) AS cum_tokens
+        |       FROM q)
+        | SELECT doc_id, score, n_tokens, cum_tokens
+        | FROM r, tot
+        | WHERE cum_tokens <= (total * 25) // 100""".stripMargin),
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must
@@ -6162,7 +6204,7 @@ object ExtensionQueries {
        |                FROM $prev w, g$i g),""".stripMargin
   }
 
-  private def lrOracle: String =
+  private def lrOracleCtes: String =
     s"""WITH base AS (
        |           SELECT doc_id,
        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -6212,7 +6254,10 @@ object ExtensionQueries {
        |         w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
        |                       0.0 AS w3, 0.0 AS w4, 0.0 AS w5),
        |${(1 to LrIters).map(lrRound).mkString("\n")}
-       |         fin AS (SELECT * FROM w$LrIters)
+       |         fin AS (SELECT * FROM w$LrIters)""".stripMargin
+
+  private def lrOracle: String =
+    s"""$lrOracleCtes
        |         SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
        |                CAST(floor($lrSigmoid * 10000) AS BIGINT) AS score_bp,
        |                $lrSigmoid >= 0.5 AS pred

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.operators.QualityModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous corpus-quality monitoring under a FROZEN learned quality
+  * model — the streaming face of [[graft.operators.QualityModel]]
+  * (q189), exactly as [[StreamingBpeDrift]] is the streaming face of
+  * the BPE block: each micro-batch of documents is featurized,
+  * standardized against the TRAINING corpus's statistics
+  * ([[QualityModel.statsOf]] captured at train time — a batch must
+  * never be z-scored against itself, or drift would normalize itself
+  * away), scored under the frozen weights, and a one-row readout is
+  * appended to a results table an alerting query tails. The production
+  * failure mode: the incoming mix degrades (spam, boilerplate, short
+  * fragments), the mean learned score sinks and the model's agreement
+  * with the cheap rule gate moves — the signal to re-examine the
+  * source or re-train the filter.
+  *
+  * foreachBatch is at-least-once: each batch's one-row readout is
+  * written to its OWN `batch_id=<n>` partition with overwrite, so a
+  * replayed batch replaces its previous attempt (the
+  * [[StreamingDrift]]/[[StreamingBpeDrift]] idempotence shape). The
+  * model state is d doubles + (d−1) stat pairs — driver literals,
+  * nothing to join; every batch costs its own feature pass (incl. the
+  * per-batch (doc, word) max-tf aggregate the label rule needs) plus a
+  * one-row aggregate.
+  */
+object StreamingQualityDrift {
+
+  /** One-row quality readout of `docs` under the frozen model — the
+    * batch-equivalence surface the streaming log must match:
+    * (n_docs, n_label_pass, n_pred_pass, mean_score_bp, agree_bp).
+    * `mean_score_bp` is the integer mean of the learned soft score;
+    * `agree_bp` is model↔rule-gate agreement in basis points; both
+    * null on an empty batch. */
+  def batchStats(
+      docs: DataFrame,
+      stats: Seq[(Double, Double)],
+      w: Seq[Double]): DataFrame =
+    QualityModel.score(
+        QualityModel.applyStats(QualityModel.features(docs), stats), w)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("y")), lit(0L)).as("n_label_pass"),
+        coalesce(sum(when(col("pred"), 1L).otherwise(0L)), lit(0L))
+          .as("n_pred_pass"),
+        coalesce(sum(col("score_bp")), lit(0L)).as("graft_sum_score"),
+        coalesce(sum(when(
+          (col("pred") && col("y") === 1L) ||
+            (!col("pred") && col("y") === 0L), 1L).otherwise(0L)), lit(0L))
+          .as("graft_n_agree"))
+      .select(col("n_docs"), col("n_label_pass"), col("n_pred_pass"),
+        when(col("n_docs") > 0,
+          expr("graft_sum_score div n_docs")).as("mean_score_bp"),
+        when(col("n_docs") > 0,
+          expr("(graft_n_agree * 10000) div n_docs")).as("agree_bp"))
+
+  /** Start monitoring a (doc_id, text) stream against the frozen
+    * model; one log row per micro-batch. */
+  def monitor(
+      docs: DataFrame,
+      stats: Seq[(Double, Double)],
+      w: Seq[Double],
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batchStats(batch, stats, w)
+          .coalesce(1) // one row by construction
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** The monitoring log: one quality row per batch. */
+  def readLog(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Greedy sequence packing — the step between tokenization and
@@ -72,14 +72,24 @@ object SeqPack {
     *
     * Input: (doc_id, tokens array<string>) — e.g.
     * [[Bpe.encodeTokens]]'s output. Output: (seq_id, n_tokens,
-    * tokens space-joined). */
+    * tokens space-joined). `orderKey` (unique, bigint-castable;
+    * default doc_id) sets the stream order — pass a quality RANK for
+    * curriculum packing (best documents fill the earliest shards,
+    * q192). */
   def packTokenStream(
-      docTokens: DataFrame, seqLen: Int, eos: String = "</s>"): DataFrame = {
+      docTokens: DataFrame, seqLen: Int, eos: String = "</s>",
+      orderKey: Column = col("doc_id")): DataFrame = {
     require(seqLen >= 1, s"packTokenStream needs seqLen >= 1: $seqLen")
-    val withEos = docTokens.select(col("doc_id"),
+    // localCheckpoint: the banded prefix sum reads its input twice
+    // (band totals + the row join); without the cut, the whole
+    // upstream — tokenizer encode join, quality rank — re-executes
+    // per reference (same-harness min-of-3 A/B at sf0.1: q192 4.8 s
+    // vs 5.6 s, q190 3.7 s vs 4.0 s; the gap grows with upstream cost)
+    val withEos = docTokens.select(orderKey.cast("bigint").as("graft_ok"),
         concat(col("tokens"), array(lit(eos))).as("graft_toks"))
       .withColumn("graft_n", size(col("graft_toks")).cast("bigint"))
-    Ranks.withPrefixSum(withEos, col("doc_id"), col("graft_n"), "graft_off")
+      .localCheckpoint()
+    Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off")
       .select(col("graft_off"),
         posexplode(col("graft_toks")).as(Seq("graft_pos", "graft_tok")))
       .withColumn("graft_gpos", col("graft_off") + col("graft_pos"))

@@ -2560,6 +2560,27 @@ object ExtensionQueries {
         col("cum_tokens"))
   }
 
+  /** Curriculum shards: q190's token-stream packing, but the stream is
+    * ordered by QUALITY (q21's composite score desc, doc_id tiebreak)
+    * instead of doc_id — the best documents fill the earliest training
+    * sequences (quality-ordered curriculum). The order key is the exact
+    * global rank from [[graft.operators.Ranks.withGlobalRank]], so
+    * neither the ranking nor the offsets ever cross a single-partition
+    * sort. */
+  val q192CurriculumShards: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    val ranked = Ranks.withGlobalRank(
+      TextOps.qualityFeatures(docs)
+        .select(col("doc_id"), col("quality_score_bp")),
+      key = col("quality_score_bp"), ascending = false,
+      tie = col("doc_id"), outCol = "graft_rank")
+      .select(col("doc_id"), col("graft_rank"))
+    SeqPack.packTokenStream(
+      Bpe.encodeTokens(docs, vocab).join(ranked, Seq("doc_id")),
+      seqLen = 128, orderKey = col("graft_rank"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2744,6 +2765,7 @@ object ExtensionQueries {
     "q189_quality_model" -> q189QualityModel,
     "q190_token_shards" -> q190TokenShards,
     "q191_learned_curation" -> q191LearnedCuration,
+    "q192_curriculum_shards" -> q192CurriculumShards,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6172,6 +6194,46 @@ object ExtensionQueries {
         | SELECT doc_id, score, n_tokens, cum_tokens
         | FROM r, tot
         | WHERE cum_tokens <= (total * 25) // 100""".stripMargin),
+    // q190's tokenize-and-cut, with the stream ordered by the q21
+    // composite quality score (desc, doc_id tiebreak) — the oracle
+    // ranks with the single-partition window the engine's banded
+    // rank machinery avoids
+    "q192_curriculum_shards" -> (bpeOracleCtes(6) +
+      """,
+        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+        |            i -> struct_pack(pos := i, w := s[i]))) AS t
+        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
+        | dt AS (SELECT tw.doc_id,
+        |               list_append(flatten(list(coalesce(v.syms,
+        |                   string_split(tw.w, '')) ORDER BY tw.pos)),
+        |                 '</s>') AS toks
+        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
+        |        WHERE tw.w <> ''
+        |        GROUP BY tw.doc_id),
+        | sc AS (SELECT doc_id,
+        |               CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+        |                 + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
+        |                         / len(string_split(text, ' ')) * 10, 1.0) * 0.3
+        |                 + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,!?;:''"()\[\]{}-])', 1)) AS DOUBLE)
+        |                                / length(text) * 20, 1.0)) * 0.2) * 10000) AS BIGINT) AS score
+        |        FROM documents),
+        | rk AS (SELECT doc_id,
+        |               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |        FROM sc),
+        | o AS (SELECT dt.doc_id, dt.toks,
+        |              coalesce(sum(len(dt.toks)) OVER (ORDER BY rk.rnk
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                0) AS off
+        |       FROM dt JOIN rk ON rk.doc_id = dt.doc_id),
+        | tok AS (SELECT (off + t.i - 1) // 128 AS seq_id,
+        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
+        |           SELECT off, unnest(list_transform(range(1, len(toks) + 1),
+        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
+        |           FROM o))
+        | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        string_agg(tok, ' ' ORDER BY slot) AS tokens
+        | FROM tok GROUP BY seq_id""".stripMargin),
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must

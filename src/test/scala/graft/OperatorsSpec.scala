@@ -208,6 +208,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).sum === 3 + 1 + 5 + 1 + 4)
   }
 
+  test("packTokenStream honors a custom order key (curriculum order)") {
+    val d = Seq(
+      (1L, Seq("a", "b", "c"), 2L),
+      (2L, Seq("d"), 1L))
+      .toDF("doc_id", "tokens", "rank")
+    // rank order puts doc 2 first: stream = d </s> a b c </s>
+    val got = SeqPack.packTokenStream(d, seqLen = 3, orderKey = col("rank"))
+      .select("seq_id", "tokens").as[(Long, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq((0L, "d </s> a"), (1L, "b c </s>")))
+  }
+
   test("simhash nearDupPairs: identical docs pair at hamming 0, unrelated don't") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -82,7 +82,12 @@ object ScaleStress {
     // q190: token-stream shard packing — the banded prefix sum must
     // keep offsets off any single-partition sort while the token
     // explode and seq_id shuffle carry the linear term
-    "q105_rfm", "q188_span_cut", "q190_token_shards")
+    // q191: LR training (driver-held weights, expected overhead-bound
+    // like q171) + the q162-shape budget cut; q192: q190 plus the
+    // banded global rank as the stream order — the rank must stay
+    // band-bounded as purchasing-corpus cardinality grows
+    "q105_rfm", "q188_span_cut", "q190_token_shards",
+    "q191_learned_curation", "q192_curriculum_shards")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

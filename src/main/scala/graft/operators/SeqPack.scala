@@ -75,10 +75,18 @@ object SeqPack {
     * tokens space-joined). `orderKey` (unique, bigint-castable;
     * default doc_id) sets the stream order — pass a quality RANK for
     * curriculum packing (best documents fill the earliest shards,
-    * q192). */
+    * q192).
+    *
+    * `startOffset` makes packing INCREMENTAL — the daily-append shape:
+    * pack today's batch with `startOffset = streamLength(yesterday)`
+    * and the output continues the stored shard log exactly where it
+    * stopped. The boundary sequence comes out partial (only the new
+    * batch's slots); merging it onto the stored partial boundary row
+    * (old slots first) reproduces packing the union bit-exactly —
+    * the law OperatorsSpec pins. */
   def packTokenStream(
       docTokens: DataFrame, seqLen: Int, eos: String = "</s>",
-      orderKey: Column = col("doc_id")): DataFrame = {
+      orderKey: Column = col("doc_id"), startOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"packTokenStream needs seqLen >= 1: $seqLen")
     // localCheckpoint: the banded prefix sum reads its input twice
     // (band totals + the row join); without the cut, the whole
@@ -92,7 +100,8 @@ object SeqPack {
     Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off")
       .select(col("graft_off"),
         posexplode(col("graft_toks")).as(Seq("graft_pos", "graft_tok")))
-      .withColumn("graft_gpos", col("graft_off") + col("graft_pos"))
+      .withColumn("graft_gpos",
+        lit(startOffset) + col("graft_off") + col("graft_pos"))
       .select(expr(s"graft_gpos div $seqLen").as("seq_id"),
         expr(s"graft_gpos % $seqLen").as("graft_slot"), col("graft_tok"))
       .groupBy(col("seq_id"))
@@ -101,4 +110,12 @@ object SeqPack {
           array_sort(collect_list(struct(col("graft_slot"), col("graft_tok")))),
           x => x.getField("graft_tok")), " ").as("tokens"))
   }
+
+  /** Total token count [[packTokenStream]] would stream for this frame
+    * (per-doc tokens + one `eos` each) — the `startOffset` the NEXT
+    * batch continues from. One scalar aggregate. */
+  def streamLength(docTokens: DataFrame): Long =
+    docTokens
+      .agg(coalesce(sum(size(col("tokens")).cast("bigint") + 1L), lit(0L)))
+      .head().getLong(0)
 }

@@ -2581,6 +2581,27 @@ object ExtensionQueries {
       seqLen = 128, orderKey = col("graft_rank"))
   }
 
+  /** Incremental daily-append shard packing: yesterday's batch (even
+    * doc_ids) establishes the stream length; today's batch (odd
+    * doc_ids) packs at `startOffset = streamLength(yesterday)`, so its
+    * sequences continue the stored shard log exactly where it stopped —
+    * the incremental form of q190. OperatorsSpec pins the merge law
+    * (batch-2 pack merged onto the stored partial boundary row ≡
+    * packing the union bit-exactly); [[graft.streaming
+    * .StreamingShardPack]] runs the composed micro-batch loop. The
+    * oracle replays the offset arithmetic: batch-1 total token count
+    * (incl. one `</s>` per doc) shifts batch 2's global positions. */
+  val q193IncrementalShards: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    // localCheckpoint: the encode feeds both the offset scalar and the
+    // pack; without the cut the vocab join + token reassembly runs twice
+    val enc = Bpe.encodeTokens(docs, vocab).localCheckpoint()
+    val off = SeqPack.streamLength(enc.filter(col("doc_id") % 2 === 0))
+    SeqPack.packTokenStream(
+      enc.filter(col("doc_id") % 2 === 1), seqLen = 128, startOffset = off)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2766,6 +2787,7 @@ object ExtensionQueries {
     "q190_token_shards" -> q190TokenShards,
     "q191_learned_curation" -> q191LearnedCuration,
     "q192_curriculum_shards" -> q192CurriculumShards,
+    "q193_incremental_shards" -> q193IncrementalShards,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6226,6 +6248,39 @@ object ExtensionQueries {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |                0) AS off
         |       FROM dt JOIN rk ON rk.doc_id = dt.doc_id),
+        | tok AS (SELECT (off + t.i - 1) // 128 AS seq_id,
+        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
+        |           SELECT off, unnest(list_transform(range(1, len(toks) + 1),
+        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
+        |           FROM o))
+        | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        string_agg(tok, ' ' ORDER BY slot) AS tokens
+        | FROM tok GROUP BY seq_id""".stripMargin),
+    // q190's tokenize-and-cut over the ODD-doc_id batch only, with
+    // every global position shifted by the EVEN-doc_id batch's total
+    // token count (per-doc tokens + one </s> each) — the incremental
+    // daily-append offset arithmetic of SeqPack.packTokenStream's
+    // startOffset
+    "q193_incremental_shards" -> (bpeOracleCtes(6) +
+      """,
+        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+        |            i -> struct_pack(pos := i, w := s[i]))) AS t
+        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
+        | dt AS (SELECT tw.doc_id,
+        |               list_append(flatten(list(coalesce(v.syms,
+        |                   string_split(tw.w, '')) ORDER BY tw.pos)),
+        |                 '</s>') AS toks
+        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
+        |        WHERE tw.w <> ''
+        |        GROUP BY tw.doc_id),
+        | off0 AS (SELECT coalesce(CAST(sum(len(toks)) AS BIGINT), 0) AS off0
+        |          FROM dt WHERE doc_id % 2 = 0),
+        | o AS (SELECT doc_id, toks,
+        |              off0.off0 + coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                0) AS off
+        |       FROM dt, off0 WHERE doc_id % 2 = 1),
         | tok AS (SELECT (off + t.i - 1) // 128 AS seq_id,
         |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
         |           SELECT off, unnest(list_transform(range(1, len(toks) + 1),

@@ -208,6 +208,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).sum === 3 + 1 + 5 + 1 + 4)
   }
 
+  test("incremental packTokenStream: batch 2 at startOffset merges to the union pack") {
+    val all = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("d")),
+      (3L, Seq("e", "f", "g", "h", "i")), (4L, Seq("j")))
+      .toDF("doc_id", "tokens")
+    val b1 = all.filter(col("doc_id") <= 2)
+    val b2 = all.filter(col("doc_id") > 2)
+    val t1 = SeqPack.streamLength(b1)
+    assert(t1 === 6L) // (3+1) + (1+1)
+    val union = SeqPack.packTokenStream(all, seqLen = 4)
+      .select("seq_id", "tokens").as[(Long, String)].collect().toMap
+    val p1 = SeqPack.packTokenStream(b1, seqLen = 4)
+      .select("seq_id", "tokens").as[(Long, String)].collect().toMap
+    val p2 = SeqPack.packTokenStream(b2, seqLen = 4, startOffset = t1)
+      .select("seq_id", "tokens").as[(Long, String)].collect().toMap
+    // merge: old batch's slots first on the shared boundary sequence
+    val merged = (p1.keySet ++ p2.keySet).map { s =>
+      s -> Seq(p1.get(s), p2.get(s)).flatten.mkString(" ")
+    }.toMap
+    assert(merged === union)
+    // the boundary sequence really was split across the two packs
+    assert(p1.keySet.intersect(p2.keySet).nonEmpty)
+  }
+
   test("packTokenStream honors a custom order key (curriculum order)") {
     val d = Seq(
       (1L, Seq("a", "b", "c"), 2L),

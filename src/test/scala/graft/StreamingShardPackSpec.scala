@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.SeqPack
+import graft.streaming.StreamingShardPack
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming daily-append shard packing: the accumulated shard log
+  * equals packing everything ingested so far in one shot (the merge
+  * law OperatorsSpec proves, run through the real micro-batch loop),
+  * and replaying an already-committed batch changes nothing.
+  */
+class StreamingShardPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val b1 = Seq((1L, Seq("a", "b", "c")), (2L, Seq("d")))
+  private val b2 = Seq((3L, Seq("e", "f", "g", "h", "i")), (4L, Seq("j")))
+
+  private def snapshot(path: String): Seq[(Long, Long, String)] =
+    StreamingShardPack.readShards(spark, path)
+      .orderBy("seq_id")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+  test("accumulated shard log equals the one-shot pack across batches") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("shardpack").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("shardpack-ck").toString
+    val in = MemoryStream[(Long, Seq[String])]
+    val q = StreamingShardPack.start(
+      spark, in.toDF().toDF("doc_id", "tokens"),
+      s"$dir/shards", s"$ckpt/q", seqLen = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = SeqPack
+      .packTokenStream((b1 ++ b2).toDF("doc_id", "tokens"), seqLen = 4)
+      .orderBy("seq_id")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(snapshot(s"$dir/shards") === want)
+    // the boundary sequence really was split across the two batch dirs
+    val split = spark.read.parquet(s"$dir/shards")
+      .groupBy("seq_id").count().filter(col("count") > 1).count()
+    assert(split >= 1)
+  }
+
+  test("replaying a committed batch overwrites to the same end state") {
+    val dir = java.nio.file.Files.createTempDirectory("shardpack-rp").toString
+    val path = s"$dir/shards"
+    StreamingShardPack.applyBatch(b1.toDF("doc_id", "tokens"), 0L, path, 4)
+    StreamingShardPack.applyBatch(b2.toDF("doc_id", "tokens"), 1L, path, 4)
+    val before = snapshot(path)
+    // replay batch 1 (crash after its state write, before the
+    // checkpoint committed): same offset, same pack, duplicate state row
+    StreamingShardPack.applyBatch(b2.toDF("doc_id", "tokens"), 1L, path, 4)
+    assert(snapshot(path) === before)
+    // the duplicate state row collapses: next batch's offset is the
+    // full 14-token stream (6 from b1, 8 from b2)
+    assert(StreamingShardPack.offsetBefore(spark, path, 2L) === 14L)
+  }
+}

@@ -86,8 +86,13 @@ object ScaleStress {
     // like q171) + the q162-shape budget cut; q192: q190 plus the
     // banded global rank as the stream order — the rank must stay
     // band-bounded as purchasing-corpus cardinality grows
+    // q193: the incremental daily-append pack — the startOffset scalar
+    // (one filtered aggregate over the prior batch) plus a FILTERED
+    // q190-shape pack; the scalar must stay one exchange and the
+    // filtered pack must track the filtered volume, not the corpus
     "q105_rfm", "q188_span_cut", "q190_token_shards",
-    "q191_learned_curation", "q192_curriculum_shards")
+    "q191_learned_curation", "q192_curriculum_shards",
+    "q193_incremental_shards")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

@@ -93,17 +93,22 @@ object Bpe {
     * against. Stops early (with fewer merges) once no adjacent pair
     * remains. Driver state is ONE (lhs, rhs, count) row per round. */
   /** Checkpoint `df` and return it with the ids of the blocks the
-    * checkpoint just pinned (the getPersistentRDDs delta — exact here
-    * because learn's rounds are single-threaded), so a later round can
-    * release EXACTLY its predecessor's blocks. Without the release a
-    * learn call holds ~nRounds copies of the vocab frame until the
-    * ContextCleaner happens to run — the block-residue failure mode the
-    * r7 harness fix removed, kept out of the operator too. */
+    * checkpoint just pinned, so a later round can release EXACTLY its
+    * predecessor's blocks. Without the release a learn call holds
+    * ~nRounds copies of the vocab frame until the ContextCleaner
+    * happens to run — the block-residue failure mode the r7 harness
+    * fix removed, kept out of the operator too. The pinned RDD is read
+    * off the checkpointed frame's own plan (localCheckpoint rewrites
+    * it to a LogicalRDD wrapping the persisted RDD) — never a global
+    * getPersistentRDDs delta, which under a concurrent persist (a
+    * parallel suite, a streaming query) would catch an unrelated live
+    * RDD and releaseBlocks would unpersist it. */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val cp = df.localCheckpoint()
-    (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+    val ids = cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    (cp, ids)
   }
 
   private def releaseBlocks(df: DataFrame, ids: Set[Int]): Unit = {

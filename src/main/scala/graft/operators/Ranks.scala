@@ -54,8 +54,12 @@ object Ranks {
       outCol: String,
       keyBandBits: Int = 16,
       tieBandBits: Int = 12): DataFrame = {
-    // desc order = asc order of the negated key (exact for bigint)
-    val k = (if (ascending) key else -key).cast("bigint")
+    // desc order = asc order of the bitwise complement (~k = -k-1),
+    // an exact order-reversing bijection over the FULL bigint domain —
+    // unlike -k, which silently overflows at Long.MinValue
+    val k =
+      if (ascending) key.cast("bigint")
+      else bitwise_not(key.cast("bigint"))
     val d = df.withColumn("graft_rk_k", k)
       .withColumn("graft_rk_tb",
         shiftright(tie.cast("bigint"), tieBandBits))

@@ -2802,13 +2802,17 @@ object ExtensionQueries {
     * emptying every later CTE. */
   // the alphabet guard fails LOUD (DuckDB error()) if any word ever
   // contains '|' or a backslash — the two characters that would
-  // silently corrupt the '|'-joined fold accumulators below. The
-  // engine has no such restriction (real arrays); the guard pins
-  // the ORACLE's validity envelope so richer future testdata breaks
-  // the gate instead of producing a bogus golden result.
+  // silently corrupt the '|'-joined fold accumulators below — or a
+  // non-BMP codepoint (> U+FFFF), where the engine's char split
+  // (UTF-16 code units) and DuckDB's string_split (codepoints) would
+  // diverge on OOV words. The engine has no '|'/backslash restriction
+  // (real arrays); the guard pins the ORACLE's validity envelope so
+  // richer future testdata breaks the gate instead of producing a
+  // bogus golden result.
   private val bpeOracleW0: String =
     """WITH w0 AS (SELECT CASE WHEN contains(w, '|') OR contains(w, chr(92))
-      |            THEN error('bpe oracle: symbol contains | or backslash')
+      |                 OR regexp_matches(w, '[\x{10000}-\x{10FFFF}]')
+      |            THEN error('bpe oracle: symbol contains |, backslash, or non-BMP char')
       |            ELSE w END AS w,
       |            CAST(count(*) AS BIGINT) AS freq,
       |            string_split(w, '') AS syms
@@ -6177,9 +6181,10 @@ object ExtensionQueries {
         |            i -> struct_pack(pos := i, w := s[i]))) AS t
         |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
         | dt AS (SELECT tw.doc_id,
-        |               list_append(flatten(list(coalesce(v.syms,
-        |                   string_split(tw.w, '')) ORDER BY tw.pos)),
-        |                 '</s>') AS toks
+        |               string_split(
+        |                 string_agg(array_to_string(coalesce(v.syms,
+        |                     string_split(tw.w, '')), ' '), ' '
+        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
         |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
         |        WHERE tw.w <> ''
         |        GROUP BY tw.doc_id),
@@ -6227,9 +6232,10 @@ object ExtensionQueries {
         |            i -> struct_pack(pos := i, w := s[i]))) AS t
         |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
         | dt AS (SELECT tw.doc_id,
-        |               list_append(flatten(list(coalesce(v.syms,
-        |                   string_split(tw.w, '')) ORDER BY tw.pos)),
-        |                 '</s>') AS toks
+        |               string_split(
+        |                 string_agg(array_to_string(coalesce(v.syms,
+        |                     string_split(tw.w, '')), ' '), ' '
+        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
         |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
         |        WHERE tw.w <> ''
         |        GROUP BY tw.doc_id),
@@ -6268,9 +6274,10 @@ object ExtensionQueries {
         |            i -> struct_pack(pos := i, w := s[i]))) AS t
         |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
         | dt AS (SELECT tw.doc_id,
-        |               list_append(flatten(list(coalesce(v.syms,
-        |                   string_split(tw.w, '')) ORDER BY tw.pos)),
-        |                 '</s>') AS toks
+        |               string_split(
+        |                 string_agg(array_to_string(coalesce(v.syms,
+        |                     string_split(tw.w, '')), ' '), ' '
+        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
         |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
         |        WHERE tw.w <> ''
         |        GROUP BY tw.doc_id),

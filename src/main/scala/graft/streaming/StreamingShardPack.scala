@@ -56,16 +56,22 @@ object StreamingShardPack {
   }
 
   /** One micro-batch body — exposed so the spec can drive a REPLAY of
-    * an already-committed batch directly. Idempotent per (batch, id). */
+    * an already-committed batch directly. Idempotent per (batch, id).
+    * `orderKey` sets the WITHIN-batch stream order (default doc_id) —
+    * [[StreamingCurriculumPack]] passes its frozen-model quality rank
+    * here; across batches the order is always arrival order, which is
+    * the only order an append-only shard log can honor. */
   def applyBatch(
       batch: DataFrame, id: Long, shardsPath: String,
-      seqLen: Int, eos: String = "</s>"): Unit = {
+      seqLen: Int, eos: String = "</s>",
+      orderKey: org.apache.spark.sql.Column = col("doc_id")): Unit = {
     val spark = batch.sparkSession
     val offset = offsetBefore(spark, shardsPath, id)
     // the batch feeds both the pack and the offset scalar for the
     // state row — cut the source re-read
     val stable = batch.localCheckpoint()
-    SeqPack.packTokenStream(stable, seqLen, eos, startOffset = offset)
+    SeqPack.packTokenStream(stable, seqLen, eos, orderKey = orderKey,
+        startOffset = offset)
       .write.mode("overwrite").parquet(s"$shardsPath/batch_id=$id")
     spark.range(1)
       .select(lit(id).as("batch_id"),

@@ -47,6 +47,21 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalRank desc is exact at Long.MinValue/MaxValue (no negation overflow)") {
+    // -Long.MinValue overflows back to itself and would rank the row
+    // FIRST under desc; the bitwise-complement order key must rank it
+    // LAST, after MaxValue first.
+    val extremes = (fixture.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq ++ Seq((Long.MinValue, 9100L), (Long.MaxValue, 9101L)))
+      .toDF("k", "tie")
+    Seq(true, false).foreach { asc =>
+      val got = Ranks.withGlobalRank(extremes, col("k"), asc, col("tie"), "got")
+      val both = got.join(naiveRank(extremes, asc), Seq("k", "tie"))
+      assert(both.filter(col("got") =!= col("want")).count() === 0,
+        s"banded rank diverged at the bigint extremes (asc=$asc)")
+    }
+  }
+
   test("withNtile ≡ global ntile window across tile counts and orders") {
     for (asc <- Seq(true, false); n <- Seq(2, 5, 7)) {
       val got = Ranks.withNtile(fixture, col("k"), asc, col("tie"), n, "got")

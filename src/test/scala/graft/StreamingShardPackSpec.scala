@@ -27,10 +27,14 @@ class StreamingShardPackSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("shardpack").toString
     val ckpt = java.nio.file.Files.createTempDirectory("shardpack-ck").toString
     val in = MemoryStream[(Long, Seq[String])]
+    // NOT AvailableNow: that trigger snapshots available offsets at
+    // start() — before any addData — and finishes with zero batches.
+    // A zero-interval ProcessingTime trigger + processAllAvailable()
+    // after each addData pins b1 -> batch 0, b2 -> batch 1.
     val q = StreamingShardPack.start(
       spark, in.toDF().toDF("doc_id", "tokens"),
       s"$dir/shards", s"$ckpt/q", seqLen = 4,
-      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
     try {
       in.addData(b1: _*)
       q.processAllAvailable()

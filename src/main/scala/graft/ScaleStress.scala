@@ -90,9 +90,11 @@ object ScaleStress {
     // (one filtered aggregate over the prior batch) plus a FILTERED
     // q190-shape pack; the scalar must stay one exchange and the
     // filtered pack must track the filtered volume, not the corpus
+    // q194: q190 plus the per-sequence doc manifest — the extra
+    // (seq, doc) aggregate must stay partial-combinable, seqLen-bounded
     "q105_rfm", "q188_span_cut", "q190_token_shards",
     "q191_learned_curation", "q192_curriculum_shards",
-    "q193_incremental_shards")
+    "q193_incremental_shards", "q194_shard_boundaries")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

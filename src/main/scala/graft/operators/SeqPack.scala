@@ -111,6 +111,58 @@ object SeqPack {
           x => x.getField("graft_tok")), " ").as("tokens"))
   }
 
+  /** [[packTokenStream]] plus the per-sequence DOCUMENT MANIFEST a
+    * trainer needs to mask attention across document boundaries
+    * (the LLaMA/T5-style "don't attend across `</s>`" packing):
+    * each output sequence also carries
+    *   n_docs      — how many documents contribute tokens to it, and
+    *   boundaries  — "slot:doc_id" pairs (space-joined, slot-ascending),
+    *                 one per contributing document at its FIRST slot in
+    *                 this sequence (slot 0 for a continuation of a doc
+    *                 split by the previous cut).
+    *
+    * Same banded-offset machinery; the token explode additionally
+    * carries doc_id, and assembly becomes a two-level aggregate —
+    * (seq, doc) parts first (documents are CONTIGUOUS in the stream,
+    * so doc parts sorted by their first slot flatten back to exact
+    * slot order), then the sequence row. One extra shuffle vs
+    * [[packTokenStream]], both keyed aggregations partial-combinable,
+    * per-group state still ≤ `seqLen` tokens. */
+  def packTokenStreamWithBoundaries(
+      docTokens: DataFrame, seqLen: Int, eos: String = "</s>",
+      orderKey: Column = col("doc_id"), startOffset: Long = 0L): DataFrame = {
+    require(seqLen >= 1, s"packTokenStreamWithBoundaries needs seqLen >= 1")
+    val withEos = docTokens.select(col("doc_id").cast("bigint").as("graft_doc"),
+        orderKey.cast("bigint").as("graft_ok"),
+        concat(col("tokens"), array(lit(eos))).as("graft_toks"))
+      .withColumn("graft_n", size(col("graft_toks")).cast("bigint"))
+      .localCheckpoint()
+    Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off")
+      .select(col("graft_doc"), col("graft_off"),
+        posexplode(col("graft_toks")).as(Seq("graft_pos", "graft_tok")))
+      .withColumn("graft_gpos",
+        lit(startOffset) + col("graft_off") + col("graft_pos"))
+      .select(col("graft_doc"),
+        expr(s"graft_gpos div $seqLen").as("seq_id"),
+        expr(s"graft_gpos % $seqLen").as("graft_slot"), col("graft_tok"))
+      .groupBy(col("seq_id"), col("graft_doc"))
+      .agg(min(col("graft_slot")).as("graft_bslot"),
+        count(lit(1)).as("graft_dn"),
+        transform(
+          array_sort(collect_list(struct(col("graft_slot"), col("graft_tok")))),
+          x => x.getField("graft_tok")).as("graft_part"))
+      .groupBy(col("seq_id"))
+      .agg(sum(col("graft_dn")).cast("bigint").as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("graft_bslot"), col("graft_part")))),
+          x => x.getField("graft_part"))), " ").as("tokens"),
+        count(lit(1)).cast("bigint").as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("graft_bslot"), col("graft_doc")))),
+          x => concat_ws(":", x.getField("graft_bslot"), x.getField("graft_doc"))),
+          " ").as("boundaries"))
+  }
+
   /** Total token count [[packTokenStream]] would stream for this frame
     * (per-doc tokens + one `eos` each) — the `startOffset` the NEXT
     * batch continues from. One scalar aggregate. */

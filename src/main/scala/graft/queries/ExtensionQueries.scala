@@ -2602,6 +2602,23 @@ object ExtensionQueries {
       enc.filter(col("doc_id") % 2 === 1), seqLen = 128, startOffset = off)
   }
 
+  /** q190's training shards plus the per-sequence DOCUMENT MANIFEST a
+    * trainer needs to mask attention across document boundaries (the
+    * LLaMA/T5-style "don't attend across `</s>`" convention): each
+    * sequence also reports how many documents contribute tokens and the
+    * "slot:doc_id" boundary list (slot 0 = a continuation of a doc the
+    * previous cut split). See [[graft.operators.SeqPack
+    * .packTokenStreamWithBoundaries]] — same banded offsets, the
+    * explode carries doc_id, assembly is a two-level (seq, doc) → seq
+    * aggregate exploiting that documents are contiguous in the
+    * stream. */
+  val q194ShardBoundaries: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    SeqPack.packTokenStreamWithBoundaries(
+      Bpe.encodeTokens(docs, vocab), seqLen = 128)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2788,6 +2805,7 @@ object ExtensionQueries {
     "q191_learned_curation" -> q191LearnedCuration,
     "q192_curriculum_shards" -> q192CurriculumShards,
     "q193_incremental_shards" -> q193IncrementalShards,
+    "q194_shard_boundaries" -> q194ShardBoundaries,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6296,6 +6314,45 @@ object ExtensionQueries {
         | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |        string_agg(tok, ' ' ORDER BY slot) AS tokens
         | FROM tok GROUP BY seq_id""".stripMargin),
+    // q190's tokenize-and-cut with the explode carrying doc_id, plus
+    // two aggregates joined on seq_id: the token assembly and the
+    // per-(seq, doc) min-slot boundary manifest
+    "q194_shard_boundaries" -> (bpeOracleCtes(6) +
+      """,
+        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+        |            i -> struct_pack(pos := i, w := s[i]))) AS t
+        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
+        | dt AS (SELECT tw.doc_id,
+        |               string_split(
+        |                 string_agg(array_to_string(coalesce(v.syms,
+        |                     string_split(tw.w, '')), ' '), ' '
+        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
+        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
+        |        WHERE tw.w <> ''
+        |        GROUP BY tw.doc_id),
+        | o AS (SELECT doc_id, toks,
+        |              coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                0) AS off
+        |       FROM dt),
+        | tok AS (SELECT doc_id, (off + t.i - 1) // 128 AS seq_id,
+        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
+        |           SELECT doc_id, off,
+        |                  unnest(list_transform(range(1, len(toks) + 1),
+        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
+        |           FROM o)),
+        | s1 AS (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |               string_agg(tok, ' ' ORDER BY slot) AS tokens
+        |        FROM tok GROUP BY seq_id),
+        | s2 AS (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |               string_agg(bslot || ':' || doc_id, ' '
+        |                          ORDER BY bslot) AS boundaries
+        |        FROM (SELECT seq_id, doc_id, min(slot) AS bslot
+        |              FROM tok GROUP BY seq_id, doc_id)
+        |        GROUP BY seq_id)
+        | SELECT s1.seq_id, s1.n_tokens, s1.tokens, s2.n_docs, s2.boundaries
+        | FROM s1 JOIN s2 USING (seq_id)""".stripMargin),
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must

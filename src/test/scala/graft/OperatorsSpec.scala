@@ -208,6 +208,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).sum === 3 + 1 + 5 + 1 + 4)
   }
 
+  test("packTokenStreamWithBoundaries: tokens match plain pack, manifest exact") {
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d")),
+      (3L, Seq("e", "f", "g", "h", "i")),
+      (4L, Seq("j")))
+      .toDF("doc_id", "tokens")
+    val got = SeqPack.packTokenStreamWithBoundaries(d, seqLen = 4)
+      .select("seq_id", "n_tokens", "tokens", "n_docs", "boundaries")
+      .as[(Long, Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    // stream: a b c </s> | d </s> e f | g h i </s> | j </s>
+    // seq 1 mixes the tail of doc 2 and the head of doc 3; seq 2 is a
+    // pure continuation of doc 3 (boundary at slot 0 marks it)
+    assert(got === Seq(
+      (0L, 4L, "a b c </s>", 1L, "0:1"),
+      (1L, 4L, "d </s> e f", 2L, "0:2 2:3"),
+      (2L, 4L, "g h i </s>", 1L, "0:3"),
+      (3L, 2L, "j </s>", 1L, "0:4")))
+    // (seq_id, n_tokens, tokens) must be IDENTICAL to the plain pack
+    val plain = SeqPack.packTokenStream(d, seqLen = 4)
+      .select("seq_id", "n_tokens", "tokens")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) === plain)
+  }
+
   test("incremental packTokenStream: batch 2 at startOffset merges to the union pack") {
     val all = Seq(
       (1L, Seq("a", "b", "c")), (2L, Seq("d")),

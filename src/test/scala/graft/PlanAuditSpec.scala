@@ -85,6 +85,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q105 still ranks through a global ntile window:\n$p")
   }
 
+  test("shard family: no frame ever sorts or windows through a single partition") {
+    // the training-data deliverables (rank, pack, curriculum,
+    // incremental, manifest) — the banded rank/prefix-sum machinery
+    // must keep them free of data-scale single-partition stages;
+    // scalar aggregates (offset totals) are the only exchanges allowed
+    Seq("q186_global_rank", "q190_token_shards", "q192_curriculum_shards",
+      "q193_incremental_shards", "q194_shard_boundaries").foreach { name =>
+      val lines = plan(name).linesIterator.toSeq
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val parent = lines(i - 1)
+          assert(!parent.contains("Sort") && !parent.contains("Window"),
+            s"$name drains a frame through one partition:\n$parent\n${lines(i)}")
+        }
+    }
+  }
+
   test("q171: the k-means assignment is scan-local — no exchange, no window") {
     val p = plan("q171_kmeans")
     assert(!p.contains("Exchange"), s"k-means E-step shuffles the corpus:\n$p")

@@ -60,19 +60,26 @@ object StreamingShardPack {
     * `orderKey` sets the WITHIN-batch stream order (default doc_id) —
     * [[StreamingCurriculumPack]] passes its frozen-model quality rank
     * here; across batches the order is always arrival order, which is
-    * the only order an append-only shard log can honor. */
+    * the only order an append-only shard log can honor. `manifest`
+    * switches the packer to [[SeqPack.packTokenStreamWithBoundaries]]
+    * so each partial row also carries its (n_docs, boundaries) doc
+    * manifest — read the log back with [[readShardsManifest]]. */
   def applyBatch(
       batch: DataFrame, id: Long, shardsPath: String,
       seqLen: Int, eos: String = "</s>",
-      orderKey: org.apache.spark.sql.Column = col("doc_id")): Unit = {
+      orderKey: org.apache.spark.sql.Column = col("doc_id"),
+      manifest: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val offset = offsetBefore(spark, shardsPath, id)
     // the batch feeds both the pack and the offset scalar for the
     // state row — cut the source re-read
     val stable = batch.localCheckpoint()
-    SeqPack.packTokenStream(stable, seqLen, eos, orderKey = orderKey,
-        startOffset = offset)
-      .write.mode("overwrite").parquet(s"$shardsPath/batch_id=$id")
+    val packed =
+      if (manifest) SeqPack.packTokenStreamWithBoundaries(
+        stable, seqLen, eos, orderKey = orderKey, startOffset = offset)
+      else SeqPack.packTokenStream(stable, seqLen, eos,
+        orderKey = orderKey, startOffset = offset)
+    packed.write.mode("overwrite").parquet(s"$shardsPath/batch_id=$id")
     spark.range(1)
       .select(lit(id).as("batch_id"),
         lit(offset + SeqPack.streamLength(stable)).as("offset_after"))
@@ -89,12 +96,14 @@ object StreamingShardPack {
       checkpointDir: String,
       seqLen: Int,
       eos: String = "</s>",
-      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+      manifest: Boolean = false): StreamingQuery =
     tokensStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, shardsPath, seqLen, eos)
+        applyBatch(batch, batchId, shardsPath, seqLen, eos,
+          manifest = manifest)
       }
       .start()
 
@@ -109,4 +118,24 @@ object StreamingShardPack {
           array_sort(collect_list(
             struct(col("batch_id").cast("bigint"), col("tokens")))),
           x => x.getField("tokens")), " ").as("tokens"))
+
+  /** The assembled MANIFEST shard log (written with `manifest = true`):
+    * tokens merge as in [[readShards]]; the doc manifest merges by the
+    * same batch-order concatenation — a document never spans batches,
+    * so a boundary sequence's per-batch `n_docs` partitions its doc
+    * set (sum is exact) and each batch's boundary slots are a
+    * contiguous ascending block (batch-order concat IS slot order —
+    * the law the one-shot equivalence spec pins). */
+  def readShardsManifest(spark: SparkSession, shardsPath: String): DataFrame = {
+    def inBatchOrder(c: String) = array_join(transform(
+      array_sort(collect_list(
+        struct(col("batch_id").cast("bigint"), col(c).as("v")))),
+      x => x.getField("v")), " ")
+    spark.read.parquet(shardsPath)
+      .groupBy(col("seq_id"))
+      .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        inBatchOrder("tokens").as("tokens"),
+        sum(col("n_docs")).cast("bigint").as("n_docs"),
+        inBatchOrder("boundaries").as("boundaries"))
+  }
 }

@@ -53,6 +53,41 @@ class StreamingShardPackSpec extends SparkSpec {
     assert(split >= 1)
   }
 
+  test("manifest shard log merges to the one-shot boundaries pack") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("shardpack-mf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("shardpack-mf-ck").toString
+    val in = MemoryStream[(Long, Seq[String])]
+    val q = StreamingShardPack.start(
+      spark, in.toDF().toDF("doc_id", "tokens"),
+      s"$dir/shards", s"$ckpt/q", seqLen = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      manifest = true)
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("seq_id", "n_tokens", "tokens", "n_docs", "boundaries")
+        .orderBy("seq_id").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getString(4)))
+    val got = rows(StreamingShardPack.readShardsManifest(spark, s"$dir/shards"))
+    val want = rows(SeqPack.packTokenStreamWithBoundaries(
+      (b1 ++ b2).toDF("doc_id", "tokens"), seqLen = 4))
+    assert(got === want)
+    // the boundary sequence (spans both batches) must carry a MERGED
+    // manifest: docs from both batch dirs in one boundaries string
+    val boundarySeq = spark.read.parquet(s"$dir/shards")
+      .groupBy("seq_id").count().filter(col("count") > 1)
+      .select("seq_id").collect().map(_.getLong(0))
+    assert(boundarySeq.nonEmpty)
+    val merged = got.filter(r => boundarySeq.contains(r._1))
+    assert(merged.exists(_._4 >= 2), s"boundary sequence manifest not merged: $merged")
+  }
+
   test("replaying a committed batch overwrites to the same end state") {
     val dir = java.nio.file.Files.createTempDirectory("shardpack-rp").toString
     val path = s"$dir/shards"

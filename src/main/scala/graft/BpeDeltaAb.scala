@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE learning-cost A/B on the DATA axis: recount-from-scratch
+  * [[Bpe.learn]] / [[Bpe.learnBatched]] vs delta-maintained
+  * [[Bpe.learnDelta]] at the same target merge count. [[BpeAb]]
+  * measures the ROUND axis (batching); this measures the per-round
+  * cost law — recount pays a full vocabulary explode + aggregate every
+  * round, delta pays only for the words the round's merges touch, so
+  * the gap must WIDEN with vocabulary size at fixed merge count. The
+  * `inflate` knob multiplies the corpus vocabulary by suffixing each
+  * word with `~<i>` for i < inflate (distinct suffix chars, so variants
+  * share the original words' pair structure plus a digit-suffix block):
+  * at inflate=1 the two arms bracket the fixed per-round overhead
+  * (delta runs 2 extra jobs/round, so it LOSES at tiny vocab — the
+  * honest reading); the crossover as inflate grows is the at-scale
+  * story. Merge tables are asserted identical between arms per pass.
+  *
+  *   runMain graft.BpeDeltaAb [tableDir] [nMerges] [inflate] [passes] [batch]
+  */
+object BpeDeltaAb {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val nMerges = args.lift(1).map(_.toInt).getOrElse(24)
+    val inflate = args.lift(2).map(_.toInt).getOrElse(100)
+    val passes = args.lift(3).map(_.toInt).getOrElse(2)
+    val batch = args.lift(4).map(_.toInt).getOrElse(1)
+    val rounds = (nMerges + batch - 1) / batch
+    val spark = Tables.localSession("graft-bpe-delta-ab")
+
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    def words() = {
+      val base = Bpe.wordFreq(Tables.load(spark, dir, "documents"))
+      if (inflate <= 1) base
+      else base.crossJoin(spark.range(inflate))
+        .select(concat(col("w"), lit("~"), col("id")).as("w"), col("freq"))
+    }
+    def timed(f: () => Seq[Bpe.Merge]): (Double, Seq[Bpe.Merge]) = {
+      val t0 = System.nanoTime()
+      val m = f()
+      val sec = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      (sec, m)
+    }
+    def recountArm() = timed(() =>
+      (if (batch <= 1) Bpe.learn(words(), nMerges)
+       else Bpe.learnBatched(words(), rounds, batch))._1)
+    def deltaArm() = timed(() =>
+      Bpe.learnDelta(words(), rounds, batch)._1)
+
+    val nWords = words().count()
+    // JIT/scan warmup for both code paths, then alternating min-of-passes
+    Bpe.learn(words(), 2); Bpe.learnDelta(words(), 2); cleanup()
+    val results = (1 to passes).map { p =>
+      val (r, d) = if (p % 2 == 0) { val d = deltaArm(); (recountArm(), d) }
+                   else { val r = recountArm(); (r, deltaArm()) }
+      assert(r._2 == d._2,
+        s"ARMS DIVERGED: recount ${r._2.take(3)}... vs delta ${d._2.take(3)}...")
+      (r._1, d._1)
+    }
+    val recSec = results.map(_._1).min
+    val delSec = results.map(_._2).min
+    println(s"""{"dir":"$dir","n_merges":$nMerges,"batch":$batch,""" +
+      s""""inflate":$inflate,"vocab_words":$nWords,""" +
+      f""""recount_sec":$recSec%.3f,"delta_sec":$delSec%.3f,""" +
+      f""""recount_sec_per_round":${recSec / rounds}%.4f,""" +
+      f""""delta_sec_per_round":${delSec / rounds}%.4f,""" +
+      f""""speedup":${recSec / delSec}%.2f}""")
+    spark.stop()
+  }
+}

@@ -92,9 +92,14 @@ object ScaleStress {
     // filtered pack must track the filtered volume, not the corpus
     // q194: q190 plus the per-sequence doc manifest — the extra
     // (seq, doc) aggregate must stay partial-combinable, seqLen-bounded
+    // q195: delta-maintained BPE — per-round work must track the
+    // affected-word slice, not the vocabulary; a superlinear factor
+    // would mean the delta aggregate or a patch join is absorbing
+    // corpus growth the maintained-table design exists to avoid
     "q105_rfm", "q188_span_cut", "q190_token_shards",
     "q191_learned_curation", "q192_curriculum_shards",
-    "q193_incremental_shards", "q194_shard_boundaries")
+    "q193_incremental_shards", "q194_shard_boundaries",
+    "q195_bpe_delta")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

@@ -75,17 +75,39 @@ object Bpe {
          |     concat(acc, array(x))))""".stripMargin)
   }
 
-  /** Freq-weighted adjacent-pair counts of the current symbol state.
-    * The index struct names the fields explicitly (arrays_zip field
-    * naming varies with expression shape across Spark versions). */
-  private def pairCounts(syms: DataFrame): DataFrame =
+  /** Signed adjacent-pair instances of a (freq, syms) state, BEFORE
+    * aggregation: one row per adjacent-pair occurrence, freq weighted
+    * by `sign`. [[learnDelta]] unions a +1 after-state with a -1
+    * before-state so ONE aggregate yields the exact per-pair count
+    * delta of a merge round. The index struct names the fields
+    * explicitly (arrays_zip field naming varies with expression shape
+    * across Spark versions). */
+  private def signedPairs(syms: DataFrame, sign: Int): DataFrame =
     syms.filter(size(col("syms")) >= 2)
-      .select(col("freq"), explode(expr(
+      .select((col("freq") * sign).as("freq"), explode(expr(
         "transform(sequence(1, size(syms) - 1), " +
           "i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"))
         .as("p"))
       .select(col("freq"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+
+  /** Freq-weighted adjacent-pair counts of the current symbol state. */
+  private def pairCounts(syms: DataFrame): DataFrame =
+    signedPairs(syms, 1)
       .groupBy(col("lhs"), col("rhs")).agg(sum(col("freq")).as("pair_count"))
+
+  /** True iff `syms` contains at least one adjacent (lhs, rhs) — the
+    * exact condition under which [[applyMerge]] is NOT the identity on
+    * the word. The short row is guarded with a lazy IF (sequence(1, 0)
+    * is DESCENDING in Spark, so the unguarded transform would probe
+    * element_at(syms, 0) and throw on single-symbol words). */
+  private def hasAdjacent(lhs: String, rhs: String): Column = {
+    val l = sqlStr(lhs); val r = sqlStr(rhs)
+    expr(
+      s"""IF(size(syms) < 2, false, exists(
+         |  transform(sequence(1, size(syms) - 1),
+         |    i -> element_at(syms, i) = '$l' AND element_at(syms, i + 1) = '$r'),
+         |  x -> x))""".stripMargin)
+  }
 
   /** Learn up to `nMerges` BPE merges over a (w, freq) vocabulary.
     * Returns the merge table and the final per-word symbol state
@@ -181,6 +203,30 @@ object Bpe {
     * with another and no pair created mid-round would have outranked
     * the batch — the usual batched-BPE caveat; the merge table is its
     * own deterministic, oracle-replayable recurrence either way. */
+  /** The rank-prefix conflict rule shared by [[learnBatched]] and
+    * [[learnDelta]]: a pool candidate is disqualified if it shares a
+    * symbol with ANY higher-ranked candidate (its lhs/rhs overlapping
+    * the higher pick's {lhs, rhs, lhs||rhs}, or its own merged symbol
+    * colliding with the higher pick's lhs/rhs); the first `batchSize`
+    * survivors are accepted in rank order. */
+  private def acceptBatch(
+      top: Seq[(String, String, Long)],
+      batchSize: Int): Seq[(String, String, Long)] = {
+    val accepted = Seq.newBuilder[(String, String, Long)]
+    var nAccepted = 0
+    top.zipWithIndex.foreach { case ((l, r, c), i) =>
+      val conflicts = top.take(i).exists { case (hl, hr, _) =>
+        val hs = Set(hl, hr, hl + hr)
+        hs(l) || hs(r) || (l + r) == hl || (l + r) == hr
+      }
+      if (!conflicts && nAccepted < batchSize) {
+        accepted += ((l, r, c))
+        nAccepted += 1
+      }
+    }
+    accepted.result()
+  }
+
   def learnBatched(
       words: DataFrame,
       nRounds: Int,
@@ -202,19 +248,7 @@ object Bpe {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) exhausted = true
       else {
-        val accepted = Seq.newBuilder[(String, String, Long)]
-        var nAccepted = 0
-        top.zipWithIndex.foreach { case ((l, r, c), i) =>
-          val conflicts = top.take(i).exists { case (hl, hr, _) =>
-            val hs = Set(hl, hr, hl + hr)
-            hs(l) || hs(r) || (l + r) == hl || (l + r) == hr
-          }
-          if (!conflicts && nAccepted < batchSize) {
-            accepted += ((l, r, c))
-            nAccepted += 1
-          }
-        }
-        val batch = accepted.result()
+        val batch = acceptBatch(top, batchSize)
         batch.foreach { case (l, r, c) =>
           merges += Merge(rank, l, r, c)
           rank += 1
@@ -226,6 +260,133 @@ object Bpe {
         releaseBlocks(syms, symsIds)
         syms = next
         symsIds = nextIds
+      }
+      round += 1
+    }
+    (merges.result(), syms)
+  }
+
+  /** DELTA-maintained BPE learning: identical merge table and final
+    * symbol state to [[learn]] (batchSize = 1) / [[learnBatched]]
+    * (batchSize > 1), but the adjacent-pair counts are MAINTAINED
+    * across rounds instead of recounted from the whole vocabulary —
+    * the incremental-statistics trick every fast single-node BPE
+    * trainer uses (subword-nmt, HF tokenizers), re-expressed as
+    * bounded DataFrame deltas:
+    *
+    *   - a merge of (l, r) changes the pair counts of ONLY the words
+    *     with an adjacent (l, r) — for everything else the greedy fold
+    *     is the identity. The round filters those words ([[hasAdjacent]],
+    *     a scan predicate, no shuffle), unions their +after / -before
+    *     pair instances ([[signedPairs]]) and aggregates ONCE into the
+    *     round's exact count delta — a frame bounded by the affected
+    *     words' pair variety, not the vocabulary;
+    *   - the maintained count table is NEVER shuffled: existing pairs
+    *     update through a broadcast LEFT join with the delta, and
+    *     brand-new pairs (keys absent from the table) arrive through a
+    *     broadcast anti join of the delta against the matched key set —
+    *     a full-outer join decomposed so the big side only scans.
+    *     `broadcastDelta = false` is the escape hatch: one shuffled
+    *     full-outer join for delta frames too large to broadcast
+    *     (earliest rounds of an enormous corpus);
+    *   - the symbol fold itself is guarded per word
+    *     (`when(affected, fold)`), so unaffected words — the vast
+    *     majority once the Zipf head is merged — never execute the
+    *     merge expression at all.
+    *
+    * Per round this replaces [[learn]]'s full explode + recount of
+    * every adjacent pair instance (O(total symbols) rows into a
+    * vocabulary-wide aggregate) with work proportional to the words
+    * the merge actually touches, at the price of one extra small
+    * checkpoint (the delta) per round — the data-axis lever that
+    * composes with [[learnBatched]]'s round-axis lever (BpeDeltaAb
+    * measures both on an inflated vocabulary). Argmax, tiebreak,
+    * pool ranking and the rank-prefix conflict rule are byte-for-byte
+    * the [[learn]]/[[learnBatched]] recurrences over the maintained
+    * table, so the equivalence is exact (BpeSpec pins it; q195 gates
+    * it against q179's oracle SQL unchanged). */
+  def learnDelta(
+      words: DataFrame,
+      nRounds: Int,
+      batchSize: Int = 1,
+      poolSize: Int = 0,
+      broadcastDelta: Boolean = true): (Seq[Merge], DataFrame) = {
+    require(nRounds >= 1, "Bpe.learnDelta needs nRounds >= 1")
+    require(batchSize >= 1, "Bpe.learnDelta needs batchSize >= 1")
+    val pool = if (poolSize > 0) poolSize else 4 * batchSize
+    require(pool >= batchSize, s"poolSize $pool < batchSize $batchSize")
+    var (syms, symsIds) = checkpointTracked(initialSymbols(words))
+    var (counts, countIds) = checkpointTracked(pairCounts(syms))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var round = 0
+    var exhausted = false
+    while (round < nRounds && !exhausted) {
+      val top = counts
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(pool).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (top.isEmpty) exhausted = true
+      else {
+        val batch = acceptBatch(top, batchSize)
+        batch.foreach { case (l, r, c) =>
+          merges += Merge(rank, l, r, c)
+          rank += 1
+        }
+        val affectedPred = batch
+          .map { case (l, r, _) => hasAdjacent(l, r) }.reduce(_ || _)
+        val affected = syms.filter(affectedPred)
+          .select(col("freq"), col("syms"))
+        val after = batch.foldLeft(affected) { case (df, (l, r, _)) =>
+          df.withColumn("syms", applyMerge(l, r))
+        }
+        // exact per-pair delta of the round, materialized once (it is
+        // read by three joins below) and released with the round
+        val (delta, deltaIds) = checkpointTracked(
+          signedPairs(after, 1).union(signedPairs(affected, -1))
+            .groupBy(col("lhs"), col("rhs"))
+            .agg(sum(col("freq")).as("d"))
+            .filter(col("d") =!= 0))
+        val nextCounts =
+          if (broadcastDelta) {
+            val updated = counts
+              .join(broadcast(delta), Seq("lhs", "rhs"), "left")
+              .select(col("lhs"), col("rhs"),
+                (col("pair_count") + coalesce(col("d"), lit(0L)))
+                  .as("pair_count"))
+              .filter(col("pair_count") > 0)
+            val matched = counts
+              .join(broadcast(delta.select(col("lhs"), col("rhs"))),
+                Seq("lhs", "rhs"), "inner")
+              .select(col("lhs"), col("rhs"))
+            val fresh = delta
+              .join(broadcast(matched), Seq("lhs", "rhs"), "left_anti")
+              .filter(col("d") > 0)
+              .select(col("lhs"), col("rhs"), col("d").as("pair_count"))
+            updated.unionByName(fresh)
+          } else {
+            counts.join(delta, Seq("lhs", "rhs"), "full_outer")
+              .select(col("lhs"), col("rhs"),
+                (coalesce(col("pair_count"), lit(0L)) +
+                  coalesce(col("d"), lit(0L))).as("pair_count"))
+              .filter(col("pair_count") > 0)
+          }
+        // the guarded fold: unaffected words short-circuit past every
+        // merge expression instead of running k identity folds
+        val flagged = syms.withColumn("graft_aff", affectedPred)
+        val nextSyms = batch.foldLeft(flagged) { case (df, (l, r, _)) =>
+          df.withColumn("syms",
+            when(col("graft_aff"), applyMerge(l, r)).otherwise(col("syms")))
+        }.drop("graft_aff")
+        val (cpCounts, cpCountIds) = checkpointTracked(nextCounts)
+        val (cpSyms, cpSymsIds) = checkpointTracked(nextSyms)
+        releaseBlocks(counts, countIds)
+        releaseBlocks(syms, symsIds)
+        releaseBlocks(delta, deltaIds)
+        counts = cpCounts
+        countIds = cpCountIds
+        syms = cpSyms
+        symsIds = cpSymsIds
       }
       round += 1
     }

@@ -2619,6 +2619,20 @@ object ExtensionQueries {
       Bpe.encodeTokens(docs, vocab), seqLen = 128)
   }
 
+  /** DELTA-maintained BPE learning (see [[graft.operators.Bpe
+    * .learnDelta]]): the q179 merge table learned without ever
+    * recounting the vocabulary — per round only the words the merge
+    * touches are re-paired, the exact count delta broadcasts into the
+    * maintained pair table, and the guarded fold skips every
+    * unaffected word. The oracle is q179's SQL UNCHANGED: the driver
+    * gate itself proves the incremental recurrence equals the
+    * recount-from-scratch one. */
+  val q195BpeDelta: Q = (s, dir) => {
+    val (merges, _) =
+      Bpe.learnDelta(Bpe.wordFreq(t(s, dir, "documents")), nRounds = 6)
+    Bpe.mergesDf(s, merges)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2806,6 +2820,7 @@ object ExtensionQueries {
     "q192_curriculum_shards" -> q192CurriculumShards,
     "q193_incremental_shards" -> q193IncrementalShards,
     "q194_shard_boundaries" -> q194ShardBoundaries,
+    "q195_bpe_delta" -> q195BpeDelta,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6353,6 +6368,12 @@ object ExtensionQueries {
         |        GROUP BY seq_id)
         | SELECT s1.seq_id, s1.n_tokens, s1.tokens, s2.n_docs, s2.boundaries
         | FROM s1 JOIN s2 USING (seq_id)""".stripMargin),
+    // q179's oracle VERBATIM: learnDelta must reproduce the
+    // recount-from-scratch recurrence exactly, so the same SQL gates it
+    "q195_bpe_delta" -> (bpeOracleCtes(6) + "\n " +
+      (1 to 6).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, cnt AS pair_count FROM m$i")
+        .mkString("SELECT * FROM (", " UNION ALL ", ")")),
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must

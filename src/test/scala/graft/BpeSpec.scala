@@ -147,4 +147,58 @@ class BpeSpec extends SparkSpec {
     // x-y and y-x both count 2; x < y so (x, y) wins round 1
     assert(a.head.lhs === "x" && a.head.rhs === "y")
   }
+
+  test("learnDelta ≡ learn: identical merge table and final state") {
+    val docs = Seq((0L, "low low lower lowest"), (1L, "new newer newest low"))
+      .toDF("doc_id", "text")
+    val (seqM, seqV) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 8)
+    val (delM, delV) = Bpe.learnDelta(Bpe.wordFreq(docs), nRounds = 8)
+    assert(delM === seqM)
+    assert(rowSet(delV) === rowSet(seqV))
+  }
+
+  test("learnDelta batched ≡ learnBatched on both delta-merge paths") {
+    val docs = Seq((0L, "low low lower lowest"), (1L, "new newer newest low"))
+      .toDF("doc_id", "text")
+    val (batM, batV) =
+      Bpe.learnBatched(Bpe.wordFreq(docs), nRounds = 3, batchSize = 3)
+    for (bcast <- Seq(true, false)) {
+      val (delM, delV) = Bpe.learnDelta(Bpe.wordFreq(docs), nRounds = 3,
+        batchSize = 3, broadcastDelta = bcast)
+      assert(delM === batM, s"merge tables diverged (broadcastDelta=$bcast)")
+      assert(rowSet(delV) === rowSet(batV),
+        s"final state diverged (broadcastDelta=$bcast)")
+    }
+  }
+
+  test("learnDelta stops early when no adjacent pair remains") {
+    val docs = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.learnDelta(Bpe.wordFreq(docs), nRounds = 10)
+    assert(merges.map(m => (m.lhs, m.rhs)) === Seq(("a", "b")))
+    assert(vocab.select(col("syms")).as[Seq[String]].collect().toSeq ===
+      Seq(Seq("ab")))
+  }
+
+  test("learnDelta ≡ learn on random corpora (the maintained-count invariant)") {
+    // the law that makes delta maintenance safe: after any round the
+    // maintained table equals a fresh recount, so the whole recurrence
+    // (argmax, tiebreaks, early stop) replays bit-identically —
+    // exercised over random corpora where pairs re-form after merges
+    // (the (a,b)-reappears case that makes the "new pair" set subtle)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word))
+    for (i <- 0 until 4) {
+      val words = corpus(Gen.Parameters.default, Seed(23L + i)).get
+      val docs = words.zipWithIndex.map { case (w, j) => (j.toLong, w) }
+        .toDF("doc_id", "text")
+      val (seqM, seqV) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 5)
+      val (delM, delV) = Bpe.learnDelta(Bpe.wordFreq(docs), nRounds = 5)
+      assert(delM === seqM, s"merge tables diverged on seed ${23L + i}")
+      assert(rowSet(delV) === rowSet(seqV),
+        s"final state diverged on seed ${23L + i}")
+    }
+  }
 }

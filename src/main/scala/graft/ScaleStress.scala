@@ -96,10 +96,14 @@ object ScaleStress {
     // affected-word slice, not the vocabulary; a superlinear factor
     // would mean the delta aggregate or a patch join is absorbing
     // corpus growth the maintained-table design exists to avoid
+    // q196: tokenizer write → read → continue — the artifact IO and
+    // the continuation rounds must both track the vocabulary linearly
     "q105_rfm", "q188_span_cut", "q190_token_shards",
     "q191_learned_curation", "q192_curriculum_shards",
     "q193_incremental_shards", "q194_shard_boundaries",
-    "q195_bpe_delta")
+    // q197: the advisor's config arithmetic rides a doc-count-sized
+    // frame — growth must come only from the learn rounds + encode join
+    "q195_bpe_delta", "q196_bpe_continue", "q197_shard_advisor")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

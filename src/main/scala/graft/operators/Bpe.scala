@@ -143,11 +143,29 @@ object Bpe {
     require(nMerges >= 1, "Bpe.learn needs nMerges >= 1")
     // vocab-sized; checkpoint so each round's jobs start from
     // materialized state instead of re-deriving every earlier fold
-    var (syms, symsIds) = checkpointTracked(initialSymbols(words))
+    val (syms, symsIds) = checkpointTracked(initialSymbols(words))
+    learnLoop(syms, symsIds, prior = Nil, nMore = nMerges)
+  }
+
+  /** The sequential learning recurrence shared by [[learn]] (prior =
+    * empty, seed state = character split) and [[learnContinue]]
+    * (prior = a frozen merge table, seed state = its persisted
+    * vocabulary state): `nMore` rounds of argmax → greedy fold →
+    * checkpoint, ranks continuing after `prior`. Takes ownership of
+    * the already-checkpointed seed state and its block ids. */
+  private def learnLoop(
+      syms0: DataFrame,
+      symsIds0: Set[Int],
+      prior: Seq[Merge],
+      nMore: Int): (Seq[Merge], DataFrame) = {
+    var syms = syms0
+    var symsIds = symsIds0
     val merges = Seq.newBuilder[Merge]
-    var rank = 1
+    merges ++= prior
+    var rank = prior.size + 1
+    val maxRank = prior.size + nMore
     var exhausted = false
-    while (rank <= nMerges && !exhausted) {
+    while (rank <= maxRank && !exhausted) {
       val top = pairCounts(syms)
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
@@ -167,6 +185,85 @@ object Bpe {
       }
     }
     (merges.result(), syms)
+  }
+
+  /** Continue BPE learning from a persisted tokenizer: `state` is the
+    * (w, freq, syms) vocabulary state a prior learn returned (or
+    * [[readTokenizer]] reloaded), `prior` its merge table; learns
+    * `nMore` additional merges with ranks continuing after the table
+    * and returns the COMPOSED table plus the new state. Greedy BPE is
+    * prefix-stable — the first k merges of learn(k+m) ARE learn(k) —
+    * so `learnContinue(learn(k)) ≡ learn(k+m)` exactly (BpeSpec law;
+    * q196 gates the composed table against q179's oracle SQL unchanged
+    * through a real write → read → continue cycle). This is the
+    * tokenizer-lifecycle operator: when [[graft.streaming
+    * .StreamingBpeDrift]]'s fertility/OOV monitor fires, the
+    * production vocabulary extends by `nMore` merges from its
+    * persisted state — no retraining from characters, no re-scan of
+    * the original corpus. */
+  def learnContinue(
+      state: DataFrame,
+      prior: Seq[Merge],
+      nMore: Int): (Seq[Merge], DataFrame) = {
+    require(nMore >= 1, "Bpe.learnContinue needs nMore >= 1")
+    val (syms, symsIds) = checkpointTracked(
+      state.select(col("w"), col("freq"), col("syms")))
+    learnLoop(syms, symsIds, prior, nMore)
+  }
+
+  /** Rebuild the (w, freq, syms) encoder state of a FRESH (w, freq)
+    * vocabulary under a frozen merge table: chained greedy folds in
+    * rank order, checkpointed every 8 merges so the codegen tree stays
+    * bounded at any table depth. The state twin of [[encodeTokens]]'s
+    * memoized join — use it when only the merge table was persisted,
+    * or to bring a NEW corpus slice (tomorrow's crawl, a new source)
+    * under the production vocabulary before [[learnContinue]] /
+    * [[encodeStats]]. `applyMerges(wordFreq(docs), learn(k).merges)`
+    * reproduces learn(k)'s final state exactly (BpeSpec law). */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    var (syms, symsIds) = checkpointTracked(initialSymbols(words))
+    merges.sortBy(_.rank).grouped(8).foreach { g =>
+      val applied = g.foldLeft(syms) { case (df, m) =>
+        df.withColumn("syms", applyMerge(m.lhs, m.rhs))
+      }
+      val (cp, ids) = checkpointTracked(applied)
+      releaseBlocks(syms, symsIds)
+      syms = cp
+      symsIds = ids
+    }
+    syms
+  }
+
+  /** Persist a learned tokenizer — the merge table and the encoded
+    * vocabulary state — as two parquet tables under `path`. The state
+    * table is what makes the artifact USEFUL at scale: encoding needs
+    * only the (w, syms) join side and continuation needs (w, freq,
+    * syms), so neither ever replays the merge folds; the merge table
+    * rides along as the small authoritative recurrence record (and the
+    * [[applyMerges]] input for vocabularies the state table has never
+    * seen). */
+  def writeTokenizer(
+      path: String, merges: Seq[Merge], state: DataFrame): Unit = {
+    val spark = state.sparkSession
+    mergesDf(spark, merges)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    state.select(col("w"), col("freq"), col("syms"))
+      .write.mode("overwrite").parquet(s"$path/state")
+  }
+
+  /** Reload a [[writeTokenizer]] artifact: (merge table in rank order,
+    * vocabulary state frame). The merge table is driver-held — it is
+    * vocabulary-bounded (one row per merge, 32k rows for a production
+    * tokenizer), the same envelope every learn call already holds. */
+  def readTokenizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Merge], DataFrame) = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => Merge(r.getAs[Long]("rank").toInt, r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+      .toSeq
+    (merges, spark.read.parquet(s"$path/state"))
   }
 
   /** Batched BPE learning: up to `batchSize` merges per round instead

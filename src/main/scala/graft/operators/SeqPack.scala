@@ -170,4 +170,51 @@ object SeqPack {
     docTokens
       .agg(coalesce(sum(size(col("tokens")).cast("bigint") + 1L), lit(0L)))
       .head().getLong(0)
+
+  /** Shard-config ADVISOR: for each candidate `seqLen`, the numbers a
+    * pipeline owner needs BEFORE committing to a [[packTokenStream]]
+    * configuration — sequence count, final-sequence padding waste, and
+    * how many documents a cut would split mid-text (the attention-mask
+    * cost [[packTokenStreamWithBoundaries]]'s manifests exist to
+    * mitigate). Computed WITHOUT packing anything: per-doc stream
+    * lengths (tokens + 1 separator, exactly the stream law), global
+    * offsets from the banded prefix sum, then every config is pure
+    * per-row arithmetic over the same doc-count-sized frame — one
+    * broadcast of the config table, one grouped aggregate, NO token
+    * explode. A doc splits iff its span [off, off+len) straddles a
+    * cut; its trailing separator counts as its own, matching the
+    * manifest's continuation-slot rule. Output per config:
+    * (seq_len, total_tokens, n_docs, n_seqs, tail_tokens, pad_tokens,
+    * n_split_docs, split_bp) — all BIGINT; agreement with the real
+    * packs is the OperatorsSpec law. At 100 TB this is the difference
+    * between one scan of doc STATS and materializing a corpus-sized
+    * token stream per candidate config. */
+  def configAdvisor(
+      docTokens: DataFrame,
+      seqLens: Seq[Int],
+      orderKey: Column = col("doc_id")): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ >= 1),
+      s"configAdvisor needs positive seqLens: $seqLens")
+    val spark = docTokens.sparkSession
+    import spark.implicits._
+    // read twice by the banded prefix sum — cut the upstream encode
+    // join's re-execution exactly like packTokenStream does
+    val lens = docTokens.select(orderKey.cast("bigint").as("graft_ok"),
+        (size(col("tokens")) + 1).cast("bigint").as("len"))
+      .localCheckpoint()
+    val off = Ranks.withPrefixSum(lens, col("graft_ok"), col("len"), "off")
+    off.join(broadcast(seqLens.toDF("seq_len")))
+      .groupBy(col("seq_len"))
+      .agg(sum(col("len")).as("total_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(expr("off div seq_len") =!= expr("(off + len - 1) div seq_len"),
+          1L).otherwise(0L)).as("n_split_docs"))
+      .select(col("seq_len").cast("bigint").as("seq_len"),
+        col("total_tokens"), col("n_docs"),
+        expr("(total_tokens + seq_len - 1) div seq_len").as("n_seqs"),
+        expr("total_tokens % seq_len").as("tail_tokens"),
+        expr("(seq_len - total_tokens % seq_len) % seq_len").as("pad_tokens"),
+        col("n_split_docs"),
+        expr("n_split_docs * 10000 div n_docs").as("split_bp"))
+  }
 }

@@ -2633,6 +2633,51 @@ object ExtensionQueries {
     Bpe.mergesDf(s, merges)
   }
 
+  /** The tokenizer LIFECYCLE, end to end, gated by the driver: learn 3
+    * merges, persist the tokenizer artifact ([[graft.operators.Bpe
+    * .writeTokenizer]]: merge table + encoded vocabulary state as
+    * parquet), reload it in a fresh read, and CONTINUE learning 3 more
+    * merges from the reloaded state ([[graft.operators.Bpe
+    * .learnContinue]]). Greedy BPE is prefix-stable, so the composed
+    * table must equal learn(6) exactly — the oracle is q179's 6-round
+    * SQL UNCHANGED, which therefore gates persistence round-trip AND
+    * continuation in one row. This is the drift response: when
+    * StreamingBpeDrift's fertility/OOV monitor fires, production
+    * extends the frozen vocabulary from its persisted state without
+    * retraining from characters. */
+  val q196BpeContinue: Q = (s, dir) => {
+    val (m3, v3) = Bpe.learn(Bpe.wordFreq(t(s, dir, "documents")), nMerges = 3)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-tokenizer-q196").toString
+    Bpe.writeTokenizer(tmp, m3, v3)
+    val (mR, vR) = Bpe.readTokenizer(s, tmp)
+    val (m6, _) = Bpe.learnContinue(vR, mR, nMore = 3)
+    Bpe.mergesDf(s, m6)
+  }
+
+  /** Shard-config ADVISOR: the numbers a pipeline owner needs BEFORE
+    * committing a seqLen for [[graft.operators.SeqPack
+    * .packTokenStream]] — for each candidate length, the sequence
+    * count, the final-sequence padding waste, and how many documents a
+    * cut would split mid-text (the attention-mask cost q194's
+    * manifests exist to mitigate). Computed WITHOUT packing anything:
+    * per-doc token counts from the memoized encode join (+1 for the
+    * `</s>` separator, exactly [[graft.operators.SeqPack]]'s stream
+    * law), global offsets from the banded prefix sum, then every
+    * config is pure per-row arithmetic over the same doc-count-sized
+    * frame — one broadcast of a 3-row config table, one grouped
+    * aggregate, NO token explode. A doc splits iff its span
+    * [off, off+len) straddles a cut (its trailing separator counts as
+    * its own, matching the manifest's continuation-slot rule). At
+    * 100 TB this is the difference between reading doc STATS once and
+    * materializing three corpus-sized token streams to compare
+    * configs. */
+  val q197ShardAdvisor: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    SeqPack.configAdvisor(Bpe.encodeTokens(docs, vocab), Seq(64, 128, 256))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2821,6 +2866,8 @@ object ExtensionQueries {
     "q193_incremental_shards" -> q193IncrementalShards,
     "q194_shard_boundaries" -> q194ShardBoundaries,
     "q195_bpe_delta" -> q195BpeDelta,
+    "q196_bpe_continue" -> q196BpeContinue,
+    "q197_shard_advisor" -> q197ShardAdvisor,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6374,6 +6421,44 @@ object ExtensionQueries {
       (1 to 6).map(i =>
         s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, cnt AS pair_count FROM m$i")
         .mkString("SELECT * FROM (", " UNION ALL ", ")")),
+    // q179's oracle VERBATIM again: write → read → continue must equal
+    // learn(6) by prefix-stability, so the same 6-round SQL gates the
+    // persistence round-trip and the continuation in one row
+    "q196_bpe_continue" -> (bpeOracleCtes(6) + "\n " +
+      (1 to 6).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, cnt AS pair_count FROM m$i")
+        .mkString("SELECT * FROM (", " UNION ALL ", ")")),
+    // per-doc BPE token counts (q180's encode CTEs) + 1 separator,
+    // exclusive-cumsum offsets over doc_id, then pure arithmetic per
+    // config — the oracle packs nothing, mirroring the engine
+    "q197_shard_advisor" -> (bpeOracleCtes(6) +
+      """,
+        | dl AS (SELECT t.doc_id,
+        |          CAST(sum(len(v.syms)) AS BIGINT) + 1 AS len
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |              FROM documents) t
+        |        JOIN w6 v ON t.w = v.w WHERE t.w <> ''
+        |        GROUP BY t.doc_id),
+        | o AS (SELECT doc_id, len,
+        |         CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS off
+        |       FROM dl),
+        | cfg AS (SELECT CAST(unnest([64, 128, 256]) AS BIGINT) AS seq_len),
+        | a AS (SELECT cfg.seq_len,
+        |         CAST(sum(o.len) AS BIGINT) AS total_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN o.off // cfg.seq_len
+        |                    <> (o.off + o.len - 1) // cfg.seq_len
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |       FROM o CROSS JOIN cfg GROUP BY cfg.seq_len)
+        | SELECT seq_len, total_tokens, n_docs,
+        |        (total_tokens + seq_len - 1) // seq_len AS n_seqs,
+        |        total_tokens % seq_len AS tail_tokens,
+        |        (seq_len - total_tokens % seq_len) % seq_len AS pad_tokens,
+        |        n_split_docs,
+        |        n_split_docs * 10000 // n_docs AS split_bp
+        | FROM a""".stripMargin),
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must

@@ -179,6 +179,47 @@ class BpeSpec extends SparkSpec {
       Seq(Seq("ab")))
   }
 
+  test("learnContinue ≡ learn: prefix-stability (merge table and state)") {
+    val docs = Seq((0L, "low low lower lowest"), (1L, "new newer newest low"))
+      .toDF("doc_id", "text")
+    val wf = Bpe.wordFreq(docs)
+    val (m6, v6) = Bpe.learn(wf, nMerges = 6)
+    for (k <- Seq(1, 3, 5)) {
+      val (mk, vk) = Bpe.learn(wf, nMerges = k)
+      val (mc, vc) = Bpe.learnContinue(vk, mk, nMore = 6 - k)
+      assert(mc === m6, s"composed table diverged at split k=$k")
+      assert(rowSet(vc) === rowSet(v6), s"composed state diverged at k=$k")
+    }
+  }
+
+  test("tokenizer artifact round-trips; continuation and encode survive reload") {
+    val docs = Seq((0L, "low low lower lowest"), (1L, "new newer newest low"))
+      .toDF("doc_id", "text")
+    val wf = Bpe.wordFreq(docs)
+    val (m3, v3) = Bpe.learn(wf, nMerges = 3)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-tokenizer-spec").toString
+    Bpe.writeTokenizer(tmp, m3, v3)
+    val (mR, vR) = Bpe.readTokenizer(spark, tmp)
+    assert(mR === m3)
+    assert(rowSet(vR) === rowSet(v3))
+    assert(rowSet(Bpe.encodeTokens(docs, vR)) ===
+      rowSet(Bpe.encodeTokens(docs, v3)))
+    val (m6, v6) = Bpe.learn(wf, nMerges = 6)
+    val (mc, vc) = Bpe.learnContinue(vR, mR, nMore = 3)
+    assert(mc === m6, "continuation from the reloaded artifact diverged")
+    assert(rowSet(vc) === rowSet(v6))
+  }
+
+  test("applyMerges rebuilds learn's final state from the table alone") {
+    val docs = Seq((0L, "low low lower lowest"), (1L, "new newer newest low"))
+      .toDF("doc_id", "text")
+    val wf = Bpe.wordFreq(docs)
+    // 9 merges straddles the 8-fold checkpoint boundary
+    val (m9, v9) = Bpe.learn(wf, nMerges = 9)
+    assert(rowSet(Bpe.applyMerges(wf, m9)) === rowSet(v9))
+  }
+
   test("learnDelta ≡ learn on random corpora (the maintained-count invariant)") {
     // the law that makes delta maintenance safe: after any round the
     // maintained table equals a fresh recount, so the whole recurrence

@@ -233,6 +233,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(x => (x._1, x._2, x._3)) === plain)
   }
 
+  test("configAdvisor predicts exactly what the real packs deliver") {
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d")),
+      (3L, Seq("e", "f", "g", "h", "i")),
+      (4L, Seq("j")))
+      .toDF("doc_id", "tokens")
+    val cfgs = Seq(3, 4, 7, 16) // incl. L=16 > stream length (no cut at all)
+    val adv = SeqPack.configAdvisor(d, cfgs).collect()
+      .map(r => r.getAs[Long]("seq_len") -> r).toMap
+    for (l <- cfgs) {
+      val packed = SeqPack.packTokenStreamWithBoundaries(d, seqLen = l)
+        .select("seq_id", "n_tokens", "boundaries")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val r = adv(l.toLong)
+      assert(r.getAs[Long]("n_seqs") === packed.length.toLong, s"n_seqs at L=$l")
+      assert(r.getAs[Long]("total_tokens") === packed.map(_._2).sum,
+        s"total_tokens at L=$l")
+      val tail = r.getAs[Long]("tail_tokens")
+      assert(packed.last._2 === (if (tail == 0L) l.toLong else tail),
+        s"tail at L=$l")
+      assert(r.getAs[Long]("pad_tokens") ===
+        packed.length.toLong * l - packed.map(_._2).sum, s"pad at L=$l")
+      // a split doc is exactly a doc contributing to >1 sequence
+      val nSplit = packed
+        .flatMap { case (sid, _, b) =>
+          b.split(" ").map(x => (x.split(":")(1).toLong, sid)) }
+        .groupBy(_._1).values.count(_.length > 1).toLong
+      assert(r.getAs[Long]("n_split_docs") === nSplit, s"n_split_docs at L=$l")
+    }
+  }
+
   test("incremental packTokenStream: batch 2 at startOffset merges to the union pack") {
     val all = Seq(
       (1L, Seq("a", "b", "c")), (2L, Seq("d")),

@@ -103,7 +103,12 @@ object ScaleStress {
     "q193_incremental_shards", "q194_shard_boundaries",
     // q197: the advisor's config arithmetic rides a doc-count-sized
     // frame — growth must come only from the learn rounds + encode join
-    "q195_bpe_delta", "q196_bpe_continue", "q197_shard_advisor")
+    // q198: the full multi-epoch mixture order — resample explode,
+    // banded rank, and the q190 pack must each stay linear; a
+    // superlinear factor means the composed key arithmetic or the
+    // upsampled stream broke one of the banded stages
+    "q195_bpe_delta", "q196_bpe_continue", "q197_shard_advisor",
+    "q198_training_order")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

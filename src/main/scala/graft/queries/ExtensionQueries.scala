@@ -2678,6 +2678,50 @@ object ExtensionQueries {
     SeqPack.configAdvisor(Bpe.encodeTokens(docs, vocab), Seq(64, 128, 256))
   }
 
+  /** The COMPLETE training data order, end to end — what the trainer's
+    * data loader actually consumes for a multi-epoch mixture-weighted
+    * run, every stage the already-gated operator: q49's deterministic
+    * mixture resample sets the per-language epoch counts (en 2.0,
+    * de 1.5, es 0.5 — fractional epochs hash-select their extra copy),
+    * the stream order is epoch-major with a seeded deterministic
+    * shuffle inside each epoch (copy·2⁴⁸ + the first 48 md5 bits as
+    * ONE bigint key — hex-lexicographic ≡ numeric, so both engines
+    * sort identically; doc_id breaks hash ties), the global positions
+    * come from [[graft.operators.Ranks.withGlobalRank]]'s banded
+    * decomposition, and the token stream packs into exact 128-token
+    * sequences via q190's machinery. No single-partition sort
+    * anywhere: rank and offsets are both banded, the resample is a
+    * map-side explode, the shuffle key is scan-local arithmetic.
+    * Upsampled documents tokenize ONCE (the encode join) and
+    * replicate as ROWS, never as re-encoded text. */
+  val q198TrainingOrder: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    val mix = Sampling.mixtureResample(
+      docs.select(col("doc_id"), col("lang")), "lang", col("doc_id"),
+      epochs = Map("en" -> 2.0, "de" -> 1.5, "es" -> 0.5))
+      .select(col("doc_id"), col("copy"))
+    // copy*2^48 + first 48 md5 bits: epoch-major, shuffled-within-epoch,
+    // one bigint — 12 lowercase hex chars order identically as string
+    // (the oracle) and as value (here); copy ≤ 3 keeps it well under 2^63
+    val keyed = mix.withColumn("graft_sk",
+      col("copy") * lit(281474976710656L) + expr(
+        "cast(conv(substring(md5(concat('graft-shuffle198:', " +
+          "cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
+    // keyBandBits matched to the key DENSITY, not the default: these
+    // are uniform 50-bit keys, so the default 16-bit bands would give
+    // each key its own band and the band-offset triangular join goes
+    // quadratic (measured: 10× factor 24.8). 40-bit bands → ≤1024
+    // bands (copy·256 + top hash byte), uniformly filled by md5
+    val ranked = Ranks.withGlobalRank(keyed, key = col("graft_sk"),
+      ascending = true, tie = col("doc_id"), outCol = "ord",
+      keyBandBits = 40)
+    val stream = ranked
+      .join(Bpe.encodeTokens(docs, vocab), Seq("doc_id"))
+      .select(col("ord"), col("tokens"))
+    SeqPack.packTokenStream(stream, seqLen = 128, orderKey = col("ord"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2868,6 +2912,7 @@ object ExtensionQueries {
     "q195_bpe_delta" -> q195BpeDelta,
     "q196_bpe_continue" -> q196BpeContinue,
     "q197_shard_advisor" -> q197ShardAdvisor,
+    "q198_training_order" -> q198TrainingOrder,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6459,6 +6504,52 @@ object ExtensionQueries {
         |        n_split_docs,
         |        n_split_docs * 10000 // n_docs AS split_bp
         | FROM a""".stripMargin),
+    // q190's token-stream CTEs + q49's mixture copies + the seeded
+    // epoch-major shuffle: ORDER BY (copy, 12 md5 hex chars, doc_id)
+    // replays the engine's single bigint key copy*2^48 + hex48 exactly
+    // (fixed-width lowercase hex orders identically as string and value)
+    "q198_training_order" -> (bpeOracleCtes(6) +
+      """,
+        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+        |            i -> struct_pack(pos := i, w := s[i]))) AS t
+        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
+        | dt AS (SELECT tw.doc_id,
+        |               string_split(
+        |                 string_agg(array_to_string(coalesce(v.syms,
+        |                     string_split(tw.w, '')), ' '), ' '
+        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
+        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
+        |        WHERE tw.w <> ''
+        |        GROUP BY tw.doc_id),
+        | mix AS (SELECT doc_id,
+        |           CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
+        |                     WHEN 'es' THEN 0 ELSE 1 END
+        |           + CASE WHEN substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |                       CASE lang WHEN 'en' THEN '00' WHEN 'de' THEN '80'
+        |                                 WHEN 'es' THEN '80' ELSE '00' END
+        |                  THEN 1 ELSE 0 END AS n_copies
+        |         FROM documents),
+        | cp AS (SELECT doc_id, unnest(range(1, n_copies + 1)) AS copy
+        |        FROM mix WHERE n_copies >= 1),
+        | rk AS (SELECT doc_id,
+        |          ROW_NUMBER() OVER (ORDER BY copy,
+        |            substr(md5('graft-shuffle198:' || CAST(doc_id AS VARCHAR)), 1, 12),
+        |            doc_id) AS ord
+        |        FROM cp),
+        | o AS (SELECT rk.ord, dt.toks,
+        |         coalesce(sum(len(dt.toks)) OVER (ORDER BY rk.ord
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS off
+        |       FROM rk JOIN dt ON dt.doc_id = rk.doc_id),
+        | tok AS (SELECT (off + t.i - 1) // 128 AS seq_id,
+        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
+        |           SELECT off, unnest(list_transform(range(1, len(toks) + 1),
+        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
+        |           FROM o))
+        | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        string_agg(tok, ' ' ORDER BY slot) AS tokens
+        | FROM tok GROUP BY seq_id""".stripMargin),
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must

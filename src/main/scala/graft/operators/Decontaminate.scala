@@ -71,42 +71,64 @@ object Decontaminate {
       explode(word_shingles(col("text"), n)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("gh"))
 
+  /** The eval set's distinct gram-hash frame — materialized once and
+    * reused by the count, the bloom build, and every verify join. This
+    * pair (gram set + [[bloomBytesOf]]'s serialized filter) IS the
+    * frozen decontamination artifact a continuous pipeline holds:
+    * build it when the benchmark set is fixed, then every corpus
+    * batch — batch or streaming — probes it without touching the eval
+    * docs again. */
+  def evalGramSet(evalDocs: DataFrame, n: Int = 6): DataFrame =
+    gramHashes(evalDocs, n).select(col("gh")).distinct().localCheckpoint()
+
+  /** Serialized bloom filter over an [[evalGramSet]] — sized from the
+    * eval gram count at `fpp`, independent of any corpus. */
+  def bloomBytesOf(evalGrams: DataFrame, fpp: Double = 0.01): Array[Byte] = {
+    val expected = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("gh", expected, fpp)
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Distinct doc_ids of `corpus` sharing at least one word-`n`-gram
+    * hash with the frozen eval artifact: bloom prefilter in the scan
+    * stage, then the hash-exact verify join that removes every false
+    * positive. Small filter → codegen'd foldable-literal probe; big
+    * filter → broadcast variable (plan stays small, bitset ships once
+    * per executor) — identical output either way. */
+  def contaminatedIds(
+      corpus: DataFrame,
+      evalGrams: DataFrame,
+      bloomBytes: Array[Byte],
+      n: Int = 6,
+      literalMaxBytes: Long = 8L << 20): DataFrame = {
+    val probe: Column => Column =
+      if (bloomBytes.length <= literalMaxBytes) bloom_might_contain(bloomBytes, _)
+      else bloom_might_contain_bcast(corpus.sparkSession, bloomBytes, _)
+    gramHashes(corpus, n)
+      .filter(probe(col("gh")))
+      .join(evalGrams, "gh") // hash-exact verify: kills bloom false positives
+      .select(col("doc_id"))
+      .distinct()
+  }
+
   /** The corpus rows sharing NO word-`n`-gram with `evalDocs` — the
-    * documents safe to train on. The eval gram set is materialized
-    * once (localCheckpoint) and then feeds three consumers — the size
-    * count, the bloom build, and the verify join — without re-running
-    * the explode+distinct each time. "Exact" is hash-exact: grams are
-    * compared as xxhash64 values, the same 2⁻⁶⁴-collision trade q26
-    * and q43 document (verify on raw gram strings to remove it, at
-    * the cost of shuffling strings instead of longs). */
+    * documents safe to train on. One-shot composition of
+    * [[evalGramSet]] → [[bloomBytesOf]] → [[contaminatedIds]].
+    * "Exact" is hash-exact: grams are compared as xxhash64 values,
+    * the same 2⁻⁶⁴-collision trade q26 and q43 document (verify on
+    * raw gram strings to remove it, at the cost of shuffling strings
+    * instead of longs). */
   def bloomClean(
       corpus: DataFrame,
       evalDocs: DataFrame,
       n: Int = 6,
       fpp: Double = 0.01,
       literalMaxBytes: Long = 8L << 20): DataFrame = {
-    val evalGrams = gramHashes(evalDocs, n).select(col("gh")).distinct()
-      .localCheckpoint()
-    val expected = math.max(evalGrams.count(), 1L)
-    val bf = evalGrams.stat.bloomFilter("gh", expected, fpp)
-    val bytes = {
-      val out = new ByteArrayOutputStream()
-      bf.writeTo(out)
-      out.toByteArray
-    }
-    // small filter → codegen'd foldable-literal probe; big filter →
-    // broadcast variable (plan stays small, bitset ships once per
-    // executor). Output is identical either way — only the prefilter's
-    // transport changes, and the exact verify join below removes every
-    // false positive both paths admit.
-    val probe: Column => Column =
-      if (bytes.length <= literalMaxBytes) bloom_might_contain(bytes, _)
-      else bloom_might_contain_bcast(corpus.sparkSession, bytes, _)
-    val contaminated = gramHashes(corpus, n)
-      .filter(probe(col("gh")))
-      .join(evalGrams, "gh") // hash-exact verify: kills bloom false positives
-      .select(col("doc_id"))
-      .distinct()
-    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val evalGrams = evalGramSet(evalDocs, n)
+    val bytes = bloomBytesOf(evalGrams, fpp)
+    corpus.join(contaminatedIds(corpus, evalGrams, bytes, n, literalMaxBytes),
+      Seq("doc_id"), "left_anti")
   }
 }

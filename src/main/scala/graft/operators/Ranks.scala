@@ -41,6 +41,31 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Pick `keyBandBits` from the key's ACTUAL span so the band count
+    * stays ≤ ~2^maxBandBits regardless of key density — the
+    * stats-gated escape from the fixed-width envelope above. A
+    * uniform wide key (a hash, a copy·2⁴⁸ composite) under the
+    * default 16-bit bands gives every key its own band and the
+    * band-offset triangular join goes QUADRATIC in the row count
+    * (q198 measured 10× factor 24.8 before widening, 5.41 after).
+    * Cost: one min/max scalar aggregate over the key; worth it
+    * whenever the key domain isn't statically known. Rank output is
+    * bit-identical at ANY band width (RanksSpec invariance law), so
+    * this is purely a cost decision — never a correctness one. */
+  def autoKeyBandBits(
+      df: DataFrame, key: Column, maxBandBits: Int = 10): Int = {
+    require(maxBandBits >= 0 && maxBandBits <= 24,
+      s"maxBandBits out of range: $maxBandBits")
+    val r = df.agg(min(key.cast("bigint")), max(key.cast("bigint"))).head()
+    if (r.isNullAt(0)) 16
+    else {
+      // BigInt: max − min overflows Long when the key straddles the
+      // sign at full width
+      val spanBits = (BigInt(r.getLong(1)) - BigInt(r.getLong(0))).bitLength
+      math.max(16, spanBits - maxBandBits)
+    }
+  }
+
   /** `df` plus `outCol` = the exact 1-based global rank of each row in
     * (`key` asc|desc, `tie` asc) order. `key`/`tie` must be non-null and
     * castable to bigint; `tie` must be unique per row (it is the total

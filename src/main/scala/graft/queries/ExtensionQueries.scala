@@ -2708,14 +2708,16 @@ object ExtensionQueries {
       col("copy") * lit(281474976710656L) + expr(
         "cast(conv(substring(md5(concat('graft-shuffle198:', " +
           "cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
-    // keyBandBits matched to the key DENSITY, not the default: these
+    // band width matched to the key DENSITY, not the default: these
     // are uniform 50-bit keys, so the default 16-bit bands would give
     // each key its own band and the band-offset triangular join goes
-    // quadratic (measured: 10× factor 24.8). 40-bit bands → ≤1024
-    // bands (copy·256 + top hash byte), uniformly filled by md5
+    // quadratic (measured: 10× factor 24.8; 40-bit bands → 5.41).
+    // autoKeyBandBits derives exactly that width from the key span
+    // (one scalar min/max) — ranks are band-width-invariant, so this
+    // is purely the cost knob
     val ranked = Ranks.withGlobalRank(keyed, key = col("graft_sk"),
       ascending = true, tie = col("doc_id"), outCol = "ord",
-      keyBandBits = 40)
+      keyBandBits = Ranks.autoKeyBandBits(keyed, col("graft_sk")))
     val stream = ranked
       .join(Bpe.encodeTokens(docs, vocab), Seq("doc_id"))
       .select(col("ord"), col("tokens"))

@@ -109,4 +109,27 @@ class RanksSpec extends SparkSpec {
     assert(both.filter(col("got") =!= col("want")).count() === 0,
       "banded rank diverged under 4-wide key bands / 2-wide tie bands")
   }
+
+  test("autoKeyBandBits bounds the band count for sparse keys, exact ranks") {
+    import spark.implicits._
+    // uniform wide keys: the q198 failure shape — copy·2^48 + hash48
+    val wide = (1L to 200L)
+      .map(i => (3L * (i % 2) * 281474976710656L +
+        java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"k$i")
+            .substring(0, 12), 16), i))
+      .toDF("k", "tie")
+    val bits = Ranks.autoKeyBandBits(wide, col("k"), maxBandBits = 10)
+    // span ≈ 2^49.6 → ~40 bits: at most ~2^10 bands
+    assert(bits >= 38 && bits <= 42, s"unexpected auto width: $bits")
+    val got = Ranks.withGlobalRank(wide, col("k"), ascending = true,
+      col("tie"), "got", keyBandBits = bits)
+    val both = got.join(naiveRank(wide, asc = true), Seq("k", "tie"))
+    assert(both.filter(col("got") =!= col("want")).count() === 0)
+    // dense small domains keep the default (one band is fine there)
+    val dense = (1L to 50L).map(i => (i % 7, i)).toDF("k", "tie")
+    assert(Ranks.autoKeyBandBits(dense, col("k")) === 16)
+    // empty frame: safe default
+    assert(Ranks.autoKeyBandBits(dense.filter(col("k") < 0), col("k")) === 16)
+  }
 }

@@ -97,7 +97,13 @@ object SeqPack {
         concat(col("tokens"), array(lit(eos))).as("graft_toks"))
       .withColumn("graft_n", size(col("graft_toks")).cast("bigint"))
       .localCheckpoint()
-    Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off")
+    // band width from the key's MEASURED span: `orderKey` is caller-
+    // supplied (doc_id, a quality rank, a shuffle hash…), and a sparse
+    // wide key under fixed 16-bit bands sends the prefix sum's band
+    // join quadratic (the q198 failure shape). One min/max scalar on
+    // the already-checkpointed frame; offsets are band-width-invariant
+    Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off",
+        bandBits = Ranks.autoKeyBandBits(withEos, col("graft_ok")))
       .select(col("graft_off"),
         posexplode(col("graft_toks")).as(Seq("graft_pos", "graft_tok")))
       .withColumn("graft_gpos",
@@ -137,7 +143,9 @@ object SeqPack {
         concat(col("tokens"), array(lit(eos))).as("graft_toks"))
       .withColumn("graft_n", size(col("graft_toks")).cast("bigint"))
       .localCheckpoint()
-    Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off")
+    // see packTokenStream: band width from the measured key span
+    Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off",
+        bandBits = Ranks.autoKeyBandBits(withEos, col("graft_ok")))
       .select(col("graft_doc"), col("graft_off"),
         posexplode(col("graft_toks")).as(Seq("graft_pos", "graft_tok")))
       .withColumn("graft_gpos",
@@ -202,7 +210,8 @@ object SeqPack {
     val lens = docTokens.select(orderKey.cast("bigint").as("graft_ok"),
         (size(col("tokens")) + 1).cast("bigint").as("len"))
       .localCheckpoint()
-    val off = Ranks.withPrefixSum(lens, col("graft_ok"), col("len"), "off")
+    val off = Ranks.withPrefixSum(lens, col("graft_ok"), col("len"), "off",
+      bandBits = Ranks.autoKeyBandBits(lens, col("graft_ok")))
     off.join(broadcast(seqLens.toDF("seq_len")))
       .groupBy(col("seq_len"))
       .agg(sum(col("len")).as("total_tokens"),

@@ -233,6 +233,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(x => (x._1, x._2, x._3)) === plain)
   }
 
+  test("packTokenStream: a sparse wide orderKey packs identically (auto bands)") {
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d")),
+      (3L, Seq("e", "f", "g", "h", "i")),
+      (4L, Seq("j")))
+      .toDF("doc_id", "tokens")
+    // doc_id * 2^40: order-preserving but SPARSE — under fixed 16-bit
+    // bands every key is its own band (the q198 quadratic shape);
+    // auto band-width must keep the result bit-identical
+    val sparse = SeqPack.packTokenStream(d, seqLen = 4,
+      orderKey = col("doc_id") * lit(1099511627776L))
+      .select("seq_id", "n_tokens", "tokens")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val dense = SeqPack.packTokenStream(d, seqLen = 4)
+      .select("seq_id", "n_tokens", "tokens")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(sparse === dense)
+  }
+
   test("configAdvisor predicts exactly what the real packs deliver") {
     val d = Seq(
       (1L, Seq("a", "b", "c")),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval scoring — the decontamination / eval-lookup side
@@ -74,6 +75,48 @@ object Retrieval {
       .agg(round(sum(col("term_score")), 4).as("score"),
         count(lit(1)).cast("bigint").as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    * (Cormack et al. 2009): the BM25 top-`kLeg` for `terms` and the
+    * exact-cosine top-`kLeg` for query vector `qId` fuse as
+    * rrf = Σ_legs 1/(`rrfK` + rank), a leg a document misses
+    * contributing 0 — the standard way production search stacks
+    * combine a term index with an ANN index without score
+    * calibration.
+    *
+    * Scale shape: each leg is its already-proven corpus-scan operator
+    * ([[bm25TopK]], [[graft.operators.Similarity.bruteForceTopK]] —
+    * swap in the IVF/PQ index for the semantic leg at real scale);
+    * everything AFTER the legs (the rank window, the full-outer
+    * fusion join, the final top-k) runs on ≤ 2·`kLeg` rows, so the
+    * unpartitioned window is k-bounded, never data-bounded. Ranks are
+    * integers in both engines, so the fused score is bit-identical;
+    * ties break by doc_id. */
+  def hybridTopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      terms: Seq[String],
+      qId: Long,
+      kLeg: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val bm = bm25TopK(docs, terms, k = kLeg)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("bigint").as("bm25_rank"))
+    val cos = Similarity
+      .bruteForceTopK(embeddings.filter(col("vec_id") === qId),
+        embeddings, k = kLeg)
+      .select(col("vec_id").as("doc_id"), col("rank").as("cos_rank"))
+    bm.join(cos, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("cos_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
 

@@ -226,4 +226,68 @@ object SeqPack {
         col("n_split_docs"),
         expr("n_split_docs * 10000 div n_docs").as("split_bp"))
   }
+
+  /** NO-SPLIT depth-2 packing — the padding-minimizing alternative to
+    * [[packTokenStream]]'s concat-and-chunk: every document keeps its
+    * tokens in ONE sequence (no attention contamination, no split
+    * docs), at most two documents share a pack, and the pairing is the
+    * rank-closed folding heuristic: docs ranked by (len desc, doc_id),
+    * rank i pairs with rank n+1−i (longest with shortest), the pair
+    * shares a pack iff the two lengths fit `seqLen` together,
+    * otherwise each gets its own. This is the closed-form core of the
+    * packing literature's depth-2 schemes (Krell et al. 2021 report
+    * ≤2 sequences per pack already captures most of the padding
+    * reduction); the optimal variant needs a sequential two-pointer /
+    * histogram loop, and the closed form trades a few percent of
+    * packing density for an assignment that is pure rank arithmetic —
+    * replayable by the oracle and free of any driver-side loop.
+    *
+    * Documents longer than `seqLen` are TRUNCATED to `seqLen` (the
+    * no-split contract needs every doc to fit one pack).
+    *
+    * Scale shape: lengths project off one scan (checkpointed — the
+    * rank reads its input more than once), the global rank is
+    * [[Ranks.withGlobalRank]]'s banded decomposition (the length key
+    * is ≤ `seqLen` distinct values; ties band on doc_id), the total
+    * count is one scalar, and the pairing is a single groupBy on the
+    * pair id over groups of ≤ 2 rows — min_by/max_by partial-combine
+    * map-side, so the one corpus shuffle carries two-long rows.
+    *
+    * Output per pack: (pack_id, doc_ids csv head-first, n_docs,
+    * n_tokens, n_pad) with pack_id = 2·(pair−1) + slot — stable,
+    * gap-tolerant ids. */
+  def packDepth2(docTokens: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"packDepth2 needs seqLen >= 1: $seqLen")
+    val lens = docTokens.select(col("doc_id").cast("bigint").as("doc_id"),
+        least(size(col("tokens")), lit(seqLen)).cast("bigint").as("len"))
+      .localCheckpoint()
+    val n = lens.count()
+    val paired = Ranks
+      .withGlobalRank(lens, lit(seqLen) - col("len"), ascending = true,
+        tie = col("doc_id"), outCol = "graft_rk")
+      .withColumn("graft_pair",
+        least(col("graft_rk"), lit(n + 1) - col("graft_rk")))
+      .groupBy(col("graft_pair"))
+      .agg(count(lit(1)).as("graft_c"),
+        min_by(struct(col("doc_id"), col("len")), col("graft_rk")).as("graft_h"),
+        max_by(struct(col("doc_id"), col("len")), col("graft_rk")).as("graft_t"))
+    def one(doc: Column, len: Column, slot: Int) = struct(
+      lit(slot).cast("bigint").as("slot"), doc.cast("string").as("doc_ids"),
+      lit(1L).as("n_docs"), len.as("n_tokens"))
+    val hd = col("graft_h.doc_id"); val hl = col("graft_h.len")
+    val td = col("graft_t.doc_id"); val tl = col("graft_t.len")
+    paired
+      .select(col("graft_pair"), explode(
+        when(col("graft_c") === 1, array(one(hd, hl, 0)))
+          .when(hl + tl <= seqLen, array(struct(
+            lit(0L).as("slot"),
+            concat_ws(",", hd.cast("string"), td.cast("string")).as("doc_ids"),
+            lit(2L).as("n_docs"), (hl + tl).as("n_tokens"))))
+          .otherwise(array(one(hd, hl, 0), one(td, tl, 1)))).as("graft_p"))
+      .select(((col("graft_pair") - 1) * 2 + col("graft_p.slot")).as("pack_id"),
+        col("graft_p.doc_ids").as("doc_ids"),
+        col("graft_p.n_docs").as("n_docs"),
+        col("graft_p.n_tokens").as("n_tokens"),
+        (lit(seqLen.toLong) - col("graft_p.n_tokens")).as("n_pad"))
+  }
 }

@@ -343,4 +343,39 @@ object TextOps {
       .filter(col("df") >= minDf)
       .orderBy(col("df").desc, col("gram"))
       .limit(topK)
+
+  /** The q46 PII patterns, shared by the counting scan and [[redact]]
+    * so the two passes can never drift: emails, phone-shaped digit
+    * runs, IPv4s — each proven to evaluate identically under Spark's
+    * java.util.regex and DuckDB's RE2 by the q46 driver gate. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b" -> "<PHONE>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Text scrubbing — the REWRITE twin of the q46 PII counting scan:
+    * the [[piiPatterns]] replace with typed placeholders, then an
+    * explicit deny-term list (blocklisted tokens, leaked eval markers)
+    * masks as whole words. Patterns apply in a FIXED order (email →
+    * phone → ip → deny), each replacement global, so the result is
+    * deterministic and the oracle replays it with the same nested
+    * `regexp_replace` chain. Match counts are measured on the ORIGINAL
+    * text (like q46), so they are independent of replacement side
+    * effects. One projection — no shuffle, fully codegen'd; at 100 TB
+    * this is a scan-bound map stage like the rest of TextOps.
+    *
+    * `denyTerms` must be plain word characters (they are spliced into
+    * a word-boundary alternation verbatim). */
+  def redact(docs: DataFrame, denyTerms: Seq[String]): DataFrame = {
+    require(denyTerms.nonEmpty && denyTerms.forall(_.matches("[A-Za-z0-9_]+")),
+      s"denyTerms must be non-empty plain words: $denyTerms")
+    val deny = "\\b(" + denyTerms.mkString("|") + ")\\b"
+    val redacted = (piiPatterns :+ (deny -> "<MASKED>"))
+      .foldLeft(col("text")) { case (c, (p, r)) => regexp_replace(c, p, r) }
+    def nHits(p: String): Column =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("bigint")
+    docs.select(col("doc_id"), redacted.as("redacted"),
+      piiPatterns.map(p => nHits(p._1)).reduce(_ + _).as("n_pii"),
+      nHits(deny).as("n_denied"))
+  }
 }

@@ -2724,6 +2724,73 @@ object ExtensionQueries {
     SeqPack.packTokenStream(stream, seqLen = 128, orderKey = col("ord"))
   }
 
+  /** Text scrubbing — q46's counting scan turned into the REWRITE
+    * pass: PII placeholders plus a deny-term whole-word mask (the
+    * corpus has no PII-shaped strings by construction, so the deny
+    * list is what exercises the rewrite against the oracle; the PII
+    * branch is fixture-proven in RedactRetrievalPackSpec). */
+  val q199Redact: Q = (s, dir) =>
+    TextOps.redact(t(s, dir, "documents"), denyTerms = Seq("spark", "merge"))
+
+  /** Hybrid retrieval: BM25 (q50's terms) ⊕ exact-cosine ANN (q29's
+    * query vector 0) fused by reciprocal rank — the production search
+    * stack's calibration-free combiner over two already-gated legs. */
+  val q200HybridRetrieval: Q = (s, dir) =>
+    Retrieval.hybridTopK(t(s, dir, "documents"), t(s, dir, "embeddings"),
+      terms = Seq("spark", "merge", "window"), qId = 0L, kLeg = 20, k = 10)
+
+  /** No-split depth-2 packing over the corpus token streams: longest
+    * pairs with shortest (rank-closed folding), one pack unless the
+    * pair overflows 416 — zero split docs by construction, padding
+    * instead; q202 quantifies the trade against concat-and-chunk.
+    * seqLen 416: the corpus averages ~210 BPE tokens/doc with fold
+    * pair sums around ~420, so 416 is the regime where BOTH branches
+    * engage (some pairs fit, some overflow) at sf0.01 AND sf0.1 —
+    * at ≤400 every pack is a singleton, at ≥432 every pair fits,
+    * and either pole gates only one branch. */
+  val q201PackDepth2: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    SeqPack.packDepth2(Bpe.encodeTokens(docs, vocab), seqLen = 416)
+  }
+
+  /** Packing-efficiency comparison — one row per strategy over the
+    * same tokenized corpus at seqLen 416: `chunk` (q190's
+    * concat-and-chunk stream law, separators included, zero padding
+    * except the tail), `depth2` (q201's no-split folding packs), and
+    * `lower_bound` (⌈Σ capped tokens / seqLen⌉ — the no-split floor no
+    * assignment can beat). Output: n_seqs, n_pad, pad_bp (pad per
+    * 10k slots) — the table a pipeline owner reads next to q197's
+    * advisor when choosing between attention-clean packing and
+    * maximum slot utilization. All three rows are arithmetic over
+    * doc-level length frames (chunk/lower_bound) or the q201 pack
+    * aggregate (depth2) — nothing corpus-sized materializes. */
+  val q202PackEfficiency: Q = (s, dir) => {
+    val seqLen = 416
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    val toks = Bpe.encodeTokens(docs, vocab)
+    val lens = toks.select(
+      size(col("tokens")).cast("bigint").as("raw"),
+      least(size(col("tokens")), lit(seqLen)).cast("bigint").as("cap"))
+      .localCheckpoint()
+    val chunkRow = lens.agg(sum(col("raw") + 1).as("total"))
+      .select(lit("chunk").as("method"),
+        expr(s"(total + $seqLen - 1) div $seqLen").as("n_seqs"),
+        expr(s"($seqLen - total % $seqLen) % $seqLen").as("n_pad"))
+      .withColumn("pad_bp", expr(s"n_pad * 10000 div (n_seqs * $seqLen)"))
+    val lbRow = lens.agg(sum(col("cap")).as("total"))
+      .select(lit("lower_bound").as("method"),
+        expr(s"(total + $seqLen - 1) div $seqLen").as("n_seqs"),
+        expr(s"($seqLen - total % $seqLen) % $seqLen").as("n_pad"))
+      .withColumn("pad_bp", expr(s"n_pad * 10000 div (n_seqs * $seqLen)"))
+    val d2Row = SeqPack.packDepth2(toks, seqLen)
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_pad")).as("n_pad"))
+      .select(lit("depth2").as("method"), col("n_seqs"), col("n_pad"))
+      .withColumn("pad_bp", expr(s"n_pad * 10000 div (n_seqs * $seqLen)"))
+    chunkRow.unionByName(d2Row).unionByName(lbRow)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2915,6 +2982,10 @@ object ExtensionQueries {
     "q196_bpe_continue" -> q196BpeContinue,
     "q197_shard_advisor" -> q197ShardAdvisor,
     "q198_training_order" -> q198TrainingOrder,
+    "q199_redact" -> q199Redact,
+    "q200_hybrid_retrieval" -> q200HybridRetrieval,
+    "q201_pack_depth2" -> q201PackDepth2,
+    "q202_pack_efficiency" -> q202PackEfficiency,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6552,6 +6623,132 @@ object ExtensionQueries {
         | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |        string_agg(tok, ' ' ORDER BY slot) AS tokens
         | FROM tok GROUP BY seq_id""".stripMargin),
+    // q46's proven regex dialect; replacements nest in the engine's
+    // fixed order (email -> phone -> ip -> deny), counts on the
+    // ORIGINAL text
+    "q199_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b(spark|merge)\b', '<MASKED>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS BIGINT) AS n_pii,
+        |  CAST(len(regexp_extract_all(text, '\b(spark|merge)\b')) AS BIGINT) AS n_denied
+        |FROM documents""".stripMargin,
+    // the q50 BM25 leg (top-20) + the q29 cosine leg (query vector 0,
+    // top-20), fused by reciprocal rank 1/(60+rank) — integer ranks, so
+    // the fused doubles are bit-identical across engines
+    "q200_hybrid_retrieval" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |        FROM documents),
+        | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM toks WHERE term IN ('spark', 'merge', 'window')
+        |        GROUP BY doc_id, term),
+        | dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        | scored AS (
+        |   SELECT tf.doc_id,
+        |          round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |                * tf * 2.2
+        |                / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS term_score
+        |   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+        | bm AS (SELECT doc_id, round(sum(term_score), 4) AS score
+        |        FROM scored GROUP BY doc_id
+        |        ORDER BY score DESC, doc_id LIMIT 20),
+        | br AS (SELECT doc_id,
+        |          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |            AS bm25_rank
+        |        FROM bm),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        | s AS (SELECT vec_id, round(list_cosine_similarity(qv, v), 6) AS sim
+        |       FROM e, q),
+        | cr AS (SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS cos_rank FROM (
+        |          SELECT vec_id,
+        |                 ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+        |          FROM s)
+        |        WHERE rn <= 20)
+        |SELECT coalesce(br.doc_id, cr.doc_id) AS doc_id, bm25_rank, cos_rank,
+        |       round(coalesce(1.0 / (60 + bm25_rank), 0)
+        |           + coalesce(1.0 / (60 + cos_rank), 0), 6) AS rrf
+        |FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // per-doc BPE lengths capped at 256 (the truncation contract), the
+    // folding rank pairing replayed with ROW_NUMBER + min_by/max_by
+    "q201_pack_depth2" -> (bpeOracleCtes(6) +
+      """,
+        | dl AS (SELECT t.doc_id, CAST(least(sum(len(v.syms)), 416) AS BIGINT) AS len
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |              FROM documents) t
+        |        JOIN w6 v ON t.w = v.w WHERE t.w <> ''
+        |        GROUP BY t.doc_id),
+        | r AS (SELECT doc_id, len,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY len DESC, doc_id) AS BIGINT) AS rk,
+        |         CAST(count(*) OVER () AS BIGINT) AS n
+        |       FROM dl),
+        | p AS (SELECT least(rk, n + 1 - rk) AS pair, count(*) AS c,
+        |              min_by(doc_id, rk) AS hd, min_by(len, rk) AS hl,
+        |              max_by(doc_id, rk) AS td, max_by(len, rk) AS tl
+        |       FROM r GROUP BY 1),
+        | s0 AS (SELECT (pair - 1) * 2 AS pack_id,
+        |          CASE WHEN c = 2 AND hl + tl <= 416
+        |               THEN CAST(hd AS VARCHAR) || ',' || CAST(td AS VARCHAR)
+        |               ELSE CAST(hd AS VARCHAR) END AS doc_ids,
+        |          CASE WHEN c = 2 AND hl + tl <= 416 THEN 2 ELSE 1 END AS n_docs,
+        |          CASE WHEN c = 2 AND hl + tl <= 416 THEN hl + tl ELSE hl END AS n_tokens
+        |        FROM p),
+        | s1 AS (SELECT (pair - 1) * 2 + 1 AS pack_id, CAST(td AS VARCHAR) AS doc_ids,
+        |               1 AS n_docs, tl AS n_tokens
+        |        FROM p WHERE c = 2 AND hl + tl > 416)
+        |SELECT CAST(pack_id AS BIGINT) AS pack_id, doc_ids,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(416 - n_tokens AS BIGINT) AS n_pad
+        |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)""".stripMargin),
+    // chunk = q190's stream law (raw + separator), depth2 = the q201
+    // pack aggregate, lower_bound = the no-split floor over capped
+    // lengths — all arithmetic over the same dl frame
+    "q202_pack_efficiency" -> (bpeOracleCtes(6) +
+      """,
+        | dl AS (SELECT t.doc_id, CAST(sum(len(v.syms)) AS BIGINT) AS raw,
+        |               CAST(least(sum(len(v.syms)), 416) AS BIGINT) AS cap
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |              FROM documents) t
+        |        JOIN w6 v ON t.w = v.w WHERE t.w <> ''
+        |        GROUP BY t.doc_id),
+        | chunk AS (SELECT 'chunk' AS method,
+        |             (sum(raw + 1) + 415) // 416 AS n_seqs,
+        |             (416 - sum(raw + 1) % 416) % 416 AS n_pad
+        |           FROM dl),
+        | lb AS (SELECT 'lower_bound' AS method,
+        |          (sum(cap) + 415) // 416 AS n_seqs,
+        |          (416 - sum(cap) % 416) % 416 AS n_pad
+        |        FROM dl),
+        | r AS (SELECT doc_id, cap AS len,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cap DESC, doc_id) AS BIGINT) AS rk,
+        |         CAST(count(*) OVER () AS BIGINT) AS n
+        |       FROM dl),
+        | p AS (SELECT least(rk, n + 1 - rk) AS pair, count(*) AS c,
+        |              min_by(len, rk) AS hl, max_by(len, rk) AS tl
+        |       FROM r GROUP BY 1),
+        | packs AS (SELECT CASE WHEN c = 2 AND hl + tl <= 416 THEN hl + tl ELSE hl END AS n_tokens
+        |           FROM p
+        |           UNION ALL
+        |           SELECT tl FROM p WHERE c = 2 AND hl + tl > 416),
+        | d2 AS (SELECT 'depth2' AS method, count(*) AS n_seqs,
+        |               sum(416 - n_tokens) AS n_pad
+        |        FROM packs)
+        |SELECT method, CAST(n_seqs AS BIGINT) AS n_seqs,
+        |       CAST(n_pad AS BIGINT) AS n_pad,
+        |       CAST(n_pad * 10000 // (n_seqs * 416) AS BIGINT) AS pad_bp
+        |FROM (SELECT * FROM chunk UNION ALL SELECT * FROM d2
+        |      UNION ALL SELECT * FROM lb)""".stripMargin),
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must

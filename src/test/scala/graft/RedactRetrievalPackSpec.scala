@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.{Retrieval, SeqPack, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-10 operators: PII/deny-term redaction, hybrid RRF retrieval,
+  * and no-split depth-2 folding packs. The driver's oracle gate
+  * (q199/q200/q201/q202) checks these on the testdata corpus; the
+  * fixtures here pin the branches that corpus cannot reach — PII
+  * strings (the testdata has none by construction), hybrid legs with
+  * disjoint/overlapping hits, and the packer's laws on adversarial
+  * length mixes.
+  */
+class RedactRetrievalPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- TextOps.redact -------------------------------------------------
+
+  test("redact replaces PII with typed placeholders and counts on the original text") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith+x@example.co.uk today"),
+      (2L, "call 555-123-4567 or 555 987 6543 now"),
+      (3L, "host 10.0.0.1 and 192.168.255.3 down"),
+      (4L, "clean text with no patterns at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.redact(docs, Seq("clean")).orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "mail me at <EMAIL> today")
+    assert(out(0).getLong(2) === 1L && out(0).getLong(3) === 0L)
+    assert(out(1).getString(1) === "call <PHONE> or <PHONE> now")
+    assert(out(1).getLong(2) === 2L)
+    assert(out(2).getString(1) === "host <IP> and <IP> down")
+    assert(out(2).getLong(2) === 2L)
+    assert(out(3).getString(1) === "<MASKED> text with no patterns at all")
+    assert(out(3).getLong(2) === 0L && out(3).getLong(3) === 1L)
+  }
+
+  test("redact masks deny terms as whole words only, in fixed order after PII") {
+    val docs = Seq((1L, "spark sparkle respark spark")).toDF("doc_id", "text")
+    val out = TextOps.redact(docs, Seq("spark")).head()
+    // word-boundary: 'sparkle'/'respark' survive, both bare 'spark' mask
+    assert(out.getString(1) === "<MASKED> sparkle respark <MASKED>")
+    assert(out.getLong(3) === 2L)
+  }
+
+  test("redact rejects non-word deny terms (they would splice into the regex)") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.redact(docs, Seq("a|b"))
+    }
+  }
+
+  // ---- Retrieval.hybridTopK -------------------------------------------
+
+  /** 4-doc corpus where the lexical and semantic legs DISAGREE:
+    * doc 0's text has no query terms but its vector matches; doc 3
+    * is the lexical champion with an orthogonal vector. */
+  private def hybridFixture = {
+    val docs = Seq(
+      (0L, "nothing relevant here at all"),
+      (1L, "alpha beta alpha beta alpha"),
+      (2L, "alpha filler filler filler filler"),
+      (3L, "alpha alpha alpha beta beta"))
+      .toDF("doc_id", "text")
+    val embeds = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    (docs, embeds)
+  }
+
+  test("hybridTopK fuses ranks reciprocally; a doc missing a leg gets that leg's 0") {
+    val (docs, embeds) = hybridFixture
+    val out = Retrieval
+      .hybridTopK(docs, embeds, Seq("alpha", "beta"), qId = 0L, kLeg = 2, k = 4)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3))).toSeq
+    // lexical leg top-2: doc 1 (5 hits), doc 3 (5 hits, higher dl → same tf
+    // but bm25 length-normalizes: both have 5 terms / 5 words) — ties break
+    // by doc_id → ranks (1, 1), (3, 2). semantic leg top-2 for qv=[1,0,0]:
+    // vec 0 (self, rank 1), vec 1 (rank 2).
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._2 === Some(1L)) // bm25 rank 1
+    assert(byDoc(3L)._2 === Some(2L))
+    assert(byDoc(0L)._3 === Some(1L)) // cosine rank 1 (self-match)
+    assert(byDoc(1L)._3 === Some(2L))
+    assert(byDoc(0L)._2 === None && byDoc(3L)._3 === None)
+    // doc 1 is in both legs → highest fused score
+    val expected1 = BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(byDoc(1L)._4 - expected1) < 1e-9)
+    assert(out.map(_._4).max === byDoc(1L)._4)
+  }
+
+  test("hybridTopK returns at most k rows ordered by fused score") {
+    val (docs, embeds) = hybridFixture
+    val out = Retrieval
+      .hybridTopK(docs, embeds, Seq("alpha"), qId = 0L, kLeg = 3, k = 2)
+      .collect()
+    assert(out.length === 2)
+    assert(out(0).getDouble(3) >= out(1).getDouble(3))
+  }
+
+  // ---- SeqPack.packDepth2 ---------------------------------------------
+
+  private def toksOf(lens: Seq[(Long, Int)]) =
+    lens.toDF("doc_id", "n").select(col("doc_id"),
+      transform(sequence(lit(1), col("n")), i => concat(lit("t"), i)).as("tokens"))
+
+  test("packDepth2 pairs longest with shortest when they fit, splits when they don't") {
+    // lens desc: 9, 8, 5, 2 → fold pairs (9,2) and (8,5); capacity 11:
+    // 9+2=11 fits, 8+5=13 splits
+    val out = SeqPack.packDepth2(
+      toksOf(Seq((10L, 9), (20L, 8), (30L, 5), (40L, 2))), seqLen = 11)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, "10,40", 2L, 11L, 0L),
+      (2L, "20", 1L, 8L, 3L),
+      (3L, "30", 1L, 5L, 6L)))
+  }
+
+  test("packDepth2 odd count leaves the median doc as a singleton") {
+    val out = SeqPack.packDepth2(
+      toksOf(Seq((1L, 6), (2L, 4), (3L, 3))), seqLen = 10)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // ranks: 1→len6, 2→len4, 3→len3; pairs: (1,3) fits 6+3=9, middle rank 2 alone
+    assert(out.toSeq === Seq((0L, "1,3", 2L, 9L), (2L, "2", 1L, 4L)))
+  }
+
+  test("packDepth2 truncates docs longer than seqLen and never splits a doc") {
+    val out = SeqPack.packDepth2(
+      toksOf(Seq((1L, 25), (2L, 3))), seqLen = 10).orderBy("pack_id").collect()
+    // doc 1 truncates to 10; 10+3 > 10 → split
+    assert(out.map(_.getLong(3)).toSeq === Seq(10L, 3L))
+    assert(out.map(_.getString(1)).toSeq === Seq("1", "2"))
+  }
+
+  test("packDepth2 laws: every doc appears exactly once; packs respect capacity; pad is exact") {
+    val lens = (1L to 57L).map(i => (i, 1 + ((i * 37) % 29).toInt))
+    val out = SeqPack.packDepth2(toksOf(lens), seqLen = 30).collect()
+    val docs = out.flatMap(_.getString(1).split(",")).map(_.toLong).sorted
+    assert(docs.toSeq === (1L to 57L))
+    assert(out.forall(r => r.getLong(3) <= 30 && r.getLong(4) === 30 - r.getLong(3)))
+    assert(out.forall(r => r.getLong(2) === r.getString(1).split(",").length.toLong))
+    // token conservation: capped lengths sum equals packed tokens sum
+    val total = lens.map(l => math.min(l._2, 30).toLong).sum
+    assert(out.map(_.getLong(3)).sum === total)
+  }
+
+  test("packDepth2 with ties in length is deterministic (doc_id breaks rank ties)") {
+    val a = SeqPack.packDepth2(toksOf(Seq((5L, 4), (6L, 4), (7L, 4), (8L, 4))), seqLen = 8)
+    val b = SeqPack.packDepth2(toksOf(Seq((8L, 4), (7L, 4), (6L, 4), (5L, 4))), seqLen = 8)
+    assert(rowSet(a) === rowSet(b))
+    // ranks by (len desc, doc_id): 5,6,7,8 → pairs (5,8), (6,7), both fit
+    assert(rowSet(a).map(_(1)).toSet === Set("5,8", "6,7"))
+  }
+}

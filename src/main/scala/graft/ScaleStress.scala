@@ -108,7 +108,14 @@ object ScaleStress {
     // superlinear factor means the composed key arithmetic or the
     // upsampled stream broke one of the banded stages
     "q195_bpe_delta", "q196_bpe_continue", "q197_shard_advisor",
-    "q198_training_order")
+    "q198_training_order",
+    // q200: both retrieval legs scan the corpus (BM25 term filter +
+    // brute cosine); the fusion after them is k-bounded and must stay
+    // so — superlinear would mean a leg's top-k stopped truncating
+    // q201/q202: the depth-2 fold — banded rank over capped lengths +
+    // a pair-id shuffle of ≤2-row groups; growth must track the
+    // length-frame scan (the encode join), never the pairing
+    "q200_hybrid_retrieval", "q201_pack_depth2", "q202_pack_efficiency")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

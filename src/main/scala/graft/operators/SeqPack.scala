@@ -258,9 +258,23 @@ object SeqPack {
     * gap-tolerant ids. */
   def packDepth2(docTokens: DataFrame, seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"packDepth2 needs seqLen >= 1: $seqLen")
-    val lens = docTokens.select(col("doc_id").cast("bigint").as("doc_id"),
-        least(size(col("tokens")), lit(seqLen)).cast("bigint").as("len"))
-      .localCheckpoint()
+    packDepth2Lens(
+      docTokens.select(col("doc_id").cast("bigint").as("doc_id"),
+          least(size(col("tokens")), lit(seqLen)).cast("bigint").as("len"))
+        .localCheckpoint(),
+      seqLen)
+  }
+
+  /** [[packDepth2]] over an ALREADY-MATERIALIZED (doc_id, len) frame —
+    * the assignment half without the length scan, for callers that
+    * have the capped lengths in hand (q202 derives chunk / depth-2 /
+    * lower-bound stats from ONE length projection instead of paying
+    * the tokenizer encode join once per consumer). `lens` must be
+    * cheap to re-read (checkpointed or a plain scan): the rank and
+    * the pairing read it more than once. Lengths are assumed already
+    * capped at `seqLen`. */
+  def packDepth2Lens(lens: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"packDepth2 needs seqLen >= 1: $seqLen")
     val n = lens.count()
     val paired = Ranks
       .withGlobalRank(lens, lit(seqLen) - col("len"), ascending = true,

@@ -2770,7 +2770,10 @@ object ExtensionQueries {
     val docs = t(s, dir, "documents")
     val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
     val toks = Bpe.encodeTokens(docs, vocab)
+    // ONE length projection feeds all three strategies — the tokenizer
+    // encode join executes once, not once per consumer
     val lens = toks.select(
+      col("doc_id").cast("bigint").as("doc_id"),
       size(col("tokens")).cast("bigint").as("raw"),
       least(size(col("tokens")), lit(seqLen)).cast("bigint").as("cap"))
       .localCheckpoint()
@@ -2784,7 +2787,8 @@ object ExtensionQueries {
         expr(s"(total + $seqLen - 1) div $seqLen").as("n_seqs"),
         expr(s"($seqLen - total % $seqLen) % $seqLen").as("n_pad"))
       .withColumn("pad_bp", expr(s"n_pad * 10000 div (n_seqs * $seqLen)"))
-    val d2Row = SeqPack.packDepth2(toks, seqLen)
+    val d2Row = SeqPack
+      .packDepth2Lens(lens.select(col("doc_id"), col("cap").as("len")), seqLen)
       .agg(count(lit(1)).as("n_seqs"), sum(col("n_pad")).as("n_pad"))
       .select(lit("depth2").as("method"), col("n_seqs"), col("n_pad"))
       .withColumn("pad_bp", expr(s"n_pad * 10000 div (n_seqs * $seqLen)"))

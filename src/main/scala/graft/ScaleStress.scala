@@ -115,7 +115,11 @@ object ScaleStress {
     // q201/q202: the depth-2 fold — banded rank over capped lengths +
     // a pair-id shuffle of ≤2-row groups; growth must track the
     // length-frame scan (the encode join), never the pairing
-    "q200_hybrid_retrieval", "q201_pack_depth2", "q202_pack_efficiency")
+    // q203: the IVF-leg fusion — routing is a broadcast-centroid scan
+    // and the probe scan is label-filtered; growth tracks the probed
+    // clusters' share of the corpus
+    "q200_hybrid_retrieval", "q201_pack_depth2", "q202_pack_efficiency",
+    "q203_hybrid_ivf")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

@@ -101,14 +101,30 @@ object Retrieval {
       qId: Long,
       kLeg: Int = 20,
       k: Int = 10,
+      rrfK: Int = 60): DataFrame =
+    hybridTopKWithLeg(docs, terms,
+      Similarity.bruteForceTopK(embeddings.filter(col("vec_id") === qId),
+        embeddings, k = kLeg),
+      kLeg, k, rrfK)
+
+  /** [[hybridTopK]] with a CALLER-SUPPLIED semantic leg — any frame
+    * with (vec_id, rank) of ≤ `kLeg` rows: [[Similarity.ivfTopK]] /
+    * `ivfTopKIndexed` for the partition-pruned index path,
+    * [[graft.operators.Projection.ivfPqTopK]] for the compressed one.
+    * This is the production seam: the fusion math never changes when
+    * the ANN index under it does. */
+  def hybridTopKWithLeg(
+      docs: DataFrame,
+      terms: Seq[String],
+      semanticLeg: DataFrame,
+      kLeg: Int = 20,
+      k: Int = 10,
       rrfK: Int = 60): DataFrame = {
     val bm = bm25TopK(docs, terms, k = kLeg)
       .select(col("doc_id"), row_number().over(
         Window.orderBy(col("score").desc, col("doc_id")))
         .cast("bigint").as("bm25_rank"))
-    val cos = Similarity
-      .bruteForceTopK(embeddings.filter(col("vec_id") === qId),
-        embeddings, k = kLeg)
+    val cos = semanticLeg
       .select(col("vec_id").as("doc_id"), col("rank").as("cos_rank"))
     bm.join(cos, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),

@@ -2795,6 +2795,22 @@ object ExtensionQueries {
     chunkRow.unionByName(d2Row).unionByName(lbRow)
   }
 
+  /** q200's fusion with the INDEXED semantic leg — IVF routing
+    * (nprobe 2) instead of the brute corpus scan, through
+    * [[graft.operators.Retrieval.hybridTopKWithLeg]]'s leg seam: the
+    * production shape where the ANN index answers the vector side and
+    * the fusion math is untouched. The driver row also gates the
+    * recall trade: where the probed clusters miss a true neighbor,
+    * the fused ranking must diverge from q200 exactly as the oracle's
+    * replayed routing says. */
+  val q203HybridIvf: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val leg = Similarity.ivfTopK(e.filter(col("vec_id") === 0), e,
+      Similarity.centroids(e), k = 20, nprobe = 2)
+    Retrieval.hybridTopKWithLeg(t(s, dir, "documents"),
+      terms = Seq("spark", "merge", "window"), leg, kLeg = 20, k = 10)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -2990,6 +3006,7 @@ object ExtensionQueries {
     "q200_hybrid_retrieval" -> q200HybridRetrieval,
     "q201_pack_depth2" -> q201PackDepth2,
     "q202_pack_efficiency" -> q202PackEfficiency,
+    "q203_hybrid_ivf" -> q203HybridIvf,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6753,6 +6770,61 @@ object ExtensionQueries {
         |       CAST(n_pad * 10000 // (n_seqs * 416) AS BIGINT) AS pad_bp
         |FROM (SELECT * FROM chunk UNION ALL SELECT * FROM d2
         |      UNION ALL SELECT * FROM lb)""".stripMargin),
+    // q200's BM25 leg + the q30b-style IVF routing (one query vector,
+    // nprobe 2) as the semantic leg, fused by the same reciprocal rank
+    "q203_hybrid_ivf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |        FROM documents),
+        | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM toks WHERE term IN ('spark', 'merge', 'window')
+        |        GROUP BY doc_id, term),
+        | dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        | scored AS (
+        |   SELECT tf.doc_id,
+        |          round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |                * tf * 2.2
+        |                / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS term_score
+        |   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+        | bm AS (SELECT doc_id, round(sum(term_score), 4) AS score
+        |        FROM scored GROUP BY doc_id
+        |        ORDER BY score DESC, doc_id LIMIT 20),
+        | br AS (SELECT doc_id,
+        |          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |            AS bm25_rank
+        |        FROM bm),
+        | e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings),
+        | cent AS (
+        |   SELECT label, list(cx ORDER BY j) AS centroid
+        |   FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+        |         FROM e, (SELECT unnest(range(1, 65)) AS j)
+        |         GROUP BY label, j)
+        |   GROUP BY label),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id = 0),
+        | probes AS (
+        |   SELECT q_id, qv, label AS probe_label FROM (
+        |     SELECT q.q_id, q.qv, c.label,
+        |            ROW_NUMBER() OVER (PARTITION BY q.q_id
+        |              ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+        |                       c.label) AS prn
+        |     FROM q, cent c)
+        |   WHERE prn <= 2),
+        | sc AS (SELECT p.q_id, e.vec_id,
+        |               round(list_cosine_similarity(p.qv, e.v), 6) AS sim
+        |        FROM probes p JOIN e ON e.label = p.probe_label),
+        | cr AS (SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS cos_rank FROM (
+        |          SELECT vec_id,
+        |                 ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+        |          FROM sc)
+        |        WHERE rn <= 20)
+        |SELECT coalesce(br.doc_id, cr.doc_id) AS doc_id, bm25_rank, cos_rank,
+        |       round(coalesce(1.0 / (60 + bm25_rank), 0)
+        |           + coalesce(1.0 / (60 + cos_rank), 0), 6) AS rrf
+        |FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must

@@ -152,6 +152,51 @@ class RedactRetrievalPackSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum === total)
   }
 
+  test("hybridTopKWithLeg accepts any (vec_id, rank) leg; brute leg reproduces hybridTopK") {
+    val (docs, embeds) = hybridFixture
+    val viaSeam = Retrieval.hybridTopKWithLeg(docs, Seq("alpha", "beta"),
+      graft.operators.Similarity.bruteForceTopK(
+        embeds.filter(col("vec_id") === 0L), embeds, k = 2),
+      kLeg = 2, k = 4)
+    val direct = Retrieval.hybridTopK(docs, embeds, Seq("alpha", "beta"),
+      qId = 0L, kLeg = 2, k = 4)
+    assert(rowSet(viaSeam) === rowSet(direct))
+    // a custom leg (hand-ranked) flows through the fusion unchanged
+    val custom = Seq((3L, 1L), (2L, 2L)).toDF("vec_id", "rank")
+    val fused = Retrieval.hybridTopKWithLeg(docs, Seq("alpha", "beta"),
+      custom, kLeg = 2, k = 4).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(fused(3L) === Some(1L) && fused(2L) === Some(2L))
+  }
+
+  test("packDepth2 property: laws hold across random length mixes and capacities") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    for (i <- 0 until 6) {
+      val cap = sample(Gen.choose(5, 40), 100 + i)
+      val nDocs = sample(Gen.choose(1, 60), 200 + i)
+      val lens = (1 to nDocs).map(d =>
+        (d.toLong, sample(Gen.choose(1, 55), 300 + i * 100 + d)))
+      val out = SeqPack.packDepth2(toksOf(lens), cap).collect()
+      // every doc exactly once
+      assert(out.flatMap(_.getString(1).split(",")).map(_.toLong).sorted.toSeq
+        === (1L to nDocs.toLong), s"case $i: coverage")
+      // capacity respected, pad exact, token conservation under the cap
+      assert(out.forall(r => r.getLong(3) <= cap &&
+        r.getLong(4) === cap - r.getLong(3)), s"case $i: capacity/pad")
+      assert(out.map(_.getLong(3)).sum ===
+        lens.map(l => math.min(l._2, cap).toLong).sum, s"case $i: conservation")
+      // pack ids unique; never worse than one pack per doc, never
+      // better than the ceil lower bound
+      assert(out.map(_.getLong(0)).distinct.length === out.length)
+      assert(out.length <= nDocs)
+      val lb = (lens.map(l => math.min(l._2, cap).toLong).sum + cap - 1) / cap
+      assert(out.length >= lb, s"case $i: below lower bound?!")
+    }
+  }
+
   test("packDepth2 with ties in length is deterministic (doc_id breaks rank ties)") {
     val a = SeqPack.packDepth2(toksOf(Seq((5L, 4), (6L, 4), (7L, 4), (8L, 4))), seqLen = 8)
     val b = SeqPack.packDepth2(toksOf(Seq((8L, 4), (7L, 4), (6L, 4), (5L, 4))), seqLen = 8)

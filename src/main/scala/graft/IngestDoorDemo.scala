@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Bpe, Decontaminate, SeqPack}
+import graft.streaming.IngestDoor
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** CLI demo of the COMPOSED ingest door
+  * ([[graft.streaming.IngestDoor]]) on real testdata:
+  *
+  *   runMain graft.IngestDoorDemo [sfDir] [nBatches]
+  *
+  * Phase 1 (batch layer, runs once): freeze the admission artifacts —
+  * the BPE vocabulary, the deny-term list, and the benchmark eval set
+  * (here: the corpus's 3 lowest doc_ids stand in for a held-out
+  * benchmark, so their later "arrival" MUST be caught at the guard).
+  *
+  * Phase 2 (stream): the corpus arrives as `nBatches` doc_id-ordered
+  * micro-batches of raw (doc_id, text). Every batch runs
+  * scrub → decontaminate → dedup → pack; per-batch audit rows land
+  * next to the corpus and the shard log.
+  *
+  * Phase 3 (audit): batch-0 replay straight through the micro-batch
+  * body (must change nothing — the pack stage reads corpus MEMBERSHIP,
+  * not the dedup append), then the one-shot law: the accumulated shard
+  * log equals packing the final admitted corpus in doc_id order.
+  */
+object IngestDoorDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(3)
+    val seqLen = 128
+    val spark = Tables.localSession("graft-ingest-door-demo", cores = 4)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-door").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-door-ck").toString
+
+    // ---- phase 1: frozen admission artifacts
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val (merges, vocab0) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
+    val vocab = vocab0.localCheckpoint()
+    val deny = Seq("spark", "merge")
+    val evalDocs = docs.orderBy("doc_id").limit(3).localCheckpoint()
+    val evalGrams = Decontaminate.evalGramSet(evalDocs, n = 6).localCheckpoint()
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    println(s"[demo] frozen: ${merges.size} BPE merges, " +
+      s"deny=${deny.mkString(",")}, eval set = 3 docs " +
+      s"(${evalGrams.count()} 6-grams, ${bloom.length}-byte bloom)")
+
+    // ---- phase 2: the corpus as doc_id-ordered micro-batches
+    val all = docs.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val batches = all.grouped((all.size + nBatches - 1) / nBatches).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = IngestDoor.start(spark, in.toDF().toDF("doc_id", "text"),
+      root, s"$ckpt/q", deny, evalGrams, bloom, vocab, seqLen,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    IngestDoor.readAudit(spark, root).orderBy("batch_id")
+      // the partition column comes back as the inferred (int) type
+      .select(col("batch_id").cast("bigint"), col("n_in"), col("n_pii"),
+        col("n_denied"), col("n_contaminated"), col("n_dup_dropped"),
+        col("n_admitted"))
+      .collect()
+      .foreach(r => println(s"[demo] batch ${r.getLong(0)}: " +
+        s"in=${r.getLong(1)} pii=${r.getLong(2)} denied=${r.getLong(3)} " +
+        s"contaminated=${r.getLong(4)} dup_dropped=${r.getLong(5)} " +
+        s"admitted=${r.getLong(6)}"))
+    val shards = IngestDoor.readShards(spark, root).localCheckpoint()
+    val corpusN = IngestDoor.readCorpus(spark, root).count()
+    println(s"[demo] ${batches.size} batches / ${all.size} docs → " +
+      s"$corpusN admitted → ${shards.count()} sequences of $seqLen tokens")
+
+    // ---- phase 3a: batch-0 replay must change nothing
+    val before = shards.orderBy("seq_id").collect().toSeq
+    IngestDoor.applyBatch(batches.head.toDF("doc_id", "text"), 0L, root,
+      deny, evalGrams, bloom, vocab, seqLen)
+    val after = IngestDoor.readShards(spark, root)
+      .orderBy("seq_id").collect().toSeq
+    require(before == after, "replayed batch 0 changed the shard log")
+    println(s"[demo] batch-0 replay: corpus, audit, shard log unchanged " +
+      s"(${after.size} rows)")
+
+    // ---- phase 3b: accumulated ≡ one-shot pack of the admitted corpus
+    val oneShot = SeqPack.packTokenStream(
+      Bpe.encodeTokens(IngestDoor.readCorpus(spark, root), vocab), seqLen)
+    val diff = shards.unionByName(oneShot)
+      .groupBy("seq_id", "n_tokens", "tokens")
+      .count().filter(col("count") =!= 2).count()
+    require(diff == 0, s"accumulated log diverged from one-shot pack: $diff")
+    println(s"[demo] accumulated shard log ≡ one-shot pack of the " +
+      s"admitted corpus (${before.size} sequences, 0 diffs)")
+    spark.stop()
+  }
+}

@@ -2811,6 +2811,26 @@ object ExtensionQueries {
       terms = Seq("spark", "merge", "window"), leg, kLeg = 20, k = 10)
   }
 
+  /** Uncertainty (boundary) sampling — the labeling-loop selection
+    * step after q189's learned filter: the 25 documents whose learned
+    * quality probability sits closest to the 0.5 decision boundary
+    * (smallest |score − 0.5|) are exactly the ones a human labeler
+    * reads next to improve the model fastest (the classic
+    * active-learning margin heuristic). Margins compare as INTEGER
+    * basis points (the same floor-bp discipline as q189), so the
+    * cross-engine order is exact; ties break by doc_id. The selection
+    * is a TakeOrderedAndProject over the scoring scan — no corpus
+    * sort. */
+  val q204BoundarySampling: Q = (s, dir) => {
+    val f = QualityModel.standardize(
+      QualityModel.features(t(s, dir, "documents"))).localCheckpoint()
+    QualityModel.score(f, QualityModel.train(f, lr = 2.0, iters = 5))
+      .select(col("doc_id"), col("score_bp"),
+        abs(col("score_bp") - 5000L).as("margin_bp"))
+      .orderBy(col("margin_bp"), col("doc_id"))
+      .limit(25)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3007,6 +3027,7 @@ object ExtensionQueries {
     "q201_pack_depth2" -> q201PackDepth2,
     "q202_pack_efficiency" -> q202PackEfficiency,
     "q203_hybrid_ivf" -> q203HybridIvf,
+    "q204_boundary_sampling" -> q204BoundarySampling,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6825,6 +6846,15 @@ object ExtensionQueries {
         |           + coalesce(1.0 / (60 + cos_rank), 0), 6) AS rrf
         |FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // q189's full training replay; selection = smallest |score-0.5| in
+    // integer basis points, doc_id ties — the active-learning batch
+    "q204_boundary_sampling" -> (lrOracleCtes + s""",
+        | sc AS (SELECT f.doc_id,
+        |               CAST(floor($lrSigmoid * 10000) AS BIGINT) AS score_bp
+        |        FROM sfeats f, fin w)
+        |SELECT doc_id, score_bp, abs(score_bp - 5000) AS margin_bp
+        |FROM sc
+        |ORDER BY margin_bp, doc_id LIMIT 25""".stripMargin),
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must

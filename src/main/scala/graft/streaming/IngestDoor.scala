@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.operators.{Bpe, Decontaminate, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** THE ingest door, composed: every micro-batch of raw documents runs
+  * the full admission pipeline before a token ever reaches a training
+  * shard —
+  *
+  *   1. scrub    — [[TextOps.redact]]: PII placeholders + deny-term
+  *                 mask (first, so raw PII never reaches any later
+  *                 stage's persisted state or logs),
+  *   2. guard    — [[Decontaminate.contaminatedIds]] vs the FROZEN
+  *                 eval artifact: benchmark-leaking docs dropped,
+  *   3. dedup    — [[StreamingIncrementalDedup.applyBatch]]: LSH
+  *                 near-dup collapse within the batch and against the
+  *                 corpus ingested so far (first-arrival keepers),
+  *                 survivors appended to the corpus + band index,
+  *   4. pack     — [[StreamingShardPack.applyBatch]] over the ADMITTED
+  *                 docs tokenized under the FROZEN vocabulary: the
+  *                 shard log continues exactly where it stopped,
+  *
+  * plus one audit row per batch (n_in / n_pii / n_denied /
+  * n_contaminated / n_dup_dropped / n_admitted) into a replay-
+  * idempotent `batch_id` partition.
+  *
+  * Replay safety of the COMPOSITION: stages 1-2 are pure per-doc
+  * functions of frozen artifacts; stage 3 is idempotent by exact
+  * anti-join (a replayed batch appends nothing); stage 4 must NOT pack
+  * "what stage 3 just appended" (empty on replay — it would overwrite
+  * the batch's committed shard rows with nothing). Instead it packs
+  * "this batch's docs that are IN the corpus after stage 3" — on first
+  * delivery that is exactly the admitted set, on replay the same set
+  * again, so the overwrite reproduces identical rows (spec-pinned).
+  *
+  * Scale shape: every stage is the already-audited operator — the
+  * composition adds one semi-join (batch ∩ corpus, batch-sized) and
+  * nothing else. Frozen artifacts (deny list, eval grams + bloom, BPE
+  * vocab) are dimension-sized and broadcast; per-batch corpus-side
+  * cost is the dedup index probe + the doc_id semi-join.
+  */
+object IngestDoor {
+
+  def corpusPath(root: String): String = s"$root/corpus"
+  def shardsPath(root: String): String = s"$root/shards"
+  def auditPath(root: String): String = s"$root/audit"
+
+  /** One micro-batch through the whole door. Idempotent per
+    * (batch, id). `batch`: (doc_id, text). */
+  def applyBatch(
+      batch: DataFrame, id: Long, root: String,
+      denyTerms: Seq[String],
+      evalGrams: DataFrame, bloomBytes: Array[Byte],
+      vocab: DataFrame,
+      seqLen: Int,
+      nGram: Int = 6,
+      threshold: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    // 1. scrub — counts read twice (audit + the doc frame): checkpoint
+    val scrubbed = TextOps.redact(batch, denyTerms).localCheckpoint()
+    val redactedDocs = scrubbed
+      .select(col("doc_id"), col("redacted").as("text"))
+    // 2. guard vs the frozen eval artifact
+    val bad = Decontaminate
+      .contaminatedIds(redactedDocs, evalGrams, bloomBytes, nGram)
+      .localCheckpoint()
+    val guarded = redactedDocs.join(bad, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 3. dedup + admit (appends corpus + band index, replay-safe)
+    StreamingIncrementalDedup.applyBatch(
+      guarded, id, corpusPath(root), threshold)
+    // 4. pack the batch's ADMITTED docs — membership read back from
+    // the corpus so a replay packs the same set (see class doc)
+    val admitted = spark.read.parquet(corpusPath(root))
+      .join(guarded.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    StreamingShardPack.applyBatch(
+      Bpe.encodeTokens(admitted, vocab), id, shardsPath(root), seqLen)
+    // audit row (counts on the pre-dedup frames are batch-invariant;
+    // n_admitted from the same membership frame the pack used)
+    val nIn = scrubbed.count()
+    val nPii = scrubbed.agg(sum(col("n_pii"))).head().getLong(0)
+    val nDenied = scrubbed.agg(sum(col("n_denied"))).head().getLong(0)
+    val nBad = bad.count()
+    val nAdmitted = admitted.count()
+    spark.range(1)
+      .select(lit(nIn).as("n_in"), lit(nPii).as("n_pii"),
+        lit(nDenied).as("n_denied"), lit(nBad).as("n_contaminated"),
+        lit(nIn - nBad - nAdmitted).as("n_dup_dropped"),
+        lit(nAdmitted).as("n_admitted"))
+      .write.mode("overwrite").parquet(s"${auditPath(root)}/batch_id=$id")
+  }
+
+  /** Start the door over a stream of (doc_id, text) documents. */
+  def start(
+      spark: SparkSession,
+      docs: DataFrame,
+      root: String,
+      checkpointDir: String,
+      denyTerms: Seq[String],
+      evalGrams: DataFrame,
+      bloomBytes: Array[Byte],
+      vocab: DataFrame,
+      seqLen: Int,
+      nGram: Int = 6,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, root, denyTerms, evalGrams, bloomBytes,
+          vocab, seqLen, nGram, threshold)
+        ()
+      }
+      .start()
+
+  /** The admitted corpus (scrubbed, decontaminated, deduped). */
+  def readCorpus(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(corpusPath(root))
+
+  /** The assembled training shards over everything admitted so far. */
+  def readShards(spark: SparkSession, root: String): DataFrame =
+    StreamingShardPack.readShards(spark, shardsPath(root))
+
+  /** Per-batch admission audit. */
+  def readAudit(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(auditPath(root))
+}

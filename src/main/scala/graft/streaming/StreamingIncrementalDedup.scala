@@ -47,6 +47,84 @@ object StreamingIncrementalDedup {
     * [[graft.store.Layout.recoverCompaction]] first, so the replayed
     * batch sees the restored corpus — never an "empty" one that would
     * silently forget the dedup history (spec-asserted). */
+  /** One micro-batch body — exposed so composed pipelines
+    * ([[IngestDoor]]) and specs can drive a batch or a replay
+    * directly. Idempotent per (batch, id): survivors are exact-anti-
+    * joined against the corpus before appending (see the class doc's
+    * delivery notes). */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      corpusPath: String,
+      threshold: Double = 0.5,
+      compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L << 20): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    // 1. collapse within-batch near-dups to the min-id keeper
+    val innerPairs = MinHashLsh.nearDuplicates(batch, threshold = threshold)
+    val dupIds = innerPairs.select(col("doc_b").as("doc_id")).distinct()
+    val kept = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    // 2. drop survivors that near-match the existing corpus, probing
+    // the persisted band index
+    // (Hadoop FS, not java.io.File — corpusPath may be a URI path)
+    val corpusHadoopPath = new org.apache.hadoop.fs.Path(corpusPath)
+    val idxPath = bandIndexPath(corpusPath)
+    val idxHadoopPath = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = corpusHadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a crash mid-compaction leaves the corpus (or a band
+    // partition) parked under a dot-prefixed aside dir; an exists
+    // check that merely ignored it would silently restart dedup
+    // from an EMPTY corpus — restore before looking
+    graft.store.Layout.recoverCompaction(spark, corpusPath)
+    graft.store.Layout.recoverCompaction(spark, idxPath)
+    val clean =
+      if (fs.exists(corpusHadoopPath)) {
+        val corpus = spark.read.parquet(corpusPath)
+        // one-time backfill for a corpus ingested before indexing
+        if (!fs.exists(idxHadoopPath))
+          MinHashLsh.writeBandIndex(corpus, idxPath)
+        val index = spark.read.parquet(idxPath)
+        val vsCorpus = MinHashLsh
+          .nearDuplicatesAgainstIndex(kept, index, corpus,
+            threshold = threshold)
+          .select(col("doc_new").as("doc_id")).distinct()
+        kept
+          .join(vsCorpus, Seq("doc_id"), "left_anti")
+          // replay idempotence: a retried batch's docs are already
+          // in the corpus — drop them by exact id before appending
+          .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
+      } else kept
+    // 3. append the band index rows, THEN the docs. Write order
+    // matters for crash recovery: if the process dies between the
+    // two writes, the replayed batch re-processes these docs (they
+    // are not yet in the corpus, so the exact anti-join passes) and
+    // appends their band rows a SECOND time — harmless, because the
+    // index probe collapses buckets with collect_set and pairs are
+    // distinct'd, and the self-pair guard keeps a doc's own stale
+    // band rows from matching it. The reverse order would lose the
+    // batch's band rows FOREVER (docs in corpus ⇒ anti-join blocks
+    // the re-append, and backfill only fires when the whole index
+    // is absent) — every future near-dup of those docs would slip
+    // through silently.
+    val cleanStable = clean.localCheckpoint()
+    MinHashLsh.writeBandIndex(cleanStable, idxPath)
+    cleanStable.write.mode("append").parquet(corpusPath)
+    // periodic small-file maintenance AFTER this batch's writes:
+    // compaction rewrites committed files only, so a replay of this
+    // batch (crash before the checkpoint commits) re-runs the same
+    // idempotent appends against the compacted layout unchanged.
+    // The corpus gets the same treatment — its per-batch appends
+    // accumulate small files at the same rate as the index's.
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+        fs.exists(idxHadoopPath)) {
+      graft.store.Layout.compact(spark, idxPath, compactTargetBytes)
+      graft.store.Layout.compact(spark, corpusPath, compactTargetBytes)
+    }
+    ()
+  }
+
   def start(
       spark: SparkSession,
       docsStream: DataFrame,
@@ -60,69 +138,8 @@ object StreamingIncrementalDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import org.apache.spark.sql.functions._
-        // 1. collapse within-batch near-dups to the min-id keeper
-        val innerPairs = MinHashLsh.nearDuplicates(batch, threshold = threshold)
-        val dupIds = innerPairs.select(col("doc_b").as("doc_id")).distinct()
-        val kept = batch.join(dupIds, Seq("doc_id"), "left_anti")
-        // 2. drop survivors that near-match the existing corpus, probing
-        // the persisted band index
-        // (Hadoop FS, not java.io.File — corpusPath may be a URI path)
-        val corpusHadoopPath = new org.apache.hadoop.fs.Path(corpusPath)
-        val idxPath = bandIndexPath(corpusPath)
-        val idxHadoopPath = new org.apache.hadoop.fs.Path(idxPath)
-        val fs = corpusHadoopPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        // a crash mid-compaction leaves the corpus (or a band
-        // partition) parked under a dot-prefixed aside dir; an exists
-        // check that merely ignored it would silently restart dedup
-        // from an EMPTY corpus — restore before looking
-        graft.store.Layout.recoverCompaction(spark, corpusPath)
-        graft.store.Layout.recoverCompaction(spark, idxPath)
-        val clean =
-          if (fs.exists(corpusHadoopPath)) {
-            val corpus = spark.read.parquet(corpusPath)
-            // one-time backfill for a corpus ingested before indexing
-            if (!fs.exists(idxHadoopPath))
-              MinHashLsh.writeBandIndex(corpus, idxPath)
-            val index = spark.read.parquet(idxPath)
-            val vsCorpus = MinHashLsh
-              .nearDuplicatesAgainstIndex(kept, index, corpus,
-                threshold = threshold)
-              .select(col("doc_new").as("doc_id")).distinct()
-            kept
-              .join(vsCorpus, Seq("doc_id"), "left_anti")
-              // replay idempotence: a retried batch's docs are already
-              // in the corpus — drop them by exact id before appending
-              .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
-          } else kept
-        // 3. append the band index rows, THEN the docs. Write order
-        // matters for crash recovery: if the process dies between the
-        // two writes, the replayed batch re-processes these docs (they
-        // are not yet in the corpus, so the exact anti-join passes) and
-        // appends their band rows a SECOND time — harmless, because the
-        // index probe collapses buckets with collect_set and pairs are
-        // distinct'd, and the self-pair guard keeps a doc's own stale
-        // band rows from matching it. The reverse order would lose the
-        // batch's band rows FOREVER (docs in corpus ⇒ anti-join blocks
-        // the re-append, and backfill only fires when the whole index
-        // is absent) — every future near-dup of those docs would slip
-        // through silently.
-        val cleanStable = clean.localCheckpoint()
-        MinHashLsh.writeBandIndex(cleanStable, idxPath)
-        cleanStable.write.mode("append").parquet(corpusPath)
-        // periodic small-file maintenance AFTER this batch's writes:
-        // compaction rewrites committed files only, so a replay of this
-        // batch (crash before the checkpoint commits) re-runs the same
-        // idempotent appends against the compacted layout unchanged.
-        // The corpus gets the same treatment — its per-batch appends
-        // accumulate small files at the same rate as the index's.
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
-            fs.exists(idxHadoopPath)) {
-          graft.store.Layout.compact(spark, idxPath, compactTargetBytes)
-          graft.store.Layout.compact(spark, corpusPath, compactTargetBytes)
-        }
+        applyBatch(batch, batchId, corpusPath, threshold,
+          compactEvery, compactTargetBytes)
         ()
       }
       .start()

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Bpe, Decontaminate, SeqPack}
+import graft.streaming.IngestDoor
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The composed ingest door: scrub → decontaminate → dedup → pack per
+  * micro-batch. Laws pinned here:
+  *   - every stage's effect is visible in the admitted corpus (PII and
+  *     deny terms masked, eval-leaking docs gone, near-dups collapsed
+  *     to first-arrival keepers),
+  *   - the audit log counts are exact per batch,
+  *   - with batches arriving in doc_id order, the accumulated shard
+  *     log equals the ONE-SHOT pack of the final corpus (the
+  *     composition preserves StreamingShardPack's equivalence law),
+  *   - a replayed batch changes neither corpus nor shards nor audit —
+  *     including the pack stage, whose input is corpus MEMBERSHIP, not
+  *     "what dedup just appended" (empty on replay).
+  */
+class IngestDoorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val seqLen = 8
+  private val deny = Seq("secret")
+  // eval benchmark: one 6-word prompt
+  private val evalDocs = Seq((900L, "alpha beta gamma delta epsilon zeta"))
+
+  // b1: doc 1 admitted (with an email + deny term scrubbed); doc 2
+  // copies the eval prompt verbatim → dropped at the guard.
+  // b2: doc 3 is a near-dup of doc 1 (same long text) → dropped by the
+  // corpus probe; doc 4 is clean and admitted.
+  private val longText =
+    "many plain training words repeated here for a stable shingle set"
+  private val b1 = Seq(
+    (1L, s"$longText mail bob@x.co secret"),
+    (2L, s"intro alpha beta gamma delta epsilon zeta outro"))
+  private val b2 = Seq(
+    (3L, s"$longText mail eve@y.co secret"),
+    (4L, "completely different admitted document with enough words"))
+
+  test("composed door: stage effects, exact audit, one-shot shard law, replay") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("door").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("door-ck").toString
+    val evalGrams = Decontaminate
+      .evalGramSet(evalDocs.toDF("doc_id", "text"), n = 6).localCheckpoint()
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    // frozen vocab learned from the pre-launch corpus (batch 1's texts)
+    val (_, vocab0) = Bpe.learn(
+      Bpe.wordFreq(b1.toDF("doc_id", "text")), nMerges = 3)
+    val vocab = vocab0.localCheckpoint()
+
+    val in = MemoryStream[(Long, String)]
+    val q = IngestDoor.start(spark, in.toDF().toDF("doc_id", "text"),
+      root, s"$ckpt/q", deny, evalGrams, bloom, vocab, seqLen,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // stage effects in the admitted corpus
+    val corpus = IngestDoor.readCorpus(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus.keySet === Set(1L, 4L),
+      "doc 2 leaked eval grams, doc 3 near-duped doc 1")
+    assert(corpus(1L) === s"$longText mail <EMAIL> <MASKED>")
+    // audit log exact
+    val audit = IngestDoor.readAudit(spark, root).orderBy("batch_id")
+      .select("n_in", "n_pii", "n_denied", "n_contaminated",
+        "n_dup_dropped", "n_admitted")
+      .collect().map(_.toSeq).toSeq
+    assert(audit === Seq(
+      Seq(2L, 1L, 1L, 1L, 0L, 1L),
+      Seq(2L, 1L, 1L, 0L, 1L, 1L)))
+
+    // one-shot shard law (batches arrived in doc_id order)
+    val oneShot = SeqPack.packTokenStream(
+      Bpe.encodeTokens(
+        IngestDoor.readCorpus(spark, root).orderBy("doc_id"), vocab),
+      seqLen)
+    assert(rowSet(IngestDoor.readShards(spark, root)) === rowSet(oneShot))
+
+    // replay batch 0 end-to-end: nothing changes anywhere
+    IngestDoor.applyBatch(b1.toDF("doc_id", "text"), 0L, root,
+      deny, evalGrams, bloom, vocab, seqLen)
+    val corpus2 = IngestDoor.readCorpus(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus2 === corpus)
+    assert(rowSet(IngestDoor.readShards(spark, root)) === rowSet(oneShot))
+    val audit2 = IngestDoor.readAudit(spark, root).orderBy("batch_id")
+      .select("n_in", "n_pii", "n_denied", "n_contaminated",
+        "n_dup_dropped", "n_admitted")
+      .collect().map(_.toSeq).toSeq
+    assert(audit2 === audit)
+  }
+}

@@ -118,8 +118,10 @@ object ScaleStress {
     // q203: the IVF-leg fusion — routing is a broadcast-centroid scan
     // and the probe scan is label-filtered; growth tracks the probed
     // clusters' share of the corpus
+    // q204: LR training (driver-held weights, overhead-bound like
+    // q191) + a TakeOrderedAndProject margin selection — no corpus sort
     "q200_hybrid_retrieval", "q201_pack_depth2", "q202_pack_efficiency",
-    "q203_hybrid_ivf")
+    "q203_hybrid_ivf", "q204_boundary_sampling")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

@@ -68,14 +68,26 @@ object IngestDoor {
       .localCheckpoint()
     val guarded = redactedDocs.join(bad, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    // 3. dedup + admit (appends corpus + band index, replay-safe)
-    StreamingIncrementalDedup.applyBatch(
-      guarded, id, corpusPath(root), threshold)
+    // 3. dedup + admit (appends corpus + band index, replay-safe).
+    // Guard the empty case explicitly: a first batch the guard drops
+    // ENTIRELY would otherwise leave no corpus dir for stage 4 to
+    // read (and hand the dedup index an empty partitioned write).
+    val anyGuarded = guarded.limit(1).count() > 0
+    if (anyGuarded)
+      StreamingIncrementalDedup.applyBatch(
+        guarded, id, corpusPath(root), threshold)
     // 4. pack the batch's ADMITTED docs — membership read back from
-    // the corpus so a replay packs the same set (see class doc)
-    val admitted = spark.read.parquet(corpusPath(root))
-      .join(guarded.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    // the corpus so a replay packs the same set (see class doc). The
+    // corpus can still be absent here (nothing admitted by ANY batch
+    // yet); an empty frame keeps the pack + state writes flowing so
+    // the shard log's offsets stay contiguous across empty batches.
+    val corpusExists = new org.apache.hadoop.fs.Path(corpusPath(root))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(corpusPath(root)))
+    val admitted = (if (corpusExists)
+      spark.read.parquet(corpusPath(root))
+        .join(guarded.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    else guarded.limit(0)).localCheckpoint()
     StreamingShardPack.applyBatch(
       Bpe.encodeTokens(admitted, vocab), id, shardsPath(root), seqLen)
     // audit row (counts on the pre-dedup frames are batch-invariant;

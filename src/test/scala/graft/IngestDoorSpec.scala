@@ -97,4 +97,35 @@ class IngestDoorSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(audit2 === audit)
   }
+
+  test("a first batch dropped ENTIRELY at the guard leaves a working door") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("door-empty").toString
+    val evalGrams = Decontaminate
+      .evalGramSet(evalDocs.toDF("doc_id", "text"), n = 6).localCheckpoint()
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    val (_, vocab0) = Bpe.learn(
+      Bpe.wordFreq(b1.toDF("doc_id", "text")), nMerges = 3)
+    val vocab = vocab0.localCheckpoint()
+
+    // batch 0: the eval prompt itself — everything contaminated, no
+    // corpus dir exists afterwards; the door must neither crash nor
+    // lose offset continuity
+    IngestDoor.applyBatch(
+      Seq((7L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      0L, root, deny, evalGrams, bloom, vocab, seqLen)
+    val a0 = IngestDoor.readAudit(spark, root)
+      .select("n_in", "n_contaminated", "n_admitted").head()
+    assert(a0.getLong(0) === 1L && a0.getLong(1) === 1L && a0.getLong(2) === 0L)
+
+    // batch 1: a normal admission — the shard log starts at offset 0
+    IngestDoor.applyBatch(b2.toDF("doc_id", "text"), 1L, root,
+      deny, evalGrams, bloom, vocab, seqLen)
+    val corpus = IngestDoor.readCorpus(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(corpus === Seq(3L, 4L))
+    val oneShot = SeqPack.packTokenStream(
+      Bpe.encodeTokens(IngestDoor.readCorpus(spark, root), vocab), seqLen)
+    assert(rowSet(IngestDoor.readShards(spark, root)) === rowSet(oneShot))
+  }
 }

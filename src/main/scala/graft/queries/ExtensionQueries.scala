@@ -286,19 +286,17 @@ object ExtensionQueries {
           .otherwise(lit(0L)))
 
   /** PII-pattern scan (the scrubber's counting pass): emails, phone-ish
-    * digit runs, IPv4s per document — identical regexes in the oracle. */
-  val q46PiiScan: Q = (s, dir) =>
+    * digit runs, IPv4s per document — identical regexes in the oracle,
+    * read from [[TextOps.piiPatterns]] (the SAME list q199's redact
+    * rewrites with, so scan and scrub can never drift). */
+  val q46PiiScan: Q = (s, dir) => {
+    val Seq(email, phone, ipv4) = TextOps.piiPatterns.map(_._1)
+    def n(p: String) =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("bigint")
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        size(regexp_extract_all(col("text"),
-          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
-          .cast("bigint").as("n_emails"),
-        size(regexp_extract_all(col("text"),
-          lit("\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"), lit(0)))
-          .cast("bigint").as("n_phones"),
-        size(regexp_extract_all(col("text"),
-          lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit(0)))
-          .cast("bigint").as("n_ipv4"))
+      .select(col("doc_id"), n(email).as("n_emails"),
+        n(phone).as("n_phones"), n(ipv4).as("n_ipv4"))
+  }
 
   /** Cohort retention matrix over events: users bucketed by first
     * active day, counted per day-offset. */
@@ -6721,7 +6719,7 @@ object ExtensionQueries {
         |           + coalesce(1.0 / (60 + cos_rank), 0), 6) AS rrf
         |FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
-    // per-doc BPE lengths capped at 256 (the truncation contract), the
+    // per-doc BPE lengths capped at 416 (the truncation contract), the
     // folding rank pairing replayed with ROW_NUMBER + min_by/max_by
     "q201_pack_depth2" -> (bpeOracleCtes(6) +
       """,

@@ -9,11 +9,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the full admission pipeline before a token ever reaches a training
   * shard —
   *
-  *   1. scrub    — [[TextOps.redact]]: PII placeholders + deny-term
-  *                 mask (first, so raw PII never reaches any later
-  *                 stage's persisted state or logs),
-  *   2. guard    — [[Decontaminate.contaminatedIds]] vs the FROZEN
-  *                 eval artifact: benchmark-leaking docs dropped,
+  *   1. guard    — [[Decontaminate.contaminatedIds]] vs the FROZEN
+  *                 eval artifact: benchmark-leaking docs dropped. The
+  *                 guard runs on RAW text so the probe compares
+  *                 against the benchmark verbatim — scrubbing first
+  *                 would rewrite PII/deny tokens inside eval-matching
+  *                 grams and let short PII-heavy benchmark docs slip
+  *                 through. Nothing raw persists here: the artifact
+  *                 and the probe exchange xxhash64 gram hashes, the
+  *                 stage emits only doc_ids,
+  *   2. scrub    — [[TextOps.redact]] on the survivors: PII
+  *                 placeholders + deny-term mask, BEFORE anything is
+  *                 written anywhere,
   *   3. dedup    — [[StreamingIncrementalDedup.applyBatch]]: LSH
   *                 near-dup collapse within the batch and against the
   *                 corpus ingested so far (first-arrival keepers),
@@ -26,26 +33,32 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * n_contaminated / n_dup_dropped / n_admitted) into a replay-
   * idempotent `batch_id` partition.
   *
-  * Replay safety of the COMPOSITION: stages 1-2 are pure per-doc
-  * functions of frozen artifacts; stage 3 is idempotent by exact
-  * anti-join (a replayed batch appends nothing); stage 4 must NOT pack
-  * "what stage 3 just appended" (empty on replay — it would overwrite
-  * the batch's committed shard rows with nothing). Instead it packs
-  * "this batch's docs that are IN the corpus after stage 3" — on first
-  * delivery that is exactly the admitted set, on replay the same set
-  * again, so the overwrite reproduces identical rows (spec-pinned).
+  * Replay + redelivery safety of the COMPOSITION: stages 1-2 are pure
+  * per-doc functions of frozen artifacts; stage 3 is idempotent by
+  * exact anti-join (a replayed batch appends nothing); stage 4 must
+  * NOT pack "what stage 3 just appended" (empty on replay — it would
+  * overwrite the batch's committed shard rows with nothing). Instead
+  * it packs "this batch's docs that are in the corpus after stage 3
+  * AND not admitted by an earlier batch" — the earlier-batch exclusion
+  * comes from the door's own `admitted` log (`batch_id`-partitioned,
+  * rows with batch_id ≥ id ignored exactly like
+  * [[StreamingShardPack.offsetBefore]]), so a same-batch replay
+  * recomputes the identical set AND a doc_id REDELIVERED in a later
+  * batch is never packed twice (both spec-pinned).
   *
   * Scale shape: every stage is the already-audited operator — the
-  * composition adds one semi-join (batch ∩ corpus, batch-sized) and
-  * nothing else. Frozen artifacts (deny list, eval grams + bloom, BPE
-  * vocab) are dimension-sized and broadcast; per-batch corpus-side
-  * cost is the dedup index probe + the doc_id semi-join.
+  * composition adds one batch-sized semi-join (batch ∩ corpus), one
+  * anti-join against the admitted-id log, and nothing else. Frozen
+  * artifacts (deny list, eval grams + bloom, BPE vocab) are
+  * dimension-sized and broadcast; per-batch corpus-side cost is the
+  * dedup index probe + the doc_id joins.
   */
 object IngestDoor {
 
   def corpusPath(root: String): String = s"$root/corpus"
   def shardsPath(root: String): String = s"$root/shards"
   def auditPath(root: String): String = s"$root/audit"
+  def admittedPath(root: String): String = s"$root/admitted"
 
   /** One micro-batch through the whole door. Idempotent per
     * (batch, id). `batch`: (doc_id, text). */
@@ -58,16 +71,18 @@ object IngestDoor {
       nGram: Int = 6,
       threshold: Double = 0.5): Unit = {
     val spark = batch.sparkSession
-    // 1. scrub — counts read twice (audit + the doc frame): checkpoint
-    val scrubbed = TextOps.redact(batch, denyTerms).localCheckpoint()
-    val redactedDocs = scrubbed
-      .select(col("doc_id"), col("redacted").as("text"))
-    // 2. guard vs the frozen eval artifact
+    val stable = batch.localCheckpoint()
+    // 1. guard vs the frozen eval artifact — on RAW text (see class
+    // doc); the stage exchanges only gram hashes and doc_ids
     val bad = Decontaminate
-      .contaminatedIds(redactedDocs, evalGrams, bloomBytes, nGram)
+      .contaminatedIds(stable, evalGrams, bloomBytes, nGram)
       .localCheckpoint()
-    val guarded = redactedDocs.join(bad, Seq("doc_id"), "left_anti")
+    // 2. scrub the survivors — counts read by the audit, text by
+    // every later stage: checkpoint
+    val scrubbed = TextOps
+      .redact(stable.join(bad, Seq("doc_id"), "left_anti"), denyTerms)
       .localCheckpoint()
+    val guarded = scrubbed.select(col("doc_id"), col("redacted").as("text"))
     // 3. dedup + admit (appends corpus + band index, replay-safe).
     // Guard the empty case explicitly: a first batch the guard drops
     // ENTIRELY would otherwise leave no corpus dir for stage 4 to
@@ -76,30 +91,42 @@ object IngestDoor {
     if (anyGuarded)
       StreamingIncrementalDedup.applyBatch(
         guarded, id, corpusPath(root), threshold)
-    // 4. pack the batch's ADMITTED docs — membership read back from
-    // the corpus so a replay packs the same set (see class doc). The
-    // corpus can still be absent here (nothing admitted by ANY batch
-    // yet); an empty frame keeps the pack + state writes flowing so
-    // the shard log's offsets stay contiguous across empty batches.
-    val corpusExists = new org.apache.hadoop.fs.Path(corpusPath(root))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(corpusPath(root)))
-    val admitted = (if (corpusExists)
+    // 4. pack the batch's ADMITTED docs — corpus membership minus
+    // everything an EARLIER batch already admitted (the door's own
+    // log), so a same-batch replay packs the same set and a later
+    // redelivery packs nothing (see class doc). The corpus can still
+    // be absent here (nothing admitted by ANY batch yet); an empty
+    // frame keeps the pack + state writes flowing so the shard log's
+    // offsets stay contiguous across empty batches.
+    def exists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val priorAdmitted =
+      if (exists(admittedPath(root)))
+        spark.read.parquet(admittedPath(root))
+          .filter(col("batch_id") < id).select(col("doc_id"))
+      else spark.range(0).select(col("id").as("doc_id"))
+    val admitted = (if (exists(corpusPath(root)))
       spark.read.parquet(corpusPath(root))
         .join(guarded.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(priorAdmitted, Seq("doc_id"), "left_anti")
     else guarded.limit(0)).localCheckpoint()
+    admitted.select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"${admittedPath(root)}/batch_id=$id")
     StreamingShardPack.applyBatch(
       Bpe.encodeTokens(admitted, vocab), id, shardsPath(root), seqLen)
-    // audit row (counts on the pre-dedup frames are batch-invariant;
-    // n_admitted from the same membership frame the pack used)
-    val nIn = scrubbed.count()
-    val nPii = scrubbed.agg(sum(col("n_pii"))).head().getLong(0)
-    val nDenied = scrubbed.agg(sum(col("n_denied"))).head().getLong(0)
+    // audit row — one aggregate action; sums coalesced so an EMPTY
+    // batch (offset-gap delivery) writes zeros instead of nulls
+    val nIn = stable.count()
+    val a = scrubbed.agg(
+      coalesce(sum(col("n_pii")), lit(0L)),
+      coalesce(sum(col("n_denied")), lit(0L))).head()
     val nBad = bad.count()
     val nAdmitted = admitted.count()
     spark.range(1)
-      .select(lit(nIn).as("n_in"), lit(nPii).as("n_pii"),
-        lit(nDenied).as("n_denied"), lit(nBad).as("n_contaminated"),
+      .select(lit(nIn).as("n_in"), lit(a.getLong(0)).as("n_pii"),
+        lit(a.getLong(1)).as("n_denied"), lit(nBad).as("n_contaminated"),
         lit(nIn - nBad - nAdmitted).as("n_dup_dropped"),
         lit(nAdmitted).as("n_admitted"))
       .write.mode("overwrite").parquet(s"${auditPath(root)}/batch_id=$id")

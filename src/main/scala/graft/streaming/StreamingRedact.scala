@@ -40,11 +40,13 @@ object StreamingRedact {
     val scrubbed = TextOps.redact(batch, denyTerms).localCheckpoint()
     scrubbed.write.mode("overwrite").parquet(s"$cleanPath/batch_id=$id")
     scrubbed
+      // sums coalesced: an EMPTY batch (offset-gap delivery) logs
+      // zeros, not nulls a getLong consumer would throw on
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_pii")).as("n_pii"),
-        sum(col("n_denied")).as("n_denied"),
-        sum(when(col("n_pii") + col("n_denied") > 0, 1L).otherwise(0L))
-          .as("n_touched"))
+        coalesce(sum(col("n_pii")), lit(0L)).as("n_pii"),
+        coalesce(sum(col("n_denied")), lit(0L)).as("n_denied"),
+        coalesce(sum(when(col("n_pii") + col("n_denied") > 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_touched"))
       .write.mode("overwrite").parquet(s"${logPath(cleanPath)}/batch_id=$id")
   }
 

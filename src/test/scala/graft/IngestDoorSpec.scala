@@ -98,6 +98,64 @@ class IngestDoorSpec extends SparkSpec {
     assert(audit2 === audit)
   }
 
+  test("a doc_id REDELIVERED in a later batch is neither re-admitted nor re-packed") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("door-redeliver").toString
+    val evalGrams = Decontaminate
+      .evalGramSet(evalDocs.toDF("doc_id", "text"), n = 6).localCheckpoint()
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    val (_, vocab0) = Bpe.learn(
+      Bpe.wordFreq(b1.toDF("doc_id", "text")), nMerges = 3)
+    val vocab = vocab0.localCheckpoint()
+
+    IngestDoor.applyBatch(b1.toDF("doc_id", "text"), 0L, root,
+      deny, evalGrams, bloom, vocab, seqLen)
+    val shardsAfter0 = rowSet(IngestDoor.readShards(spark, root))
+    // the at-least-once source rewinds: doc 1 arrives AGAIN in batch 1
+    // alongside a genuinely new doc — only doc 4 may be admitted/packed
+    IngestDoor.applyBatch((b1.take(1) ++ b2.drop(1)).toDF("doc_id", "text"),
+      1L, root, deny, evalGrams, bloom, vocab, seqLen)
+    val corpus = IngestDoor.readCorpus(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(corpus === Seq(1L, 4L), "redelivered doc 1 must not re-append")
+    // the shard log must equal packing doc 1 (batch 0) then doc 4
+    // (batch 1) exactly once each — i.e. the one-shot pack in doc_id
+    // order, since arrival order here is doc_id order
+    val oneShot = SeqPack.packTokenStream(
+      Bpe.encodeTokens(IngestDoor.readCorpus(spark, root), vocab), seqLen)
+    assert(rowSet(IngestDoor.readShards(spark, root)) === rowSet(oneShot),
+      "redelivered doc 1 was packed twice")
+    assert(shardsAfter0.nonEmpty && oneShot.count() > 0)
+    val audit1 = IngestDoor.readAudit(spark, root)
+      .filter(col("batch_id") === 1)
+      .select("n_in", "n_dup_dropped", "n_admitted").head()
+    assert(audit1.getLong(0) === 2L && audit1.getLong(1) === 1L &&
+      audit1.getLong(2) === 1L)
+  }
+
+  test("guard runs on RAW text: an eval gram spanning PII still catches the leak") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("door-rawguard").toString
+    // a 6-word benchmark prompt whose middle token is an email — after
+    // scrubbing, every 6-gram through it would be rewritten, so a
+    // scrub-first door would admit the verbatim leak
+    val piiEval = Seq((901L, "please contact bob@x.co regarding benchmark answers"))
+    val evalGrams = Decontaminate
+      .evalGramSet(piiEval.toDF("doc_id", "text"), n = 6).localCheckpoint()
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    val (_, vocab0) = Bpe.learn(
+      Bpe.wordFreq(b1.toDF("doc_id", "text")), nMerges = 3)
+    val vocab = vocab0.localCheckpoint()
+    IngestDoor.applyBatch(
+      Seq((8L, "please contact bob@x.co regarding benchmark answers"),
+        (9L, s"$longText with no benchmark overlap inside"))
+        .toDF("doc_id", "text"),
+      0L, root, deny, evalGrams, bloom, vocab, seqLen)
+    val corpus = IngestDoor.readCorpus(spark, root)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(corpus === Seq(9L), "the PII-spanning eval leak must be caught")
+  }
+
   test("a first batch dropped ENTIRELY at the guard leaves a working door") {
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("door-empty").toString

@@ -42,6 +42,29 @@ class RedactRetrievalPackSpec extends SparkSpec {
     assert(out.getLong(3) === 2L)
   }
 
+  test("redact is idempotent: placeholders never re-trigger any pattern") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val piece = Gen.oneOf(
+      Gen.oneOf("bob@x.co", "a.b+c@mail.example.org"),
+      Gen.oneOf("555-123-4567", "555 987 6543", "555.222.3333"),
+      Gen.oneOf("10.0.0.1", "192.168.255.3"),
+      Gen.oneOf("leak", "leaky", "unleak", "plain", "words"))
+    val textGen = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, piece).map(_.mkString(" ")))
+    val docs = (0 until 24)
+      .map(i => (i.toLong, sample(textGen, 7000 + i))).toDF("doc_id", "text")
+    val once = TextOps.redact(docs, Seq("leak"))
+    val twice = TextOps.redact(
+      once.select(col("doc_id"), col("redacted").as("text")), Seq("leak"))
+    assert(rowSet(once.select("doc_id", "redacted")) ===
+      rowSet(twice.select("doc_id", "redacted")))
+    assert(twice.agg(sum(col("n_pii") + col("n_denied"))).head().getLong(0) === 0L,
+      "a placeholder re-triggered a pattern on the second pass")
+  }
+
   test("redact rejects non-word deny terms (they would splice into the regex)") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -121,7 +121,10 @@ object ScaleStress {
     // q204: LR training (driver-held weights, overhead-bound like
     // q191) + a TakeOrderedAndProject margin selection — no corpus sort
     "q200_hybrid_retrieval", "q201_pack_depth2", "q202_pack_efficiency",
-    "q203_hybrid_ivf", "q204_boundary_sampling")
+    "q203_hybrid_ivf", "q204_boundary_sampling",
+    // q205: both hybrids' legs re-scan then a 10-row intersection —
+    // expected ~ q200 + q203
+    "q205_hybrid_recall")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

@@ -2809,6 +2809,23 @@ object ExtensionQueries {
       terms = Seq("spark", "merge", "window"), leg, kLeg = 20, k = 10)
   }
 
+  /** Fusion-level recall audit: overlap@10 between the brute-leg
+    * hybrid (q200) and the indexed-leg hybrid (q203) — the number an
+    * operator actually watches when swapping the ANN index under a
+    * live search stack ("how much did the FUSED top-k change?"),
+    * the retrieval twin of q153/q185's raw-ANN recall audits. One
+    * row: (k, n_common, recall_bp). Both rankings are k-bounded, so
+    * the intersection join is trivial; the corpus-scale work is the
+    * two legs' scans. */
+  val q205HybridRecall: Q = (s, dir) => {
+    val brute = q200HybridRetrieval(s, dir).select(col("doc_id"))
+    val ivf = q203HybridIvf(s, dir).select(col("doc_id").as("ivf_doc_id"))
+    brute.join(ivf, col("doc_id") === col("ivf_doc_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(lit(10L).as("k"), col("n_common"),
+        expr("n_common * 10000 div 10").as("recall_bp"))
+  }
+
   /** Uncertainty (boundary) sampling — the labeling-loop selection
     * step after q189's learned filter: the 25 documents whose learned
     * quality probability sits closest to the 0.5 decision boundary
@@ -3026,6 +3043,7 @@ object ExtensionQueries {
     "q202_pack_efficiency" -> q202PackEfficiency,
     "q203_hybrid_ivf" -> q203HybridIvf,
     "q204_boundary_sampling" -> q204BoundarySampling,
+    "q205_hybrid_recall" -> q205HybridRecall,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6853,6 +6871,76 @@ object ExtensionQueries {
         |SELECT doc_id, score_bp, abs(score_bp - 5000) AS margin_bp
         |FROM sc
         |ORDER BY margin_bp, doc_id LIMIT 25""".stripMargin),
+    // the q200 and q203 oracle stacks composed once each (shared BM25
+    // leg), intersected at k=10 — the fused-ranking recall audit
+    "q205_hybrid_recall" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |        FROM documents),
+        | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM toks WHERE term IN ('spark', 'merge', 'window')
+        |        GROUP BY doc_id, term),
+        | dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        | scored AS (
+        |   SELECT tf.doc_id,
+        |          round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |                * tf * 2.2
+        |                / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS term_score
+        |   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+        | bm AS (SELECT doc_id, round(sum(term_score), 4) AS score
+        |        FROM scored GROUP BY doc_id
+        |        ORDER BY score DESC, doc_id LIMIT 20),
+        | br AS (SELECT doc_id,
+        |          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |            AS bm25_rank
+        |        FROM bm),
+        | e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id = 0),
+        | sb AS (SELECT e.vec_id, round(list_cosine_similarity(q.qv, e.v), 6) AS sim
+        |        FROM e, q),
+        | crb AS (SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS cos_rank FROM (
+        |           SELECT vec_id,
+        |                  ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+        |           FROM sb)
+        |         WHERE rn <= 20),
+        | cent AS (
+        |   SELECT label, list(cx ORDER BY j) AS centroid
+        |   FROM (SELECT label, j, avg(v[CAST(j AS INT)]) AS cx
+        |         FROM e, (SELECT unnest(range(1, 65)) AS j)
+        |         GROUP BY label, j)
+        |   GROUP BY label),
+        | probes AS (
+        |   SELECT q_id, qv, label AS probe_label FROM (
+        |     SELECT q.q_id, q.qv, c.label,
+        |            ROW_NUMBER() OVER (PARTITION BY q.q_id
+        |              ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+        |                       c.label) AS prn
+        |     FROM q, cent c)
+        |   WHERE prn <= 2),
+        | si AS (SELECT e.vec_id, round(list_cosine_similarity(p.qv, e.v), 6) AS sim
+        |        FROM probes p JOIN e ON e.label = p.probe_label),
+        | cri AS (SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS cos_rank FROM (
+        |           SELECT vec_id,
+        |                  ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+        |           FROM si)
+        |         WHERE rn <= 20),
+        | fb AS (SELECT coalesce(br.doc_id, crb.doc_id) AS doc_id
+        |        FROM br FULL OUTER JOIN crb ON br.doc_id = crb.doc_id
+        |        ORDER BY round(coalesce(1.0 / (60 + bm25_rank), 0)
+        |                     + coalesce(1.0 / (60 + cos_rank), 0), 6) DESC,
+        |                 coalesce(br.doc_id, crb.doc_id) LIMIT 10),
+        | fi AS (SELECT coalesce(br.doc_id, cri.doc_id) AS doc_id
+        |        FROM br FULL OUTER JOIN cri ON br.doc_id = cri.doc_id
+        |        ORDER BY round(coalesce(1.0 / (60 + bm25_rank), 0)
+        |                     + coalesce(1.0 / (60 + cos_rank), 0), 6) DESC,
+        |                 coalesce(br.doc_id, cri.doc_id) LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |       CAST(count(*) AS BIGINT) AS n_common,
+        |       CAST(count(*) * 10000 // 10 AS BIGINT) AS recall_bp
+        |FROM fb JOIN fi USING (doc_id)""".stripMargin,
   )
 
   /** Gradient steps / learning rate the q189 oracle replays — must

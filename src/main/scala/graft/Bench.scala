@@ -94,7 +94,21 @@ object Bench {
     val total = results.map(_._2).sum
     val filt = only.map(f =>
       s""","filter":"${f.toSeq.sorted.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","load_avg":$loadAvg$filt}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","load_avg":$loadAvg$filt}"""
+    // The full object also lands in a repo-root artifact file: ten
+    // rounds of driver captures proved the tail window it records cuts
+    // a ~10 KB stdout line mid-string ("parsed": null every round), so
+    // stdout alone can never deliver the per-query map. The file is
+    // committed with the round close; the tiny trailer line below is
+    // printed LAST so even a small tail window contains one complete,
+    // parseable object pointing at the file.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: could not write BENCH.json: $e") }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_avg":$loadAvg,"queries_file":"BENCH.json"$filt}""")
     spark.stop()
   }
 }

@@ -89,9 +89,15 @@ object IngestDoorDemo {
     // ---- phase 3b: accumulated ≡ one-shot pack of the admitted corpus
     val oneShot = SeqPack.packTokenStream(
       Bpe.encodeTokens(IngestDoor.readCorpus(spark, root), vocab), seqLen)
-    val diff = shards.unionByName(oneShot)
+    // side-tagged compare: a bare union's count-==-2 test false-passes
+    // when a row appears twice on ONE side and never on the other —
+    // each side must contribute the row exactly once
+    val diff = shards.withColumn("graft_side", lit("acc"))
+      .unionByName(oneShot.withColumn("graft_side", lit("one")))
       .groupBy("seq_id", "n_tokens", "tokens")
-      .count().filter(col("count") =!= 2).count()
+      .agg(sum(when(col("graft_side") === "acc", 1).otherwise(0)).as("n_acc"),
+        sum(when(col("graft_side") === "one", 1).otherwise(0)).as("n_one"))
+      .filter(col("n_acc") =!= 1 || col("n_one") =!= 1).count()
     require(diff == 0, s"accumulated log diverged from one-shot pack: $diff")
     println(s"[demo] accumulated shard log ≡ one-shot pack of the " +
       s"admitted corpus (${before.size} sequences, 0 diffs)")

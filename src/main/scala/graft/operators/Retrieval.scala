@@ -112,7 +112,16 @@ object Retrieval {
     * `ivfTopKIndexed` for the partition-pruned index path,
     * [[graft.operators.Projection.ivfPqTopK]] for the compressed one.
     * This is the production seam: the fusion math never changes when
-    * the ANN index under it does. */
+    * the ANN index under it does.
+    *
+    * Leg contract, ENFORCED here rather than assumed: the fusion only
+    * reads ranks ≤ `kLeg`, and a leg that carries duplicate vec_ids
+    * (e.g. an ANN call accidentally fed multiple query vectors) would
+    * otherwise fan out through the full-outer join and silently corrupt
+    * the fused top-k — so the leg is clamped to rank ≤ `kLeg` and
+    * deduped to each vec_id's best rank. For a well-formed single-query
+    * leg both guards are identities; the dedup groupBy runs on ≤ `kLeg`
+    * rows, so the cost is a k-bounded exchange, never a corpus one. */
   def hybridTopKWithLeg(
       docs: DataFrame,
       terms: Seq[String],
@@ -125,7 +134,9 @@ object Retrieval {
         Window.orderBy(col("score").desc, col("doc_id")))
         .cast("bigint").as("bm25_rank"))
     val cos = semanticLeg
-      .select(col("vec_id").as("doc_id"), col("rank").as("cos_rank"))
+      .filter(col("rank") <= kLeg)
+      .groupBy(col("vec_id").as("doc_id"))
+      .agg(min(col("rank")).cast("bigint").as("cos_rank"))
     bm.join(cos, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
         round(

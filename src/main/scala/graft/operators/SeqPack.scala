@@ -86,6 +86,27 @@ object SeqPack {
     * the law OperatorsSpec pins. */
   def packTokenStream(
       docTokens: DataFrame, seqLen: Int, eos: String = "</s>",
+      orderKey: Column = col("doc_id"), startOffset: Long = 0L): DataFrame =
+    packTokenStreamRows(docTokens, seqLen, eos, orderKey, startOffset)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("slot"), col("token")))),
+          x => x.getField("token")), " ").as("tokens"))
+
+  /** [[packTokenStream]]'s EXPLODED row form — one output row per
+    * packed token: (seq_id, slot, token). Same stream law, same banded
+    * offsets; the only difference is that assembly stops BEFORE the
+    * per-sequence aggregate, so the result carries no within-row
+    * ordering at all. This is the cross-engine-verifiable contract
+    * shape: a row set is order-insensitive under any row-sorted
+    * comparison, where an assembled `tokens` string bakes in whatever
+    * within-group order the assembling engine honored (two driver
+    * rounds proved different DuckDB builds disagree there — see
+    * round-10 VERDICT #1). Shard WRITING still wants the aggregated
+    * form; gates and diffs want this one. */
+  def packTokenStreamRows(
+      docTokens: DataFrame, seqLen: Int, eos: String = "</s>",
       orderKey: Column = col("doc_id"), startOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"packTokenStream needs seqLen >= 1: $seqLen")
     // localCheckpoint: the banded prefix sum reads its input twice
@@ -109,12 +130,7 @@ object SeqPack {
       .withColumn("graft_gpos",
         lit(startOffset) + col("graft_off") + col("graft_pos"))
       .select(expr(s"graft_gpos div $seqLen").as("seq_id"),
-        expr(s"graft_gpos % $seqLen").as("graft_slot"), col("graft_tok"))
-      .groupBy(col("seq_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("graft_slot"), col("graft_tok")))),
-          x => x.getField("graft_tok")), " ").as("tokens"))
+        expr(s"graft_gpos % $seqLen").as("slot"), col("graft_tok").as("token"))
   }
 
   /** [[packTokenStream]] plus the per-sequence DOCUMENT MANIFEST a
@@ -169,6 +185,39 @@ object SeqPack {
           array_sort(collect_list(struct(col("graft_bslot"), col("graft_doc")))),
           x => concat_ws(":", x.getField("graft_bslot"), x.getField("graft_doc"))),
           " ").as("boundaries"))
+  }
+
+  /** The DOCUMENT MANIFEST of [[packTokenStreamWithBoundaries]] as a
+    * plain row set — one row per (sequence, contributing document):
+    * (seq_id, first_slot, doc_id, n_doc_tokens), where `first_slot` is
+    * the document's first slot in that sequence (0 for a continuation
+    * of a doc the previous cut split) and `n_doc_tokens` how many of
+    * the sequence's slots it fills. Everything the attention-mask
+    * assembler needs, shaped so NO within-group ordering exists —
+    * only min/count aggregates over the doc-carrying token explode
+    * (same banded offsets as [[packTokenStreamRows]]). One keyed
+    * aggregation, partial-combinable, rows out = Σ docs-per-cut. */
+  def packTokenStreamManifest(
+      docTokens: DataFrame, seqLen: Int, eos: String = "</s>",
+      orderKey: Column = col("doc_id"), startOffset: Long = 0L): DataFrame = {
+    require(seqLen >= 1, s"packTokenStreamManifest needs seqLen >= 1")
+    val withEos = docTokens.select(col("doc_id").cast("bigint").as("graft_doc"),
+        orderKey.cast("bigint").as("graft_ok"),
+        concat(col("tokens"), array(lit(eos))).as("graft_toks"))
+      .withColumn("graft_n", size(col("graft_toks")).cast("bigint"))
+      .localCheckpoint()
+    // see packTokenStream: band width from the measured key span
+    Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off",
+        bandBits = Ranks.autoKeyBandBits(withEos, col("graft_ok")))
+      .select(col("graft_doc"), col("graft_off"),
+        posexplode(col("graft_toks")).as(Seq("graft_pos", "graft_tok")))
+      .withColumn("graft_gpos",
+        lit(startOffset) + col("graft_off") + col("graft_pos"))
+      .groupBy(expr(s"graft_gpos div $seqLen").as("seq_id"), col("graft_doc"))
+      .agg(min(expr(s"graft_gpos % $seqLen")).as("first_slot"),
+        count(lit(1)).as("n_doc_tokens"))
+      .select(col("seq_id"), col("first_slot"),
+        col("graft_doc").as("doc_id"), col("n_doc_tokens"))
   }
 
   /** Total token count [[packTokenStream]] would stream for this frame

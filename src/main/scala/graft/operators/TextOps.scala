@@ -361,8 +361,14 @@ object TextOps {
     * deterministic and the oracle replays it with the same nested
     * `regexp_replace` chain. Match counts are measured on the ORIGINAL
     * text (like q46), so they are independent of replacement side
-    * effects. One projection — no shuffle, fully codegen'd; at 100 TB
-    * this is a scan-bound map stage like the rest of TextOps.
+    * effects. Overlap semantics of `n_pii`: it sums independent
+    * per-pattern hit counts, so a substring matching TWO patterns
+    * (e.g. `a@1.2.3.4` hits both the email and IPv4 regexes) counts
+    * twice while the rewrite emits a single placeholder — `n_pii` is
+    * "pattern hits", an upper bound on replaced spans, and the oracle
+    * counts identically so parity is unaffected. One projection — no
+    * shuffle, fully codegen'd; at 100 TB this is a scan-bound map
+    * stage like the rest of TextOps.
     *
     * `denyTerms` must be plain word characters (they are spliced into
     * a word-boundary alternation verbatim). */

@@ -2530,11 +2530,15 @@ object ExtensionQueries {
     * the boundary-respecting variant, q41 the within-doc chunker). The
     * global token offsets come from [[graft.operators.Ranks
     * .withPrefixSum]]'s banded exclusive cumsum — no single-partition
-    * window anywhere in the plan. */
+    * window anywhere in the plan. Output is [[graft.operators.SeqPack
+    * .packTokenStreamRows]]'s per-token row form (seq_id, slot, token):
+    * the driver-verifiable contract carries no within-row ordering for
+    * any engine to scramble (rounds 8 and 10 proved the assembled
+    * `tokens`-string form hash-diverges across DuckDB builds). */
   val q190TokenShards: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
-    SeqPack.packTokenStream(Bpe.encodeTokens(docs, vocab), seqLen = 128)
+    SeqPack.packTokenStreamRows(Bpe.encodeTokens(docs, vocab), seqLen = 128)
   }
 
   /** Curation by LEARNED quality under a token budget — the DCLM
@@ -2574,7 +2578,7 @@ object ExtensionQueries {
       key = col("quality_score_bp"), ascending = false,
       tie = col("doc_id"), outCol = "graft_rank")
       .select(col("doc_id"), col("graft_rank"))
-    SeqPack.packTokenStream(
+    SeqPack.packTokenStreamRows(
       Bpe.encodeTokens(docs, vocab).join(ranked, Seq("doc_id")),
       seqLen = 128, orderKey = col("graft_rank"))
   }
@@ -2596,7 +2600,7 @@ object ExtensionQueries {
     // pack; without the cut the vocab join + token reassembly runs twice
     val enc = Bpe.encodeTokens(docs, vocab).localCheckpoint()
     val off = SeqPack.streamLength(enc.filter(col("doc_id") % 2 === 0))
-    SeqPack.packTokenStream(
+    SeqPack.packTokenStreamRows(
       enc.filter(col("doc_id") % 2 === 1), seqLen = 128, startOffset = off)
   }
 
@@ -2605,15 +2609,17 @@ object ExtensionQueries {
     * LLaMA/T5-style "don't attend across `</s>`" convention): each
     * sequence also reports how many documents contribute tokens and the
     * "slot:doc_id" boundary list (slot 0 = a continuation of a doc the
-    * previous cut split). See [[graft.operators.SeqPack
-    * .packTokenStreamWithBoundaries]] — same banded offsets, the
-    * explode carries doc_id, assembly is a two-level (seq, doc) → seq
-    * aggregate exploiting that documents are contiguous in the
-    * stream. */
+    * previous cut split). Contract shape is [[graft.operators.SeqPack
+    * .packTokenStreamManifest]]'s row set — one (seq_id, first_slot,
+    * doc_id, n_doc_tokens) row per contributing document, min/count
+    * aggregates only, so the driver's row-sorted hash is
+    * order-insensitive by construction; the assembled-string form
+    * ([[graft.operators.SeqPack.packTokenStreamWithBoundaries]])
+    * stays spec-pinned for shard writing. */
   val q194ShardBoundaries: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
-    SeqPack.packTokenStreamWithBoundaries(
+    SeqPack.packTokenStreamManifest(
       Bpe.encodeTokens(docs, vocab), seqLen = 128)
   }
 
@@ -2719,7 +2725,7 @@ object ExtensionQueries {
     val stream = ranked
       .join(Bpe.encodeTokens(docs, vocab), Seq("doc_id"))
       .select(col("ord"), col("tokens"))
-    SeqPack.packTokenStream(stream, seqLen = 128, orderKey = col("ord"))
+    SeqPack.packTokenStreamRows(stream, seqLen = 128, orderKey = col("ord"))
   }
 
   /** Text scrubbing — q46's counting scan turned into the REWRITE
@@ -2844,6 +2850,87 @@ object ExtensionQueries {
         abs(col("score_bp") - 5000L).as("margin_bp"))
       .orderBy(col("margin_bp"), col("doc_id"))
       .limit(25)
+  }
+
+  /** Driver-divergence PROBE 1 of 3 (round-10 VERDICT #2): multi-group
+    * ordered `string_agg(… ORDER BY)` in the oracle, with groups
+    * spanning many documents — the first of the three constructs the
+    * q190-family reds could implicate. The engine side is the proven
+    * sorted-collect_list assembly; the oracle is hand-checkable (ids
+    * ascending within each doc_id%7 class). A red on THIS row and not
+    * the others localizes the driver-DuckDB divergence to plain
+    * ordered aggregation; green documents it as safe. */
+  val q206ProbeOrderedAgg: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy((col("doc_id") % 7).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("k"),
+            col("doc_id").cast("string").as("v")))),
+          x => x.getField("v")), " ").as("ids"))
+
+  /** PROBE 2 of 3: the aggregate → `string_split` → re-unnest →
+    * re-aggregate CHAIN — the r8/r10 oracles' exact assembly shape, in
+    * miniature and with a hand-checkable answer (must equal probe 1's
+    * ids under %5 classes). The engine computes the answer directly;
+    * only the ORACLE walks the chain, so a red here with probe 1 green
+    * indicts the resplit/unnest step specifically. */
+  val q207ProbeAggResplit: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy((col("doc_id") % 5).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("k"),
+            col("doc_id").cast("string").as("v")))),
+          x => x.getField("v")), " ").as("ids"))
+
+  /** PROBE 3 of 3: window-cumsum-over-aggregate feeding a derived-slot
+    * ordered aggregation — the q190 family's offset→slot→assemble
+    * shape with the BPE stages stripped out: per-class counts, an
+    * exclusive window cumsum, positions exploded, re-bucketed by
+    * gpos/16, slots assembled in order. Hand-checkable: every full
+    * bucket reads "0 1 2 … 15". */
+  val q208ProbeWindowCumsum: Q = (s, dir) => {
+    val a = t(s, dir, "documents")
+      .groupBy((col("doc_id") % 7).as("grp"))
+      .agg(count(lit(1)).as("c"))
+    // 7-row frame: the unpartitioned window is class-cardinality-bounded
+    val o = a.withColumn("off",
+      coalesce(sum(col("c")).over(Window.orderBy("grp")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    o.select(explode(sequence(lit(0L), col("c") - 1L)).as("i"), col("off"))
+      .withColumn("gpos", col("off") + col("i"))
+      .groupBy(expr("gpos div 16").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct((col("gpos") % 16).as("slot"),
+            (col("gpos") % 16).cast("string").as("v")))),
+          x => x.getField("v")), " ").as("slots"))
+  }
+
+  /** The TUNED indexed-leg recall audit (round-10 VERDICT #4): q205's
+    * fusion-level overlap@10, with the IVF leg at nprobe 7 — the
+    * smallest config the round-11 DuckDB sweep found clearing ≥9000 bp
+    * fused recall on this corpus (the full curve: nprobe 2-4 → 6000,
+    * 5-6 → 7000, 7 → 10000 bp at sf0.1). The honest scale finding the
+    * sweep surfaced: these synthetic embeddings' labels do NOT align
+    * with cosine geometry, so label-partitioned IVF needs 7 of 10
+    * clusters here — on a real corpus the cluster/geometry alignment
+    * (q153/q205-style audits) must be measured BEFORE trusting a small
+    * nprobe, which is exactly what this row institutionalizes. Output
+    * is self-describing: (k, nprobe, n_common, recall_bp). */
+  val q209HybridRecallTuned: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val leg = Similarity.ivfTopK(e.filter(col("vec_id") === 0), e,
+      Similarity.centroids(e), k = 20, nprobe = 7)
+    val tuned = Retrieval.hybridTopKWithLeg(t(s, dir, "documents"),
+      terms = Seq("spark", "merge", "window"), leg, kLeg = 20, k = 10)
+      .select(col("doc_id").as("ivf_doc_id"))
+    q200HybridRetrieval(s, dir).select(col("doc_id"))
+      .join(tuned, col("doc_id") === col("ivf_doc_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(lit(10L).as("k"), lit(7L).as("nprobe"), col("n_common"),
+        expr("n_common * 10000 div 10").as("recall_bp"))
   }
 
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
@@ -3044,6 +3131,10 @@ object ExtensionQueries {
     "q203_hybrid_ivf" -> q203HybridIvf,
     "q204_boundary_sampling" -> q204BoundarySampling,
     "q205_hybrid_recall" -> q205HybridRecall,
+    "q206_probe_ordered_agg" -> q206ProbeOrderedAgg,
+    "q207_probe_agg_resplit" -> q207ProbeAggResplit,
+    "q208_probe_window_cumsum" -> q208ProbeWindowCumsum,
+    "q209_hybrid_recall_tuned" -> q209HybridRecallTuned,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -3095,6 +3186,41 @@ object ExtensionQueries {
     }
     sb.toString
   }
+
+  /** Per-document BPE token POSITIONS with no ordered aggregation
+    * anywhere — the driver-stable replacement for the r8/r10
+    * assemble-then-resplit chain (`string_agg(… ORDER BY)` →
+    * `string_split` → re-unnest), the construct whose within-group
+    * order the driver's DuckDB scrambled two rounds running: every
+    * word's symbol list (q187's tw ⋈ w6 join) unnests WITH its
+    * ordinal, the `</s>` separator appends as a max-pos row, and the
+    * within-doc token position is a ROW_NUMBER window over (pos, sub)
+    * — windows, unlike in-aggregate ORDER BY, are version-stable.
+    * Assumes `bpeOracleCtes(6)` precedes (defines w6). Emits
+    * tp(doc_id, tok, dpos) and dl(doc_id, len). */
+  private val tokPosCtes: String =
+    """,
+      | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+      |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+      |            i -> struct_pack(pos := i, w := s[i]))) AS t
+      |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
+      | sy AS (SELECT tw.doc_id, tw.pos,
+      |               coalesce(v.syms, string_split(tw.w, '')) AS syms
+      |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
+      |        WHERE tw.w <> ''),
+      | tt AS (SELECT doc_id, pos, t.sub AS sub, t.tok AS tok FROM (
+      |        SELECT doc_id, pos, unnest(list_transform(range(1, len(syms) + 1),
+      |               i -> struct_pack(sub := i, tok := syms[i]))) AS t
+      |        FROM sy)
+      |        UNION ALL
+      |        SELECT DISTINCT doc_id, 2147483647 AS pos, 1 AS sub, '</s>' AS tok
+      |        FROM sy),
+      | tp AS (SELECT doc_id, tok,
+      |               ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                                  ORDER BY pos, sub) - 1 AS dpos
+      |        FROM tt),
+      | dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+      |        FROM tt GROUP BY doc_id)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Bpe.learnBatched]]'s batched
     * recurrence: per round, rank the pair counts, keep the top `pool`,
@@ -6426,37 +6552,22 @@ object ExtensionQueries {
     // margin/sigmoid/gradient/weight rounding convention, and the
     // final sigmoid scored per document — see lrOracle
     "q189_quality_model" -> lrOracle,
-    // tokenize under the learned vocab (q187's tw/w6 join), append the
-    // </s> separator, global exclusive offsets via a window cumsum
-    // (the oracle MAY use the single-partition window the engine
-    // avoids), then cut exact 128-token sequences
-    "q190_token_shards" -> (bpeOracleCtes(6) +
+    // tokenize under the learned vocab, token positions from
+    // tokPosCtes' ROW_NUMBER windows (NO ordered aggregation — the
+    // r8/r10 driver-divergence construct is gone), global exclusive
+    // offsets via a window cumsum, then pure arithmetic to per-token
+    // (seq_id, slot, token) rows: the driver sorts rows before
+    // hashing, so this shape is order-insensitive in ANY DuckDB
+    "q190_token_shards" -> (bpeOracleCtes(6) + tokPosCtes +
       """,
-        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
-        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
-        |            i -> struct_pack(pos := i, w := s[i]))) AS t
-        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
-        | dt AS (SELECT tw.doc_id,
-        |               string_split(
-        |                 string_agg(array_to_string(coalesce(v.syms,
-        |                     string_split(tw.w, '')), ' '), ' '
-        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
-        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
-        |        WHERE tw.w <> ''
-        |        GROUP BY tw.doc_id),
-        | o AS (SELECT doc_id, toks,
-        |              coalesce(sum(len(toks)) OVER (ORDER BY doc_id
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |                0) AS off
-        |       FROM dt),
-        | tok AS (SELECT (off + t.i - 1) // 128 AS seq_id,
-        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
-        |           SELECT off, unnest(list_transform(range(1, len(toks) + 1),
-        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
-        |           FROM o))
-        | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |        string_agg(tok, ' ' ORDER BY slot) AS tokens
-        | FROM tok GROUP BY seq_id""".stripMargin),
+        | o AS (SELECT doc_id,
+        |          CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS off
+        |       FROM dl)
+        | SELECT (o.off + tp.dpos) // 128 AS seq_id,
+        |        (o.off + tp.dpos) % 128 AS slot, tp.tok AS token
+        | FROM tp JOIN o USING (doc_id)""".stripMargin),
     // the full LR replay (training CTEs shared with q189) feeding
     // q162's budget-cut shape: score every doc with the learned
     // sigmoid, keep the best prefix within 25% of corpus words
@@ -6480,21 +6591,9 @@ object ExtensionQueries {
     // q190's tokenize-and-cut, with the stream ordered by the q21
     // composite quality score (desc, doc_id tiebreak) — the oracle
     // ranks with the single-partition window the engine's banded
-    // rank machinery avoids
-    "q192_curriculum_shards" -> (bpeOracleCtes(6) +
+    // rank machinery avoids; same per-token row shape as q190
+    "q192_curriculum_shards" -> (bpeOracleCtes(6) + tokPosCtes +
       """,
-        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
-        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
-        |            i -> struct_pack(pos := i, w := s[i]))) AS t
-        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
-        | dt AS (SELECT tw.doc_id,
-        |               string_split(
-        |                 string_agg(array_to_string(coalesce(v.syms,
-        |                     string_split(tw.w, '')), ' '), ' '
-        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
-        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
-        |        WHERE tw.w <> ''
-        |        GROUP BY tw.doc_id),
         | sc AS (SELECT doc_id,
         |               CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
         |                 + least(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b')) AS DOUBLE)
@@ -6505,92 +6604,47 @@ object ExtensionQueries {
         | rk AS (SELECT doc_id,
         |               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
         |        FROM sc),
-        | o AS (SELECT dt.doc_id, dt.toks,
-        |              coalesce(sum(len(dt.toks)) OVER (ORDER BY rk.rnk
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |                0) AS off
-        |       FROM dt JOIN rk ON rk.doc_id = dt.doc_id),
-        | tok AS (SELECT (off + t.i - 1) // 128 AS seq_id,
-        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
-        |           SELECT off, unnest(list_transform(range(1, len(toks) + 1),
-        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
-        |           FROM o))
-        | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |        string_agg(tok, ' ' ORDER BY slot) AS tokens
-        | FROM tok GROUP BY seq_id""".stripMargin),
+        | o AS (SELECT rk.doc_id,
+        |          CAST(coalesce(sum(dl.len) OVER (ORDER BY rk.rnk
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS off
+        |       FROM rk JOIN dl ON dl.doc_id = rk.doc_id)
+        | SELECT (o.off + tp.dpos) // 128 AS seq_id,
+        |        (o.off + tp.dpos) % 128 AS slot, tp.tok AS token
+        | FROM tp JOIN o USING (doc_id)""".stripMargin),
     // q190's tokenize-and-cut over the ODD-doc_id batch only, with
     // every global position shifted by the EVEN-doc_id batch's total
     // token count (per-doc tokens + one </s> each) — the incremental
     // daily-append offset arithmetic of SeqPack.packTokenStream's
     // startOffset
-    "q193_incremental_shards" -> (bpeOracleCtes(6) +
+    "q193_incremental_shards" -> (bpeOracleCtes(6) + tokPosCtes +
       """,
-        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
-        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
-        |            i -> struct_pack(pos := i, w := s[i]))) AS t
-        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
-        | dt AS (SELECT tw.doc_id,
-        |               string_split(
-        |                 string_agg(array_to_string(coalesce(v.syms,
-        |                     string_split(tw.w, '')), ' '), ' '
-        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
-        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
-        |        WHERE tw.w <> ''
-        |        GROUP BY tw.doc_id),
-        | off0 AS (SELECT coalesce(CAST(sum(len(toks)) AS BIGINT), 0) AS off0
-        |          FROM dt WHERE doc_id % 2 = 0),
-        | o AS (SELECT doc_id, toks,
-        |              off0.off0 + coalesce(sum(len(toks)) OVER (ORDER BY doc_id
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |                0) AS off
-        |       FROM dt, off0 WHERE doc_id % 2 = 1),
-        | tok AS (SELECT (off + t.i - 1) // 128 AS seq_id,
-        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
-        |           SELECT off, unnest(list_transform(range(1, len(toks) + 1),
-        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
-        |           FROM o))
-        | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |        string_agg(tok, ' ' ORDER BY slot) AS tokens
-        | FROM tok GROUP BY seq_id""".stripMargin),
-    // q190's tokenize-and-cut with the explode carrying doc_id, plus
-    // two aggregates joined on seq_id: the token assembly and the
-    // per-(seq, doc) min-slot boundary manifest
-    "q194_shard_boundaries" -> (bpeOracleCtes(6) +
+        | off0 AS (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) AS off0
+        |          FROM dl WHERE doc_id % 2 = 0),
+        | o AS (SELECT doc_id,
+        |          off0.off0 + CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS off
+        |       FROM dl, off0 WHERE doc_id % 2 = 1)
+        | SELECT (o.off + tp.dpos) // 128 AS seq_id,
+        |        (o.off + tp.dpos) % 128 AS slot, tp.tok AS token
+        | FROM tp JOIN o USING (doc_id)""".stripMargin),
+    // q190's cut with the rows carrying doc_id, reduced to the
+    // per-(seq, doc) manifest: min-slot + token count — unordered
+    // aggregates only, row-sorted-hash stable by construction
+    "q194_shard_boundaries" -> (bpeOracleCtes(6) + tokPosCtes +
       """,
-        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
-        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
-        |            i -> struct_pack(pos := i, w := s[i]))) AS t
-        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
-        | dt AS (SELECT tw.doc_id,
-        |               string_split(
-        |                 string_agg(array_to_string(coalesce(v.syms,
-        |                     string_split(tw.w, '')), ' '), ' '
-        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
-        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
-        |        WHERE tw.w <> ''
-        |        GROUP BY tw.doc_id),
-        | o AS (SELECT doc_id, toks,
-        |              coalesce(sum(len(toks)) OVER (ORDER BY doc_id
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |                0) AS off
-        |       FROM dt),
-        | tok AS (SELECT doc_id, (off + t.i - 1) // 128 AS seq_id,
-        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
-        |           SELECT doc_id, off,
-        |                  unnest(list_transform(range(1, len(toks) + 1),
-        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
-        |           FROM o)),
-        | s1 AS (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |               string_agg(tok, ' ' ORDER BY slot) AS tokens
-        |        FROM tok GROUP BY seq_id),
-        | s2 AS (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
-        |               string_agg(bslot || ':' || doc_id, ' '
-        |                          ORDER BY bslot) AS boundaries
-        |        FROM (SELECT seq_id, doc_id, min(slot) AS bslot
-        |              FROM tok GROUP BY seq_id, doc_id)
-        |        GROUP BY seq_id)
-        | SELECT s1.seq_id, s1.n_tokens, s1.tokens, s2.n_docs, s2.boundaries
-        | FROM s1 JOIN s2 USING (seq_id)""".stripMargin),
+        | o AS (SELECT doc_id,
+        |          CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS off
+        |       FROM dl),
+        | tr AS (SELECT tp.doc_id, (o.off + tp.dpos) // 128 AS seq_id,
+        |               (o.off + tp.dpos) % 128 AS slot
+        |        FROM tp JOIN o USING (doc_id))
+        | SELECT seq_id, CAST(min(slot) AS BIGINT) AS first_slot, doc_id,
+        |        CAST(count(*) AS BIGINT) AS n_doc_tokens
+        | FROM tr GROUP BY seq_id, doc_id""".stripMargin),
     // q179's oracle VERBATIM: learnDelta must reproduce the
     // recount-from-scratch recurrence exactly, so the same SQL gates it
     "q195_bpe_delta" -> (bpeOracleCtes(6) + "\n " +
@@ -6639,20 +6693,8 @@ object ExtensionQueries {
     // epoch-major shuffle: ORDER BY (copy, 12 md5 hex chars, doc_id)
     // replays the engine's single bigint key copy*2^48 + hex48 exactly
     // (fixed-width lowercase hex orders identically as string and value)
-    "q198_training_order" -> (bpeOracleCtes(6) +
+    "q198_training_order" -> (bpeOracleCtes(6) + tokPosCtes +
       """,
-        | tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
-        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
-        |            i -> struct_pack(pos := i, w := s[i]))) AS t
-        |     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))),
-        | dt AS (SELECT tw.doc_id,
-        |               string_split(
-        |                 string_agg(array_to_string(coalesce(v.syms,
-        |                     string_split(tw.w, '')), ' '), ' '
-        |                   ORDER BY tw.pos) || ' </s>', ' ') AS toks
-        |        FROM tw LEFT JOIN w6 v ON v.w = tw.w
-        |        WHERE tw.w <> ''
-        |        GROUP BY tw.doc_id),
         | mix AS (SELECT doc_id,
         |           CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
         |                     WHEN 'es' THEN 0 ELSE 1 END
@@ -6668,19 +6710,14 @@ object ExtensionQueries {
         |            substr(md5('graft-shuffle198:' || CAST(doc_id AS VARCHAR)), 1, 12),
         |            doc_id) AS ord
         |        FROM cp),
-        | o AS (SELECT rk.ord, dt.toks,
-        |         coalesce(sum(len(dt.toks)) OVER (ORDER BY rk.ord
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |           0) AS off
-        |       FROM rk JOIN dt ON dt.doc_id = rk.doc_id),
-        | tok AS (SELECT (off + t.i - 1) // 128 AS seq_id,
-        |                (off + t.i - 1) % 128 AS slot, t.tok AS tok FROM (
-        |           SELECT off, unnest(list_transform(range(1, len(toks) + 1),
-        |                  i -> struct_pack(i := i, tok := toks[i]))) AS t
-        |           FROM o))
-        | SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |        string_agg(tok, ' ' ORDER BY slot) AS tokens
-        | FROM tok GROUP BY seq_id""".stripMargin),
+        | o AS (SELECT rk.ord, rk.doc_id,
+        |          CAST(coalesce(sum(dl.len) OVER (ORDER BY rk.ord
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS off
+        |       FROM rk JOIN dl ON dl.doc_id = rk.doc_id)
+        | SELECT (o.off + tp.dpos) // 128 AS seq_id,
+        |        (o.off + tp.dpos) % 128 AS slot, tp.tok AS token
+        | FROM o JOIN tp ON tp.doc_id = o.doc_id""".stripMargin),
     // q46's proven regex dialect; replacements nest in the engine's
     // fixed order (email -> phone -> ip -> deny), counts on the
     // ORIGINAL text
@@ -6873,8 +6910,63 @@ object ExtensionQueries {
         |ORDER BY margin_bp, doc_id LIMIT 25""".stripMargin),
     // the q200 and q203 oracle stacks composed once each (shared BM25
     // leg), intersected at k=10 — the fused-ranking recall audit
-    "q205_hybrid_recall" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    "q205_hybrid_recall" -> hybridRecallOracle(nprobe = 2, emitNprobe = false),
+    // the TUNED indexed leg (round-11 sweep): same replay at nprobe 7,
+    // the smallest config clearing >= 9000 bp fused recall on testdata
+    "q209_hybrid_recall_tuned" ->
+      hybridRecallOracle(nprobe = 7, emitNprobe = true),
+    // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
+    // string_agg — groups span many docs; hand-checkable (ids ascend)
+    "q206_probe_ordered_agg" ->
+      """SELECT doc_id % 7 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |       string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS ids
+        |FROM documents GROUP BY 1""".stripMargin,
+    // PROBE 2: the aggregate → string_split → re-unnest → re-aggregate
+    // chain the r8/r10 shard oracles used, in miniature — must equal
+    // probe 1's answer under %5 classes
+    "q207_probe_agg_resplit" ->
+      """WITH a AS (SELECT doc_id % 5 AS grp,
+        |                  string_agg(CAST(doc_id AS VARCHAR), ' '
+        |                             ORDER BY doc_id) AS s
+        |           FROM documents GROUP BY 1),
+        | u AS (SELECT grp, t.i AS i, t.v AS v FROM (
+        |        SELECT grp, unnest(list_transform(
+        |            range(1, len(string_split(s, ' ')) + 1),
+        |            i -> struct_pack(i := i, v := string_split(s, ' ')[i]))) AS t
+        |        FROM a))
+        | SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |        string_agg(v, ' ' ORDER BY i) AS ids
+        | FROM u GROUP BY grp""".stripMargin,
+    // PROBE 3: window-cumsum-over-aggregate feeding a derived-slot
+    // ordered aggregation — the q190 family's offset→slot→assemble
+    // shape minus BPE; every full bucket must read "0 1 2 … 15"
+    "q208_probe_window_cumsum" ->
+      """WITH a AS (SELECT doc_id % 7 AS grp, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1),
+        | o AS (SELECT grp, c,
+        |          CAST(coalesce(sum(c) OVER (ORDER BY grp
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS off
+        |       FROM a),
+        | t AS (SELECT off + u AS gpos
+        |       FROM (SELECT off, unnest(range(0, c)) AS u FROM o))
+        | SELECT gpos // 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |        string_agg(CAST(gpos % 16 AS VARCHAR), ' '
+        |                   ORDER BY gpos % 16) AS slots
+        | FROM t GROUP BY 1""".stripMargin,
+  )
+
+  /** The q205 fused-recall replay (q200's brute-leg hybrid ∩ the
+    * indexed-leg hybrid at k=10, shared BM25 leg) parameterized by the
+    * IVF leg's `nprobe` — shared by the shipped nprobe-2 audit (q205,
+    * the q203 default's honest divergence) and the tuned config the
+    * round-11 sweep picked (q209, `emitNprobe` adds the config column
+    * so the row is self-describing). */
+  private def hybridRecallOracle(nprobe: Int, emitNprobe: Boolean): String = {
+    val npCol =
+      if (emitNprobe) s"\n        |       CAST($nprobe AS BIGINT) AS nprobe,"
+      else ""
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |              FROM documents),
         | dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
         |        FROM documents),
@@ -6919,7 +7011,7 @@ object ExtensionQueries {
         |              ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
         |                       c.label) AS prn
         |     FROM q, cent c)
-        |   WHERE prn <= 2),
+        |   WHERE prn <= $nprobe),
         | si AS (SELECT e.vec_id, round(list_cosine_similarity(p.qv, e.v), 6) AS sim
         |        FROM probes p JOIN e ON e.label = p.probe_label),
         | cri AS (SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS cos_rank FROM (
@@ -6937,11 +7029,11 @@ object ExtensionQueries {
         |        ORDER BY round(coalesce(1.0 / (60 + bm25_rank), 0)
         |                     + coalesce(1.0 / (60 + cos_rank), 0), 6) DESC,
         |                 coalesce(br.doc_id, cri.doc_id) LIMIT 10)
-        |SELECT CAST(10 AS BIGINT) AS k,
+        |SELECT CAST(10 AS BIGINT) AS k,$npCol
         |       CAST(count(*) AS BIGINT) AS n_common,
         |       CAST(count(*) * 10000 // 10 AS BIGINT) AS recall_bp
-        |FROM fb JOIN fi USING (doc_id)""".stripMargin,
-  )
+        |FROM fb JOIN fi USING (doc_id)""".stripMargin
+  }
 
   /** Gradient steps / learning rate the q189 oracle replays — must
     * match the q189QualityModel call. */

@@ -61,7 +61,12 @@ object IngestDoor {
   def admittedPath(root: String): String = s"$root/admitted"
 
   /** One micro-batch through the whole door. Idempotent per
-    * (batch, id). `batch`: (doc_id, text). */
+    * (batch, id). `batch`: (doc_id, text). `compactEvery` /
+    * `compactTargetBytes` plumb straight through to
+    * [[StreamingIncrementalDedup.applyBatch]]'s corpus + band-index
+    * compaction — a long-running door otherwise accumulates one small
+    * parquet file set per batch forever (default 0 keeps compaction
+    * off, matching the dedup stage's own default). */
   def applyBatch(
       batch: DataFrame, id: Long, root: String,
       denyTerms: Seq[String],
@@ -69,7 +74,9 @@ object IngestDoor {
       vocab: DataFrame,
       seqLen: Int,
       nGram: Int = 6,
-      threshold: Double = 0.5): Unit = {
+      threshold: Double = 0.5,
+      compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L << 20): Unit = {
     val spark = batch.sparkSession
     val stable = batch.localCheckpoint()
     // 1. guard vs the frozen eval artifact — on RAW text (see class
@@ -90,7 +97,9 @@ object IngestDoor {
     val anyGuarded = guarded.limit(1).count() > 0
     if (anyGuarded)
       StreamingIncrementalDedup.applyBatch(
-        guarded, id, corpusPath(root), threshold)
+        guarded, id, corpusPath(root), threshold,
+        compactEvery = compactEvery,
+        compactTargetBytes = compactTargetBytes)
     // 4. pack the batch's ADMITTED docs — corpus membership minus
     // everything an EARLIER batch already admitted (the door's own
     // log), so a same-batch replay packs the same set and a later
@@ -145,14 +154,16 @@ object IngestDoor {
       seqLen: Int,
       nGram: Int = 6,
       threshold: Double = 0.5,
-      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+      compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L << 20): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, root, denyTerms, evalGrams, bloomBytes,
-          vocab, seqLen, nGram, threshold)
+          vocab, seqLen, nGram, threshold, compactEvery, compactTargetBytes)
         ()
       }
       .start()

@@ -233,6 +233,57 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(x => (x._1, x._2, x._3)) === plain)
   }
 
+  test("packTokenStreamRows: re-aggregating the row form rebuilds the string form") {
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d")),
+      (3L, Seq("e", "f", "g", "h", "i")),
+      (4L, Seq("j")))
+      .toDF("doc_id", "tokens")
+    val rows = SeqPack.packTokenStreamRows(d, seqLen = 4)
+      .as[(Long, Long, String)].collect().toSeq
+    // (seq_id, slot) is a key: every slot of the stream filled exactly once
+    assert(rows.map(r => (r._1, r._2)).distinct.size === rows.size)
+    val rebuilt = rows.groupBy(_._1).map { case (sid, rs) =>
+      (sid, rs.size.toLong, rs.sortBy(_._2).map(_._3).mkString(" "))
+    }.toSeq.sortBy(_._1)
+    val want = SeqPack.packTokenStream(d, seqLen = 4)
+      .select("seq_id", "n_tokens", "tokens")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rebuilt === want)
+  }
+
+  test("packTokenStreamManifest: exactly withBoundaries' manifest, decomposed") {
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d")),
+      (3L, Seq("e", "f", "g", "h", "i")),
+      (4L, Seq("j")))
+      .toDF("doc_id", "tokens")
+    val got = SeqPack.packTokenStreamManifest(d, seqLen = 4)
+      .select("seq_id", "first_slot", "doc_id", "n_doc_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // stream: a b c </s> | d </s> e f | g h i </s> | j </s>
+    assert(got === Seq(
+      (0L, 0L, 1L, 4L),
+      (1L, 0L, 2L, 2L), (1L, 2L, 3L, 2L),
+      (2L, 0L, 3L, 4L),
+      (3L, 0L, 4L, 2L)))
+    // law vs the assembled form: same (seq, first_slot:doc) pairs, and
+    // per-seq token counts sum back to the string form's n_tokens
+    val wb = SeqPack.packTokenStreamWithBoundaries(d, seqLen = 4)
+      .select("seq_id", "n_tokens", "boundaries")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val fromWb = wb.flatMap { case (sid, _, b) =>
+      b.split(" ").map { p =>
+        val Array(slot, doc) = p.split(":"); (sid, slot.toLong, doc.toLong)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._2, r._3)) === fromWb)
+    assert(got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap ===
+      wb.map(r => (r._1, r._2)).toMap)
+  }
+
   test("packTokenStream: a sparse wide orderKey packs identically (auto bands)") {
     val d = Seq(
       (1L, Seq("a", "b", "c")),

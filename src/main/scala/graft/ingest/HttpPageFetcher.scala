@@ -1,0 +1,55 @@
+package graft.ingest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** The real HTTP transport behind [[PageFetcher]] — the committed form
+  * of the README recipe (S1-S3; reference transport: main.py:64-67
+  * listing/replay GETs, functions.py:14-16 JSON GET). Built on JDK 17's
+  * `java.net.http.HttpClient`, so the engine gains live acquisition
+  * with zero added dependencies.
+  *
+  * URL scheme mirrors the reference site layout exactly:
+  * `base/games/` (listing), `base/games/<id>/` (stats page),
+  * `base/games/<id>/data/` (JSON payload).
+  *
+  * Transport contract (see [[PageFetcher]]): ONLY a 200 body is a
+  * page; any non-200 status, timeout, or connection failure reads as
+  * `None` — "unavailable this tick", a skipped poll, never a crash
+  * (the reference's raise_for_status kills its whole loop on a blip;
+  * a streaming source must not). Error PAGES served with 200 (the
+  * stats site's is_404 body) remain content and flow to
+  * [[ReplayHtml.validPages]]'s gate, same as the file-backed double.
+  *
+  * Serialization: the client is driver-side state (`@transient lazy`),
+  * so the class can ride inside closures ([[PageFetcher.fetchFn]] /
+  * [[PageFetcher.listingPoller]]) like [[DirectoryPageFetcher]] does —
+  * each deserialized copy lazily builds its own client.
+  *
+  * This class is spec-driven against an in-process HTTP stub
+  * (`HttpTransportSpec`); the sandbox has no egress, so the live site
+  * is exercised by construction, not by a recorded call.
+  */
+class HttpPageFetcher(base: String, timeoutMs: Long = 10000)
+    extends PageFetcher with Serializable {
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(timeoutMs))
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  /** One GET; `None` on any status != 200 or any transport exception. */
+  private[ingest] def get(url: String): Option[String] =
+    try {
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() == 200) Some(resp.body()) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def listing(): Option[String] = get(s"$base/games/")
+  def replayHtml(id: Int): Option[String] = get(s"$base/games/$id/")
+  def replayJson(id: Int): Option[String] = get(s"$base/games/$id/data/")
+}

@@ -1,0 +1,137 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** S6 — the Twitch REST surface the reference bot polls
+  * (bot/botrun.py:21-32 client-credentials auth, :72-78 live-stream
+  * probe, :84-102 users + recent-clips probe), as a seam + a real
+  * JDK-HttpClient implementation.
+  *
+  * The trait is what [[graft.pipeline.TwitchBotLoop]] consumes; the
+  * HTTP class is the deployment adapter, spec-driven against an
+  * in-process stub server (the sandbox has no egress — same discipline
+  * as [[HttpPageFetcher]]).
+  */
+trait TwitchApi {
+
+  /** botrun.py:72-78: the live-stream payload if `channel` is live
+    * (`data[0].type == "live"`), else `None` — API errors and
+    * offline both read as "not live", exactly like the reference's
+    * IndexError/KeyError → False. */
+  def streamOnline(channel: String): Option[TwitchApi.StreamInfo]
+
+  /** botrun.py:84-102: clips created since `startedAtIso` (the caller
+    * passes now−2min, RFC3339), newest API page, max `first`. An
+    * unresolvable channel or API error is an empty list. */
+  def recentClips(channel: String, startedAtIso: String,
+      first: Int = 10): Seq[TwitchApi.ClipInfo]
+}
+
+object TwitchApi {
+  /** The three stream fields the bot renders (botrun.py:260-269). */
+  case class StreamInfo(gameName: String, title: String, thumbnailUrl: String)
+
+  /** The four clip fields the bot stores + renders (botrun.py:286-291,
+    * 235-238). */
+  case class ClipInfo(id: String, url: String, creatorName: String,
+      title: String)
+}
+
+/** Helix implementation. `authBase`/`apiBase` default to Twitch's
+  * public endpoints and are injectable so the spec can stand up a
+  * local double.
+  *
+  * Auth follows the reference exactly (botrun.py:21-26): one
+  * client-credentials POST to `authBase/oauth2/token`, the bearer
+  * token cached for the process lifetime; a 401 on any call refreshes
+  * it once and retries (the reference never refreshes — its token
+  * simply outlives the process; a long-running loop needs the
+  * refresh). */
+class HttpTwitchApi(
+    clientId: String,
+    clientSecret: String,
+    authBase: String = "https://id.twitch.tv",
+    apiBase: String = "https://api.twitch.tv",
+    timeoutMs: Long = 10000) extends TwitchApi {
+
+  private val mapper = new ObjectMapper()
+  private val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+  @volatile private var token: Option[String] = None
+
+  private def post(url: String): Option[JsonNode] =
+    try {
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .POST(HttpRequest.BodyPublishers.noBody()).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() == 200) Some(mapper.readTree(resp.body())) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** botrun.py:23-26: POST oauth2/token, read access_token. */
+  private def fetchToken(): Option[String] =
+    post(s"$authBase/oauth2/token?client_id=$clientId" +
+        s"&client_secret=$clientSecret&grant_type=client_credentials")
+      .flatMap(n => Option(n.get("access_token")).map(_.asText()))
+
+  /** Authorized GET with one 401-refresh retry; `None` on any other
+    * failure. */
+  private def getJson(url: String, retried: Boolean = false): Option[JsonNode] = {
+    val t = token.orElse { token = fetchToken(); token }
+    t.flatMap { bearer =>
+      try {
+        val req = HttpRequest.newBuilder(URI.create(url))
+          .timeout(Duration.ofMillis(timeoutMs))
+          .header("Client-Id", clientId)
+          .header("Authorization", s"Bearer $bearer")
+          .GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 200) Some(mapper.readTree(resp.body()))
+        else if (resp.statusCode() == 401 && !retried) {
+          token = None; getJson(url, retried = true)
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  private def str(n: JsonNode, key: String): String =
+    Option(n.get(key)).map(_.asText()).getOrElse("")
+
+  def streamOnline(channel: String): Option[TwitchApi.StreamInfo] =
+    getJson(s"$apiBase/helix/streams?user_login=$channel")
+      .flatMap { n =>
+        val data = n.get("data")
+        if (data != null && data.size() > 0 &&
+            str(data.get(0), "type") == "live")
+          Some(TwitchApi.StreamInfo(
+            gameName = str(data.get(0), "game_name"),
+            title = str(data.get(0), "title"),
+            thumbnailUrl = str(data.get(0), "thumbnail_url")))
+        else None
+      }
+
+  def recentClips(channel: String, startedAtIso: String,
+      first: Int = 10): Seq[TwitchApi.ClipInfo] = {
+    val id = getJson(s"$apiBase/helix/users?login=$channel").flatMap { n =>
+      val data = n.get("data")
+      if (data != null && data.size() > 0) Some(str(data.get(0), "id"))
+      else None
+    }
+    id.flatMap { cid =>
+      getJson(s"$apiBase/helix/clips?broadcaster_id=$cid" +
+          s"&first=$first&started_at=$startedAtIso")
+        .map { n =>
+          val data = n.get("data")
+          if (data == null) Seq.empty
+          else (0 until data.size()).map { i =>
+            val c = data.get(i)
+            TwitchApi.ClipInfo(str(c, "id"), str(c, "url"),
+              str(c, "creator_name"), str(c, "title"))
+          }
+        }
+    }.getOrElse(Seq.empty)
+  }
+}

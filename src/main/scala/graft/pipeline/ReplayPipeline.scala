@@ -100,6 +100,18 @@ class ReplayPipeline(spark: SparkSession, store: TableStore) {
     * crash-recovery drain of M messages pay M full scans), then sent
     * and flagged row by row with the same crash semantics. Returns the
     * number of messages sent. */
+  /** One tick of the reference's check_replay loop (botrun.py:295-309):
+    * at most ONE unposted message per tick — the reference's `LIMIT 1`
+    * cadence, where [[deliverUnposted]] is the crash-recovery drain.
+    * Same at-least-once discipline: the flag is set only AFTER the
+    * send. Returns whether a message went out. */
+  def deliverNext(sender: graft.message.MessageSender): Boolean =
+    nextUnposted() match {
+      case Some((replay, text)) =>
+        sender.send(replay, text); store.markPosted(replay); true
+      case None => false
+    }
+
   def deliverUnposted(sender: graft.message.MessageSender): Int = {
     val backlog = store.read("messages")
       .filter(!(col("posted") <=> true))

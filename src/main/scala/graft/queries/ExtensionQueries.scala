@@ -2933,6 +2933,17 @@ object ExtensionQueries {
         expr("n_common * 10000 div 10").as("recall_bp"))
   }
 
+  /** Multimodal perceptual near-dup (round-10 VERDICT #7): the frame
+    * seam composed with LSH banding — [[graft.operators.Multimodal
+    * .frameSignatures]]'s 60-bit average-hash per sampled full frame,
+    * 2×30-bit band bucket join, popcount verify at Hamming ≤ 1
+    * (pigeonhole-exact recall), rolled up per document pair. The
+    * first-class dedup row q136's byte-exact form was missing: frames
+    * that differ by one perceptual bit now pair. */
+  val q210FramePhash: Q = (s, dir) =>
+    Multimodal.phashNearDupPairs(
+      Multimodal.toMedia(t(s, dir, "documents")), frameBytes = 64, stride = 2)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3135,6 +3146,7 @@ object ExtensionQueries {
     "q207_probe_agg_resplit" -> q207ProbeAggResplit,
     "q208_probe_window_cumsum" -> q208ProbeWindowCumsum,
     "q209_hybrid_recall_tuned" -> q209HybridRecallTuned,
+    "q210_frame_phash" -> q210FramePhash,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6915,6 +6927,45 @@ object ExtensionQueries {
     // the smallest config clearing >= 9000 bp fused recall on testdata
     "q209_hybrid_recall_tuned" ->
       hybridRecallOracle(nprobe = 7, emitNprobe = true),
+    // q136's hex-frame CTEs extended to the perceptual path: byte
+    // values from hex digits (strpos arithmetic — DuckDB has no blob
+    // indexing), the 60-bit average-hash as an integer-exact CASE sum,
+    // 2x30-bit banding, popcount-verified pairs, per-doc-pair rollup
+    "q210_frame_phash" ->
+      """WITH b AS (SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS h,
+        |                  octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        | fr AS (SELECT doc_id, i AS fi,
+        |               substr(h, CAST(i * 128 + 1 AS BIGINT), 128) AS fh
+        |        FROM (SELECT doc_id, h, unnest(range(0, (n + 63) // 64)) AS i
+        |              FROM b)
+        |        WHERE i % 2 = 0),
+        | sg AS (SELECT doc_id, fi,
+        |          list_transform(range(0, 60), j ->
+        |            CAST(strpos('0123456789ABCDEF',
+        |                        substr(fh, CAST(j*2+1 AS BIGINT), 1)) * 16
+        |               + strpos('0123456789ABCDEF',
+        |                        substr(fh, CAST(j*2+2 AS BIGINT), 1))
+        |               - 17 AS BIGINT)) AS bytes
+        |        FROM fr WHERE len(fh) = 128),
+        | sig AS (SELECT doc_id, fi,
+        |           list_sum(list_transform(range(0, 60), j ->
+        |             CASE WHEN bytes[CAST(j+1 AS INT)] * 60 > list_sum(bytes)
+        |                  THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+        |                  ELSE 0 END)) AS sig
+        |         FROM sg),
+        | band AS (SELECT doc_id, fi, sig, b,
+        |                 (sig >> CAST(b*30 AS INT)) & 1073741823 AS key
+        |          FROM sig, (SELECT unnest(range(0, 2)) AS b)),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.fi AS fa, a.sig AS sa,
+        |                 c.doc_id AS doc_b, c.fi AS fb, c.sig AS sb
+        |          FROM band a JOIN band c USING (b, key)
+        |          WHERE a.doc_id < c.doc_id),
+        | ver AS (SELECT doc_a, doc_b,
+        |                CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hd
+        |         FROM cand WHERE bit_count(xor(sa, sb)) <= 1)
+        | SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_frame_pairs,
+        |        CAST(min(hd) AS BIGINT) AS min_hamming
+        | FROM ver GROUP BY doc_a, doc_b""".stripMargin,
     // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
     // string_agg — groups span many docs; hand-checkable (ids ascend)
     "q206_probe_ordered_agg" ->

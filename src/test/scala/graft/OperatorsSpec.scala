@@ -372,6 +372,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Seq((0L, "d </s> a"), (1L, "b c </s>")))
   }
 
+  test("frame phash: bit = byte above frame mean; 1-bit perturbation pairs, tails don't sign") {
+    // doc 1: first 60 bytes = 30 zeros then 30 hundreds (mean 50), so
+    // exactly bits 30..59 set (strict >); the threshold gap is wide
+    // enough that a single-byte bump can't flip any OTHER bit through
+    // the mean shift (the subtlety a naive 0..63 ramp fixture trips on)
+    val f1 = (Array.fill(30)(0.toByte) ++ Array.fill(30)(100.toByte) ++
+      Array.fill(4)(0.toByte))
+    // doc 2: byte 0 bumped to 98 — above the shifted mean (~51.6),
+    // while 0s stay below and 100s above → exactly bit 0 flips
+    val f2 = f1.clone(); f2(0) = 98.toByte
+    // doc 3: unrelated constant-ish frame + a 10-byte tail (tail must
+    // NOT produce a signature row)
+    val f3 = Array.fill(64)(7.toByte) ++ Array.fill(10)(9.toByte)
+    val media = Seq(
+      (1L, f1, "application/octet-stream"),
+      (2L, f2, "application/octet-stream"),
+      (3L, f3, "application/octet-stream"))
+      .toDF("doc_id", "payload", "media_type")
+    val sigs = Multimodal.frameSignatures(media, frameBytes = 64, stride = 2)
+      .collect().map(s => (s.doc_id, s.frame_idx) -> s.sig).toMap
+    assert(sigs.keySet === Set((1L, 0), (2L, 0), (3L, 0))) // no tail row
+    val expected1 = (30 until 60).map(1L << _).sum
+    assert(sigs((1L, 0)) === expected1)
+    assert(java.lang.Long.bitCount(sigs((1L, 0)) ^ sigs((2L, 0))) === 1)
+    assert(sigs((3L, 0)) === 0L) // constant frame: nothing above mean
+    val pairs = Multimodal.phashNearDupPairs(media, frameBytes = 64, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1L, 1L))) // only the 1-bit pair
+  }
+
   test("simhash nearDupPairs: identical docs pair at hamming 0, unrelated don't") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -2944,6 +2944,39 @@ object ExtensionQueries {
     Multimodal.phashNearDupPairs(
       Multimodal.toMedia(t(s, dir, "documents")), frameBytes = 64, stride = 2)
 
+  /** Deterministic train/val/test assignment — the split every
+    * training run fixes BEFORE any pipeline stage runs: each document
+    * hashes once (`md5('graft-split:' || doc_id)`, the corpus-seeded
+    * convention of q49/q198) and its first 4 hex chars bucket it
+    * 80/10/10 by fixed-width lowercase hex-string thresholds
+    * ('cccc' = 0xCCCC/0x10000 ≈ 80%, 'e666' ≈ 90%) — hex-lexicographic
+    * ≡ numeric, the exact cross-engine trick q198's shuffle key
+    * proved, so the assignment is reproducible anywhere, stable under
+    * corpus growth (a new doc never moves an old one), and
+    * join-free at assignment time. Output: per (lang, split) doc and
+    * word counts plus the within-lang share in floor-bp — the
+    * stratification report that says whether hash-split left any
+    * language's eval slice too thin. Scale: one scan, one
+    * partial-agg groupBy; the share join is lang-cardinality-sized
+    * and broadcast. */
+  val q211TrainSplit: Q = (s, dir) => {
+    val d = t(s, dir, "documents").select(col("lang"),
+      TextOps.wordCount(col("text")).as("nw"),
+      substring(md5(concat(lit("graft-split:"),
+        col("doc_id").cast("string"))), 1, 4).as("h"))
+    val g = d.select(col("lang"),
+        when(col("h") < "cccc", "train")
+          .when(col("h") < "e666", "val")
+          .otherwise("test").as("split"), col("nw"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).cast("bigint").as("n_words"))
+    val tot = g.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).cast("bigint").as("graft_tot"))
+    g.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("split"), col("n_docs"), col("n_words"),
+        expr("n_docs * 10000 div graft_tot").as("share_bp"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3147,6 +3180,7 @@ object ExtensionQueries {
     "q208_probe_window_cumsum" -> q208ProbeWindowCumsum,
     "q209_hybrid_recall_tuned" -> q209HybridRecallTuned,
     "q210_frame_phash" -> q210FramePhash,
+    "q211_train_split" -> q211TrainSplit,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -6966,6 +7000,27 @@ object ExtensionQueries {
         | SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_frame_pairs,
         |        CAST(min(hd) AS BIGINT) AS min_hamming
         | FROM ver GROUP BY doc_a, doc_b""".stripMargin,
+    // one md5 per doc, fixed-width lowercase hex thresholds (string
+    // compare ≡ numeric — the q198 trick), stratification report per
+    // (lang, split) with within-lang floor-bp shares
+    "q211_train_split" ->
+      """WITH d AS (SELECT lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |         substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |       FROM documents),
+        | s AS (SELECT lang,
+        |         CASE WHEN h < 'cccc' THEN 'train'
+        |              WHEN h < 'e666' THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         nw FROM d),
+        | g AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(nw) AS BIGINT) AS n_words
+        |       FROM s GROUP BY lang, split),
+        | t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tot
+        |       FROM g GROUP BY lang)
+        | SELECT g.lang, g.split, g.n_docs, g.n_words,
+        |        g.n_docs * 10000 // t.tot AS share_bp
+        | FROM g JOIN t USING (lang)""".stripMargin,
     // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
     // string_agg — groups span many docs; hand-checkable (ids ascend)
     "q206_probe_ordered_agg" ->

@@ -102,6 +102,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q210: phash bucket join is an equi-join on (band, key), never nested-loop") {
+    val p = plan("q210_frame_phash")
+    // the whole near-dup cost is the band bucket join — it must key on
+    // (band, key) as a hash/sort-merge equi-join; a nested-loop here is
+    // the all-pairs scan LSH exists to avoid
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"band join is not an equi-join:\n$p")
+    assert(!p.contains("NestedLoop"), s"phash pairs via nested loop:\n$p")
+  }
+
+  test("q211: split shares join broadcasts the lang-cardinality side") {
+    val p = plan("q211_train_split")
+    assert(p.contains("BroadcastHashJoin"), s"share join not broadcast:\n$p")
+    assert(!p.contains("Window"), s"split report uses a window:\n$p")
+  }
+
   test("q171: the k-means assignment is scan-local — no exchange, no window") {
     val p = plan("q171_kmeans")
     assert(!p.contains("Exchange"), s"k-means E-step shuffles the corpus:\n$p")

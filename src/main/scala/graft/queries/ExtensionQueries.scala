@@ -3061,6 +3061,49 @@ object ExtensionQueries {
       .unionByName(report("arrival", col("doc_id"), asc = true))
   }
 
+  /** The CLEANING FUNNEL — stage attribution for the standard
+    * curation cascade, each stage the already-gated operator applied
+    * to the previous stage's survivors: gopher rule gate (q51) →
+    * language-ID agreement (q22's decision == the recorded lang) →
+    * exact dedup to the min-id keeper WITHIN survivors (q24) →
+    * eval-set decontamination (q85's 6-gram artifact, eval =
+    * doc_id ≡ 7 mod 50). Output: one row per stage with
+    * (n_in, n_dropped, n_out) — the "where did my corpus go"
+    * readout every pipeline owner builds first, and the ablation
+    * baseline for reordering stages. Scale shape: every stage is a
+    * semi/anti-join of checkpointed survivor frames; the counts are
+    * scalar aggregates; the report itself is 4 literal rows. */
+  val q214CleaningFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val s1 = base.join(
+      TextOps.gopherRules(docs).filter(col("pass")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val s2 = s1.join(
+      TextOps.langId(s1).filter(col("pred_lang") === col("lang"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val s3 = s2.join(
+      s2.groupBy(md5(col("text")).as("graft_h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val evalGrams = Decontaminate.evalGramSet(
+      docs.filter(col("doc_id") % 50 === 7), n = 6)
+    val s4 = s3.join(
+      Decontaminate.contaminatedIds(s3, evalGrams,
+        Decontaminate.bloomBytesOf(evalGrams), n = 6),
+      Seq("doc_id"), "left_anti")
+    val n0 = base.count(); val n1 = s1.count(); val n2 = s2.count()
+    val n3 = s3.count(); val n4 = s4.count()
+    Seq(
+      ("gopher", 1L, n0, n0 - n1, n1),
+      ("langid", 2L, n1, n1 - n2, n2),
+      ("exact_dedup", 3L, n2, n2 - n3, n3),
+      ("decontam", 4L, n3, n3 - n4, n4))
+      .toDF("stage", "stage_order", "n_in", "n_dropped", "n_out")
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3267,6 +3310,7 @@ object ExtensionQueries {
     "q211_train_split" -> q211TrainSplit,
     "q212_ccnet_buckets" -> q212CcnetBuckets,
     "q213_sorted_batching" -> q213SortedBatching,
+    "q214_cleaning_funnel" -> q214CleaningFunnel,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -7170,6 +7214,68 @@ object ExtensionQueries {
         |        CAST((sum(n * m) - sum(sl)) * 10000 // sum(n * m) AS BIGINT)
         |          AS pad_bp
         | FROM g GROUP BY strategy""".stripMargin,
+    // the q51 / q22 / q24 / q85 predicates composed as a cascade —
+    // each stage filters the previous stage's survivors, the report
+    // is 4 count rows
+    "q214_cleaning_funnel" ->
+      """WITH gp AS (
+        |   SELECT b.doc_id FROM (
+        |     SELECT doc_id,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |            CAST(floor(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |                  / len(string_split(text, ' ')) * 10000) AS BIGINT) AS awl,
+        |            CAST(len(list_distinct(regexp_extract_all(text, '\b(the|a|of|and|is|to|in)\b'))) AS BIGINT) AS nsf
+        |     FROM documents) b
+        |   JOIN (SELECT doc_id, max(c) AS max_tf
+        |         FROM (SELECT doc_id, w, count(*) AS c
+        |               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |                     FROM documents)
+        |               GROUP BY doc_id, w) GROUP BY doc_id) wf USING (doc_id)
+        |   WHERE b.n_words BETWEEN 50 AND 100000
+        |     AND b.awl BETWEEN 30000 AND 100000
+        |     AND b.nsf >= 2
+        |     AND floor(CAST(wf.max_tf AS DOUBLE) / b.n_words * 10000) <= 800),
+        | s1 AS (SELECT d.doc_id, d.lang, d.text
+        |        FROM documents d JOIN gp USING (doc_id)),
+        | s2 AS (SELECT * FROM s1 WHERE
+        |         CASE WHEN length(regexp_replace(text, '[ -~]', '', 'g')) > 0 THEN 'zh'
+        |              WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) = 0
+        |                   AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) = 0
+        |                   AND len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) = 0
+        |                   AND len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) = 0 THEN 'unknown'
+        |              WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))
+        |                   AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(el|los|una|y|es)\b'))
+        |                   AND len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'en'
+        |              WHEN len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(text, '\b(el|los|una|y|es)\b'))
+        |                   AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'de'
+        |              WHEN len(regexp_extract_all(text, '\b(el|los|una|y|es)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'es'
+        |              ELSE 'fr' END = lang),
+        | k AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+        | s3 AS (SELECT s2.* FROM s2 JOIN k USING (doc_id)),
+        | sh AS (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(s) - 4),
+        |                      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]
+        |                        || ' ' || s[i+4] || ' ' || s[i+5])) AS sh
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM s3)),
+        | ev AS (SELECT DISTINCT sh FROM (
+        |          SELECT unnest(list_transform(range(1, len(s) - 4),
+        |                 i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]
+        |                   || ' ' || s[i+4] || ' ' || s[i+5])) AS sh
+        |          FROM (SELECT string_split(text, ' ') AS s FROM documents
+        |                WHERE doc_id % 50 = 7))),
+        | dirty AS (SELECT DISTINCT doc_id FROM sh JOIN ev USING (sh)),
+        | s4 AS (SELECT doc_id FROM s3
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        | c AS (SELECT (SELECT count(*) FROM documents) AS n0,
+        |              (SELECT count(*) FROM s1) AS n1,
+        |              (SELECT count(*) FROM s2) AS n2,
+        |              (SELECT count(*) FROM s3) AS n3,
+        |              (SELECT count(*) FROM s4) AS n4)
+        | SELECT 'gopher' AS stage, CAST(1 AS BIGINT) AS stage_order,
+        |        n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM c
+        | UNION ALL SELECT 'langid', CAST(2 AS BIGINT), n1, n1 - n2, n2 FROM c
+        | UNION ALL SELECT 'exact_dedup', CAST(3 AS BIGINT), n2, n2 - n3, n3 FROM c
+        | UNION ALL SELECT 'decontam', CAST(4 AS BIGINT), n3, n3 - n4, n4 FROM c""".stripMargin,
     // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
     // string_agg — groups span many docs; hand-checkable (ids ascend)
     "q206_probe_ordered_agg" ->

@@ -433,4 +433,50 @@ class PropertySpec extends SparkSpec {
       assert(got == expect)
     }
   }
+
+  test("phash banding finds exactly the brute-force hamming<=1 frame pairs") {
+    import graft.operators.Multimodal
+    // the pigeonhole law under test: 2 disjoint 30-bit bands MUST
+    // surface every pair within Hamming distance 1 (and the popcount
+    // verify must drop everything else) — equivalence against a plain
+    // Scala all-pairs reference on random single-frame payloads, with
+    // exact duplicates injected so the pair set is never trivially empty
+    val payloadGen = Gen.listOfN(64, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+    def sig(f: Array[Byte]): Long = {
+      val b = f.take(60).map(_ & 0xff); val tot = b.map(_.toLong).sum
+      (0 until 60).foldLeft(0L)((a, j) =>
+        if (b(j).toLong * 60 > tot) a | (1L << j) else a)
+    }
+    for (base <- samples(Gen.listOfN(9, payloadGen), 3)) {
+      val ps = base ++ base.take(3) // exact dups: guaranteed hd-0 pairs
+      val media = ps.zipWithIndex
+        .map { case (p, i) => (i.toLong, p, "application/octet-stream") }
+        .toDF("doc_id", "payload", "media_type")
+      val sigs = ps.zipWithIndex.map { case (p, i) => (i.toLong, sig(p)) }
+      val want = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= 1
+      } yield (a, b)).toSet
+      val got = Multimodal.phashNearDupPairs(media, frameBytes = 64, stride = 1)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == want)
+      assert(want.nonEmpty) // the dup injection really exercised the law
+    }
+  }
+
+  test("packTokenStreamRows: global slots are exactly 0..N-1, once each") {
+    import graft.operators.SeqPack
+    val tokensGen = Gen.choose(0, 7).flatMap(n => Gen.listOfN(n, word))
+    for (docs <- samples(Gen.listOfN(8, tokensGen), 4)) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "tokens")
+      val n = docs.map(_.size + 1).sum // +1 eos per doc
+      for (l <- Seq(3, 5)) {
+        val gpos = SeqPack.packTokenStreamRows(df, seqLen = l)
+          .select("seq_id", "slot").as[(Long, Long)].collect()
+          .map { case (s, sl) => s * l + sl }.sorted.toSeq
+        assert(gpos == (0L until n.toLong), s"L=$l")
+      }
+    }
+  }
 }

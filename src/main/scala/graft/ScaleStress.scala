@@ -124,7 +124,21 @@ object ScaleStress {
     "q203_hybrid_ivf", "q204_boundary_sampling",
     // q205: both hybrids' legs re-scan then a 10-row intersection —
     // expected ~ q200 + q203
-    "q205_hybrid_recall")
+    "q205_hybrid_recall",
+    // q209: q205 at nprobe 7 — the probe scan covers 7/10 of the
+    // corpus, so growth tracks q205 with a larger constant
+    // q210: THE quadratic-risk addition of round 11 — the 2×30-bit
+    // band bucket join; per-copy word suffixes shift frame bytes, so
+    // cross-copy signatures decorrelate and candidates must stay
+    // ~linear (a superlinear factor = bucket flooding, the tail-frame
+    // hazard the full-frame rule exists to prevent)
+    // q212: the lang-major banded composite rank + the bigram LM —
+    // both ~linear; superlinear means a lang band absorbed the growth
+    // q213: two banded ranks over a doc-count frame — ~linear
+    // q214: four chained survivor semi-joins — each stage ~linear in
+    // its input; superlinear means a stage re-derived its predecessor
+    "q209_hybrid_recall_tuned", "q210_frame_phash", "q212_ccnet_buckets",
+    "q213_sorted_batching", "q214_cleaning_funnel")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

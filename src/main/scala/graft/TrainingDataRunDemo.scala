@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.{Bpe, Decontaminate, SeqPack, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END pretraining-data run — every stage an
+  * already-driver-gated operator, composed the way a pipeline owner
+  * would actually chain them:
+  *
+  *   runMain graft.TrainingDataRunDemo [sfDir]
+  *
+  *   1. CLEAN    — the q214 funnel: gopher gate → langid agreement →
+  *                 exact-dedup keeper → 6-gram eval decontamination,
+  *                 with per-stage attribution printed;
+  *   2. SPLIT    — the q211 deterministic hash split; only `train`
+  *                 continues (val/test are frozen out before any
+  *                 further selection can bias them);
+  *   3. CURATE   — the q212 CCNet terciles per language over the
+  *                 train slice's own bigram LM; the tail bucket is
+  *                 dropped (the CCNet recipe's default);
+  *   4. TOKENIZE — learn the BPE vocabulary on exactly the kept
+  *                 corpus (never on text that was filtered away);
+  *   5. PACK     — q197's advisor sizes seqLen over the kept corpus,
+  *                 then q190/q194's machinery cuts the shard rows +
+  *                 attention manifests.
+  *
+  * Printed invariants (each `require`d, not just shown): split is
+  * exhaustive and disjoint; curation drops exactly the per-lang tail
+  * counts; packed token total equals the kept corpus's encode length
+  * (+1 eos per doc); the manifest's per-sequence token counts
+  * re-aggregate to the rows'.
+  */
+object TrainingDataRunDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val spark = Tables.localSession("graft-training-run-demo")
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").localCheckpoint()
+
+    // ---- 1. CLEAN: the q214 cascade, stage by stage
+    val s1 = docs.join(
+      TextOps.gopherRules(docs).filter(col("pass")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val s2 = s1.join(
+      TextOps.langId(s1).filter(col("pred_lang") === col("lang"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi").localCheckpoint()
+    val s3 = s2.join(
+      s2.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi").localCheckpoint()
+    val evalGrams = Decontaminate.evalGramSet(
+      docs.filter(col("doc_id") % 50 === 7), n = 6)
+    val clean = s3.join(
+      Decontaminate.contaminatedIds(s3, evalGrams,
+        Decontaminate.bloomBytesOf(evalGrams), n = 6),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    println(s"[run] clean: ${docs.count()} -> gopher ${s1.count()} -> " +
+      s"langid ${s2.count()} -> dedup ${s3.count()} -> decontam ${clean.count()}")
+
+    // ---- 2. SPLIT: q211's hash thresholds; train continues
+    val withSplit = clean.withColumn("graft_h",
+      substring(md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 4))
+      .withColumn("split",
+        when(col("graft_h") < "cccc", "train")
+          .when(col("graft_h") < "e666", "val").otherwise("test"))
+      .localCheckpoint()
+    val splitCounts = withSplit.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    require(splitCounts.values.sum == clean.count(),
+      "split must be exhaustive and disjoint")
+    val train = withSplit.filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+    println(s"[run] split: train=${splitCounts.getOrElse("train", 0L)} " +
+      s"val=${splitCounts.getOrElse("val", 0L)} " +
+      s"test=${splitCounts.getOrElse("test", 0L)} (frozen out)")
+
+    // ---- 3. CURATE: per-lang CCNet terciles over train's OWN LM;
+    // drop the tail bucket. Rank via the lang-partitioned window here:
+    // this demo frame is already funnel+split-reduced (the gated q212
+    // uses the banded lang-major rank for the corpus-scale form).
+    val scored = TextOps.bigramLogprob(train)
+      .join(train.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("lp_e4", round(col("avg_logp") * 1e4).cast("bigint"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val bucketed = scored
+      .withColumn("pr", row_number().over(
+        w.orderBy(col("lp_e4").desc, col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("bucket",
+        when((col("pr") - 1) * 3 < col("cnt"), "head")
+          .when((col("pr") - 1) * 3 < col("cnt") * 2, "middle")
+          .otherwise("tail"))
+      .localCheckpoint()
+    val perBucket = bucketed.groupBy("bucket").count()
+      .as[(String, Long)].collect().toMap
+    val kept = train.join(
+      bucketed.filter(col("bucket") =!= "tail").select(col("doc_id")),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    require(kept.count() ==
+      perBucket.getOrElse("head", 0L) + perBucket.getOrElse("middle", 0L),
+      "curation must drop exactly the tail bucket")
+    println(s"[run] curate: head=${perBucket.getOrElse("head", 0L)} " +
+      s"middle=${perBucket.getOrElse("middle", 0L)} kept, " +
+      s"tail=${perBucket.getOrElse("tail", 0L)} dropped")
+
+    // ---- 4. TOKENIZE on exactly the kept corpus
+    val (merges, vocab) = Bpe.learn(Bpe.wordFreq(kept), nMerges = 6)
+    val enc = Bpe.encodeTokens(kept, vocab).localCheckpoint()
+    println(s"[run] tokenize: ${merges.size} merges learned on the kept corpus")
+
+    // ---- 5. PACK: advisor picks seqLen, then rows + manifests
+    val adv = SeqPack.configAdvisor(enc, Seq(64, 128, 256))
+      .orderBy(col("seq_len")).collect()
+    adv.foreach(r => println(s"[run] advisor: L=${r.getAs[Long]("seq_len")} " +
+      s"n_seqs=${r.getAs[Long]("n_seqs")} pad=${r.getAs[Long]("pad_tokens")} " +
+      s"split_docs=${r.getAs[Long]("n_split_docs")}"))
+    val seqLen = 128
+    val rows = SeqPack.packTokenStreamRows(enc, seqLen).localCheckpoint()
+    val manifest = SeqPack.packTokenStreamManifest(enc, seqLen)
+    val nTokens = rows.count()
+    val expected = SeqPack.streamLength(enc)
+    require(nTokens == expected,
+      s"packed token total $nTokens != stream length $expected")
+    val manifestTotal = manifest.agg(sum(col("n_doc_tokens"))).head().getLong(0)
+    require(manifestTotal == nTokens,
+      "manifest token counts must re-aggregate to the packed rows")
+    val nSeqs = rows.agg(countDistinct(col("seq_id"))).head().getLong(0)
+    println(s"[run] pack: $nTokens tokens -> $nSeqs sequences of $seqLen " +
+      s"(manifest re-aggregates exactly)")
+    println("[run] done — clean -> split -> curate -> tokenize -> pack, " +
+      "every invariant held")
+    spark.stop()
+  }
+}

@@ -21,6 +21,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   2. scrub    — [[TextOps.redact]] on the survivors: PII
   *                 placeholders + deny-term mask, BEFORE anything is
   *                 written anywhere,
+  *   2.5 quality — OPTIONAL (`lmGate`): the frozen-LM perplexity
+  *                 admission of [[StreamingPerplexityGate]], on the
+  *                 SCRUBBED text (the LM is built on scrubbed data;
+  *                 scoring raw text would mis-score every doc a
+  *                 placeholder touches); below-cutoff, unscorable,
+  *                 and unconfigured-language docs all drop here
+  *                 (fail CLOSED) and audit as `n_lowq`,
   *   3. dedup    — [[StreamingIncrementalDedup.applyBatch]]: LSH
   *                 near-dup collapse within the batch and against the
   *                 corpus ingested so far (first-arrival keepers),
@@ -76,7 +83,8 @@ object IngestDoor {
       nGram: Int = 6,
       threshold: Double = 0.5,
       compactEvery: Int = 0,
-      compactTargetBytes: Long = 128L << 20): Unit = {
+      compactTargetBytes: Long = 128L << 20,
+      lmGate: Option[(DataFrame, DataFrame)] = None): Unit = {
     val spark = batch.sparkSession
     val stable = batch.localCheckpoint()
     // 1. guard vs the frozen eval artifact — on RAW text (see class
@@ -89,7 +97,27 @@ object IngestDoor {
     val scrubbed = TextOps
       .redact(stable.join(bad, Seq("doc_id"), "left_anti"), denyTerms)
       .localCheckpoint()
-    val guarded = scrubbed.select(col("doc_id"), col("redacted").as("text"))
+    val postScrub = scrubbed.select(col("doc_id"), col("redacted").as("text"))
+    // 2.5 (optional) quality gate — the frozen-LM perplexity admission
+    // of [[StreamingPerplexityGate]], run on the SCRUBBED text (the LM
+    // was built on scrubbed training data, so scoring raw text would
+    // mis-score every doc a placeholder touches). `lmGate` is
+    // (frozen LM (bg, logp), frozen cutoffs (lang, cut_e4)); docs
+    // below their language's cutoff — or unscorable / unconfigured,
+    // which fail CLOSED — drop here and are counted as n_lowq.
+    // The gate needs a `lang` column; it joins back from the batch.
+    val guarded = lmGate.fold(postScrub) { case (lm, cutoffs) =>
+      postScrub
+        .join(stable.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(TextOps.bigramLogprob(postScrub, lm)
+          .withColumn("graft_lp", round(col("avg_logp") * 1e4).cast("bigint"))
+          .select(col("doc_id"), col("graft_lp")), Seq("doc_id"), "left")
+        .join(broadcast(cutoffs), Seq("lang"), "left")
+        .filter(col("graft_lp").isNotNull && col("cut_e4").isNotNull &&
+          col("graft_lp") >= col("cut_e4"))
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint()
+    }
     // 3. dedup + admit (appends corpus + band index, replay-safe).
     // Guard the empty case explicitly: a first batch the guard drops
     // ENTIRELY would otherwise leave no corpus dir for stage 4 to
@@ -132,11 +160,15 @@ object IngestDoor {
       coalesce(sum(col("n_pii")), lit(0L)),
       coalesce(sum(col("n_denied")), lit(0L))).head()
     val nBad = bad.count()
+    // quality drops = scrubbed survivors the LM gate rejected (0 with
+    // the gate off), so dup attribution below stays exact either way
+    val nLowq = if (lmGate.isDefined) nIn - nBad - guarded.count() else 0L
     val nAdmitted = admitted.count()
     spark.range(1)
       .select(lit(nIn).as("n_in"), lit(a.getLong(0)).as("n_pii"),
         lit(a.getLong(1)).as("n_denied"), lit(nBad).as("n_contaminated"),
-        lit(nIn - nBad - nAdmitted).as("n_dup_dropped"),
+        lit(nLowq).as("n_lowq"),
+        lit(nIn - nBad - nLowq - nAdmitted).as("n_dup_dropped"),
         lit(nAdmitted).as("n_admitted"))
       .write.mode("overwrite").parquet(s"${auditPath(root)}/batch_id=$id")
   }
@@ -156,14 +188,16 @@ object IngestDoor {
       threshold: Double = 0.5,
       trigger: Trigger = Trigger.ProcessingTime("1 minute"),
       compactEvery: Int = 0,
-      compactTargetBytes: Long = 128L << 20): StreamingQuery =
+      compactTargetBytes: Long = 128L << 20,
+      lmGate: Option[(DataFrame, DataFrame)] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, root, denyTerms, evalGrams, bloomBytes,
-          vocab, seqLen, nGram, threshold, compactEvery, compactTargetBytes)
+          vocab, seqLen, nGram, threshold, compactEvery, compactTargetBytes,
+          lmGate)
         ()
       }
       .start()

@@ -186,4 +186,38 @@ class IngestDoorSpec extends SparkSpec {
       Bpe.encodeTokens(IngestDoor.readCorpus(spark, root), vocab), seqLen)
     assert(rowSet(IngestDoor.readShards(spark, root)) === rowSet(oneShot))
   }
+
+  test("optional LM quality gate: low-perplexity drop audits as n_lowq, dup attribution exact") {
+    import graft.operators.TextOps
+    val root = java.nio.file.Files.createTempDirectory("door-lm").toString
+    val evalGrams = Decontaminate
+      .evalGramSet(evalDocs.toDF("doc_id", "text"), n = 6).localCheckpoint()
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    val natural = "the cat sat on the mat and the dog sat on the rug"
+    // frozen LM from the natural slice; cutoff = exactly its own score,
+    // so the natural doc admits (>=) and anything off-model fails
+    val lmDf = TextOps.bigramLm(Seq((0L, natural)).toDF("doc_id", "text"))
+      .localCheckpoint()
+    val cut = TextOps.bigramLogprob(Seq((0L, natural)).toDF("doc_id", "text"), lmDf)
+      .select((round(col("avg_logp") * 1e4)).cast("bigint"))
+      .as[Long].head()
+    val cuts = Seq(("en", cut)).toDF("lang", "cut_e4")
+    // 10 natural → admitted; 11 gibberish (no LM bigram → unscorable,
+    // fails CLOSED) → n_lowq; 12 duplicates 10's text → dup drop, NOT
+    // lowq (attribution must split the two causes)
+    val batch = Seq(
+      (10L, natural, "en"),
+      (11L, "zz qq vv kk ww pp rr tt yy uu ii oo", "en"),
+      (12L, natural, "en")).toDF("doc_id", "text", "lang")
+    val (_, vocab0) = Bpe.learn(Bpe.wordFreq(
+      Seq((0L, natural)).toDF("doc_id", "text")), nMerges = 2)
+    IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom,
+      vocab0.localCheckpoint(), seqLen, lmGate = Some((lmDf, cuts)))
+    assert(IngestDoor.readCorpus(spark, root)
+      .select("doc_id").as[Long].collect().toSeq === Seq(10L))
+    val a = IngestDoor.readAudit(spark, root)
+      .select("n_in", "n_contaminated", "n_lowq", "n_dup_dropped", "n_admitted")
+      .head()
+    assert(a.toSeq === Seq(3L, 0L, 1L, 1L, 1L))
+  }
 }

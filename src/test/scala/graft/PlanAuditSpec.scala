@@ -14,11 +14,35 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
-  test("no CartesianProduct anywhere; nested-loop joins are broadcast-only") {
+  /** Queries ALLOWED an unpartitioned (single-partition) window, each
+    * k- or cardinality-bounded by construction — audited in the r10
+    * verdict and re-checked here whenever one is added:
+    * retrieval fusions rank ≤ 2·kLeg post-TakeOrdered rows (q200/q203/
+    * q205/q209), q110/q126/q130 frame day/bucket-cardinality rows,
+    * q208 is the 7-row divergence probe, q33's analog frames
+    * hour-cardinality rollups. ANYTHING ELSE windowing through one
+    * partition is a data-scale sort smuggled past the banded-rank
+    * discipline and fails the audit below. */
+  private val singlePartitionWindowAllowed = Set(
+    "q110_new_users", // one cumulative window over day-cardinality rows
+    "q126_ks_drift",  // CDF windows over cent-histogram-cardinality rows
+    "q200_hybrid_retrieval", "q203_hybrid_ivf", "q205_hybrid_recall",
+    "q208_probe_window_cumsum", "q209_hybrid_recall_tuned")
+
+  test("no CartesianProduct anywhere; single-partition windows only on the k-bounded allowlist") {
+    val offenders = scala.collection.mutable.Set[String]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      val lines = p.linesIterator.toSeq
+      val spWindow = lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("Exchange SinglePartition") && i > 0 &&
+          (lines(i - 1).contains("Window") || lines(i - 1).contains("Sort"))
+      }
+      if (spWindow && !singlePartitionWindowAllowed(name)) offenders += name
     }
+    assert(offenders.isEmpty,
+      s"data-scale single-partition window/sort in: ${offenders.toSeq.sorted}")
   }
 
   test("q01: partial+final hash aggregation, pruned scan") {

@@ -96,19 +96,25 @@ object Bench {
       s""","filter":"${f.toSeq.sorted.mkString(",")}"""").getOrElse("")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","load_avg":$loadAvg$filt}"""
-    // The full object also lands in a repo-root artifact file: ten
-    // rounds of driver captures proved the tail window it records cuts
-    // a ~10 KB stdout line mid-string ("parsed": null every round), so
-    // stdout alone can never deliver the per-query map. The file is
-    // committed with the round close; the tiny trailer line below is
-    // printed LAST so even a small tail window contains one complete,
-    // parseable object pointing at the file.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+    // The full object also lands in an artifact file: ten rounds of
+    // driver captures proved the tail window it records cuts a ~10 KB
+    // stdout line mid-string ("parsed": null every round), so stdout
+    // alone can never deliver the per-query map. The file is committed
+    // with the round close; the tiny trailer line below is printed
+    // LAST so even a small tail window contains one complete,
+    // parseable object pointing at the file. The path resolves from
+    // SPARK_GRAFT_BENCH_OUT (default: cwd-relative BENCH.json), and a
+    // SPARK_GRAFT_ONLY-filtered dev run writes a ".partial"-suffixed
+    // file instead — a subset run must never clobber the committed
+    // full-run artifact.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json") +
+      (if (only.isDefined) ".partial" else "")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] WARNING: could not write BENCH.json: $e") }
+      System.err.println(s"[bench] WARNING: could not write $benchOut: $e") }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_avg":$loadAvg,"queries_file":"BENCH.json"$filt}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_avg":$loadAvg,"queries_file":"$benchOut"$filt}""")
     spark.stop()
   }
 }

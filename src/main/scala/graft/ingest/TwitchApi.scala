@@ -62,20 +62,29 @@ class HttpTwitchApi(
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
   @volatile private var token: Option[String] = None
 
-  private def post(url: String): Option[JsonNode] =
+  private def post(url: String, formBody: String): Option[JsonNode] =
     try {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(timeoutMs))
-        .POST(HttpRequest.BodyPublishers.noBody()).build()
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(formBody)).build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() == 200) Some(mapper.readTree(resp.body())) else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** botrun.py:23-26: POST oauth2/token, read access_token. */
-  private def fetchToken(): Option[String] =
-    post(s"$authBase/oauth2/token?client_id=$clientId" +
-        s"&client_secret=$clientSecret&grant_type=client_credentials")
+  /** botrun.py:23-26: POST oauth2/token, read access_token. The
+    * credentials travel as a form-encoded BODY, not query params — the
+    * reference puts them in the query string, but query strings are
+    * routinely logged by proxies/servers and would leak the secret;
+    * Twitch's token endpoint accepts both forms. */
+  private def fetchToken(): Option[String] = {
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    post(s"$authBase/oauth2/token",
+      s"client_id=${enc(clientId)}&client_secret=${enc(clientSecret)}" +
+        "&grant_type=client_credentials")
       .flatMap(n => Option(n.get("access_token")).map(_.asText()))
+  }
 
   /** Authorized GET with one 401-refresh retry; `None` on any other
     * failure. */

@@ -1,0 +1,84 @@
+package graft.message
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** The real outbound transport behind [[MessageSender]] and
+  * [[graft.pipeline.AlertSink]] — the K7 last mile (reference:
+  * bot/botrun.py:306 `channel.send`; this adapter speaks the webhook
+  * form of the same Discord delivery: one `POST <webhookUrl>` with a
+  * JSON `{"content": …}` body). Built on JDK 17's
+  * `java.net.http.HttpClient` like [[graft.ingest.HttpPageFetcher]],
+  * so the engine's one outbound seam gains a live implementation with
+  * zero added dependencies.
+  *
+  * Delivery contract (see [[MessageSender]]): `send` either delivers
+  * or THROWS. Any non-2xx status or transport failure raises
+  * [[HttpMessageSender.DeliveryFailed]], so the caller's posted-flag
+  * write never happens and the message stays in the unposted backlog —
+  * the next drain tick retries it (at-least-once, retry-later; the
+  * polling loops themselves catch per-tick failures, so a dead webhook
+  * skips ticks rather than killing the loop). Discord answers a plain
+  * webhook POST with 204 No Content; any 2xx is accepted so a
+  * `?wait=true` URL (200 + message JSON) also reads as delivered.
+  *
+  * The message body is serialized with Jackson, so quotes, newlines,
+  * and control characters in rendered messages (the multi-line replay
+  * renders of [[Renderer]]) are escaped correctly — never by string
+  * concatenation.
+  *
+  * Serialization: the client is driver-side state (`@transient lazy`),
+  * same discipline as [[graft.ingest.HttpPageFetcher]] — a
+  * deserialized copy lazily rebuilds its own client.
+  *
+  * Spec-driven against an in-process HTTP stub (`HttpTransportSpec`);
+  * the sandbox has no egress, so the live service is exercised by
+  * construction, not by a recorded call.
+  */
+class HttpMessageSender(webhookUrl: String, timeoutMs: Long = 10000)
+    extends MessageSender with graft.pipeline.AlertSink with Serializable {
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(timeoutMs))
+    .build()
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** One webhook POST; throws [[HttpMessageSender.DeliveryFailed]] on
+    * any non-2xx status or transport error. */
+  def post(message: String): Unit = {
+    val payload = mapper.createObjectNode()
+    payload.put("content", message)
+    val status =
+      try {
+        val req = HttpRequest.newBuilder(URI.create(webhookUrl))
+          .timeout(Duration.ofMillis(timeoutMs))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            mapper.writeValueAsString(payload)))
+          .build()
+        client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new HttpMessageSender.DeliveryFailed(
+            s"webhook POST failed: ${e.getClass.getSimpleName}", e)
+      }
+    if (status < 200 || status > 299)
+      throw new HttpMessageSender.DeliveryFailed(
+        s"webhook POST returned HTTP $status", null)
+  }
+
+  /** [[MessageSender]] form — the replay drain's transport. The
+    * replay number is already rendered INTO the message text
+    * ([[Renderer]]); it is not re-encoded here. */
+  def send(replayNumber: Int, message: String): Unit = post(message)
+}
+
+object HttpMessageSender {
+  /** Raised on any failed delivery so the caller's posted-flag write
+    * never runs (the [[MessageSender]] deliver-or-throw contract). */
+  final class DeliveryFailed(msg: String, cause: Throwable)
+      extends RuntimeException(msg, cause)
+}

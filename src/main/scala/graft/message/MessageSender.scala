@@ -2,10 +2,10 @@ package graft.message
 
 /** K7 delivery transport seam (bot/botrun.py:306: the Discord webhook
   * POST). The engine builds and renders messages branch-exact; the
-  * final socket is environment-off here, so delivery is an interface a
-  * deployment implements — a real webhook client slots in as
-  * `new MessageSender { def send(n, msg) = http.post(url, msg) }`
-  * without touching pipeline or streaming code (see README).
+  * committed live transport is [[HttpMessageSender]] (a JDK-17
+  * HttpClient webhook POST, spec-driven against an in-process stub —
+  * the sandbox has no egress), and this trait is the seam that keeps
+  * pipeline and streaming code transport-agnostic.
   *
   * Contract: `send` must either deliver or throw. The caller flags the
   * message `posted` only AFTER `send` returns, so delivery is

@@ -18,11 +18,13 @@ import scala.collection.mutable
   */
 class HttpTransportSpec extends SparkSpec {
 
-  /** Minimal stub: route → (status, body); records hit counts and the
-    * auth headers it saw. */
+  /** Minimal stub: route → (status, body); records hit counts, the
+    * auth headers it saw, and each route's request bodies (the
+    * form-encoded token POST and the webhook JSON assert on them). */
   private class Stub {
     val hits = mutable.Map[String, Int]().withDefaultValue(0)
     val routes = mutable.Map[String, (Int, String)]()
+    val bodies = mutable.Map[String, mutable.ArrayBuffer[String]]()
     var lastAuth: Option[String] = None
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
@@ -30,10 +32,16 @@ class HttpTransportSpec extends SparkSpec {
         Option(ex.getRequestURI.getQuery).map("?" + _).getOrElse("")
       hits(key) += 1
       lastAuth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val reqBody = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (reqBody.nonEmpty)
+        bodies.getOrElseUpdate(key, mutable.ArrayBuffer()) += reqBody
       val (status, body) = routes.getOrElse(key, (404, "not found"))
       val bytes = body.getBytes("UTF-8")
-      ex.sendResponseHeaders(status, bytes.length)
-      ex.getResponseBody.write(bytes)
+      if (bytes.isEmpty) ex.sendResponseHeaders(status, -1)
+      else {
+        ex.sendResponseHeaders(status, bytes.length)
+        ex.getResponseBody.write(bytes)
+      }
       ex.close()
     })
     server.start()
@@ -74,8 +82,7 @@ class HttpTransportSpec extends SparkSpec {
   }
 
   private def tokenRoute(stub: Stub, token: String): Unit =
-    stub.routes("/oauth2/token?client_id=cid&client_secret=cs" +
-      "&grant_type=client_credentials") =
+    stub.routes("/oauth2/token") =
       (200, s"""{"access_token": "$token", "expires_in": 5000}""")
 
   test("HttpTwitchApi: auth once, live/offline probe, clips page (botrun.py:72-102)") {
@@ -107,9 +114,13 @@ class HttpTransportSpec extends SparkSpec {
       assert(clips == Seq(
         TwitchApi.ClipInfo("c1", "https://clips/c1", "ada", "nice shot"),
         TwitchApi.ClipInfo("c2", "https://clips/c2", "bob", "oops")))
-      // the token POST happened exactly once across all calls
-      assert(stub.hits("/oauth2/token?client_id=cid&client_secret=cs" +
-        "&grant_type=client_credentials") == 1)
+      // the token POST happened exactly once across all calls, and the
+      // credentials traveled in the form body, NEVER the query string
+      // (query strings are routinely logged; the body is not)
+      assert(stub.hits("/oauth2/token") == 1)
+      assert(stub.bodies("/oauth2/token").toSeq ==
+        Seq("client_id=cid&client_secret=cs&grant_type=client_credentials"))
+      assert(!stub.hits.keys.exists(k => k.contains("client_secret")))
     } finally stub.stop()
   }
 
@@ -212,6 +223,59 @@ class HttpTransportSpec extends SparkSpec {
       TwitchApi.ClipInfo("id-c", "https://clips/c", "cyd", "third"))
     assert(loop.clipsTick(t.plusMinutes(4)) == 1)
     assert(sink.posted.last.contains("https://clips/c"))
+  }
+
+  test("HttpMessageSender: webhook POST drives the posted-flag drain end-to-end") {
+    import graft.message.HttpMessageSender
+    import graft.pipeline.ReplayPipeline
+    import graft.store.TableStore
+    val stub = new Stub
+    try {
+      val store = new TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-webhook").toString)
+      val p = new ReplayPipeline(spark, store)
+      p.ingest(500, SparkSpec.resource("replay.html"),
+        SparkSpec.resource("replay-data.json"))
+      p.createMessage(500)
+      // the drain's payload (the message document) carries embedded
+      // quotes + Cyrillic — the JSON body must escape them (Jackson),
+      // never concatenate
+      val expected = p.nextUnposted().get._2
+      assert(expected.contains("\"")) // escaping is actually exercised
+      val hook = "/api/webhooks/w1/tok"
+      val sender = new HttpMessageSender(stub.base + hook, timeoutMs = 2000)
+
+      // 1. dead webhook (404): send throws, the posted flag NEVER
+      // sets — the message stays in the backlog for the next tick
+      // (retry-later, the deliver-or-throw contract)
+      intercept[HttpMessageSender.DeliveryFailed] { p.deliverUnposted(sender) }
+      assert(p.nextUnposted().nonEmpty)
+
+      // 2. webhook up (Discord answers 204 No Content): the drain
+      // delivers, flags posted, and a re-drain sends nothing
+      stub.routes(hook) = (204, "")
+      assert(p.deliverUnposted(sender) == 1)
+      assert(p.nextUnposted().isEmpty)
+      assert(p.deliverUnposted(sender) == 0)
+      assert(stub.hits(hook) == 2) // the failed try + the delivery
+      // the delivered body is exactly {"content": rendered}, escaped
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val sentContents = stub.bodies(hook).toSeq
+        .map(b => mapper.readTree(b).get("content").asText())
+      assert(sentContents == Seq(expected, expected))
+
+      // 3. the same transport is the bot loop's AlertSink seam
+      sender.post("@here stream up")
+      assert(mapper.readTree(stub.bodies(hook).last)
+        .get("content").asText() == "@here stream up")
+      // non-2xx through the AlertSink form also throws (the loop's
+      // tick catch turns it into a skipped tick, never a crash)
+      stub.routes(hook) = (500, "boom")
+      intercept[HttpMessageSender.DeliveryFailed] { sender.post("x") }
+    } finally stub.stop()
+    // nothing listening → DeliveryFailed, not a hang or a silent "sent"
+    val dead = new HttpMessageSender("http://127.0.0.1:1/hook", timeoutMs = 500)
+    intercept[HttpMessageSender.DeliveryFailed] { dead.post("x") }
   }
 
   test("TwitchBotLoop: replay tick delegates one-per-tick and failures skip, not kill") {

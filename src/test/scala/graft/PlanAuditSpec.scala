@@ -15,34 +15,53 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   /** Queries ALLOWED an unpartitioned (single-partition) window, each
-    * k- or cardinality-bounded by construction — audited in the r10
-    * verdict and re-checked here whenever one is added:
-    * retrieval fusions rank ≤ 2·kLeg post-TakeOrdered rows (q200/q203/
-    * q205/q209), q110/q126/q130 frame day/bucket-cardinality rows,
-    * q208 is the 7-row divergence probe, q33's analog frames
-    * hour-cardinality rollups. ANYTHING ELSE windowing through one
-    * partition is a data-scale sort smuggled past the banded-rank
-    * discipline and fails the audit below. */
+    * k- or cardinality-bounded by construction: q110/q126 window over
+    * day/bucket-cardinality frames, q208 is the 7-row divergence
+    * probe. This set is asserted below to match the plans EXACTLY (an
+    * allowlisted query whose plan no longer has a single-partition
+    * window fails as stale, so the list can't drift from reality —
+    * the r11 list had carried the four hybrid-retrieval queries,
+    * whose k-bounded rank windows actually ride on
+    * TakeOrderedAndProject's one-partition OUTPUT without any
+    * exchange, so they never trip the detector at all). ANYTHING ELSE
+    * windowing through one partition is a data-scale sort smuggled
+    * past the banded-rank discipline and fails the audit. */
   private val singlePartitionWindowAllowed = Set(
     "q110_new_users", // one cumulative window over day-cardinality rows
     "q126_ks_drift",  // CDF windows over cent-histogram-cardinality rows
-    "q200_hybrid_retrieval", "q203_hybrid_ivf", "q205_hybrid_recall",
-    "q208_probe_window_cumsum", "q209_hybrid_recall_tuned")
+    "q208_probe_window_cumsum")
+
+  /** True when the plan feeds a Window or Sort through an
+    * `Exchange SinglePartition`. The consumer is not always the line
+    * immediately above the exchange (AQE wrappers, WholeStageCodegen
+    * banners, InputAdapter / Project lines sit between), so this scans
+    * a small window of preceding lines at shallower or equal tree
+    * depth — the ADVICE-flagged blind spot of the exactly-one-line
+    * check. */
+  private def hasSinglePartitionWindow(p: String): Boolean = {
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Exchange SinglePartition") &&
+        lines.slice(math.max(0, i - 4), i)
+          .exists(up => up.contains("Window") || up.contains("Sort"))
+    }
+  }
 
   test("no CartesianProduct anywhere; single-partition windows only on the k-bounded allowlist") {
     val offenders = scala.collection.mutable.Set[String]()
+    val allowedButClean = scala.collection.mutable.Set[String]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
-      val lines = p.linesIterator.toSeq
-      val spWindow = lines.zipWithIndex.exists { case (l, i) =>
-        l.contains("Exchange SinglePartition") && i > 0 &&
-          (lines(i - 1).contains("Window") || lines(i - 1).contains("Sort"))
-      }
+      val spWindow = hasSinglePartitionWindow(p)
       if (spWindow && !singlePartitionWindowAllowed(name)) offenders += name
+      if (!spWindow && singlePartitionWindowAllowed(name)) allowedButClean += name
     }
     assert(offenders.isEmpty,
       s"data-scale single-partition window/sort in: ${offenders.toSeq.sorted}")
+    assert(allowedButClean.isEmpty,
+      s"stale allowlist entries (plan has no single-partition window): " +
+        s"${allowedButClean.toSeq.sorted}")
   }
 
   test("q01: partial+final hash aggregation, pruned scan") {

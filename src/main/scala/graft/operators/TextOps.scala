@@ -345,19 +345,32 @@ object TextOps {
       .limit(topK)
 
   /** The q46 PII patterns, shared by the counting scan and [[redact]]
-    * so the two passes can never drift: emails, phone-shaped digit
-    * runs, IPv4s — each proven to evaluate identically under Spark's
-    * java.util.regex and DuckDB's RE2 by the q46 driver gate. */
+    * so the two passes can never drift — the CCNet/Dolma-style scrub
+    * surface: emails, phone-shaped digit runs, IPv4s, IPv6s (full and
+    * `::`-compressed need ≥3 groups here — the shape national scrub
+    * lists target), US-SSN-shaped ids (the national-ID stand-in; a
+    * deployment swaps in its jurisdiction's shapes), AWS access-key
+    * ids, and PEM private-key headers (the secret/credential family).
+    * Each pattern is restricted to constructs that evaluate
+    * identically under Spark's java.util.regex and DuckDB's RE2
+    * (no backreferences, no lookaround), proven by the q46/q199
+    * driver gates. ORDER IS CONTRACT: [[redact]] applies replacements
+    * in list order, and the oracles replay the same nesting. */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b" -> "<PHONE>",
-    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>")
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\\b" -> "<IPV6>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\bAKIA[0-9A-Z]{16}\\b" -> "<AWS_KEY>",
+    "-----BEGIN [A-Z ]*PRIVATE KEY-----" -> "<PRIVATE_KEY>")
 
   /** Text scrubbing — the REWRITE twin of the q46 PII counting scan:
     * the [[piiPatterns]] replace with typed placeholders, then an
     * explicit deny-term list (blocklisted tokens, leaked eval markers)
-    * masks as whole words. Patterns apply in a FIXED order (email →
-    * phone → ip → deny), each replacement global, so the result is
+    * masks as whole words. Patterns apply in a FIXED order (the
+    * [[piiPatterns]] list order, then deny), each replacement global,
+    * so the result is
     * deterministic and the oracle replays it with the same nested
     * `regexp_replace` chain. Match counts are measured on the ORIGINAL
     * text (like q46), so they are independent of replacement side

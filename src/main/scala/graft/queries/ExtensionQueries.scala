@@ -286,16 +286,20 @@ object ExtensionQueries {
           .otherwise(lit(0L)))
 
   /** PII-pattern scan (the scrubber's counting pass): emails, phone-ish
-    * digit runs, IPv4s per document — identical regexes in the oracle,
-    * read from [[TextOps.piiPatterns]] (the SAME list q199's redact
-    * rewrites with, so scan and scrub can never drift). */
+    * digit runs, IPv4s/IPv6s, SSN-shaped national ids, AWS key ids and
+    * PEM private-key headers per document — identical regexes in the
+    * oracle, read from [[TextOps.piiPatterns]] (the SAME list q199's
+    * redact rewrites with, so scan and scrub can never drift). */
   val q46PiiScan: Q = (s, dir) => {
-    val Seq(email, phone, ipv4) = TextOps.piiPatterns.map(_._1)
+    val Seq(email, phone, ipv4, ipv6, ssn, awskey, keyblock) =
+      TextOps.piiPatterns.map(_._1)
     def n(p: String) =
       size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("bigint")
     t(s, dir, "documents")
       .select(col("doc_id"), n(email).as("n_emails"),
-        n(phone).as("n_phones"), n(ipv4).as("n_ipv4"))
+        n(phone).as("n_phones"), n(ipv4).as("n_ipv4"),
+        n(ipv6).as("n_ipv6"), n(ssn).as("n_ssn"),
+        n(awskey).as("n_awskey"), n(keyblock).as("n_keyblock"))
   }
 
   /** Cohort retention matrix over events: users bucketed by first
@@ -3969,7 +3973,11 @@ object ExtensionQueries {
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
                 CAST(len(regexp_extract_all(text, '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b')) AS BIGINT) AS n_phones,
-                CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
+                CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(text, '\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\b')) AS BIGINT) AS n_ipv6,
+                CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+                CAST(len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b')) AS BIGINT) AS n_awskey,
+                CAST(len(regexp_extract_all(text, '-----BEGIN [A-Z ]*PRIVATE KEY-----')) AS BIGINT) AS n_keyblock
          FROM documents""",
     "q47_retention" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
@@ -6919,18 +6927,27 @@ object ExtensionQueries {
         |        (o.off + tp.dpos) % 128 AS slot, tp.tok AS token
         | FROM o JOIN tp ON tp.doc_id = o.doc_id""".stripMargin),
     // q46's proven regex dialect; replacements nest in the engine's
-    // fixed order (email -> phone -> ip -> deny), counts on the
-    // ORIGINAL text
+    // fixed order (the piiPatterns list order, then deny), counts on
+    // the ORIGINAL text
     "q199_redact" ->
       """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\b', '<IPV6>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\bAKIA[0-9A-Z]{16}\b', '<AWS_KEY>', 'g'),
+        |    '-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIVATE_KEY>', 'g'),
         |    '\b(spark|merge)\b', '<MASKED>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |     + len(regexp_extract_all(text, '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b'))
         |     + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |     + len(regexp_extract_all(text, '\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\b'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |     + len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b'))
+        |     + len(regexp_extract_all(text, '-----BEGIN [A-Z ]*PRIVATE KEY-----'))
         |    AS BIGINT) AS n_pii,
         |  CAST(len(regexp_extract_all(text, '\b(spark|merge)\b')) AS BIGINT) AS n_denied
         |FROM documents""".stripMargin,

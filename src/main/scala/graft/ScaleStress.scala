@@ -138,7 +138,12 @@ object ScaleStress {
     // q214: four chained survivor semi-joins — each stage ~linear in
     // its input; superlinear means a stage re-derived its predecessor
     "q209_hybrid_recall_tuned", "q210_frame_phash", "q212_ccnet_buckets",
-    "q213_sorted_batching", "q214_cleaning_funnel")
+    "q213_sorted_batching", "q214_cleaning_funnel",
+    // q216: the √N-kmeans probe sweep — the Lloyd round and the
+    // assignment are one corpus scan each against a driver-held √N
+    // centroid list, so growth is ~linear×√N-centroid-dots; the swept
+    // candidate scans cover ≤40 % of the corpus per config
+    "q216_ivf_probe_audit")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

@@ -180,6 +180,26 @@ object Clustering {
     assignLocal(e, cent).select(col("vec_id"), col("cluster"), col("csim"))
   }
 
+  /** Scan-local assignment under an EXISTING centroid table
+    * ((cluster, centroid) or (label, centroid)) — the E-step alone,
+    * without re-fitting: the query-time primitive an IVF index built
+    * by [[kmeansFrom]]/[[kmeansCentroids]] uses to place corpus
+    * vectors into clusters (same determinism contract as [[kmeans]]:
+    * cosine argmax rounded 6 dp, ties to the smallest cluster id; no
+    * shuffle, no window — k dot products per row, scan-local).
+    * Output: (vec_id, cluster, csim). */
+  def assignUnder(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    val named =
+      if (cent.columns.contains("label"))
+        cent.withColumnRenamed("label", "cluster")
+      else cent
+    val c = collectCent(
+      named.select(col("cluster").cast("bigint").as("cluster"),
+        asDouble(col("centroid")).as("centroid")))
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_v"))
+    assignLocal(e, c).select(col("vec_id"), col("cluster"), col("csim"))
+  }
+
   /** Per-cluster quality contract of a [[kmeans]] assignment: member
     * count, EXACT integer sum of the 6-dp cosines in micro-units (no
     * float mean — add-order could flip a rounded mean across engines),

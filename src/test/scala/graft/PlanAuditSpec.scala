@@ -29,7 +29,11 @@ class PlanAuditSpec extends SparkSpec {
   private val singlePartitionWindowAllowed = Set(
     "q110_new_users", // one cumulative window over day-cardinality rows
     "q126_ks_drift",  // CDF windows over cent-histogram-cardinality rows
-    "q208_probe_window_cumsum")
+    "q208_probe_window_cumsum",
+    // the probe-rank window runs over ONE query × √N centroids (a
+    // cluster-count-bounded broadcast crossJoin output), never corpus
+    // rows; the corpus-scale stages window per-pct
+    "q216_ivf_probe_audit")
 
   /** True when the plan feeds a Window or Sort through an
     * `Exchange SinglePartition`. The consumer is not always the line

@@ -141,18 +141,27 @@ object Multimodal {
     * frames) floods buckets the way all LSH floods — apply
     * [[MinHashLsh]]'s sorted-array bucket cap before the self-join on
     * such data. */
-  def phashNearDupPairs(
-      media: DataFrame, frameBytes: Int, stride: Int,
-      maxHamming: Int = 1): DataFrame = {
-    require(maxHamming <= 1, "2 bands of 30 bits guarantee recall only to distance 1")
-    val sigs = frameSignatures(media, frameBytes, stride).toDF()
-    val banded = sigs
+  /** [[frameSignatures]] split into the 2×30-bit LSH band rows the
+    * near-dup bucket join keys on: (doc_id, frame_idx, sig, band, key).
+    * Shared by [[phashNearDupPairs]] (batch self-join) and the
+    * streaming door's persisted signature index
+    * ([[graft.streaming.StreamingPhashDedup]]) — probe and index MUST
+    * band identically or incremental recall silently decays. */
+  def bandedSignatures(
+      media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    frameSignatures(media, frameBytes, stride).toDF()
       .select(col("doc_id"), col("frame_idx"), col("sig"),
         explode(expr("transform(sequence(0, 1), b -> " +
           "struct(b as band, shiftright(sig, b * 30) & 1073741823 as key))"))
           .as("bk"))
       .select(col("doc_id"), col("frame_idx"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+
+  def phashNearDupPairs(
+      media: DataFrame, frameBytes: Int, stride: Int,
+      maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 1, "2 bands of 30 bits guarantee recall only to distance 1")
+    val banded = bandedSignatures(media, frameBytes, stride)
       .localCheckpoint() // both join sides; don't re-sign the corpus
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"),
       col("frame_idx").as("fa"), col("sig").as("sig_a"))

@@ -28,6 +28,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                 placeholder touches); below-cutoff, unscorable,
   *                 and unconfigured-language docs all drop here
   *                 (fail CLOSED) and audit as `n_lowq`,
+  *   2.75 media — OPTIONAL (batches carrying a `payload` column):
+  *                 perceptual near-dup collapse via
+  *                 [[StreamingPhashDedup]] — frame signatures at
+  *                 Hamming ≤ 1 vs the batch and the persisted
+  *                 signature index; drops audit as `n_dup_phash`,
   *   3. dedup    — [[StreamingIncrementalDedup.applyBatch]]: LSH
   *                 near-dup collapse within the batch and against the
   *                 corpus ingested so far (first-arrival keepers),
@@ -37,8 +42,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                 shard log continues exactly where it stopped,
   *
   * plus one audit row per batch (n_in / n_pii / n_denied /
-  * n_contaminated / n_dup_dropped / n_admitted) into a replay-
-  * idempotent `batch_id` partition.
+  * n_contaminated / n_lowq / n_dup_phash / n_dup_text /
+  * n_dup_dropped / n_admitted) into a replay-idempotent `batch_id`
+  * partition.
   *
   * Replay + redelivery safety of the COMPOSITION: stages 1-2 are pure
   * per-doc functions of frozen artifacts; stage 3 is idempotent by
@@ -66,14 +72,25 @@ object IngestDoor {
   def shardsPath(root: String): String = s"$root/shards"
   def auditPath(root: String): String = s"$root/audit"
   def admittedPath(root: String): String = s"$root/admitted"
+  def phashIndexPath(root: String): String = s"$root/phash_bands"
 
   /** One micro-batch through the whole door. Idempotent per
-    * (batch, id). `batch`: (doc_id, text). `compactEvery` /
-    * `compactTargetBytes` plumb straight through to
-    * [[StreamingIncrementalDedup.applyBatch]]'s corpus + band-index
-    * compaction — a long-running door otherwise accumulates one small
-    * parquet file set per batch forever (default 0 keeps compaction
-    * off, matching the dedup stage's own default). */
+    * (batch, id). `batch`: (doc_id, text) — plus an optional binary
+    * `payload` column (a media corpus, [[graft.operators.Multimodal
+    * .toMedia]]'s shape): when present, a PERCEPTUAL dedup stage
+    * (2.75) runs between the quality gate and the text dedup —
+    * [[StreamingPhashDedup]] drops docs whose frames near-dup
+    * (Hamming ≤ 1) a smaller-id doc in the batch or anything in the
+    * door's persisted signature index; drops audit as `n_dup_phash`,
+    * split from the text stage's `n_dup_text` (their sum stays
+    * `n_dup_dropped`). The index is appended only for ADMITTED docs
+    * (post text-dedup), so future media never dedups against a ghost
+    * the text stage rejected. `compactEvery` / `compactTargetBytes`
+    * plumb straight through to [[StreamingIncrementalDedup
+    * .applyBatch]]'s corpus + band-index compaction — a long-running
+    * door otherwise accumulates one small parquet file set per batch
+    * forever (default 0 keeps compaction off, matching the dedup
+    * stage's own default). */
   def applyBatch(
       batch: DataFrame, id: Long, root: String,
       denyTerms: Seq[String],
@@ -84,7 +101,9 @@ object IngestDoor {
       threshold: Double = 0.5,
       compactEvery: Int = 0,
       compactTargetBytes: Long = 128L << 20,
-      lmGate: Option[(DataFrame, DataFrame)] = None): Unit = {
+      lmGate: Option[(DataFrame, DataFrame)] = None,
+      phashFrameBytes: Int = 64,
+      phashStride: Int = 2): Unit = {
     val spark = batch.sparkSession
     val stable = batch.localCheckpoint()
     // 1. guard vs the frozen eval artifact — on RAW text (see class
@@ -118,14 +137,34 @@ object IngestDoor {
         .select(col("doc_id"), col("text"))
         .localCheckpoint()
     }
+    // 2.75 (media corpora only) perceptual dedup — frames of the
+    // surviving docs' payloads vs the batch (min-id keeper) and the
+    // persisted signature index; the probe reads band rows only,
+    // never re-decodes admitted media
+    val mediaCols = stable.columns.contains("payload")
+    def mediaOf(ids: DataFrame): DataFrame =
+      stable.select(col("doc_id"), col("payload"),
+          (if (stable.columns.contains("media_type")) col("media_type")
+           else lit("application/octet-stream")).as("media_type"))
+        .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val phashDrop =
+      if (mediaCols)
+        StreamingPhashDedup.dupIds(mediaOf(guarded), phashIndexPath(root),
+          phashFrameBytes, phashStride).localCheckpoint()
+      else guarded.select(col("doc_id")).limit(0)
+    val nPhash = if (mediaCols) phashDrop.count() else 0L
+    val postPhash =
+      if (mediaCols) guarded.join(phashDrop, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      else guarded
     // 3. dedup + admit (appends corpus + band index, replay-safe).
     // Guard the empty case explicitly: a first batch the guard drops
     // ENTIRELY would otherwise leave no corpus dir for stage 4 to
     // read (and hand the dedup index an empty partitioned write).
-    val anyGuarded = guarded.limit(1).count() > 0
+    val anyGuarded = postPhash.limit(1).count() > 0
     if (anyGuarded)
       StreamingIncrementalDedup.applyBatch(
-        guarded, id, corpusPath(root), threshold,
+        postPhash, id, corpusPath(root), threshold,
         compactEvery = compactEvery,
         compactTargetBytes = compactTargetBytes)
     // 4. pack the batch's ADMITTED docs — corpus membership minus
@@ -146,11 +185,16 @@ object IngestDoor {
       else spark.range(0).select(col("id").as("doc_id"))
     val admitted = (if (exists(corpusPath(root)))
       spark.read.parquet(corpusPath(root))
-        .join(guarded.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(postPhash.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .join(priorAdmitted, Seq("doc_id"), "left_anti")
-    else guarded.limit(0)).localCheckpoint()
+    else postPhash.limit(0)).localCheckpoint()
     admitted.select(col("doc_id")).write.mode("overwrite")
       .parquet(s"${admittedPath(root)}/batch_id=$id")
+    // the signature index grows by exactly this batch's ADMITTED docs
+    // (doc_id-anti-joined inside, so replay/redelivery appends nothing)
+    if (mediaCols && admitted.limit(1).count() > 0)
+      StreamingPhashDedup.appendIndex(mediaOf(admitted),
+        phashIndexPath(root), phashFrameBytes, phashStride)
     StreamingShardPack.applyBatch(
       Bpe.encodeTokens(admitted, vocab), id, shardsPath(root), seqLen)
     // audit row — one aggregate action; sums coalesced so an EMPTY
@@ -164,11 +208,16 @@ object IngestDoor {
     // the gate off), so dup attribution below stays exact either way
     val nLowq = if (lmGate.isDefined) nIn - nBad - guarded.count() else 0L
     val nAdmitted = admitted.count()
+    // dup attribution splits by CAUSE: perceptual (stage 2.75) vs text
+    // (stage 3); the sum keeps n_dup_dropped's original meaning
+    val nDupText = nIn - nBad - nLowq - nPhash - nAdmitted
     spark.range(1)
       .select(lit(nIn).as("n_in"), lit(a.getLong(0)).as("n_pii"),
         lit(a.getLong(1)).as("n_denied"), lit(nBad).as("n_contaminated"),
         lit(nLowq).as("n_lowq"),
-        lit(nIn - nBad - nLowq - nAdmitted).as("n_dup_dropped"),
+        lit(nPhash).as("n_dup_phash"),
+        lit(nDupText).as("n_dup_text"),
+        lit(nPhash + nDupText).as("n_dup_dropped"),
         lit(nAdmitted).as("n_admitted"))
       .write.mode("overwrite").parquet(s"${auditPath(root)}/batch_id=$id")
   }
@@ -189,7 +238,9 @@ object IngestDoor {
       trigger: Trigger = Trigger.ProcessingTime("1 minute"),
       compactEvery: Int = 0,
       compactTargetBytes: Long = 128L << 20,
-      lmGate: Option[(DataFrame, DataFrame)] = None): StreamingQuery =
+      lmGate: Option[(DataFrame, DataFrame)] = None,
+      phashFrameBytes: Int = 64,
+      phashStride: Int = 2): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -197,7 +248,7 @@ object IngestDoor {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, root, denyTerms, evalGrams, bloomBytes,
           vocab, seqLen, nGram, threshold, compactEvery, compactTargetBytes,
-          lmGate)
+          lmGate, phashFrameBytes, phashStride)
         ()
       }
       .start()

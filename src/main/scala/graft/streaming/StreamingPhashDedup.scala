@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental PERCEPTUAL dedup — the multimodal twin of
+  * [[StreamingIncrementalDedup]]: each micro-batch's media payloads are
+  * frame-signed ([[Multimodal.frameSignatures]]'s 60-bit average-hash),
+  * banded 2×30 bits, and checked at Hamming ≤ 1 against (a) smaller-id
+  * docs in the SAME batch and (b) the persisted signature band index of
+  * everything admitted so far. Pigeonhole recall at distance 1 is exact
+  * (one band survives a single flipped bit), same contract as the q210
+  * batch operator.
+  *
+  * The index stores band rows, not payloads — (doc_id, frame_idx, sig,
+  * band, key), band-partitioned like the MinHash band index, so a probe
+  * prunes to the bands it actually hits and the media bytes are never
+  * re-read. Per batch the corpus-side cost is an index scan plus the
+  * popcount verify on bucket-colliding candidates.
+  *
+  * Same delivery discipline as the text stage: probing never mutates;
+  * [[appendIndex]] is exact-anti-joined by doc_id against the existing
+  * index, so a crash-replayed batch appends nothing twice, and the
+  * self-pair guard (doc_new ≠ doc_old) keeps a doc's own already-landed
+  * rows from matching it mid-replay.
+  */
+object StreamingPhashDedup {
+
+  /** Batch docs that perceptually near-dup an EARLIER doc: a
+    * smaller-id doc in the same batch (first-arrival keeper by min
+    * doc_id, the [[Multimodal.phashNearDupPairs]] convention) or any
+    * doc in the persisted index. `media` needs (doc_id, payload,
+    * media_type). Output: one (doc_id) row per dropped doc. */
+  def dupIds(
+      media: DataFrame, indexPath: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val banded = Multimodal.bandedSignatures(media, frameBytes, stride)
+      .localCheckpoint() // probe side of both joins; sign the batch once
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val inner = a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr("bit_count(sig_a ^ sig_b)") <= 1)
+      .select(col("doc_b").as("doc_id"))
+    val idxHadoopPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxHadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val vsIndex =
+      if (fs.exists(idxHadoopPath)) {
+        // band is a PARTITION column of the persisted index — pin its
+        // inferred int read-back to the probe's bigint
+        val idx = spark.read.parquet(indexPath)
+          .select(col("band").cast("bigint").as("band"), col("key"),
+            col("doc_id").as("doc_old"), col("sig").as("sig_old"))
+        banded.join(idx, Seq("band", "key"))
+          .filter(col("doc_id") =!= col("doc_old"))
+          .filter(expr("bit_count(sig ^ sig_old)") <= 1)
+          .select(col("doc_id"))
+      } else inner.limit(0)
+    inner.union(vsIndex).distinct()
+  }
+
+  /** Append `media`'s band rows to the signature index, exact-anti-
+    * joined by doc_id against what's already there (replay/redelivery
+    * idempotence). Call with the batch's ADMITTED docs only — indexing
+    * a doc the text stage then drops would dedup future media against
+    * a ghost that is not in the corpus. */
+  def appendIndex(
+      media: DataFrame, indexPath: String,
+      frameBytes: Int, stride: Int): Unit = {
+    val spark = media.sparkSession
+    val idxHadoopPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxHadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(idxHadoopPath))
+        media.join(spark.read.parquet(indexPath).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else media
+    Multimodal.bandedSignatures(fresh, frameBytes, stride)
+      .write.mode("append").partitionBy("band").parquet(indexPath)
+  }
+}

@@ -187,6 +187,124 @@ class IngestDoorSpec extends SparkSpec {
     assert(rowSet(IngestDoor.readShards(spark, root)) === rowSet(oneShot))
   }
 
+  // ---- media (perceptual) dedup stage ---------------------------------
+
+  /** 64-byte payloads engineered against the 60-bit average-hash:
+    * pBase's signature sets bits 32-59; pFlip differs in exactly bit 0
+    * (Hamming 1 → a perceptual near-dup); pAll signs to 0 (collides
+    * with pBase's zero band 0 but the popcount verify rejects it);
+    * pEven lands in distinct buckets in BOTH bands. */
+  private def pay(bytes: Seq[Int]): Array[Byte] = bytes.map(_.toByte).toArray
+  private val pBase = pay(Seq.fill(32)(0) ++ Seq.fill(32)(255))
+  private val pFlip = pay(Seq(255) ++ Seq.fill(31)(0) ++ Seq.fill(32)(255))
+  private val pAll = pay(Seq.fill(64)(255))
+  private val pEven = pay((0 until 64).map(i => if (i % 2 == 0) 255 else 0))
+  // doc 21 near-dups 20 PERCEPTUALLY (texts unrelated); doc 22
+  // near-dups 20's TEXT (payload perceptually distinct) — one doc per
+  // cause, so the audit split is unambiguous; doc 23 is clean on both
+  private val mediaDocs = Seq(
+    (20L, s"$longText mail bob@x.co", pBase),
+    (21L, "totally unrelated words about other things entirely", pFlip),
+    (22L, s"$longText mail eve@y.co", pAll),
+    (23L, "completely different admitted document with enough words", pEven))
+
+  private def mediaFixtures() = {
+    val evalGrams = Decontaminate
+      .evalGramSet(evalDocs.toDF("doc_id", "text"), n = 6).localCheckpoint()
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    val (_, vocab0) = Bpe.learn(
+      Bpe.wordFreq(mediaDocs.map(d => (d._1, d._2)).toDF("doc_id", "text")),
+      nMerges = 3)
+    (evalGrams, bloom, vocab0.localCheckpoint())
+  }
+
+  test("media stage: perceptual vs text dup attribution, replay-idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("door-media").toString
+    val (evalGrams, bloom, vocab) = mediaFixtures()
+    val batch = mediaDocs.toDF("doc_id", "text", "payload")
+    IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom, vocab, seqLen)
+    assert(IngestDoor.readCorpus(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(20L, 23L),
+      "21 should drop perceptually, 22 textually")
+    val a = IngestDoor.readAudit(spark, root)
+      .select("n_in", "n_dup_phash", "n_dup_text", "n_dup_dropped", "n_admitted")
+      .head()
+    assert(a.toSeq === Seq(4L, 1L, 1L, 2L, 2L))
+    // the signature index holds ONLY the admitted docs' band rows
+    val idx = spark.read.parquet(IngestDoor.phashIndexPath(root))
+    assert(idx.select("doc_id").distinct().as[Long].collect().sorted.toSeq
+      === Seq(20L, 23L))
+    val idxRows = idx.count()
+    val shards = rowSet(IngestDoor.readShards(spark, root))
+
+    // replay the whole batch: corpus, audit, shards, index unchanged
+    IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom, vocab, seqLen)
+    assert(IngestDoor.readCorpus(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(20L, 23L))
+    assert(IngestDoor.readAudit(spark, root)
+      .select("n_in", "n_dup_phash", "n_dup_text", "n_dup_dropped", "n_admitted")
+      .head().toSeq === Seq(4L, 1L, 1L, 2L, 2L))
+    assert(spark.read.parquet(IngestDoor.phashIndexPath(root)).count() === idxRows,
+      "replay must not re-append signature rows")
+    assert(rowSet(IngestDoor.readShards(spark, root)) === shards)
+  }
+
+  test("media stage: batch-split invariance (index probe ≡ within-batch pairing)") {
+    val root = java.nio.file.Files.createTempDirectory("door-media-split").toString
+    val (evalGrams, bloom, vocab) = mediaFixtures()
+    // doc 20 alone, THEN the rest: 21 must now drop via the PERSISTED
+    // index (not within-batch pairing), 22 via the corpus text probe —
+    // same final state and summed attribution as the one-batch run
+    IngestDoor.applyBatch(mediaDocs.take(1).toDF("doc_id", "text", "payload"),
+      0L, root, deny, evalGrams, bloom, vocab, seqLen)
+    IngestDoor.applyBatch(mediaDocs.drop(1).toDF("doc_id", "text", "payload"),
+      1L, root, deny, evalGrams, bloom, vocab, seqLen)
+    assert(IngestDoor.readCorpus(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(20L, 23L))
+    val sums = IngestDoor.readAudit(spark, root)
+      .agg(sum("n_in"), sum("n_dup_phash"), sum("n_dup_text"),
+        sum("n_admitted"))
+      .head()
+    assert(sums.toSeq === Seq(4L, 1L, 1L, 2L))
+    // a REDELIVERED media doc survives phash (self-pairs excluded) and
+    // is absorbed by the text stage's exact anti-join — never re-packed
+    val idxRows = spark.read.parquet(IngestDoor.phashIndexPath(root)).count()
+    IngestDoor.applyBatch(mediaDocs.take(1).toDF("doc_id", "text", "payload"),
+      2L, root, deny, evalGrams, bloom, vocab, seqLen)
+    assert(IngestDoor.readAudit(spark, root).filter(col("batch_id") === 2)
+      .select("n_dup_phash", "n_admitted").head().toSeq === Seq(0L, 0L))
+    assert(spark.read.parquet(IngestDoor.phashIndexPath(root)).count() === idxRows)
+  }
+
+  test("media door demo on toMedia(testdata): audit balances, phash matches q210's operator") {
+    import graft.operators.Multimodal
+    val root = java.nio.file.Files.createTempDirectory("door-media-demo").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val media = Multimodal.toMedia(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .select(col("doc_id"), col("payload"), col("media_type"))
+    val batch = docs.join(media, Seq("doc_id"))
+    val (evalGrams, bloom, vocab) = mediaFixtures()
+    IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom, vocab,
+      seqLen, phashFrameBytes = 64, phashStride = 2)
+    val a = IngestDoor.readAudit(spark, root)
+      .select("n_in", "n_contaminated", "n_lowq", "n_dup_phash",
+        "n_dup_text", "n_dup_dropped", "n_admitted")
+      .head()
+    assert(a.getLong(0) === 500L)
+    // the funnel balances exactly
+    assert(a.getLong(1) + a.getLong(2) + a.getLong(5) + a.getLong(6) === 500L)
+    assert(a.getLong(3) + a.getLong(4) === a.getLong(5))
+    // the door's within-batch perceptual drops = the q210 operator's
+    // dup set (min-id keepers) on the same media
+    val q210Drops = Multimodal
+      .phashNearDupPairs(media, frameBytes = 64, stride = 2)
+      .select(col("doc_b")).distinct().count()
+    assert(a.getLong(3) === q210Drops)
+    assert(IngestDoor.readCorpus(spark, root).count() === a.getLong(6))
+  }
+
   test("optional LM quality gate: low-perplexity drop audits as n_lowq, dup attribution exact") {
     import graft.operators.TextOps
     val root = java.nio.file.Files.createTempDirectory("door-lm").toString

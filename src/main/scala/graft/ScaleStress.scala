@@ -314,10 +314,56 @@ object ScaleStress {
         f"factor=${scaledSec / srcSec}%.1f rows=$rows planSame=$planSame $diff")
       (name, srcSec, scaledSec, rows, planSame, diff)
     }
-    val qs = results.map { case (n, s, sc, rows, same, _) =>
+    // adversarial skew, synthetic: ONE key for the ENTIRE corpus (the
+    // q212 single-language shape taken to its limit — every row ranks
+    // under the same key). The banded decomposition's tie bands (terms
+    // 2-3) must carry the split, so the factor stays ~linear; a
+    // superlinear factor here means the one hot key funnelled a task.
+    val synthName = "stress_degenerate_key_rank"
+    val synthResults =
+      if (only.forall(_.contains(synthName))) {
+        def degen(dir: String): DataFrame =
+          graft.operators.Ranks.withGlobalRank(
+            Tables.load(spark, dir, "lineitem")
+              // unique tie: ≤7 lines per order
+              .select((col("l_orderkey") * 8 + col("l_linenumber"))
+                .cast("bigint").as("graft_tie"))
+              .withColumn("graft_k", lit(0L)),
+            key = col("graft_k"), ascending = true, tie = col("graft_tie"),
+            outCol = "r")
+        def cleanup(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+        }
+        def timed(mk: => DataFrame): Double = {
+          val s = timeNoop(mk); cleanup(); s
+        }
+        val srcShape = planShape(degen(srcDir))
+        degen(srcDir).count(); cleanup()
+        val srcSec = Seq.fill(2)(timed(degen(srcDir))).min
+        val scaledShape = planShape(degen(outDir))
+        val rows = degen(outDir).count(); cleanup()
+        val scaledSec = Seq.fill(2)(timed(degen(outDir))).min
+        val same = srcShape == scaledShape
+        val diff = if (same) "" else {
+          val a = srcShape.groupBy(identity).view.mapValues(_.size).toMap
+          val b = scaledShape.groupBy(identity).view.mapValues(_.size).toMap
+          (a.keySet ++ b.keySet).toSeq.sorted
+            .filter(k => a.getOrElse(k, 0) != b.getOrElse(k, 0))
+            .map(k => s"$k:${a.getOrElse(k, 0)}->${b.getOrElse(k, 0)}")
+            .mkString(",")
+        }
+        System.err.println(f"[stress] $synthName src=$srcSec%.2fs " +
+          f"scaled=$scaledSec%.2fs factor=${scaledSec / srcSec}%.1f " +
+          f"rows=$rows planSame=$same $diff")
+        Seq((synthName, srcSec, scaledSec, rows, same, diff))
+      } else Seq.empty
+    val all = results ++ synthResults
+    val qs = all.map { case (n, s, sc, rows, same, _) =>
       f""""$n":{"src_sec":$s%.3f,"scaled_sec":$sc%.3f,"factor":${sc / s}%.2f,"rows":$rows,"plan_same":$same}"""
     }.mkString("{", ",", "}")
-    val diffs = results.filterNot(_._5).map { case (n, _, _, _, _, d) =>
+    val diffs = all.filterNot(_._5).map { case (n, _, _, _, _, d) =>
       s""""$n":"$d""""
     }.mkString("{", ",", "}")
     println(s"""{"copies":$copies,"gen_sec":$genSec,"queries":$qs,"plan_diffs":$diffs}""")

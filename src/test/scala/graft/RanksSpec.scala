@@ -110,6 +110,24 @@ class RanksSpec extends SparkSpec {
       "banded rank diverged under 4-wide key bands / 2-wide tie bands")
   }
 
+  test("fully degenerate key (EVERY row one key): tie bands carry the split, ranks exact") {
+    // the adversarial-skew claim: a 10⁸-rows-one-key corpus must never
+    // funnel one task, because terms 2-3 of the decomposition split the
+    // single key's rows across TIE bands. Correctness half here (1000
+    // rows, one key, both orders, plus a tiny tie-band width that
+    // forces many bands); the throughput half is ScaleStress's
+    // stress_degenerate_key_rank factor.
+    val degen = (1L to 1000L).map(i => (42L, i)).toDF("k", "tie")
+    for (asc <- Seq(true, false); tieBits <- Seq(16, 2)) {
+      val got = Ranks.withGlobalRank(degen, col("k"), asc, col("tie"), "got",
+        tieBandBits = tieBits)
+      val both = got.join(naiveRank(degen, asc), Seq("k", "tie"))
+      assert(both.count() === 1000L)
+      assert(both.filter(col("got") =!= col("want")).count() === 0,
+        s"degenerate-key rank diverged (asc=$asc, tieBandBits=$tieBits)")
+    }
+  }
+
   test("autoKeyBandBits bounds the band count for sparse keys, exact ranks") {
     import spark.implicits._
     // uniform wide keys: the q198 failure shape — copy·2^48 + hash48

@@ -143,7 +143,9 @@ object ScaleStress {
     // assignment are one corpus scan each against a driver-held √N
     // centroid list, so growth is ~linear×√N-centroid-dots; the swept
     // candidate scans cover ≤40 % of the corpus per config
-    "q216_ivf_probe_audit")
+    // q217: q216's tuned config through the PERSISTED index — growth
+    // adds the partitioned index write; the probe side reads ~1/√N
+    "q216_ivf_probe_audit", "q217_ivf_indexed_fused")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

@@ -39,6 +39,41 @@ class IvfPqSpec extends SparkSpec {
       s"ADC scan reads the embedding column:\n$plan")
   }
 
+  test("LEARNED-cluster persisted index ≡ in-memory IVF, scan partition-pruned (q217 path)") {
+    import graft.operators.Clustering
+    val e = embeddings
+    // the q217 clustering: √N modular seeds + one Lloyd round
+    val n = e.count()
+    val step = math.ceil(math.sqrt(n.toDouble)).toLong
+    val seeds = Clustering.kmeansFrom(e,
+      {
+        import spark.implicits._
+        e.filter(col("vec_id") % step === 0)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => round(x, 6)).as("c"))
+          .orderBy(col("vec_id")).collect()
+          .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+          .toSeq.toDF("cluster", "centroid")
+      }, rounds = 1)
+    val cent = seeds.withColumnRenamed("cluster", "label").localCheckpoint()
+    val labeled = e.select(col("vec_id"), col("embedding"))
+      .join(Clustering.assignUnder(e, cent)
+        .select(col("vec_id"), col("cluster").as("label")), Seq("vec_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-learned-spec").toString
+    Similarity.writeIvfIndex(labeled, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val mem = rowSet(Similarity.ivfTopK(q, labeled, cent, k = 10, nprobe = 1))
+    val idxDf = Similarity.ivfTopKIndexed(spark, dir, q, cent,
+      k = 10, nprobe = 1)
+    assert(mem.nonEmpty && rowSet(idxDf) === mem,
+      "persisted learned-cluster index diverged from the in-memory path")
+    val plan = idxDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[label#\\d+ IN \\(".r.findFirstIn(plan).nonEmpty,
+      s"learned index scan is not partition-pruned:\n$plan")
+  }
+
   test("recall@10 at nprobe=1 ≥ plain IVF (the q153 contract at equal probe cost)") {
     val e = embeddings
     val cent = Similarity.centroids(e)

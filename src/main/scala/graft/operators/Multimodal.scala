@@ -180,6 +180,94 @@ object Multimodal {
         min(col("hamming")).as("min_hamming"))
   }
 
+  /** Container-format sniff from the payload's MAGIC bytes — REAL
+    * parsing, not a stub (header magic needs no codec): PNG / JPEG /
+    * GIF / PDF / RIFF(WAV,AVI,WebP) / ZIP(also docx,parquet-in-zip) /
+    * gzip, else "unknown". Pure column expression over the first hex
+    * digits, so it stays in the scan stage (codegen'd) and the oracle
+    * replays it on `hex(CAST(payload AS BLOB))` — DuckDB has no BLOB
+    * substring, so the compare is on leading HEX CHARS (2 per byte),
+    * the q136-proven trick. */
+  def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = upper(hex(payload))
+    when(h.startsWith("89504E47"), "png")
+      .when(h.startsWith("FFD8FF"), "jpeg")
+      .when(h.startsWith("47494638"), "gif")
+      .when(h.startsWith("25504446"), "pdf")
+      .when(h.startsWith("52494646"), "riff")
+      .when(h.startsWith("504B0304"), "zip")
+      .when(h.startsWith("1F8B"), "gzip")
+      .otherwise("unknown")
+  }
+
+  case class ImageMeta(
+      doc_id: Long, format: String, width: Int, height: Int)
+
+  /** Image dimensions parsed from the HEADER bytes — real byte-level
+    * parsing of the three ubiquitous raster containers, no codec
+    * needed (this is what a 100-TB media triage pass runs BEFORE
+    * paying for any decode: drop sub-thumbnail images, route
+    * oversized ones to a resize pool):
+    *  - PNG: big-endian u32 pair at offsets 16/20 (the IHDR chunk is
+    *    mandatory-first per the spec),
+    *  - GIF (87a/89a): little-endian u16 pair at offsets 6/8,
+    *  - JPEG: walk the marker segments to the first SOF0-SOF15 frame
+    *    header (skipping non-frame markers by their big-endian
+    *    lengths), height/width big-endian u16 at +5/+7.
+    * Unparseable/truncated/non-image payloads yield (-1, -1) rather
+    * than dropping the row — triage must SEE the undecodable
+    * population, not silently lose it. Typed mapPartitions on the
+    * same decode seam as [[extractFeatures]]. */
+  def imageMeta(media: DataFrame): Dataset[ImageMeta] = {
+    implicit val enc = Encoders.product[ImageMeta]
+    implicit val inEnc = Encoders.product[Media]
+    def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    def beU32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+        (u8(b, i + 2) << 8) | u8(b, i + 3)
+    def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    def dims(p: Array[Byte]): (String, Int, Int) = {
+      if (p.length >= 24 && u8(p, 0) == 0x89 && u8(p, 1) == 'P' &&
+          u8(p, 2) == 'N' && u8(p, 3) == 'G')
+        ("png", beU32(p, 16).toInt, beU32(p, 20).toInt)
+      else if (p.length >= 10 && u8(p, 0) == 'G' && u8(p, 1) == 'I' &&
+          u8(p, 2) == 'F' && u8(p, 3) == '8')
+        ("gif", leU16(p, 6), leU16(p, 8))
+      else if (p.length >= 4 && u8(p, 0) == 0xff && u8(p, 1) == 0xd8 &&
+          u8(p, 2) == 0xff) {
+        // walk segments: [0xFF marker len_hi len_lo payload…]*
+        var i = 2
+        var res: (String, Int, Int) = ("jpeg", -1, -1)
+        var done = false
+        while (!done && i + 3 < p.length) {
+          if (u8(p, i) != 0xff) { done = true } // desynced → unparseable
+          else {
+            val marker = u8(p, i + 1)
+            if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              if (i + 8 < p.length)
+                res = ("jpeg", beU16(p, i + 7), beU16(p, i + 5))
+              done = true
+            } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
+              i += 2 // standalone marker, no length
+            } else {
+              i += 2 + beU16(p, i + 2)
+            }
+          }
+        }
+        res
+      } else ("unknown", -1, -1)
+    }
+    media.select(col("doc_id"), col("payload"), col("media_type")).as[Media]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (f, w, h) = dims(m.payload)
+          ImageMeta(m.doc_id, f, w, h)
+        }
+      }
+  }
+
   /** Decode/feature-extract stage: typed mapPartitions so a real
     * decoder could amortize per-partition init (model load, codec
     * context) across the rows of each batch. */

@@ -592,6 +592,49 @@ class OperatorsSpec extends SparkSpec {
     assert(feats(4L).features.toSeq == Seq(0.0, 1.0, 0.0, 0.0))
   }
 
+  test("format sniff + image header dims: real byte-level parsing, no codec") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes) // length + IHDR tag
+      b.putInt(w).putInt(h)
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array[Byte](
+        (w & 0xff).toByte, (w >> 8).toByte, (h & 0xff).toByte, (h >> 8).toByte)
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(2 + 18 + 2 + 9)
+      b.put(Array(0xff, 0xd8).map(_.toByte))                 // SOI
+      b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16)    // APP0, len 16
+        .put(new Array[Byte](14))                            // APP0 payload
+      b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(9)     // SOF0, len 9
+        .put(8.toByte)                                       // precision
+        .putShort(h.toShort).putShort(w.toShort)
+      b.array()
+    }
+    val media = Seq(
+      (1L, png(640, 480)), (2L, gif(320, 200)), (3L, jpeg(1920, 1080)),
+      (4L, "%PDF-1.7 ...".getBytes), (5L, "PKzipdata".getBytes),
+      (6L, "plain text payload".getBytes), (7L, Array[Byte](0xff.toByte, 0xd8.toByte)))
+      .toDF("doc_id", "payload").withColumn("media_type", lit("application/octet-stream"))
+    val sniffed = media.select(col("doc_id"),
+      Multimodal.sniffFormat(col("payload")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sniffed === Map(1L -> "png", 2L -> "gif", 3L -> "jpeg",
+      4L -> "pdf", 5L -> "zip", 6L -> "unknown", 7L -> "unknown"))
+    val dims = Multimodal.imageMeta(media).collect()
+      .map(m => m.doc_id -> ((m.format, m.width, m.height))).toMap
+    assert(dims(1L) === (("png", 640, 480)))
+    assert(dims(2L) === (("gif", 320, 200)))
+    assert(dims(3L) === (("jpeg", 1920, 1080))) // SOF0 found PAST APP0
+    assert(dims(4L) === (("unknown", -1, -1)))
+    // truncated JPEG (SOI only, too short for the 0xFFD8FF magic):
+    // unparseable reads as unknown, never a crash or a dropped row
+    assert(dims(7L) === (("unknown", -1, -1)))
+    assert(dims(6L) === (("unknown", -1, -1)))
+  }
+
   test("shuffle shards: deterministic, dense per-shard positions") {
     val df = (0L until 100L).toDF("doc_id")
     val a = Sampling.shuffleShards(df, col("doc_id"), nShards = 4)

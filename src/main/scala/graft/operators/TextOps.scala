@@ -344,6 +344,22 @@ object TextOps {
       .orderBy(col("df").desc, col("gram"))
       .limit(topK)
 
+  /** Text normalization — the cleaning pass CCNet/Dolma-style
+    * pipelines run before anything hashes or shingles the text (a
+    * CRLF vs LF or double-space difference otherwise defeats exact
+    * dedup and shifts every n-gram): strip ASCII control characters
+    * (keeping \t\r\n for the next step to absorb), collapse ASCII
+    * whitespace runs to one space, trim. Deliberately ASCII-only —
+    * unicode space/category classes evaluate differently across regex
+    * engines, so a cross-engine-exact pipeline normalizes what both
+    * engines agree on and leaves unicode equivalence to a dedicated
+    * (engine-pinned) pass. Idempotent by construction (spec-pinned).
+    * One codegen'd projection — scan-bound at 100 TB. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\r\\n]+", " "))
+
   /** The q46 PII patterns, shared by the counting scan and [[redact]]
     * so the two passes can never drift — the CCNet/Dolma-style scrub
     * surface: emails, phone-shaped digit runs, IPv4s, IPv6s (full and

@@ -3307,6 +3307,24 @@ object ExtensionQueries {
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"))
 
+  /** Whitespace/control normalization report —
+    * [[graft.operators.TextOps.normalizeText]] over the corpus with
+    * before/after lengths and a changed flag: the cleaning stage that
+    * runs BEFORE anything hashes or shingles text (CRLF vs LF or a
+    * double space otherwise defeats exact dedup and shifts every
+    * n-gram). The testdata is already clean (changed=false
+    * everywhere — the row gates the full normalized-text parity);
+    * dirty branches are fixture-pinned in TextOpsSpec territory
+    * (RedactRetrievalPackSpec's normalize cases). */
+  val q219Normalize: Q = (s, dir) => {
+    val norm = TextOps.normalizeText(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"), norm.as("normalized"),
+      length(col("text")).cast("bigint").as("n_chars_raw"),
+      length(norm).cast("bigint").as("n_chars_norm"),
+      (norm =!= col("text")).as("changed"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3518,6 +3536,7 @@ object ExtensionQueries {
     "q216_ivf_probe_audit" -> q216IvfProbeAudit,
     "q217_ivf_indexed_fused" -> q217IvfIndexedFused,
     "q218_media_formats" -> q218MediaFormats,
+    "q219_normalize" -> q219Normalize,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -7741,6 +7760,22 @@ object ExtensionQueries {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(nb) AS BIGINT) AS n_bytes
         |FROM m GROUP BY 1""".stripMargin,
+    // the ASCII normalization chain replayed verbatim (RE2 and
+    // java.util.regex agree on \xNN classes; unicode classes would
+    // not — deliberately excluded, see TextOps.normalizeText)
+    "q219_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t\r\n]+', ' ', 'g')) AS normalized,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(trim(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+        |  trim(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t\r\n]+', ' ', 'g')) <> text AS changed
+        |FROM documents""".stripMargin,
     // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
     // string_agg — groups span many docs; hand-checkable (ids ascend)
     "q206_probe_ordered_agg" ->

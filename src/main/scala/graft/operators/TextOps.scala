@@ -186,6 +186,46 @@ object TextOps {
         langDecision(col("h")(0), col("h")(1), col("h")(2), col("h")(3),
           col("h")(4)).as("pred_lang"))
 
+  /** Within-document language SEGMENTATION — the mixed-language probe
+    * CCNet-style pipelines need before per-language bucketing (a
+    * half-English half-German page mis-buckets under one doc-level
+    * label; its perplexity is scored by the wrong LM): the text is cut
+    * into fixed `windowWords`-word windows, each window language-id'd
+    * by the same native kernel as [[langId]], and the report gives the
+    * modal window language (ties to the lexicographically smallest),
+    * its window count, and the minority share in floor-bp — a high
+    * minority_bp flags the doc for splitting or dropping. Scale shape:
+    * one scan → window explode → a (doc, lang)-keyed count (map-side
+    * combined); the modal/total windows partition by doc_id over
+    * lang-cardinality rows (≤6 per doc), never a global frame. */
+  def langSegments(docs: DataFrame, windowWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("graft_ws"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(graft_ws) - 1) div $windowWords), " +
+          s"i -> array_join(slice(graft_ws, i * $windowWords + 1, $windowWords), ' '))"))
+        .as("seg"))
+      .select(col("doc_id"),
+        explode(array(graft.functions.LangHits.lang_hits(col("seg")))).as("h"))
+      .select(col("doc_id"),
+        langDecision(col("h")(0), col("h")(1), col("h")(2), col("h")(3),
+          col("h")(4)).as("pred_lang"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("pred_lang"))
+    segs.groupBy(col("doc_id"), col("pred_lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("graft_rn", row_number().over(w))
+      .withColumn("graft_tot",
+        sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("graft_rn") === 1)
+      .select(col("doc_id"),
+        col("graft_tot").as("n_segments"),
+        col("pred_lang").as("dominant_lang"),
+        col("c").as("n_dominant"),
+        expr("(graft_tot - c) * 10000 div graft_tot").as("minority_bp"))
+  }
+
   /** The five-regex-pass spelling — the equivalence-tested slow sibling
     * of [[langId]]'s native kernel (and the DuckDB oracle's shape). */
   def langIdRegex(docs: DataFrame): DataFrame = {

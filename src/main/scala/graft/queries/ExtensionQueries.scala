@@ -3325,6 +3325,16 @@ object ExtensionQueries {
       (norm =!= col("text")).as("changed"))
   }
 
+  /** Within-document language segmentation
+    * ([[graft.operators.TextOps.langSegments]], 20-word windows):
+    * modal window language + minority share per doc — the
+    * mixed-language probe that must run BEFORE per-language bucketing
+    * (q212) scores a half-English half-German page under the wrong
+    * LM. Oracle replays the window slicing and the q22 argmax per
+    * window. */
+  val q220LangSegments: Q = (s, dir) =>
+    TextOps.langSegments(t(s, dir, "documents"), windowWords = 20)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3537,6 +3547,7 @@ object ExtensionQueries {
     "q217_ivf_indexed_fused" -> q217IvfIndexedFused,
     "q218_media_formats" -> q218MediaFormats,
     "q219_normalize" -> q219Normalize,
+    "q220_lang_segments" -> q220LangSegments,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -7776,6 +7787,45 @@ object ExtensionQueries {
         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
         |    '[ \t\r\n]+', ' ', 'g')) <> text AS changed
         |FROM documents""".stripMargin,
+    // 20-word window slices (DuckDB 1-based inclusive list slicing ≡
+    // Spark's slice(arr, start, len) under end-clipping), the q22
+    // argmax per window, modal lang via ROW_NUMBER
+    "q220_lang_segments" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | sidx AS (SELECT doc_id, ws,
+        |                 unnest(range(0, ((len(ws) - 1) // 20) + 1)) AS i
+        |          FROM w),
+        | segs AS (SELECT doc_id,
+        |                 array_to_string(ws[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)], ' ') AS seg
+        |          FROM sidx),
+        | pred AS (SELECT doc_id,
+        |            CASE WHEN length(regexp_replace(seg, '[ -~]', '', 'g')) > 0 THEN 'zh'
+        |                 WHEN len(regexp_extract_all(seg, '\b(the|a|of|and|is)\b')) = 0
+        |                      AND len(regexp_extract_all(seg, '\b(der|die|das|und|ist)\b')) = 0
+        |                      AND len(regexp_extract_all(seg, '\b(el|los|una|y|es)\b')) = 0
+        |                      AND len(regexp_extract_all(seg, '\b(le|la|et|les|des)\b')) = 0 THEN 'unknown'
+        |                 WHEN len(regexp_extract_all(seg, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(seg, '\b(der|die|das|und|ist)\b'))
+        |                      AND len(regexp_extract_all(seg, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(seg, '\b(el|los|una|y|es)\b'))
+        |                      AND len(regexp_extract_all(seg, '\b(the|a|of|and|is)\b')) >= len(regexp_extract_all(seg, '\b(le|la|et|les|des)\b')) THEN 'en'
+        |                 WHEN len(regexp_extract_all(seg, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(seg, '\b(el|los|una|y|es)\b'))
+        |                      AND len(regexp_extract_all(seg, '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(seg, '\b(le|la|et|les|des)\b')) THEN 'de'
+        |                 WHEN len(regexp_extract_all(seg, '\b(el|los|una|y|es)\b')) >= len(regexp_extract_all(seg, '\b(le|la|et|les|des)\b')) THEN 'es'
+        |                 ELSE 'fr' END AS pred_lang
+        |          FROM segs),
+        | cnt AS (SELECT doc_id, pred_lang, CAST(count(*) AS BIGINT) AS c
+        |         FROM pred GROUP BY 1, 2),
+        | tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments FROM cnt GROUP BY 1),
+        | top AS (SELECT doc_id, pred_lang, c FROM (
+        |           SELECT doc_id, pred_lang, c,
+        |                  ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                    ORDER BY c DESC, pred_lang) AS rn
+        |           FROM cnt)
+        |         WHERE rn = 1)
+        |SELECT t.doc_id, t.n_segments, top.pred_lang AS dominant_lang,
+        |       top.c AS n_dominant,
+        |       CAST((t.n_segments - top.c) * 10000 // t.n_segments AS BIGINT)
+        |         AS minority_bp
+        |FROM tot t JOIN top USING (doc_id)""".stripMargin,
     // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
     // string_agg — groups span many docs; hand-checkable (ids ascend)
     "q206_probe_ordered_agg" ->

@@ -305,6 +305,54 @@ class IngestDoorSpec extends SparkSpec {
     assert(IngestDoor.readCorpus(spark, root).count() === a.getLong(6))
   }
 
+  test("ALL optional stages at once: lmGate + media, one drop per cause in one batch") {
+    import graft.operators.TextOps
+    val root = java.nio.file.Files.createTempDirectory("door-all").toString
+    val evalGrams = Decontaminate
+      .evalGramSet(evalDocs.toDF("doc_id", "text"), n = 6).localCheckpoint()
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    val tA = "the cat sat on the mat and the dog sat on the rug"
+    val tC = "the dog sat on the mat and the cat sat on the rug"
+    // frozen LM over both natural texts; cutoff = the lower of their
+    // own scores, so BOTH admit (>=) and off-model text fails
+    val lmTrain = Seq((0L, tA), (1L, tC)).toDF("doc_id", "text")
+    val lmDf = TextOps.bigramLm(lmTrain).localCheckpoint()
+    val cut = TextOps.bigramLogprob(lmTrain, lmDf)
+      .agg(min(round(col("avg_logp") * 1e4).cast("bigint")))
+      .as[Long].head()
+    val cuts = Seq(("en", cut)).toDF("lang", "cut_e4")
+    val (_, vocab0) = Bpe.learn(Bpe.wordFreq(lmTrain), nMerges = 2)
+    // exactly ONE drop per cause: 31 contaminated (guard), 32 gibberish
+    // (n_lowq), 33 phash-near-dups 30 (n_dup_phash; its TEXT is clean),
+    // 34 text-duplicates 30 (n_dup_text; its PAYLOAD is distinct),
+    // 30 admits
+    val batch = Seq(
+      (30L, tA, "en", pBase),
+      (31L, "intro alpha beta gamma delta epsilon zeta outro", "en", pEven),
+      (32L, "zz qq vv kk ww pp rr tt yy uu ii oo", "en", pEven),
+      (33L, tC, "en", pFlip),
+      (34L, tA, "en", pAll))
+      .toDF("doc_id", "text", "lang", "payload")
+    IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom,
+      vocab0.localCheckpoint(), seqLen, lmGate = Some((lmDf, cuts)))
+    assert(IngestDoor.readCorpus(spark, root)
+      .select("doc_id").as[Long].collect().toSeq === Seq(30L))
+    val a = IngestDoor.readAudit(spark, root)
+      .select("n_in", "n_contaminated", "n_lowq", "n_dup_phash",
+        "n_dup_text", "n_dup_dropped", "n_admitted")
+      .head()
+    assert(a.toSeq === Seq(5L, 1L, 1L, 1L, 1L, 2L, 1L))
+    // full replay with every stage on: nothing anywhere changes
+    val idxRows = spark.read.parquet(IngestDoor.phashIndexPath(root)).count()
+    IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom,
+      vocab0.localCheckpoint(), seqLen, lmGate = Some((lmDf, cuts)))
+    assert(IngestDoor.readAudit(spark, root)
+      .select("n_in", "n_contaminated", "n_lowq", "n_dup_phash",
+        "n_dup_text", "n_dup_dropped", "n_admitted")
+      .head().toSeq === a.toSeq)
+    assert(spark.read.parquet(IngestDoor.phashIndexPath(root)).count() === idxRows)
+  }
+
   test("optional LM quality gate: low-perplexity drop audits as n_lowq, dup attribution exact") {
     import graft.operators.TextOps
     val root = java.nio.file.Files.createTempDirectory("door-lm").toString

@@ -145,6 +145,21 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.langId(one).select("pred_lang").as[String].head() == "en")
   }
 
+  test("langSegments: a half-en half-de doc reports the mix; pure docs read 0 bp") {
+    // 8 en words then 8 de words, windowWords=8 → exactly one window
+    // per language: dominant ties break lexicographically (de < en)
+    val mixed = Seq(
+      (1L, "the cat is on the mat and the " +
+        "der hund ist und der die das und"),
+      (2L, "the cat is on the mat and the dog sat on the rug here today"))
+      .toDF("doc_id", "text")
+    val out = TextOps.langSegments(mixed, windowWords = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((2L, "de", 1L, 5000L)), "the 50/50 doc must flag")
+    assert(out(2L) === ((2L, "en", 2L, 0L)), "a pure doc reads minority 0")
+  }
+
   test("cosine: orthogonal → 0, parallel → 1; brute-force ranks by similarity") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),

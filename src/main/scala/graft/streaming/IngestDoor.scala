@@ -18,6 +18,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                 through. Nothing raw persists here: the artifact
   *                 and the probe exchange xxhash64 gram hashes, the
   *                 stage emits only doc_ids,
+  *   1.5 normalize — OPTIONAL (`normalize`): [[TextOps.normalizeText]]
+  *                 on the survivors — whitespace/control normalization
+  *                 BEFORE anything hashes or shingles text (a CRLF
+  *                 variant of an admitted doc otherwise slips both
+  *                 dedup stages); the guard stays on RAW text,
   *   2. scrub    — [[TextOps.redact]] on the survivors: PII
   *                 placeholders + deny-term mask, BEFORE anything is
   *                 written anywhere,
@@ -103,7 +108,8 @@ object IngestDoor {
       compactTargetBytes: Long = 128L << 20,
       lmGate: Option[(DataFrame, DataFrame)] = None,
       phashFrameBytes: Int = 64,
-      phashStride: Int = 2): Unit = {
+      phashStride: Int = 2,
+      normalize: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val stable = batch.localCheckpoint()
     // 1. guard vs the frozen eval artifact — on RAW text (see class
@@ -111,11 +117,20 @@ object IngestDoor {
     val bad = Decontaminate
       .contaminatedIds(stable, evalGrams, bloomBytes, nGram)
       .localCheckpoint()
+    // 1.5 (optional) whitespace/control normalization BEFORE anything
+    // hashes or shingles the survivors — a CRLF vs LF or double-space
+    // variant of an already-admitted doc otherwise slips past both
+    // dedup stages' shingle/signature equality. The guard above stays
+    // on RAW text by design; normalization drops nothing, so no audit
+    // column.
+    val survivors0 = stable.join(bad, Seq("doc_id"), "left_anti")
+    val survivors =
+      if (normalize)
+        survivors0.withColumn("text", TextOps.normalizeText(col("text")))
+      else survivors0
     // 2. scrub the survivors — counts read by the audit, text by
     // every later stage: checkpoint
-    val scrubbed = TextOps
-      .redact(stable.join(bad, Seq("doc_id"), "left_anti"), denyTerms)
-      .localCheckpoint()
+    val scrubbed = TextOps.redact(survivors, denyTerms).localCheckpoint()
     val postScrub = scrubbed.select(col("doc_id"), col("redacted").as("text"))
     // 2.5 (optional) quality gate — the frozen-LM perplexity admission
     // of [[StreamingPerplexityGate]], run on the SCRUBBED text (the LM
@@ -240,7 +255,8 @@ object IngestDoor {
       compactTargetBytes: Long = 128L << 20,
       lmGate: Option[(DataFrame, DataFrame)] = None,
       phashFrameBytes: Int = 64,
-      phashStride: Int = 2): StreamingQuery =
+      phashStride: Int = 2,
+      normalize: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -248,7 +264,7 @@ object IngestDoor {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, root, denyTerms, evalGrams, bloomBytes,
           vocab, seqLen, nGram, threshold, compactEvery, compactTargetBytes,
-          lmGate, phashFrameBytes, phashStride)
+          lmGate, phashFrameBytes, phashStride, normalize)
         ()
       }
       .start()

@@ -278,6 +278,52 @@ class HttpTransportSpec extends SparkSpec {
     intercept[HttpMessageSender.DeliveryFailed] { dead.post("x") }
   }
 
+  test("TwitchBotLoop over the live webhook: alert through a real HTTP hop; a failed send suppresses, never double-posts") {
+    import graft.message.HttpMessageSender
+    val stub = new Stub
+    try {
+      val hook = "/api/webhooks/loop/tok"
+      stub.routes(hook) = (204, "")
+      val api = new CannedApi
+      api.live = Some(TwitchApi.StreamInfo("Arma 3", "Tactical Tuesday",
+        "https://t/{width}x{height}.jpg"))
+      // fresh state: the alert row is GLOBAL (reference single-channel
+      // bot) and the suite's shared loopState has already alerted
+      System.setProperty("derby.system.home",
+        java.nio.file.Files.createTempDirectory("graft-derby-hook").toString)
+      val st = new BotState(spark, "jdbc:derby:memory:grafthook;create=true",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      st.init()
+      val loop = new TwitchBotLoop(spark, api, st,
+        new HttpMessageSender(stub.base + hook, timeoutMs = 2000),
+        "webhookstreamer")
+      val t0 = LocalDateTime.parse("2024-03-01T12:00:00")
+      assert(loop.streamTick(t0)) // fresh state (epoch seed) → alert fires
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      assert(mapper.readTree(stub.bodies(hook).head).get("content").asText() ===
+        "@here Стрим онлайн! <https://www.twitch.tv/webhookstreamer>\n" +
+          ":red_circle: Запущен поток **Arma 3** \n Tactical Tuesday\n" +
+          "https://t/854x480.jpg")
+      // webhook dies mid-alert: the state write lands BEFORE the send
+      // (the reference's order — a crash between them SUPPRESSES
+      // rather than double-posts), so the failed attempt throws AND
+      // advances the gate; the scheduler's `safely` is what turns the
+      // throw into a skipped tick
+      stub.routes(hook) = (500, "boom")
+      intercept[HttpMessageSender.DeliveryFailed] {
+        loop.streamTick(t0.plusHours(9))
+      }
+      stub.routes(hook) = (204, "")
+      // within 8h of the FAILED attempt: suppressed (no double-post)
+      assert(!loop.streamTick(t0.plusHours(9).plusMinutes(1)))
+      // past it: the healthy tick alerts again through the real hop
+      assert(loop.streamTick(t0.plusHours(17).plusSeconds(1)))
+      // three POSTs hit the wire (the 500'd attempt still sent its
+      // body); exactly two were deliveries
+      assert(stub.bodies(hook).size === 3 && stub.hits(hook) === 3)
+    } finally stub.stop()
+  }
+
   test("TwitchBotLoop: replay tick delegates one-per-tick and failures skip, not kill") {
     val api = new CannedApi
     val sink = new BufferSink

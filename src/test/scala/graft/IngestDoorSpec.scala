@@ -353,6 +353,31 @@ class IngestDoorSpec extends SparkSpec {
     assert(spark.read.parquet(IngestDoor.phashIndexPath(root)).count() === idxRows)
   }
 
+  test("optional normalize stage: a CRLF/whitespace variant dedups only when it's on") {
+    val (evalGrams, bloom, vocab) = mediaFixtures()
+    // the same sentence with \r\n noise between every word — after
+    // normalization it is BYTE-identical to the clean doc; raw, its
+    // shingle set shares nothing (every 3-gram contains a \r\n token)
+    val clean = s"$longText extra tail words here"
+    val noisy = clean.split(" ").mkString(" \r\n ")
+    val batch = Seq((40L, clean), (41L, noisy)).toDF("doc_id", "text")
+
+    val rootOff = java.nio.file.Files.createTempDirectory("door-norm-off").toString
+    IngestDoor.applyBatch(batch, 0L, rootOff, deny, evalGrams, bloom, vocab, seqLen)
+    assert(IngestDoor.readCorpus(spark, rootOff).count() === 2L,
+      "without normalization the variant is (wrongly) a distinct doc")
+
+    val rootOn = java.nio.file.Files.createTempDirectory("door-norm-on").toString
+    IngestDoor.applyBatch(batch, 0L, rootOn, deny, evalGrams, bloom, vocab,
+      seqLen, normalize = true)
+    assert(IngestDoor.readCorpus(spark, rootOn)
+      .select("doc_id").as[Long].collect().toSeq === Seq(40L),
+      "normalized variant must collapse to the min-id keeper")
+    val a = IngestDoor.readAudit(spark, rootOn)
+      .select("n_in", "n_dup_text", "n_admitted").head()
+    assert(a.toSeq === Seq(2L, 1L, 1L))
+  }
+
   test("optional LM quality gate: low-perplexity drop audits as n_lowq, dup attribution exact") {
     import graft.operators.TextOps
     val root = java.nio.file.Files.createTempDirectory("door-lm").toString

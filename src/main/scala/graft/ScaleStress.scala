@@ -145,7 +145,11 @@ object ScaleStress {
     // candidate scans cover ≤40 % of the corpus per config
     // q217: q216's tuned config through the PERSISTED index — growth
     // adds the partitioned index write; the probe side reads ~1/√N
-    "q216_ivf_probe_audit", "q217_ivf_indexed_fused")
+    // q220: window explode + (doc, lang) count + per-doc modal rank —
+    // the rank windows hold ≤6 rows per doc, so growth must track the
+    // explode, never a window
+    "q216_ivf_probe_audit", "q217_ivf_indexed_fused",
+    "q220_lang_segments")
 
   /** Operator-shape fingerprint: node kind per plan line, positions
     * preserved, ids/sizes/exprs stripped. */

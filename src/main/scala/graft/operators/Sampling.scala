@@ -188,6 +188,48 @@ object Sampling {
           .as("weight"))
   }
 
+  /** Token-budget mixture plan — the "data recipe" arithmetic every
+    * pretraining run fixes before sampling starts (the Llama/CCNet
+    * table of per-source token targets): given per-source available
+    * tokens and integer mixture weights, a total budget of
+    * `budgetNum/budgetDen` of the corpus's tokens is split
+    * proportionally, and each source's plan reads out as a target
+    * token count, the epochs that target implies over its available
+    * tokens (floor-e4 fixed point), and whether it needs upsampling
+    * (>1 epoch — the flag that says this source repeats). ALL integer
+    * arithmetic (floor division end to end), so the plan is
+    * bit-identical anywhere. One corpus scan for the per-source
+    * totals; everything after is source-cardinality-sized (the two
+    * scalars collect driver-side like the k-means centroids).
+    * Output: (source, n_tokens_avail, weight, n_tokens_target,
+    * epochs_e4, needs_upsampling). */
+  def tokenBudgetPlan(
+      docs: DataFrame,
+      weights: DataFrame,
+      budgetNum: Long,
+      budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction must be non-negative: $budgetNum/$budgetDen")
+    val avail = docs
+      .select(col("source"), TextOps.tokenCount(col("text")).as("graft_t"))
+      .groupBy(col("source"))
+      .agg(sum(col("graft_t")).as("n_tokens_avail"))
+      .localCheckpoint() // scanned for the scalar AND joined below
+    val totalTokens = avail.agg(sum(col("n_tokens_avail")))
+      .head().getLong(0)
+    val budget = totalTokens * budgetNum / budgetDen
+    val wSum = weights.agg(sum(col("weight"))).head().getLong(0)
+    avail.join(broadcast(weights), Seq("source"))
+      .select(col("source"), col("n_tokens_avail"),
+        col("weight").cast("bigint").as("weight"),
+        expr(s"CAST($budget * weight div $wSum AS BIGINT)")
+          .as("n_tokens_target"))
+      .withColumn("epochs_e4",
+        expr("CAST(n_tokens_target * 10000 div n_tokens_avail AS BIGINT)"))
+      .withColumn("needs_upsampling",
+        col("n_tokens_target") > col("n_tokens_avail"))
+  }
+
   def groupCap(
       df: DataFrame,
       groupCols: Seq[String],

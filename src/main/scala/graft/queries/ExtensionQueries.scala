@@ -3335,6 +3335,24 @@ object ExtensionQueries {
   val q220LangSegments: Q = (s, dir) =>
     TextOps.langSegments(t(s, dir, "documents"), windowWords = 20)
 
+  /** Token-budget mixture plan
+    * ([[graft.operators.Sampling.tokenBudgetPlan]]): per-source token
+    * targets for a half-the-corpus budget under weights derived
+    * deterministically from the source id (N%4 + 1 — so the plan
+    * exercises unequal weights without a 20-entry literal). The
+    * "data recipe" table a pretraining run freezes before q49/q198's
+    * mixture resampling executes it; epochs_e4 > 10000 flags sources
+    * that must repeat. All-integer floor arithmetic, replayed
+    * verbatim by the oracle. */
+  val q221TokenBudget: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val weights = docs.select(col("source")).distinct()
+      .select(col("source"),
+        (regexp_extract(col("source"), "([0-9]+)", 1).cast("bigint") % 4 + 1)
+          .as("weight"))
+    Sampling.tokenBudgetPlan(docs, weights, budgetNum = 1, budgetDen = 2)
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3548,6 +3566,7 @@ object ExtensionQueries {
     "q218_media_formats" -> q218MediaFormats,
     "q219_normalize" -> q219Normalize,
     "q220_lang_segments" -> q220LangSegments,
+    "q221_token_budget" -> q221TokenBudget,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -7826,6 +7845,27 @@ object ExtensionQueries {
         |       CAST((t.n_segments - top.c) * 10000 // t.n_segments AS BIGINT)
         |         AS minority_bp
         |FROM tot t JOIN top USING (doc_id)""".stripMargin,
+    // all-integer floor arithmetic: budget = total//2, per-source
+    // target = budget*w//sum(w), epochs in floor-e4
+    "q221_token_budget" ->
+      """WITH av AS (SELECT source,
+        |              CAST(sum(len(regexp_extract_all(text,
+        |                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1))) AS BIGINT)
+        |                AS n_tokens_avail
+        |            FROM documents GROUP BY 1),
+        | w AS (SELECT source,
+        |              CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1
+        |                AS weight
+        |       FROM (SELECT DISTINCT source FROM documents)),
+        | tot AS (SELECT CAST(sum(n_tokens_avail) AS BIGINT) AS t FROM av),
+        | ws AS (SELECT CAST(sum(weight) AS BIGINT) AS s FROM w)
+        |SELECT av.source, av.n_tokens_avail, w.weight,
+        |       CAST((tot.t // 2) * w.weight // ws.s AS BIGINT) AS n_tokens_target,
+        |       CAST(CAST((tot.t // 2) * w.weight // ws.s AS BIGINT) * 10000
+        |            // av.n_tokens_avail AS BIGINT) AS epochs_e4,
+        |       CAST((tot.t // 2) * w.weight // ws.s AS BIGINT) > av.n_tokens_avail
+        |         AS needs_upsampling
+        |FROM av JOIN w USING (source), tot, ws""".stripMargin,
     // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
     // string_agg — groups span many docs; hand-checkable (ids ascend)
     "q206_probe_ordered_agg" ->

@@ -74,6 +74,51 @@ class IvfPqSpec extends SparkSpec {
       s"learned index scan is not partition-pruned:\n$plan")
   }
 
+  test("index heal: kmeansFrom re-fits in place — ids stable, rebuilt index clears the gate") {
+    import graft.operators.Clustering
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two tight clusters on ±x …
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.1f), 1), (3L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cent = Similarity.centroids(corpus).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-heal").toString + "/idx"
+    Similarity.writeIvfIndex(corpus, dir)
+    // … then the ingest distribution moves to ±y: the gate trips
+    val shifted = Seq(
+      (20L, Array(0.0f, 1.0f)), (21L, Array(0.05f, 1.0f)),
+      (22L, Array(0.0f, -1.0f)), (23L, Array(0.05f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(shifted, cent, dir)
+    val before = Similarity.ivfRefitCheck(spark, dir, cent, shifted)
+      .select("ks_stat", "refit").as[(Double, Boolean)].head()
+    assert(before._2, s"shifted ingest must trip the gate (ks=${before._1})")
+    // HEAL: warm-start Lloyd from the live centroids — cluster ids
+    // must not renumber (a renumber would orphan the partition dirs)
+    val union = spark.read.parquet(dir)
+      .select(col("vec_id"), col("embedding"))
+    val healed = Clustering.kmeansFrom(union, cent, rounds = 3)
+      .withColumnRenamed("cluster", "label").localCheckpoint()
+    assert(healed.select("label").as[Long].collect().sorted.toSeq ===
+      cent.select(col("label").cast("long")).as[Long].collect().sorted.toSeq,
+      "healing renumbered the clusters")
+    // rebuild the index under the healed assignment; the same batch no
+    // longer reads as drift and the KS statistic dropped
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-heal2").toString + "/idx"
+    Similarity.writeIvfIndex(
+      union.join(Clustering.assignUnder(union, healed)
+        .select(col("vec_id"), col("cluster").as("label")), Seq("vec_id")),
+      dir2)
+    val after = Similarity.ivfRefitCheck(spark, dir2, healed, shifted)
+      .select("ks_stat", "refit").as[(Double, Boolean)].head()
+    assert(!after._2, s"healed index still trips the gate (ks=${after._1})")
+    assert(after._1 < before._1, "healing did not reduce the drift statistic")
+  }
+
   test("recall@10 at nprobe=1 ≥ plain IVF (the q153 contract at equal probe cost)") {
     val e = embeddings
     val cent = Similarity.centroids(e)

@@ -46,18 +46,13 @@ class HttpMessageSender(webhookUrl: String, timeoutMs: Long = 10000)
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** One webhook POST; throws [[HttpMessageSender.DeliveryFailed]] on
-    * any non-2xx status or transport error. */
-  def post(message: String): Unit = {
-    val payload = mapper.createObjectNode()
-    payload.put("content", message)
+  private def postBody(body: String): Unit = {
     val status =
       try {
         val req = HttpRequest.newBuilder(URI.create(webhookUrl))
           .timeout(Duration.ofMillis(timeoutMs))
           .header("Content-Type", "application/json")
-          .POST(HttpRequest.BodyPublishers.ofString(
-            mapper.writeValueAsString(payload)))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
           .build()
         client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
       } catch {
@@ -70,10 +65,28 @@ class HttpMessageSender(webhookUrl: String, timeoutMs: Long = 10000)
         s"webhook POST returned HTTP $status", null)
   }
 
+  /** One webhook POST; throws [[HttpMessageSender.DeliveryFailed]] on
+    * any non-2xx status or transport error. */
+  def post(message: String): Unit = {
+    val payload = mapper.createObjectNode()
+    payload.put("content", message)
+    postBody(mapper.writeValueAsString(payload))
+  }
+
+  /** Content + embeds in the SAME POST body — the reference's replay
+    * send and stream-online alert each deliver text and embeds in one
+    * call (bot/botrun.py:307, :269); Discord webhooks take both in one
+    * JSON document. */
+  override def post(message: String, embeds: Seq[Renderer.Embed]): Unit =
+    postBody(HttpMessageSender.payloadJson(message, embeds))
+
   /** [[MessageSender]] form — the replay drain's transport. The
     * replay number is already rendered INTO the message text
     * ([[Renderer]]); it is not re-encoded here. */
   def send(replayNumber: Int, message: String): Unit = post(message)
+
+  override def sendWithEmbeds(replayNumber: Int, content: String,
+      embeds: Seq[Renderer.Embed]): Unit = post(content, embeds)
 }
 
 object HttpMessageSender {
@@ -81,4 +94,36 @@ object HttpMessageSender {
     * never runs (the [[MessageSender]] deliver-or-throw contract). */
   final class DeliveryFailed(msg: String, cause: Throwable)
       extends RuntimeException(msg, cause)
+
+  /** [[Renderer.Embed]] → the Discord webhook JSON document:
+    * `{"content": …, "embeds": [{title?, color?, description?, url?,
+    * image?: {url}, fields?: [{name, value, inline: true}]}]}`.
+    * Every field is inline — the reference passes `inline=True` on all
+    * of them (bot/botrun.py:203-227); empty strings / color -1 are
+    * absent keys, matching discord.py's omit-unset serialization.
+    * Jackson-built, so Cyrillic, quotes, and newlines escape correctly.
+    * Shared by the live transport and the file double (the double
+    * records exactly what the wire would carry). */
+  def payloadJson(content: String, embeds: Seq[Renderer.Embed]): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val payload = m.createObjectNode()
+    payload.put("content", content)
+    val arr = payload.putArray("embeds")
+    embeds.foreach { e =>
+      val node = arr.addObject()
+      if (e.title.nonEmpty) node.put("title", e.title)
+      if (e.color >= 0) node.put("color", e.color)
+      if (e.description.nonEmpty) node.put("description", e.description)
+      if (e.url.nonEmpty) node.put("url", e.url)
+      if (e.imageUrl.nonEmpty) node.putObject("image").put("url", e.imageUrl)
+      if (e.fields.nonEmpty) {
+        val fields = node.putArray("fields")
+        e.fields.foreach { case (name, value) =>
+          val f = fields.addObject()
+          f.put("name", name); f.put("value", value); f.put("inline", true)
+        }
+      }
+    }
+    m.writeValueAsString(payload)
+  }
 }

@@ -15,6 +15,16 @@ package graft.message
   */
 trait MessageSender {
   def send(replayNumber: Int, message: String): Unit
+
+  /** Content + embeds in ONE delivery — the reference's replay send
+    * carries the fixed envelope string and five embeds in the same
+    * call (bot/botrun.py:307). Default collapses to the content-only
+    * form so content-only doubles keep working; wire transports
+    * override to put the embeds array in the same POST body. Same
+    * deliver-or-throw contract as [[send]]. */
+  def sendWithEmbeds(replayNumber: Int, content: String,
+      embeds: Seq[Renderer.Embed]): Unit =
+    send(replayNumber, content)
 }
 
 object MessageSender {
@@ -29,13 +39,23 @@ object MessageSender {
   * can survive from parsed replay HTML) — the spec reads it back to
   * assert exactly-once-per-posted-flag behavior. */
 class FileMessageSender(path: String) extends MessageSender with Serializable {
-  def send(replayNumber: Int, message: String): Unit = {
-    val line = replayNumber + "\t" +
-      message.replace("\\", "\\\\").replace("\r", "\\r")
-        .replace("\n", "\\n") + "\n"
+  private def append(line: String): Unit =
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path), line.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-  }
+
+  def send(replayNumber: Int, message: String): Unit =
+    append(replayNumber + "\t" +
+      message.replace("\\", "\\\\").replace("\r", "\\r")
+        .replace("\n", "\\n") + "\n")
+
+  /** Records the exact wire payload (the webhook JSON with content +
+    * embeds array, Jackson-escaped so it is one line by construction) —
+    * replay tests read it back to assert what a live transport would
+    * have POSTed. */
+  override def sendWithEmbeds(replayNumber: Int, content: String,
+      embeds: Seq[Renderer.Embed]): Unit =
+    append(replayNumber + "\t" +
+      HttpMessageSender.payloadJson(content, embeds) + "\n")
 }

@@ -16,8 +16,24 @@ import scala.jdk.CollectionConverters._
   */
 object Renderer {
 
-  /** Discord-agnostic embed shape (title, color, fields(name, value)). */
-  case class Embed(title: String, color: Int, fields: Seq[(String, String)])
+  /** Discord-agnostic embed shape. `color = -1` means unset (the
+    * reference's stream-online embed passes no color,
+    * bot/botrun.py:266); `description`/`url`/`imageUrl` empty = absent.
+    * [[graft.message.HttpMessageSender.payload]] maps this onto the
+    * webhook JSON embed object. */
+  case class Embed(
+      title: String,
+      color: Int,
+      fields: Seq[(String, String)],
+      description: String = "",
+      url: String = "",
+      imageUrl: String = "")
+
+  /** The replay drain's fixed message content — the reference sends
+    * this string (NOT the create_text render, which it builds for the
+    * DB update and discards) alongside the five embeds in one call
+    * (bot/botrun.py:307). */
+  val replayEnvelope: String = ":incoming_envelope: Доступен новый реплей!"
 
   private val mapper = new ObjectMapper()
 
@@ -142,9 +158,8 @@ ${tksOrNot(arr(d, "tks"))}
         s(g, "type_label") -> g.get("vehicles").elements().asScala
           .map(v => s"${v.get("count").asLong()}x${s(v, "name")}").mkString("\n")
       }.toSeq)
-    val link = Embed("", 0x0099ff, Seq(
-      "description" ->
-        s"С полным реплеем и статистикой миссии можно ознакомиться по ссылке: ${s(d, "replay_url")}/"))
+    val link = Embed("", 0x0099ff, Nil, description =
+      s"С полным реплеем и статистикой миссии можно ознакомиться по ссылке: ${s(d, "replay_url")}/")
     Seq(stats, personal, frags, vehicles, link)
   }
 
@@ -159,4 +174,17 @@ ${tksOrNot(arr(d, "tks"))}
 
   def streamOnlineEmbed(gameName: String, title: String): String =
     s":red_circle: Запущен поток **$gameName** \n $title"
+
+  /** The stream-online embed as the reference builds it
+    * (bot/botrun.py:266-269): title = streamer name, url = the channel,
+    * description = the :red_circle: line, image = the resolved
+    * 854x480 thumbnail; no color passed. Sent in the SAME call as
+    * [[streamOnlineMessage]]'s content. */
+  def streamOnlineAlertEmbed(
+      streamer: String, gameName: String, title: String,
+      thumbnailUrl: String): Embed =
+    Embed(streamer, -1, Nil,
+      description = streamOnlineEmbed(gameName, title),
+      url = s"https://www.twitch.tv/$streamer",
+      imageUrl = thumbnailUrl)
 }

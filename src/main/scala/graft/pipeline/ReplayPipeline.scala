@@ -105,10 +105,25 @@ class ReplayPipeline(spark: SparkSession, store: TableStore) {
     * cadence, where [[deliverUnposted]] is the crash-recovery drain.
     * Same at-least-once discipline: the flag is set only AFTER the
     * send. Returns whether a message went out. */
+  /** One message through the reference's send sequence
+    * (botrun.py:297-309): create_text runs FIRST — for its
+    * `UPDATE messages SET message = …` side effect only (the rendered
+    * text persists even when the send then fails; its return value is
+    * built and DISCARDED, the reference quirk at :306) — then ONE
+    * delivery carrying the fixed envelope content plus the five embeds
+    * (:307), then the posted flag. */
+  private def deliverOne(sender: graft.message.MessageSender,
+      replay: Int, textData: String): Unit = {
+    import graft.message.Renderer
+    store.setMessageText(replay, Renderer.createText(textData))
+    sender.sendWithEmbeds(replay, Renderer.replayEnvelope,
+      Renderer.createEmbeds(textData))
+    store.markPosted(replay)
+  }
+
   def deliverNext(sender: graft.message.MessageSender): Boolean =
     nextUnposted() match {
-      case Some((replay, text)) =>
-        sender.send(replay, text); store.markPosted(replay); true
+      case Some((replay, text)) => deliverOne(sender, replay, text); true
       case None => false
     }
 
@@ -118,8 +133,7 @@ class ReplayPipeline(spark: SparkSession, store: TableStore) {
       .orderBy(col("replay_number"))
       .collect().map(r => (r.getInt(0), r.getString(2)))
     backlog.foreach { case (replay, text) =>
-      sender.send(replay, text)
-      store.markPosted(replay)
+      deliverOne(sender, replay, text)
     }
     backlog.length
   }

@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   * double. */
 trait AlertSink {
   def post(message: String): Unit
+
+  /** Content + embeds in one delivery — the stream-online alert
+    * attaches an embed to the same send (botrun.py:266-269). Default
+    * collapses to content-only for content-only sinks; the live
+    * webhook transport overrides to carry both in one POST. */
+  def post(message: String, embeds: Seq[Renderer.Embed]): Unit =
+    post(message)
 }
 
 /** The reference bot's THREE polling loops (bot/botrun.py:242-309,
@@ -77,9 +84,10 @@ class TwitchBotLoop(
           .replace("{width}", "854").replace("{height}", "480")
         if (state.shouldAlert(now, maxHours)) {
           state.recordAlert(now)
-          alerts.post(Renderer.streamOnlineMessage(channel) + "\n" +
-            Renderer.streamOnlineEmbed(info.gameName, info.title) + "\n" +
-            thumb)
+          // one send carrying content + the embed (botrun.py:269)
+          alerts.post(Renderer.streamOnlineMessage(channel),
+            Seq(Renderer.streamOnlineAlertEmbed(
+              channel, info.gameName, info.title, thumb)))
           true
         } else false
     }

@@ -144,7 +144,12 @@ class HttpTransportSpec extends SparkSpec {
 
   private class BufferSink extends AlertSink {
     val posted = mutable.ArrayBuffer[String]()
-    def post(message: String): Unit = posted += message
+    val embeds = mutable.ArrayBuffer[Seq[graft.message.Renderer.Embed]]()
+    def post(message: String): Unit = { posted += message; embeds += Nil }
+    override def post(message: String,
+        em: Seq[graft.message.Renderer.Embed]): Unit = {
+      posted += message; embeds += em
+    }
   }
 
   private lazy val loopState: BotState = {
@@ -182,10 +187,16 @@ class HttpTransportSpec extends SparkSpec {
     api.live = Some(TwitchApi.StreamInfo("Arma 3", "Tactical Tuesday",
       "https://t/{width}x{height}.jpg"))
     assert(loop.streamTick(t0)) // fresh state (epoch seed) → alert
+    // ONE send carrying content + the embed (botrun.py:269); the embed
+    // holds the streamer title/url, the :red_circle: description, and
+    // the {width}/{height}-resolved thumbnail (botrun.py:260)
     assert(sink.posted == Seq(
-      "@here Стрим онлайн! <https://www.twitch.tv/streamer>\n" +
-        ":red_circle: Запущен поток **Arma 3** \n Tactical Tuesday\n" +
-        "https://t/854x480.jpg")) // {width}/{height} resolved, botrun.py:260
+      "@here Стрим онлайн! <https://www.twitch.tv/streamer>"))
+    assert(sink.embeds.head == Seq(graft.message.Renderer.Embed(
+      "streamer", -1, Nil,
+      description = ":red_circle: Запущен поток **Arma 3** \n Tactical Tuesday",
+      url = "https://www.twitch.tv/streamer",
+      imageUrl = "https://t/854x480.jpg")))
     // suppression: exactly 8h stays quiet (STRICT >), 8h+1s fires
     assert(!loop.streamTick(t0.plusHours(8)) && sink.posted.size == 1)
     assert(loop.streamTick(t0.plusHours(8).plusSeconds(1)))
@@ -237,11 +248,9 @@ class HttpTransportSpec extends SparkSpec {
       p.ingest(500, SparkSpec.resource("replay.html"),
         SparkSpec.resource("replay-data.json"))
       p.createMessage(500)
-      // the drain's payload (the message document) carries embedded
-      // quotes + Cyrillic — the JSON body must escape them (Jackson),
-      // never concatenate
-      val expected = p.nextUnposted().get._2
-      assert(expected.contains("\"")) // escaping is actually exercised
+      // the embeds carry quotes + Cyrillic out of the message document
+      // — the JSON body must escape them (Jackson), never concatenate
+      val textData = p.nextUnposted().get._2
       val hook = "/api/webhooks/w1/tok"
       val sender = new HttpMessageSender(stub.base + hook, timeoutMs = 2000)
 
@@ -250,6 +259,10 @@ class HttpTransportSpec extends SparkSpec {
       // (retry-later, the deliver-or-throw contract)
       intercept[HttpMessageSender.DeliveryFailed] { p.deliverUnposted(sender) }
       assert(p.nextUnposted().nonEmpty)
+      // create_text's UPDATE side effect landed BEFORE the failed send
+      // (botrun.py:163-167 runs first) — the rendered text persists
+      assert(store.read("messages").select("message").head().getString(0)
+        .startsWith("Доступен новый реплей!"))
 
       // 2. webhook up (Discord answers 204 No Content): the drain
       // delivers, flags posted, and a re-drain sends nothing
@@ -258,11 +271,30 @@ class HttpTransportSpec extends SparkSpec {
       assert(p.nextUnposted().isEmpty)
       assert(p.deliverUnposted(sender) == 0)
       assert(stub.hits(hook) == 2) // the failed try + the delivery
-      // the delivered body is exactly {"content": rendered}, escaped
+      // every attempt carried content + the FIVE embeds in ONE body
+      // (botrun.py:307), byte-exact against the wire serializer
+      val expectedBody = HttpMessageSender.payloadJson(
+        graft.message.Renderer.replayEnvelope,
+        graft.message.Renderer.createEmbeds(textData))
+      assert(stub.bodies(hook).toSeq == Seq(expectedBody, expectedBody))
+      // and the wire JSON independently decodes to the reference shape
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val sentContents = stub.bodies(hook).toSeq
-        .map(b => mapper.readTree(b).get("content").asText())
-      assert(sentContents == Seq(expected, expected))
+      val body = mapper.readTree(stub.bodies(hook).head)
+      assert(body.get("content").asText() ==
+        ":incoming_envelope: Доступен новый реплей!")
+      val embeds = body.get("embeds")
+      assert(embeds.size() == 5)
+      assert(embeds.get(0).get("title").asText() ==
+        ":chart_with_downwards_trend: Общая статистика:")
+      assert(embeds.get(0).get("color").asInt() == 2326507)
+      assert(embeds.get(0).get("fields").get(0).get("name").asText() ==
+        "Информация")
+      assert(embeds.get(0).get("fields").get(0).get("inline").asBoolean())
+      // the link embed is description-only: no title, 0x0099ff
+      assert(!embeds.get(4).has("title") && !embeds.get(4).has("fields"))
+      assert(embeds.get(4).get("color").asInt() == 0x0099ff)
+      assert(embeds.get(4).get("description").asText()
+        .startsWith("С полным реплеем"))
 
       // 3. the same transport is the bot loop's AlertSink seam
       sender.post("@here stream up")
@@ -299,11 +331,19 @@ class HttpTransportSpec extends SparkSpec {
         "webhookstreamer")
       val t0 = LocalDateTime.parse("2024-03-01T12:00:00")
       assert(loop.streamTick(t0)) // fresh state (epoch seed) → alert fires
+      // one POST: content + the embed object (botrun.py:266-269)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      assert(mapper.readTree(stub.bodies(hook).head).get("content").asText() ===
-        "@here Стрим онлайн! <https://www.twitch.tv/webhookstreamer>\n" +
-          ":red_circle: Запущен поток **Arma 3** \n Tactical Tuesday\n" +
-          "https://t/854x480.jpg")
+      val alertBody = mapper.readTree(stub.bodies(hook).head)
+      assert(alertBody.get("content").asText() ===
+        "@here Стрим онлайн! <https://www.twitch.tv/webhookstreamer>")
+      val emb = alertBody.get("embeds").get(0)
+      assert(alertBody.get("embeds").size() === 1)
+      assert(emb.get("title").asText() === "webhookstreamer")
+      assert(emb.get("url").asText() === "https://www.twitch.tv/webhookstreamer")
+      assert(emb.get("description").asText() ===
+        ":red_circle: Запущен поток **Arma 3** \n Tactical Tuesday")
+      assert(emb.get("image").get("url").asText() === "https://t/854x480.jpg")
+      assert(!emb.has("color")) // the reference passes no color here
       // webhook dies mid-alert: the state write lands BEFORE the send
       // (the reference's order — a crash between them SUPPRESSES
       // rather than double-posts), so the failed attempt throws AND

@@ -65,6 +65,10 @@ class RendererSpec extends SparkSpec {
     // vehicles grouped by RU label, count-x-name lines
     assert(embeds(3).fields.exists { case (n, v) =>
       n == "Танк" && v == "1xT-72\n1xT-80" })
-    assert(embeds(4).color == 0x0099ff)
+    // link embed is description-only (no title, no fields)
+    assert(embeds(4).color == 0x0099ff && embeds(4).fields.isEmpty)
+    assert(embeds(4).description.startsWith(
+      "С полным реплеем и статистикой миссии можно ознакомиться"))
+    assert(embeds(4).description.endsWith("/")) // reference's trailing slash
   }
 }

@@ -96,6 +96,13 @@ class ReplayStreamSpec extends SparkSpec {
     val sent1 = Files.readAllLines(Paths.get(outFile))
     assert(sent1.size == 1 && sent1.get(0).startsWith("700\t"),
       s"expected one delivery for replay 700, got $sent1")
+    // the double records the WIRE payload: envelope content + 5 embeds
+    // in one JSON body (botrun.py:307)
+    val wire = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(sent1.get(0).split("\t", 2)(1))
+    assert(wire.get("content").asText() ==
+      ":incoming_envelope: Доступен новый реплей!")
+    assert(wire.get("embeds").size() == 5)
     assert(store.read("messages").filter(col("posted") <=> true).count() == 1)
 
     // crash-replay of the delivered state: a fresh drain sends NOTHING —

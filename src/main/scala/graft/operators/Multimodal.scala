@@ -236,21 +236,25 @@ object Multimodal {
         ("gif", leU16(p, 6), leU16(p, 8))
       else if (p.length >= 4 && u8(p, 0) == 0xff && u8(p, 1) == 0xd8 &&
           u8(p, 2) == 0xff) {
-        // walk segments: [0xFF marker len_hi len_lo payload…]*
+        // walk segments: [0xFF… fill] 0xFF marker [len_hi len_lo payload]
         var i = 2
         var res: (String, Int, Int) = ("jpeg", -1, -1)
         var done = false
         while (!done && i + 3 < p.length) {
           if (u8(p, i) != 0xff) { done = true } // desynced → unparseable
-          else {
+          else if (u8(p, i + 1) == 0xff) {
+            i += 1 // 0xFF fill/padding byte before the real marker (legal)
+          } else {
             val marker = u8(p, i + 1)
             if (marker >= 0xc0 && marker <= 0xcf &&
                 marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
               if (i + 8 < p.length)
                 res = ("jpeg", beU16(p, i + 7), beU16(p, i + 5))
               done = true
-            } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
-              i += 2 // standalone marker, no length
+            } else if (marker == 0xd9) {
+              done = true // EOI: end of image, no frame header seen
+            } else if ((marker >= 0xd0 && marker <= 0xd8) || marker == 0x01) {
+              i += 2 // standalone marker (SOI/RSTn/TEM), no length
             } else {
               i += 2 + beU16(p, i + 2)
             }

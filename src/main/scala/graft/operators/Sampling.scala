@@ -201,6 +201,14 @@ object Sampling {
     * bit-identical anywhere. One corpus scan for the per-source
     * totals; everything after is source-cardinality-sized (the two
     * scalars collect driver-side like the k-means centroids).
+    *
+    * Contract guards: `weights` must cover EVERY source present in
+    * `docs` (fail fast — a silently dropped source would make the
+    * targets stop summing to the budget), the weight sum is computed
+    * over the COVERED sources only (a weight row for a source with no
+    * documents cannot claim budget), and a source whose documents hold
+    * zero tokens reads epochs_e4 = 0 (it can deliver nothing; division
+    * by zero must not null the plan — DuckDB's `//` would even error).
     * Output: (source, n_tokens_avail, weight, n_tokens_target,
     * epochs_e4, needs_upsampling). */
   def tokenBudgetPlan(
@@ -214,18 +222,26 @@ object Sampling {
       .select(col("source"), TextOps.tokenCount(col("text")).as("graft_t"))
       .groupBy(col("source"))
       .agg(sum(col("graft_t")).as("n_tokens_avail"))
-      .localCheckpoint() // scanned for the scalar AND joined below
+      .localCheckpoint() // scanned for the scalars AND joined below
+    val uncovered = avail.join(broadcast(weights), Seq("source"), "left_anti")
+      .select(col("source")).collect().map(_.getString(0)).sorted
+    require(uncovered.isEmpty,
+      s"weights must cover every source; missing: ${uncovered.mkString(", ")}")
     val totalTokens = avail.agg(sum(col("n_tokens_avail")))
       .head().getLong(0)
     val budget = totalTokens * budgetNum / budgetDen
-    val wSum = weights.agg(sum(col("weight"))).head().getLong(0)
-    avail.join(broadcast(weights), Seq("source"))
+    val joined = avail.join(broadcast(weights), Seq("source"))
       .select(col("source"), col("n_tokens_avail"),
-        col("weight").cast("bigint").as("weight"),
-        expr(s"CAST($budget * weight div $wSum AS BIGINT)")
-          .as("n_tokens_target"))
+        col("weight").cast("bigint").as("weight"))
+      .localCheckpoint() // wSum scalar + the plan projection below
+    val wSum = joined.agg(sum(col("weight"))).head().getLong(0)
+    require(wSum > 0, s"covered weights must sum positive: $wSum")
+    joined
+      .withColumn("n_tokens_target",
+        expr(s"CAST($budget * weight div $wSum AS BIGINT)"))
       .withColumn("epochs_e4",
-        expr("CAST(n_tokens_target * 10000 div n_tokens_avail AS BIGINT)"))
+        expr("CAST(CASE WHEN n_tokens_avail = 0 THEN 0 " +
+          "ELSE n_tokens_target * 10000 div n_tokens_avail END AS BIGINT)"))
       .withColumn("needs_upsampling",
         col("n_tokens_target") > col("n_tokens_avail"))
   }

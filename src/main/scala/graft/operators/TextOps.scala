@@ -402,11 +402,19 @@ object TextOps {
 
   /** The q46 PII patterns, shared by the counting scan and [[redact]]
     * so the two passes can never drift — the CCNet/Dolma-style scrub
-    * surface: emails, phone-shaped digit runs, IPv4s, IPv6s (full and
-    * `::`-compressed need ≥3 groups here — the shape national scrub
-    * lists target), US-SSN-shaped ids (the national-ID stand-in; a
-    * deployment swaps in its jurisdiction's shapes), AWS access-key
-    * ids, and PEM private-key headers (the secret/credential family).
+    * surface: emails, phone-shaped digit runs, IPv4s, IPv6s, US-SSN-
+    * shaped ids (the national-ID stand-in; a deployment swaps in its
+    * jurisdiction's shapes), AWS access-key ids, and PEM private-key
+    * headers (the secret/credential family).
+    *
+    * The IPv6 pattern covers four shapes: the full 8-group form, the
+    * `::`-compressed middle (`2001:db8::1`), trailing (`2001:db8::`,
+    * ≥2 leading groups so all-hex words before a C++ `::` don't fire),
+    * and leading (`::1`) forms. Every compressed branch REQUIRES a
+    * literal `::`, and the full form requires all 8 groups — so
+    * `HH:MM:SS` timestamps, durations, and MAC-style 6-group runs
+    * never match (the pre-r13 `{2,7}` pattern rewrote every timestamp
+    * in scrubbed text to `<IPV6>`).
     * Each pattern is restricted to constructs that evaluate
     * identically under Spark's java.util.regex and DuckDB's RE2
     * (no backreferences, no lookaround), proven by the q46/q199
@@ -416,7 +424,10 @@ object TextOps {
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b" -> "<PHONE>",
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
-    "\\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\\b" -> "<IPV6>",
+    ("\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b" +
+      "|\\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\\b" +
+      "|\\b(?:[0-9A-Fa-f]{1,4}:){2,7}:" +
+      "|::(?:[0-9A-Fa-f]{1,4}:){0,6}[0-9A-Fa-f]{1,4}\\b") -> "<IPV6>",
     "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
     "\\bAKIA[0-9A-Z]{16}\\b" -> "<AWS_KEY>",
     "-----BEGIN [A-Z ]*PRIVATE KEY-----" -> "<PRIVATE_KEY>")

@@ -3255,13 +3255,35 @@ object ExtensionQueries {
     * whole ANN story in one row: build once at ingest (k-means +
     * partitioned write), probe reads ~1/√N of the files, fusion math
     * untouched. */
+  /** One learned-IVF index build per (JVM, sf dir): q217 models "build
+    * at ingest, probe per query", and re-CONSTRUCTING the query (Bench
+    * passes, ScaleStress arms, Verify) must reuse the session's index
+    * rather than leak a fresh /tmp parquet copy per construction (r12
+    * ADVICE). The cached dir is swept by a JVM shutdown hook. Bench
+    * note: pass 1 pays the k-means + partitioned write; later passes
+    * measure the probe path — the production read shape. */
+  private val learnedIvfDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def learnedIvfIndex(labeled: => DataFrame, dir: String): String =
+    learnedIvfDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-learned")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d.toFile)
+      }))
+      Similarity.writeIvfIndex(labeled, d.toString)
+      d.toString
+    })
+
   val q217IvfIndexedFused: Q = (s, dir) => {
     val (e, cent, kc, asg, n) = sqrtKmeansParts(s, dir)
-    val labeled = e.select(col("vec_id"), col("embedding"))
-      .join(asg.select(col("vec_id"), col("cluster").as("label")), Seq("vec_id"))
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft-ivf-learned").toString
-    Similarity.writeIvfIndex(labeled, idxDir)
+    val idxDir = learnedIvfIndex(
+      e.select(col("vec_id"), col("embedding"))
+        .join(asg.select(col("vec_id"), col("cluster").as("label")),
+          Seq("vec_id")),
+      dir)
     val leg = Similarity.ivfTopKIndexed(s, idxDir,
       e.filter(col("vec_id") === 0),
       cent.withColumnRenamed("cluster", "label"), k = 20, nprobe = 1)
@@ -4202,7 +4224,7 @@ object ExtensionQueries {
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
                 CAST(len(regexp_extract_all(text, '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b')) AS BIGINT) AS n_phones,
                 CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
-                CAST(len(regexp_extract_all(text, '\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\b')) AS BIGINT) AS n_ipv6,
+                CAST(len(regexp_extract_all(text, '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\b|\b(?:[0-9A-Fa-f]{1,4}:){2,7}:|::(?:[0-9A-Fa-f]{1,4}:){0,6}[0-9A-Fa-f]{1,4}\b')) AS BIGINT) AS n_ipv6,
                 CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
                 CAST(len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b')) AS BIGINT) AS n_awskey,
                 CAST(len(regexp_extract_all(text, '-----BEGIN [A-Z ]*PRIVATE KEY-----')) AS BIGINT) AS n_keyblock
@@ -7164,7 +7186,7 @@ object ExtensionQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |    '\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\b', '<IPV6>', 'g'),
+        |    '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\b|\b(?:[0-9A-Fa-f]{1,4}:){2,7}:|::(?:[0-9A-Fa-f]{1,4}:){0,6}[0-9A-Fa-f]{1,4}\b', '<IPV6>', 'g'),
         |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
         |    '\bAKIA[0-9A-Z]{16}\b', '<AWS_KEY>', 'g'),
         |    '-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIVATE_KEY>', 'g'),
@@ -7172,7 +7194,7 @@ object ExtensionQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |     + len(regexp_extract_all(text, '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b'))
         |     + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
-        |     + len(regexp_extract_all(text, '\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\b'))
+        |     + len(regexp_extract_all(text, '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\b|\b(?:[0-9A-Fa-f]{1,4}:){2,7}:|::(?:[0-9A-Fa-f]{1,4}:){0,6}[0-9A-Fa-f]{1,4}\b'))
         |     + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
         |     + len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b'))
         |     + len(regexp_extract_all(text, '-----BEGIN [A-Z ]*PRIVATE KEY-----'))
@@ -7858,11 +7880,16 @@ object ExtensionQueries {
         |                AS weight
         |       FROM (SELECT DISTINCT source FROM documents)),
         | tot AS (SELECT CAST(sum(n_tokens_avail) AS BIGINT) AS t FROM av),
-        | ws AS (SELECT CAST(sum(weight) AS BIGINT) AS s FROM w)
+        | -- weight sum over the COVERED sources (av ⋈ w), matching the
+        | -- engine's joined-set wSum; identical here since w is derived
+        | -- from the same distinct-source set as av
+        | ws AS (SELECT CAST(sum(weight) AS BIGINT) AS s
+        |        FROM w JOIN av USING (source))
         |SELECT av.source, av.n_tokens_avail, w.weight,
         |       CAST((tot.t // 2) * w.weight // ws.s AS BIGINT) AS n_tokens_target,
-        |       CAST(CAST((tot.t // 2) * w.weight // ws.s AS BIGINT) * 10000
-        |            // av.n_tokens_avail AS BIGINT) AS epochs_e4,
+        |       CAST(CASE WHEN av.n_tokens_avail = 0 THEN 0
+        |            ELSE CAST((tot.t // 2) * w.weight // ws.s AS BIGINT) * 10000
+        |                 // av.n_tokens_avail END AS BIGINT) AS epochs_e4,
         |       CAST((tot.t // 2) * w.weight // ws.s AS BIGINT) > av.n_tokens_avail
         |         AS needs_upsampling
         |FROM av JOIN w USING (source), tot, ws""".stripMargin,

@@ -650,6 +650,42 @@ class OperatorsSpec extends SparkSpec {
     assert(dims(6L) === (("unknown", -1, -1)))
   }
 
+  test("jpeg marker walk: 0xFF fill padding is skipped, EOI terminates") {
+    // legal 0xFF fill bytes between segments (JPEG B.1.1.2) — the
+    // pre-r13 walk fed the fill byte into the length-skip branch,
+    // desynced, and reported (-1,-1)
+    val padded = {
+      val b = java.nio.ByteBuffer.allocate(2 + 18 + 2 + 2 + 9)
+      b.put(Array(0xff, 0xd8).map(_.toByte))               // SOI
+      b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16)  // APP0
+        .put(new Array[Byte](14))
+      b.put(Array(0xff, 0xff).map(_.toByte))               // fill run
+      b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(9)   // SOF0
+        .put(8.toByte).putShort(1080.toShort).putShort(1920.toShort)
+      b.array()
+    }
+    // EOI before any frame header: the walk must STOP there, never
+    // read past the end of image into trailing garbage that happens
+    // to look like a SOF segment
+    val eoiThenGarbage = {
+      val b = java.nio.ByteBuffer.allocate(2 + 18 + 2 + 2 + 9)
+      b.put(Array(0xff, 0xd8).map(_.toByte))               // SOI
+      b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16)  // APP0
+        .put(new Array[Byte](14))
+      b.put(Array(0xff, 0xd9).map(_.toByte))               // EOI
+      b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(9)   // fake SOF past EOI
+        .put(8.toByte).putShort(99.toShort).putShort(77.toShort)
+      b.array()
+    }
+    val media = Seq((1L, padded), (2L, eoiThenGarbage))
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("application/octet-stream"))
+    val dims = Multimodal.imageMeta(media).collect()
+      .map(m => m.doc_id -> ((m.format, m.width, m.height))).toMap
+    assert(dims(1L) === (("jpeg", 1920, 1080)))
+    assert(dims(2L) === (("jpeg", -1, -1)))
+  }
+
   test("shuffle shards: deterministic, dense per-shard positions") {
     val df = (0L until 100L).toDF("doc_id")
     val a = Sampling.shuffleShards(df, col("doc_id"), nShards = 4)
@@ -682,6 +718,34 @@ class OperatorsSpec extends SparkSpec {
     val cc = out.filter(_._2 == "cc")
     assert(cc.forall(_._3 == 1L))
     assert(cc.length > 20 && cc.length < 80) // ~half of the 100 cc docs
+  }
+
+  test("token budget plan: uncovered source fails fast, empty source reads 0 epochs, extra weight rows claim nothing") {
+    val docs = Seq(
+      (1L, "wiki", "alpha beta gamma delta"),
+      (2L, "wiki", "epsilon zeta"),
+      (3L, "cc", "one two three"),
+      (4L, "empty", "")) // zero tokens available
+      .toDF("doc_id", "source", "text")
+    // a source missing from weights is a hard error, not a dropped row
+    val partial = Seq(("wiki", 1L), ("cc", 1L)).toDF("source", "weight")
+    val err = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPlan(docs, partial, 1, 2).collect()
+    }
+    assert(err.getMessage.contains("empty"))
+    // full coverage plus an EXTRA weight row for a docless source: the
+    // extra row must not claim budget (wSum is over covered sources)
+    val weights = Seq(("wiki", 2L), ("cc", 1L), ("empty", 1L),
+      ("ghost", 100L)).toDF("source", "weight")
+    val plan = Sampling.tokenBudgetPlan(docs, weights, 1, 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!plan.contains("ghost"))
+    // 6+3+0 = 9 tokens total, budget 4, wSum 4 (ghost excluded)
+    assert(plan("wiki") === ((6L, 2L, 2L, 3333L)))
+    assert(plan("cc") === ((3L, 1L, 1L, 3333L)))
+    // zero-token source: epochs 0, no division blowup
+    assert(plan("empty") === ((0L, 1L, 1L, 0L)))
   }
 
   test("bm25: term-bearing docs rank above term-free, idf favors rarity") {

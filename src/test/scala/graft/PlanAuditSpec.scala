@@ -39,15 +39,27 @@ class PlanAuditSpec extends SparkSpec {
     * `Exchange SinglePartition`. The consumer is not always the line
     * immediately above the exchange (AQE wrappers, WholeStageCodegen
     * banners, InputAdapter / Project lines sit between), so this scans
-    * a small window of preceding lines at shallower or equal tree
-    * depth — the ADVICE-flagged blind spot of the exactly-one-line
-    * check. */
+    * a small window of preceding lines — but only lines at STRICTLY
+    * SHALLOWER tree depth count: in Spark's tree rendering every
+    * shallower line above is an ancestor (a real consumer), while a
+    * Window/Sort from an unrelated sibling branch prints at equal or
+    * deeper indentation and must not false-positive the audit (the
+    * r12 ADVICE gap: the old check was depth-blind). */
   private def hasSinglePartitionWindow(p: String): Boolean = {
+    // tree-prefix chars before the operator name; -1 (blank/prefix-only
+    // lines) map to MaxValue so they can never read as ancestors
+    def indent(l: String): Int = l.indexWhere(c => !" :+-".contains(c)) match {
+      case -1 => Int.MaxValue
+      case i => i
+    }
     val lines = p.linesIterator.toSeq
     lines.zipWithIndex.exists { case (l, i) =>
-      l.contains("Exchange SinglePartition") &&
-        lines.slice(math.max(0, i - 4), i)
-          .exists(up => up.contains("Window") || up.contains("Sort"))
+      l.contains("Exchange SinglePartition") && {
+        val d = indent(l)
+        lines.slice(math.max(0, i - 4), i).exists { up =>
+          indent(up) < d && (up.contains("Window") || up.contains("Sort"))
+        }
+      }
     }
   }
 

@@ -320,37 +320,25 @@ object ScaleStress {
         f"factor=${scaledSec / srcSec}%.1f rows=$rows planSame=$planSame $diff")
       (name, srcSec, scaledSec, rows, planSame, diff)
     }
-    // adversarial skew, synthetic: ONE key for the ENTIRE corpus (the
-    // q212 single-language shape taken to its limit — every row ranks
-    // under the same key). The banded decomposition's tie bands (terms
-    // 2-3) must carry the split, so the factor stays ~linear; a
-    // superlinear factor here means the one hot key funnelled a task.
-    val synthName = "stress_degenerate_key_rank"
-    val synthResults =
-      if (only.forall(_.contains(synthName))) {
-        def degen(dir: String): DataFrame =
-          graft.operators.Ranks.withGlobalRank(
-            Tables.load(spark, dir, "lineitem")
-              // unique tie: ≤7 lines per order
-              .select((col("l_orderkey") * 8 + col("l_linenumber"))
-                .cast("bigint").as("graft_tie"))
-              .withColumn("graft_k", lit(0L)),
-            key = col("graft_k"), ascending = true, tie = col("graft_tie"),
-            outCol = "r")
+    // synthetic arms: adversarial shapes no driver query reaches,
+    // measured with the same min-of-2 / cleanup discipline
+    def synthArm(name: String)(mk: String => DataFrame)
+        : Option[(String, Double, Double, Long, Boolean, String)] =
+      if (only.forall(_.contains(name))) {
         def cleanup(): Unit = {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
           System.gc()
         }
-        def timed(mk: => DataFrame): Double = {
-          val s = timeNoop(mk); cleanup(); s
+        def timed(build: => DataFrame): Double = {
+          val s = timeNoop(build); cleanup(); s
         }
-        val srcShape = planShape(degen(srcDir))
-        degen(srcDir).count(); cleanup()
-        val srcSec = Seq.fill(2)(timed(degen(srcDir))).min
-        val scaledShape = planShape(degen(outDir))
-        val rows = degen(outDir).count(); cleanup()
-        val scaledSec = Seq.fill(2)(timed(degen(outDir))).min
+        val srcShape = planShape(mk(srcDir))
+        mk(srcDir).count(); cleanup()
+        val srcSec = Seq.fill(2)(timed(mk(srcDir))).min
+        val scaledShape = planShape(mk(outDir))
+        val rows = mk(outDir).count(); cleanup()
+        val scaledSec = Seq.fill(2)(timed(mk(outDir))).min
         val same = srcShape == scaledShape
         val diff = if (same) "" else {
           val a = srcShape.groupBy(identity).view.mapValues(_.size).toMap
@@ -360,12 +348,45 @@ object ScaleStress {
             .map(k => s"$k:${a.getOrElse(k, 0)}->${b.getOrElse(k, 0)}")
             .mkString(",")
         }
-        System.err.println(f"[stress] $synthName src=$srcSec%.2fs " +
+        System.err.println(f"[stress] $name src=$srcSec%.2fs " +
           f"scaled=$scaledSec%.2fs factor=${scaledSec / srcSec}%.1f " +
           f"rows=$rows planSame=$same $diff")
-        Seq((synthName, srcSec, scaledSec, rows, same, diff))
-      } else Seq.empty
-    val all = results ++ synthResults
+        Some((name, srcSec, scaledSec, rows, same, diff))
+      } else None
+
+    // adversarial skew: ONE key for the ENTIRE corpus (the q212
+    // single-language shape taken to its limit — every row ranks under
+    // the same key). The banded decomposition's tie bands (terms 2-3)
+    // must carry the split, so the factor stays ~linear; a superlinear
+    // factor here means the one hot key funnelled a task.
+    val degenArm = synthArm("stress_degenerate_key_rank") { dir =>
+      graft.operators.Ranks.withGlobalRank(
+        Tables.load(spark, dir, "lineitem")
+          // unique tie: ≤7 lines per order
+          .select((col("l_orderkey") * 8 + col("l_linenumber"))
+            .cast("bigint").as("graft_tie"))
+          .withColumn("graft_k", lit(0L)),
+        key = col("graft_k"), ascending = true, tie = col("graft_tie"),
+        outCol = "r")
+    }
+    // the LARGE-k E-step (r12 verdict Next #2): k = 4×largeKThreshold
+    // deterministic centroids force Clustering's broadcast-packed
+    // assignment — the 100-TB √N shape where a baked-literal expression
+    // would blow codegen. k is FIXED across scales, so the expected
+    // factor is ~linear in corpus copies; the plan must stay one
+    // broadcast + scan (no corpus shuffle, no window) at both scales.
+    val largeKArm = synthArm("stress_large_k_estep") { dir =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val k = graft.operators.Clustering.largeKThreshold * 4
+      import spark.implicits._
+      val cents = (0L until k.toLong).map(c =>
+        (c, (0 until dim).map(j =>
+          math.round(((c * 11 + j * 3) % 17 + 1) * 1e6 / 17.0) / 1e6)))
+        .toDF("cluster", "centroid")
+      graft.operators.Clustering.assignUnder(emb, cents)
+    }
+    val all = results ++ degenArm ++ largeKArm
     val qs = all.map { case (n, s, sc, rows, same, _) =>
       f""""$n":{"src_sec":$s%.3f,"scaled_sec":$sc%.3f,"factor":${sc / s}%.2f,"rows":$rows,"plan_same":$same}"""
     }.mkString("{", ",", "}")

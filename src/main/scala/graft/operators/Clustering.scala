@@ -44,7 +44,7 @@ object Clustering {
   private def r6vec(c: Column): Column = transform(c, x => round(x, 6))
 
   /** Driver-held centroids: (cluster id, 6-dp-rounded components). */
-  private type Cent = Seq[(Long, Seq[Double])]
+  private[graft] type Cent = Seq[(Long, Seq[Double])]
 
   private def centDf(spark: SparkSession, cent: Cent): DataFrame = {
     import spark.implicits._
@@ -57,7 +57,7 @@ object Clustering {
     * SMALLEST cluster — and take the head. k dot products per row, no
     * shuffle, no window: the E-step a 100-TB corpus can afford.
     * Output: input columns + (cluster, csim). */
-  private def assignLocal(e: DataFrame, cent: Cent): DataFrame = {
+  private[graft] def assignLocal(e: DataFrame, cent: Cent): DataFrame = {
     // + 0.0 folds a −0.0 rounded cosine to +0.0 BEFORE it becomes an
     // ordering key: Double.compare puts −0.0 below +0.0, so without the
     // fold two clusters tying "at zero" could pick differently across
@@ -76,6 +76,47 @@ object Clustering {
       .withColumn("csim", col("graft_best.csim"))
       .drop("graft_best")
   }
+
+  /** Above this cluster count the E-step switches from the baked-
+    * literal scan ([[assignLocal]]) to the broadcast-packed form
+    * ([[assignBroadcastK]]). One literal expression holding every
+    * centroid is ideal at testdata's √N (k ≤ a few hundred: whole-
+    * stage codegen, zero joins) but is an expression-size/codegen
+    * ceiling at the 100-TB √N (10⁴–10⁵ centroids) — the r12 verdict's
+    * one at-100×-scale caveat. */
+  private[graft] val largeKThreshold = 256
+
+  /** The large-k E-step: the SAME per-row sort_array argmax as
+    * [[assignLocal]], but the k centroids travel as DATA — a one-row
+    * broadcast frame holding array<struct<cluster, centroid>> — so the
+    * expression tree stays constant-sized at any k. The one-row
+    * crossJoin adds no expansion (each corpus row gains one array
+    * column), the argmax stays scan-local (no corpus shuffle, no
+    * window), and the 6-dp rounding / −0.0 fold / smallest-cluster tie
+    * rules are shared verbatim, so the two paths are bit-equal
+    * (equivalence-asserted in ClusteringSpec). */
+  private[graft] def assignBroadcastK(e: DataFrame, cent: Cent): DataFrame = {
+    val packed = centDf(e.sparkSession, cent)
+      .agg(collect_list(struct(col("cluster"), col("centroid")))
+        .as("graft_cents"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("graft_best",
+        element_at(sort_array(transform(col("graft_cents"), c =>
+          struct(
+            (round(Similarity.cosine(col("graft_v"), c("centroid")), 6)
+              + lit(0.0)).as("csim"),
+            (lit(0L) - c("cluster")).as("negc"),
+            c("cluster").as("cluster"))), asc = false), 1))
+      .withColumn("cluster", col("graft_best.cluster"))
+      .withColumn("csim", col("graft_best.csim"))
+      .drop("graft_best", "graft_cents")
+  }
+
+  /** E-step dispatch: literal form under [[largeKThreshold]] clusters,
+    * broadcast form above it. */
+  private def assign(e: DataFrame, cent: Cent): DataFrame =
+    if (cent.size <= largeKThreshold) assignLocal(e, cent)
+    else assignBroadcastK(e, cent)
 
   /** Farthest-point (k-center greedy) seeds: seed 0 is the smallest
     * vec_id's vector; each next seed is the vector whose LARGEST
@@ -125,7 +166,7 @@ object Clustering {
     * then per-cluster rounded means; empty clusters keep their previous
     * centroid. */
   private def lloydRound(e: DataFrame, cent: Cent): Cent = {
-    val means = assignLocal(e, cent)
+    val means = assign(e, cent)
       .groupBy(col("cluster"))
       .agg(graft.functions.VectorAgg.vec_sum(col("graft_v")).as("vs"),
         count(lit(1)).as("n"))
@@ -177,7 +218,7 @@ object Clustering {
   def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val cent = collectCent(kmeansCentroids(corpus, k, iters))
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_v"))
-    assignLocal(e, cent).select(col("vec_id"), col("cluster"), col("csim"))
+    assign(e, cent).select(col("vec_id"), col("cluster"), col("csim"))
   }
 
   /** Scan-local assignment under an EXISTING centroid table
@@ -197,7 +238,7 @@ object Clustering {
       named.select(col("cluster").cast("bigint").as("cluster"),
         asDouble(col("centroid")).as("centroid")))
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_v"))
-    assignLocal(e, c).select(col("vec_id"), col("cluster"), col("csim"))
+    assign(e, c).select(col("vec_id"), col("cluster"), col("csim"))
   }
 
   /** Per-cluster quality contract of a [[kmeans]] assignment: member

@@ -3375,6 +3375,49 @@ object ExtensionQueries {
     Sampling.tokenBudgetPlan(docs, weights, budgetNum = 1, budgetDen = 2)
   }
 
+  /** The plan→execution audit closing q221's loop (r12 verdict Next
+    * #3): q221's frozen recipe drives
+    * [[graft.operators.Sampling.mixtureResample]] — each source's
+    * epochs are its planned epochs_e4/10⁴ (a source-cardinality driver
+    * map, like the k-means centroids) — and the audit reports, per
+    * source, the planned target vs the tokens the executed mixture
+    * actually delivers, with the gap in basis points. This is the
+    * table a real run reads BEFORE training: floor-e4 epochs and the
+    * 1/256-granular fractional-epoch hash cut both bias delivery low,
+    * and the audit makes that drift visible instead of trusted.
+    * abs_delta_bp stays non-negative (Spark `div` truncates toward
+    * zero, DuckDB `//` floors — they disagree on NEGATIVE operands, so
+    * the sign travels separately as `over_delivered`). One corpus scan
+    * for the plan, one for the delivery; everything else is
+    * source-cardinality-sized. */
+  val q222MixtureDelivery: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val weights = docs.select(col("source")).distinct()
+      .select(col("source"),
+        (regexp_extract(col("source"), "([0-9]+)", 1).cast("bigint") % 4 + 1)
+          .as("weight"))
+    val plan = Sampling.tokenBudgetPlan(docs, weights, budgetNum = 1,
+      budgetDen = 2).localCheckpoint()
+    val epochs: Map[String, Double] = plan
+      .select(col("source"), col("epochs_e4")).collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 10000.0).toMap
+    val delivered = Sampling
+      .mixtureResample(docs, "source", col("doc_id"), epochs)
+      .select(col("source"), TextOps.tokenCount(col("text")).as("graft_t"))
+      .groupBy(col("source"))
+      .agg(sum(col("graft_t")).as("n_tokens_delivered"))
+    plan.select(col("source"), col("n_tokens_target"), col("epochs_e4"))
+      .join(delivered, Seq("source"), "left")
+      .select(col("source"), col("n_tokens_target"), col("epochs_e4"),
+        coalesce(col("n_tokens_delivered"), lit(0L)).as("n_tokens_delivered"))
+      .withColumn("abs_delta_bp",
+        expr("CAST(CASE WHEN n_tokens_target = 0 THEN 0 ELSE " +
+          "abs(n_tokens_delivered - n_tokens_target) * 10000 " +
+          "div n_tokens_target END AS BIGINT)"))
+      .withColumn("over_delivered",
+        col("n_tokens_delivered") > col("n_tokens_target"))
+  }
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3589,6 +3632,7 @@ object ExtensionQueries {
     "q219_normalize" -> q219Normalize,
     "q220_lang_segments" -> q220LangSegments,
     "q221_token_budget" -> q221TokenBudget,
+    "q222_mixture_delivery" -> q222MixtureDelivery,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -7893,6 +7937,57 @@ object ExtensionQueries {
         |       CAST((tot.t // 2) * w.weight // ws.s AS BIGINT) > av.n_tokens_avail
         |         AS needs_upsampling
         |FROM av JOIN w USING (source), tot, ws""".stripMargin,
+    // q221's plan replayed, then the q49-proven resample CTE driven by
+    // the PLANNED epochs: base = epochs_e4 // 10000, fractional cut =
+    // round(frac * 256) as a 2-hex-char threshold (the engine's cutHex;
+    // 'g' sorts above every bucket when the cut saturates at 256).
+    // Non-negative delta only: Spark div truncates toward zero, DuckDB
+    // // floors — they disagree below zero, so the sign is a boolean.
+    "q222_mixture_delivery" ->
+      """WITH av AS (SELECT source,
+        |              CAST(sum(len(regexp_extract_all(text,
+        |                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1))) AS BIGINT)
+        |                AS n_tokens_avail
+        |            FROM documents GROUP BY 1),
+        | w AS (SELECT source,
+        |              CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1
+        |                AS weight
+        |       FROM (SELECT DISTINCT source FROM documents)),
+        | tot AS (SELECT CAST(sum(n_tokens_avail) AS BIGINT) AS t FROM av),
+        | ws AS (SELECT CAST(sum(weight) AS BIGINT) AS s
+        |        FROM w JOIN av USING (source)),
+        | plan AS (SELECT av.source,
+        |            CAST((tot.t // 2) * w.weight // ws.s AS BIGINT)
+        |              AS n_tokens_target,
+        |            CAST(CASE WHEN av.n_tokens_avail = 0 THEN 0
+        |              ELSE CAST((tot.t // 2) * w.weight // ws.s AS BIGINT)
+        |                   * 10000 // av.n_tokens_avail END AS BIGINT)
+        |              AS epochs_e4
+        |          FROM av JOIN w USING (source), tot, ws),
+        | cuts AS (SELECT source, n_tokens_target, epochs_e4,
+        |            epochs_e4 // 10000 AS base,
+        |            CASE WHEN ((epochs_e4 % 10000) * 256 + 5000) // 10000 >= 256
+        |                 THEN 'g'
+        |                 ELSE printf('%02x',
+        |                   ((epochs_e4 % 10000) * 256 + 5000) // 10000) END AS cut
+        |          FROM plan),
+        | dv AS (SELECT d.source,
+        |          CAST(sum((c.base +
+        |            CASE WHEN substr(md5('graft-mix:' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+        |                      < c.cut THEN 1 ELSE 0 END) *
+        |            len(regexp_extract_all(d.text,
+        |              '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1))) AS BIGINT)
+        |            AS n_tokens_delivered
+        |        FROM documents d JOIN cuts c USING (source)
+        |        GROUP BY d.source)
+        |SELECT c.source, c.n_tokens_target, c.epochs_e4,
+        |       coalesce(dv.n_tokens_delivered, 0) AS n_tokens_delivered,
+        |       CAST(CASE WHEN c.n_tokens_target = 0 THEN 0
+        |            ELSE abs(coalesce(dv.n_tokens_delivered, 0) - c.n_tokens_target)
+        |                 * 10000 // c.n_tokens_target END AS BIGINT) AS abs_delta_bp,
+        |       coalesce(dv.n_tokens_delivered, 0) > c.n_tokens_target
+        |         AS over_delivered
+        |FROM cuts c LEFT JOIN dv USING (source)""".stripMargin,
     // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
     // string_agg — groups span many docs; hand-checkable (ids ascend)
     "q206_probe_ordered_agg" ->

@@ -158,6 +158,56 @@ class ClusteringSpec extends SparkSpec {
       corpus, c3.withColumnRenamed("cluster", "label"), rounds = 1)) == c4)
   }
 
+  test("large-k E-step: broadcast-packed path is bit-equal to the literal path") {
+    val dim = 8
+    val big = (0L until 60L).map { i =>
+      (i, (0 until dim).map(j => 0.1f * ((i * 13 + j * 7) % 11) + 0.01f))
+    }.toDF("vec_id", "embedding")
+    val e = big.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("graft_v"))
+    // 6-dp centroids with deliberate DUPLICATES so the smallest-cluster
+    // tie rule is exercised on both paths
+    val base: Clustering.Cent = (0L until 12L).map { c =>
+      (c, (0 until dim).map(j =>
+        math.round(((c * 5 + j * 3) % 7 + 1) * 1e6 / 7.0) / 1e6))
+    }
+    val cent: Clustering.Cent = base ++ Seq((12L, base(3)._2), (13L, base(0)._2))
+    val lit = rowSet(Clustering.assignLocal(e, cent)
+      .select(col("vec_id"), col("cluster"), col("csim")))
+    val bc = rowSet(Clustering.assignBroadcastK(e, cent)
+      .select(col("vec_id"), col("cluster"), col("csim")))
+    assert(lit == bc)
+    // the duplicated centroids (12, 13) must never win a tie
+    assert(!Clustering.assignBroadcastK(e, cent)
+      .filter(col("cluster") >= 12L).collect().exists(_ => true))
+    // plan shape: the broadcast path stays scan-local — the ONLY
+    // exchange is the one-row broadcast; no corpus shuffle, no window
+    val p = Clustering.assignBroadcastK(e, cent)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no one-row broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),
+      s"broadcast E-step shuffles the corpus:\n$p")
+  }
+
+  test("assignUnder dispatches to the broadcast path above largeKThreshold, bit-equal") {
+    val dim = 4
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until dim).map(j => 0.05f * ((i * 7 + j * 5) % 13) + 0.01f))
+    }.toDF("vec_id", "embedding")
+    val k = Clustering.largeKThreshold + 20 // forces assignBroadcastK inside
+    val centSeq: Clustering.Cent = (0L until k.toLong).map { c =>
+      (c, (0 until dim).map(j =>
+        math.round(((c * 11 + j * 3) % 17 + 1) * 1e6 / 17.0) / 1e6))
+    }
+    val centDf = centSeq.toDF("cluster", "centroid")
+    val viaDispatch = rowSet(Clustering.assignUnder(vecs, centDf))
+    val e = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("graft_v"))
+    val viaLiteral = rowSet(Clustering.assignLocal(e, centSeq)
+      .select(col("vec_id"), col("cluster"), col("csim")))
+    assert(viaDispatch == viaLiteral)
+  }
+
   test("hashEmbed: 64 buckets, component sum = word count, identical text = identical vector") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

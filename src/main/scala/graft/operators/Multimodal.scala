@@ -194,6 +194,9 @@ object Multimodal {
       .when(h.startsWith("FFD8FF"), "jpeg")
       .when(h.startsWith("47494638"), "gif")
       .when(h.startsWith("25504446"), "pdf")
+      // RIFF with the WEBP form tag at bytes 8-11 (hex chars 17-24)
+      .when(h.startsWith("52494646") &&
+        substring(h, 17, 8) === "57454250", "webp")
       .when(h.startsWith("52494646"), "riff")
       .when(h.startsWith("504B0304"), "zip")
       .when(h.startsWith("1F8B"), "gzip")
@@ -201,20 +204,28 @@ object Multimodal {
   }
 
   case class ImageMeta(
-      doc_id: Long, format: String, width: Int, height: Int)
+      doc_id: Long, format: String, width: Int, height: Int, pages: Int)
 
-  /** Image dimensions parsed from the HEADER bytes — real byte-level
-    * parsing of the three ubiquitous raster containers, no codec
-    * needed (this is what a 100-TB media triage pass runs BEFORE
-    * paying for any decode: drop sub-thumbnail images, route
-    * oversized ones to a resize pool):
+  /** Image/document metadata parsed from the HEADER bytes — real
+    * byte-level parsing, no codec needed (this is what a 100-TB media
+    * triage pass runs BEFORE paying for any decode: drop sub-thumbnail
+    * images, route oversized ones to a resize pool, split PDFs by page
+    * volume):
     *  - PNG: big-endian u32 pair at offsets 16/20 (the IHDR chunk is
     *    mandatory-first per the spec),
     *  - GIF (87a/89a): little-endian u16 pair at offsets 6/8,
     *  - JPEG: walk the marker segments to the first SOF0-SOF15 frame
-    *    header (skipping non-frame markers by their big-endian
-    *    lengths), height/width big-endian u16 at +5/+7.
-    * Unparseable/truncated/non-image payloads yield (-1, -1) rather
+    *    header (skipping 0xFF fill and non-frame markers by their
+    *    big-endian lengths, stopping at EOI), height/width big-endian
+    *    u16 at +5/+7,
+    *  - WebP (RIFF/WEBP): all three chunk variants — 'VP8 ' (lossy:
+    *    sync 9D 01 2A then 14-bit LE dims), 'VP8L' (lossless: 0x2F
+    *    then width−1/height−1 packed 14 bits each into a LE u32),
+    *    'VP8X' (extended: 24-bit LE canvas−1 pair at 24/27),
+    *  - PDF: `pages` = the largest `/Count N` in the file (the page
+    *    tree ROOT's count dominates every subtree's), scanned as
+    *    latin-1 bytes; dims stay (-1,-1).
+    * Unparseable/truncated/non-media payloads yield -1 fields rather
     * than dropping the row — triage must SEE the undecodable
     * population, not silently lose it. Typed mapPartitions on the
     * same decode seam as [[extractFeatures]]. */
@@ -227,18 +238,48 @@ object Multimodal {
         (u8(b, i + 2) << 8) | u8(b, i + 3)
     def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
     def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-    def dims(p: Array[Byte]): (String, Int, Int) = {
+    def leU24(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+    def leU32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => u8(b, i + j) == s(j))
+    def webpDims(p: Array[Byte]): (Int, Int) = {
+      // chunk fourcc at 12-15, payload at 20
+      if (ascii(p, 12, "VP8 ") && p.length >= 30 &&
+          u8(p, 23) == 0x9d && u8(p, 24) == 0x01 && u8(p, 25) == 0x2a)
+        (leU16(p, 26) & 0x3fff, leU16(p, 28) & 0x3fff)
+      else if (ascii(p, 12, "VP8L") && p.length >= 25 && u8(p, 20) == 0x2f) {
+        val bits = leU32(p, 21)
+        (((bits & 0x3fff) + 1).toInt, (((bits >> 14) & 0x3fff) + 1).toInt)
+      } else if (ascii(p, 12, "VP8X") && p.length >= 30)
+        (leU24(p, 24) + 1, leU24(p, 27) + 1)
+      else (-1, -1)
+    }
+    def pdfPages(p: Array[Byte]): Int = {
+      val s = new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val counts = "/Count\\s+(\\d{1,9})".r
+        .findAllMatchIn(s).map(_.group(1).toInt).toSeq
+      if (counts.isEmpty) -1 else counts.max
+    }
+    def dims(p: Array[Byte]): (String, Int, Int, Int) = {
       if (p.length >= 24 && u8(p, 0) == 0x89 && u8(p, 1) == 'P' &&
           u8(p, 2) == 'N' && u8(p, 3) == 'G')
-        ("png", beU32(p, 16).toInt, beU32(p, 20).toInt)
+        ("png", beU32(p, 16).toInt, beU32(p, 20).toInt, -1)
       else if (p.length >= 10 && u8(p, 0) == 'G' && u8(p, 1) == 'I' &&
           u8(p, 2) == 'F' && u8(p, 3) == '8')
-        ("gif", leU16(p, 6), leU16(p, 8))
+        ("gif", leU16(p, 6), leU16(p, 8), -1)
+      else if (p.length >= 12 && ascii(p, 0, "RIFF") && ascii(p, 8, "WEBP")) {
+        val (w, h) = webpDims(p)
+        ("webp", w, h, -1)
+      } else if (p.length >= 4 && ascii(p, 0, "%PDF"))
+        ("pdf", -1, -1, pdfPages(p))
       else if (p.length >= 4 && u8(p, 0) == 0xff && u8(p, 1) == 0xd8 &&
           u8(p, 2) == 0xff) {
         // walk segments: [0xFF… fill] 0xFF marker [len_hi len_lo payload]
         var i = 2
-        var res: (String, Int, Int) = ("jpeg", -1, -1)
+        var res: (String, Int, Int, Int) = ("jpeg", -1, -1, -1)
         var done = false
         while (!done && i + 3 < p.length) {
           if (u8(p, i) != 0xff) { done = true } // desynced → unparseable
@@ -249,7 +290,7 @@ object Multimodal {
             if (marker >= 0xc0 && marker <= 0xcf &&
                 marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
               if (i + 8 < p.length)
-                res = ("jpeg", beU16(p, i + 7), beU16(p, i + 5))
+                res = ("jpeg", beU16(p, i + 7), beU16(p, i + 5), -1)
               done = true
             } else if (marker == 0xd9) {
               done = true // EOI: end of image, no frame header seen
@@ -261,13 +302,13 @@ object Multimodal {
           }
         }
         res
-      } else ("unknown", -1, -1)
+      } else ("unknown", -1, -1, -1)
     }
     media.select(col("doc_id"), col("payload"), col("media_type")).as[Media]
       .mapPartitions { rows =>
         rows.map { m =>
-          val (f, w, h) = dims(m.payload)
-          ImageMeta(m.doc_id, f, w, h)
+          val (f, w, h, pages) = dims(m.payload)
+          ImageMeta(m.doc_id, f, w, h, pages)
         }
       }
   }

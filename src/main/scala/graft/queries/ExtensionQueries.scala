@@ -7849,6 +7849,8 @@ object ExtensionQueries {
         |            WHEN h LIKE 'FFD8FF%' THEN 'jpeg'
         |            WHEN h LIKE '47494638%' THEN 'gif'
         |            WHEN h LIKE '25504446%' THEN 'pdf'
+        |            WHEN h LIKE '52494646%' AND substr(h, 17, 8) = '57454250'
+        |                 THEN 'webp'
         |            WHEN h LIKE '52494646%' THEN 'riff'
         |            WHEN h LIKE '504B0304%' THEN 'zip'
         |            WHEN h LIKE '1F8B%' THEN 'gzip'

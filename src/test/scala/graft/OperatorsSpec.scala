@@ -643,11 +643,56 @@ class OperatorsSpec extends SparkSpec {
     assert(dims(1L) === (("png", 640, 480)))
     assert(dims(2L) === (("gif", 320, 200)))
     assert(dims(3L) === (("jpeg", 1920, 1080))) // SOF0 found PAST APP0
-    assert(dims(4L) === (("unknown", -1, -1)))
+    assert(dims(4L) === (("pdf", -1, -1))) // recognized, no /Count in header
     // truncated JPEG (SOI only, too short for the 0xFFD8FF magic):
     // unparseable reads as unknown, never a crash or a dropped row
     assert(dims(7L) === (("unknown", -1, -1)))
     assert(dims(6L) === (("unknown", -1, -1)))
+  }
+
+  test("webp header dims (all three variants) + pdf page count, header-only") {
+    def riff(fourcc: String, chunk: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WEBP".getBytes ++
+        fourcc.getBytes ++ Array[Byte](0, 0, 0, 0) ++ chunk
+    // 'VP8 ' lossy: 3-byte frame tag, sync 9D 01 2A, 14-bit LE dims
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0) ++
+      Array(0x9d, 0x01, 0x2a).map(_.toByte) ++
+      Array[Byte]((640 & 0xff).toByte, (640 >> 8).toByte,
+        (360 & 0xff).toByte, (360 >> 8).toByte))
+    // 'VP8L' lossless: 0x2F then (w-1 | (h-1)<<14) packed LE u32
+    val vp8lBits = (800 - 1).toLong | ((600 - 1).toLong << 14)
+    val vp8l = riff("VP8L", Array(0x2f.toByte) ++
+      (0 until 4).map(i => ((vp8lBits >> (8 * i)) & 0xff).toByte).toArray)
+    // 'VP8X' extended: flags+reserved (4), then 24-bit LE canvas-1 pair
+    def le24(v: Int) = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    val vp8x = riff("VP8X", new Array[Byte](4) ++ le24(1920 - 1) ++ le24(1080 - 1))
+    // a RIFF that is NOT WebP (WAV) and a truncated WebP
+    val wav = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      new Array[Byte](8)
+    val shortWebp = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WEBP".getBytes
+    // PDF: the page-tree ROOT's /Count dominates every subtree's
+    val pdf = ("%PDF-1.7\n1 0 obj << /Type /Pages /Kids [...] /Count 3 >>\n" +
+      "2 0 obj << /Type /Pages /Count 12 >>\nxref").getBytes
+    val pdfNoCount = "%PDF-1.4\nno page tree here".getBytes
+    val media = Seq((1L, vp8), (2L, vp8l), (3L, vp8x), (4L, wav),
+      (5L, shortWebp), (6L, pdf), (7L, pdfNoCount))
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", lit("application/octet-stream"))
+    val sniffed = media.select(col("doc_id"),
+      Multimodal.sniffFormat(col("payload")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sniffed === Map(1L -> "webp", 2L -> "webp", 3L -> "webp",
+      4L -> "riff", 5L -> "webp", 6L -> "pdf", 7L -> "pdf"))
+    val meta = Multimodal.imageMeta(media).collect()
+      .map(m => m.doc_id -> ((m.format, m.width, m.height, m.pages))).toMap
+    assert(meta(1L) === (("webp", 640, 360, -1)))
+    assert(meta(2L) === (("webp", 800, 600, -1)))
+    assert(meta(3L) === (("webp", 1920, 1080, -1)))
+    assert(meta(4L) === (("unknown", -1, -1, -1))) // WAV: riff, not parsed
+    assert(meta(5L) === (("webp", -1, -1, -1)))    // truncated, never dropped
+    assert(meta(6L) === (("pdf", -1, -1, 12)))
+    assert(meta(7L) === (("pdf", -1, -1, -1)))
   }
 
   test("jpeg marker walk: 0xFF fill padding is skipped, EOI terminates") {

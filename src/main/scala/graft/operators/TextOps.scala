@@ -452,6 +452,86 @@ object TextOps {
     *
     * `denyTerms` must be plain word characters (they are spliced into
     * a word-boundary alternation verbatim). */
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): for a
+    * deterministic `ratePermille` share of documents, split the text
+    * at two pseudo-random character offsets into (prefix, middle,
+    * suffix) and emit the PSM re-ordering
+    * `<PRE>prefix<SUF>suffix<MID>middle` — the data-side half of FIM
+    * training; the rest pass through verbatim. Both the apply decision
+    * and the cut points derive from `doc_id` alone (multiplicative
+    * hashes mod the length), so the transform is replayable and
+    * engine-parity-exact — no RNG, no per-partition state. One
+    * codegen'd projection: at 100 TB this is a scan-bound map stage
+    * like [[normalizeText]]. ASCII testdata assumed for the char
+    * offsets (the q219 oracle's existing envelope).
+    * Output: (doc_id, fim_applied, n_prefix, n_middle, n_suffix,
+    * training_text). */
+  def fimTransform(docs: DataFrame, ratePermille: Int = 500): DataFrame = {
+    val n = length(col("text")).cast("bigint")
+    val applied = (col("doc_id") * lit(2654435761L)) % 1000 < ratePermille
+    val a = (col("doc_id") * lit(7919L)) % (n + 1)
+    val b = (col("doc_id") * lit(104729L)) % (n + 1)
+    val lo = least(a, b)
+    val hi = greatest(a, b)
+    val prefix = col("text").substr(lit(1), lo.cast("int"))
+    val middle = col("text").substr((lo + 1).cast("int"), (hi - lo).cast("int"))
+    val suffix = col("text").substr((hi + 1).cast("int"), (n - hi).cast("int"))
+    docs.select(
+      col("doc_id"),
+      applied.as("fim_applied"),
+      lo.as("n_prefix"),
+      (hi - lo).as("n_middle"),
+      (n - hi).as("n_suffix"),
+      when(applied,
+        concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+          lit("<MID>"), middle))
+        .otherwise(col("text")).as("training_text"))
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): mask
+    * word spans of length `spanLen` starting at every `every`-th word
+    * (15 % noise density at the 3-in-20 defaults, T5's published
+    * settings with a deterministic stand-in for the random span
+    * starts), replacing each span with one sequentially-numbered
+    * sentinel in the input and emitting the `sentinel + masked words`
+    * stream as the target — the (inputs, targets) pair a denoising
+    * pretraining run consumes. Pure array lambdas over the word
+    * split (transform / filter / array_join): scan-local, no explode,
+    * no shuffle — the per-doc work is one pass over its words.
+    * Output: (doc_id, corrupted, targets, n_words, n_masked,
+    * n_spans). */
+  def spanCorrupt(docs: DataFrame, every: Int = 20, spanLen: Int = 3): DataFrame = {
+    require(spanLen > 0 && spanLen < every,
+      "spanCorrupt needs 0 < spanLen < every")
+    val ws = split(col("text"), " ")
+    val n = size(ws).cast("bigint")
+    def sentinel(i: Column): Column =
+      concat(lit("<extra_id_"),
+        floor(i.cast("bigint") / every).cast("bigint").cast("string"),
+        lit(">"))
+    val inputPieces = filter(
+      transform(ws, (w, i) =>
+        when(i % every === 0, sentinel(i))
+          .when(i % every < spanLen, lit(null))
+          .otherwise(w)),
+      x => x.isNotNull)
+    val targetPieces = filter(
+      transform(ws, (w, i) =>
+        when(i % every === 0, concat(sentinel(i), lit(" "), w))
+          .when(i % every < spanLen, w)
+          .otherwise(lit(null))),
+      x => x.isNotNull)
+    docs.select(
+      col("doc_id"),
+      array_join(inputPieces, " ").as("corrupted"),
+      array_join(targetPieces, " ").as("targets"),
+      n.as("n_words"),
+      (floor(n / every).cast("bigint") * spanLen +
+        least(lit(spanLen.toLong), n % every)).as("n_masked"),
+      floor((n + every - 1) / every).cast("bigint").as("n_spans"))
+  }
+
   def redact(docs: DataFrame, denyTerms: Seq[String]): DataFrame = {
     require(denyTerms.nonEmpty && denyTerms.forall(_.matches("[A-Za-z0-9_]+")),
       s"denyTerms must be non-empty plain words: $denyTerms")

@@ -3418,6 +3418,27 @@ object ExtensionQueries {
         col("n_tokens_delivered") > col("n_tokens_target"))
   }
 
+  /** Fill-in-the-middle transform
+    * ([[graft.operators.TextOps.fimTransform]], Bavarian et al. 2022):
+    * a deterministic half of the corpus re-ordered PSM
+    * (`<PRE>prefix<SUF>suffix<MID>middle`) with doc_id-derived cut
+    * points — the data-side FIM pass a code/infilling pretraining run
+    * applies after curation. One codegen'd projection; the oracle
+    * replays the multiplicative hashes and substr arithmetic
+    * verbatim. */
+  val q223FimTransform: Q = (s, dir) =>
+    TextOps.fimTransform(t(s, dir, "documents"), ratePermille = 500)
+
+  /** T5-style span corruption
+    * ([[graft.operators.TextOps.spanCorrupt]], Raffel et al. 2020):
+    * 3-word spans masked every 20 words (15 % noise density, T5's
+    * defaults) with sequentially-numbered sentinels; emits the
+    * (corrupted input, targets) pair per document. Scan-local array
+    * lambdas — no explode, no shuffle; the oracle rebuilds the same
+    * pieces with list_transform over an index range. */
+  val q224SpanCorrupt: Q = (s, dir) =>
+    TextOps.spanCorrupt(t(s, dir, "documents"), every = 20, spanLen = 3)
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3633,6 +3654,8 @@ object ExtensionQueries {
     "q220_lang_segments" -> q220LangSegments,
     "q221_token_budget" -> q221TokenBudget,
     "q222_mixture_delivery" -> q222MixtureDelivery,
+    "q223_fim_transform" -> q223FimTransform,
+    "q224_span_corrupt" -> q224SpanCorrupt,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -7990,6 +8013,54 @@ object ExtensionQueries {
         |       coalesce(dv.n_tokens_delivered, 0) > c.n_tokens_target
         |         AS over_delivered
         |FROM cuts c LEFT JOIN dv USING (source)""".stripMargin,
+    // the FIM hashes + substr arithmetic replayed verbatim: % on
+    // non-negative bigints and 1-based substr agree across engines;
+    // ASCII testdata keeps length() codepoint-vs-codeunit moot (the
+    // q219 envelope)
+    "q223_fim_transform" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n,
+        |    (doc_id * 2654435761) % 1000 < 500 AS applied,
+        |    least((doc_id * 7919) % (CAST(length(text) AS BIGINT) + 1),
+        |          (doc_id * 104729) % (CAST(length(text) AS BIGINT) + 1)) AS lo,
+        |    greatest((doc_id * 7919) % (CAST(length(text) AS BIGINT) + 1),
+        |             (doc_id * 104729) % (CAST(length(text) AS BIGINT) + 1)) AS hi
+        |  FROM documents)
+        |SELECT doc_id, applied AS fim_applied,
+        |       CAST(lo AS BIGINT) AS n_prefix,
+        |       CAST(hi - lo AS BIGINT) AS n_middle,
+        |       CAST(n - hi AS BIGINT) AS n_suffix,
+        |       CASE WHEN applied THEN
+        |         '<PRE>' || substr(text, 1, CAST(lo AS INT)) ||
+        |         '<SUF>' || substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT)) ||
+        |         '<MID>' || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+        |       ELSE text END AS training_text
+        |FROM b""".stripMargin,
+    // the span-corruption pieces rebuilt via list_transform over an
+    // index range (the q207-proven idiom); counts from the same floor
+    // arithmetic as the engine
+    "q224_span_corrupt" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | p AS (SELECT doc_id, len(ws) AS n,
+        |    list_transform(range(0, len(ws)), i ->
+        |      CASE WHEN i % 20 = 0
+        |             THEN '<extra_id_' || CAST(i // 20 AS VARCHAR) || '>'
+        |           WHEN i % 20 < 3 THEN NULL
+        |           ELSE ws[CAST(i + 1 AS INT)] END) AS ip,
+        |    list_transform(range(0, len(ws)), i ->
+        |      CASE WHEN i % 20 = 0
+        |             THEN '<extra_id_' || CAST(i // 20 AS VARCHAR) || '> '
+        |                  || ws[CAST(i + 1 AS INT)]
+        |           WHEN i % 20 < 3 THEN ws[CAST(i + 1 AS INT)]
+        |           ELSE NULL END) AS tp
+        |  FROM w)
+        |SELECT doc_id,
+        |       array_to_string(list_filter(ip, x -> x IS NOT NULL), ' ') AS corrupted,
+        |       array_to_string(list_filter(tp, x -> x IS NOT NULL), ' ') AS targets,
+        |       CAST(n AS BIGINT) AS n_words,
+        |       CAST((n // 20) * 3 + least(3, n % 20) AS BIGINT) AS n_masked,
+        |       CAST((n + 19) // 20 AS BIGINT) AS n_spans
+        |FROM p""".stripMargin,
     // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
     // string_agg — groups span many docs; hand-checkable (ids ascend)
     "q206_probe_ordered_agg" ->

@@ -1179,6 +1179,62 @@ class OperatorsSpec extends SparkSpec {
     assert(banded == got)
   }
 
+  test("fimTransform: PSM reassembly is lossless, pass-through docs verbatim") {
+    // doc 0: (0*h) % anything = 0 → applied (0 < 500), lo = hi = 0 →
+    // empty prefix AND middle, the whole text in the suffix slot;
+    // doc_ids chosen so both branches of the 50% gate appear
+    val docs = Seq(
+      (0L, "abcdefghij"),
+      (1L, "abcdefghij"),
+      (2L, "klmnopqrst"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.fimTransform(docs, ratePermille = 500)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    // the apply gate: (id * 2654435761) % 1000 < 500
+    def applied(id: Long) = (id * 2654435761L) % 1000 < 500
+    assert(got.keySet.forall(id => got(id)._1 == applied(id)))
+    assert(got(0L) === ((true, 0L, 0L, 10L, "<PRE><SUF>abcdefghij<MID>")))
+    // every applied doc reassembles losslessly: prefix+middle+suffix
+    // lengths cover the text, and the three segments re-concatenate
+    // to the original in prefix-middle-suffix order
+    for ((id, (app, np, nm, ns, out)) <- got) {
+      assert(np + nm + ns === (if (id == 3L) 0L else 10L))
+      if (app) {
+        val pre = out.stripPrefix("<PRE>")
+        val (p, rest) = pre.splitAt(pre.indexOf("<SUF>"))
+        val body = rest.stripPrefix("<SUF>")
+        val (suf, mid0) = body.splitAt(body.indexOf("<MID>"))
+        val mid = mid0.stripPrefix("<MID>")
+        assert(p.length == np && mid.length == nm && suf.length == ns)
+        assert(p + mid + suf ===
+          (if (id == 3L) "" else if (id == 2L) "klmnopqrst" else "abcdefghij"))
+      } else assert(out === "abcdefghij" || out === "klmnopqrst")
+    }
+  }
+
+  test("spanCorrupt: sentinels number sequentially, targets hold exactly the masked words") {
+    // 23 words: spans at 0-2 and 20-22 → 6 masked, 2 sentinels
+    val words = (0 until 23).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.spanCorrupt(docs, every = 20, spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val (inp, tgt, nW, nM, nS) = got(1L)
+    assert((nW, nM, nS) === ((23L, 6L, 2L)))
+    assert(inp === ("<extra_id_0> " + (3 until 20).map(i => s"w$i")
+      .mkString(" ") + " <extra_id_1>"))
+    assert(tgt === "<extra_id_0> w0 w1 w2 <extra_id_1> w20 w21 w22")
+    // a 2-word doc: one clipped span masks everything
+    assert(got(2L) === (("<extra_id_0>", "<extra_id_0> a b", 2L, 2L, 1L)))
+    // corruption is lossless: masked + surviving words = all words
+    val survivors = inp.split(" ").filterNot(_.startsWith("<extra_id_"))
+    val masked = tgt.split(" ").filterNot(_.startsWith("<extra_id_"))
+    assert((survivors ++ masked).sorted.toSeq === words.sorted)
+  }
+
   test("spanDedup: duplicated 8-gram cut keeps the first occurrence only") {
     val docs = Seq(
       (0L, "a b c d e f g h x"),                    // first site of abcdefgh

@@ -386,7 +386,222 @@ object ScaleStress {
         .toDF("cluster", "centroid")
       graft.operators.Clustering.assignUnder(emb, cents)
     }
-    val all = results ++ degenArm ++ largeKArm
+    // the COMPOSED ingest door, ALL optional stages on (r12 verdict
+    // Next #5): guard → normalize → scrub → lmGate → phash → dedup →
+    // pack + audit over a media-shaped batch of the whole documents
+    // table. Frozen artifacts (deny list, eval grams + bloom, BPE
+    // vocab) derive from the SOURCE corpus only — dimension-sized
+    // at every scale; the LM gate's bigram table is per-scale (trained
+    // on the scaled corpus's scrubbed text, the realistic
+    // same-distribution setup) but rides an equi-join, so its cost
+    // term is linear like everything else. Every stage is individually
+    // linear (the q44/q210 arms bound the two dedup stages), so the
+    // expected door factor is ~copies — superlinear here would mean
+    // the COMPOSITION (the doc_id joins + the admitted log) absorbed
+    // the growth, the r10 trap class. Each timed pass runs into a
+    // FRESH door root (first-batch cost; replaying into a warm root
+    // would measure the probe-vs-index path instead), and the audit
+    // funnel balance is require'd at BOTH scales — the tuple's
+    // plan_same slot records that invariant for this imperative arm.
+    val doorArm: Option[(String, Double, Double, Long, Boolean, String)] =
+      if (only.forall(_.contains("stress_ingest_door"))) {
+        import graft.operators.{Bpe, Decontaminate, Multimodal, TextOps}
+        import graft.streaming.IngestDoor
+        def cleanup(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+        }
+        val deny = Seq("quux", "zzyzx")
+        // per-dir inputs, built OUTSIDE the timed region. The frozen
+        // artifacts (deny list, eval grams + bloom, BPE vocab) derive
+        // from the SOURCE corpus only — identical content at every
+        // scale — but are REBUILT per pass because cleanup()
+        // unpersists every checkpoint block between passes.
+        def inputs(dir: String) = {
+          val srcDocs = Tables.load(spark, srcDir, "documents")
+            .select(col("doc_id"), col("text"))
+          val evalGrams = Decontaminate.evalGramSet(
+            srcDocs.filter(col("doc_id") < 10), n = 6).localCheckpoint()
+          val bloom = Decontaminate.bloomBytesOf(evalGrams)
+          val (_, vocab0) = Bpe.learn(
+            Bpe.wordFreq(srcDocs.filter(col("doc_id") < 200)), nMerges = 20)
+          val vocab = vocab0.localCheckpoint()
+          val docs = Tables.load(spark, dir, "documents")
+          val batch = docs.select(col("doc_id"), col("text"), col("lang"))
+            .join(Multimodal.toMedia(docs)
+              .select(col("doc_id"), col("payload"), col("media_type")),
+              Seq("doc_id")).localCheckpoint()
+          val lm = TextOps.bigramLm(
+            TextOps.redact(docs.select(col("doc_id"), col("text")), deny)
+              .select(col("doc_id"), col("redacted").as("text")))
+            .localCheckpoint()
+          // cutoff low enough that every SCORABLE doc admits: the gate's
+          // measured cost is the scoring scan, not the drop rate
+          val cuts = docs.select(col("lang")).distinct()
+            .withColumn("cut_e4", lit(-1000000000L)).localCheckpoint()
+          (batch, lm, cuts, evalGrams, bloom, vocab)
+        }
+        // inputs rebuilt per pass: cleanup() unpersists every
+        // checkpoint block, so nothing may survive across passes
+        def pass(dir: String): (Double, Long, Boolean) = {
+          val (batch, lm, cuts, evalGrams, bloom, vocab) = inputs(dir)
+          val root = java.nio.file.Files
+            .createTempDirectory("stress-door").toString
+          val t0 = System.nanoTime()
+          IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom,
+            vocab, seqLen = 512, lmGate = Some((lm, cuts)),
+            normalize = true)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val a = IngestDoor.readAudit(spark, root).head()
+          def l(c: String) = a.getAs[Long](c)
+          val balanced =
+            l("n_in") == l("n_contaminated") + l("n_lowq") +
+              l("n_dup_dropped") + l("n_admitted") &&
+            l("n_dup_phash") + l("n_dup_text") == l("n_dup_dropped")
+          require(balanced, s"door funnel imbalance: ${a.toString}")
+          cleanup()
+          (sec, l("n_admitted"), balanced)
+        }
+        val srcRuns = Seq.fill(2)(pass(srcDir))
+        val scaledRuns = Seq.fill(2)(pass(outDir))
+        val srcSec = srcRuns.map(_._1).min
+        val scaledSec = scaledRuns.map(_._1).min
+        val rows = scaledRuns.head._2
+        val ok = (srcRuns ++ scaledRuns).forall(_._3)
+        System.err.println(f"[stress] stress_ingest_door src=$srcSec%.2fs " +
+          f"scaled=$scaledSec%.2fs factor=${scaledSec / srcSec}%.1f " +
+          f"admitted=$rows balanced=$ok")
+        Some(("stress_ingest_door", srcSec, scaledSec, rows, ok, ""))
+      } else None
+
+    // the full IVF index LIFECYCLE at scale under the LEARNED √N
+    // geometry (r12 verdict Next #7): learn + build → a drifted ingest
+    // batch appended via the assign-and-append route → the KS refit
+    // gate trips → kmeansFrom heals IN PLACE (cluster ids stable, so
+    // the partition layout stays valid) → rebuild → the gate clears
+    // and the probe recall before/after is recorded. The drifted batch
+    // is the corpus's own vectors NEGATED (deterministic, no RNG):
+    // clustered data's antipodes sit far from every learned centroid,
+    // so own-centroid cosines collapse and the KS statistic rises.
+    // k = √N grows with the corpus (the q216 geometry, the point of
+    // the arm), so the dominant E-step term is n·√n and the EXPECTED
+    // factor envelope is ~copies^1.5 (≈32 at 10×) — anything at or
+    // under it is the learned geometry scaling as designed; the checks
+    // (gate trips, heal clears it, ids unrenumbered, probe stays
+    // partition-pruned) are require'd at both scales, and the
+    // plan_same slot records the pruned-probe check.
+    val healArm: Option[(String, Double, Double, Long, Boolean, String)] =
+      if (only.forall(_.contains("stress_ivf_heal"))) {
+        import graft.operators.{Clustering, Similarity}
+        import spark.implicits._
+        def cleanup(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+        }
+        def chapter(dir: String): (Double, Long, Boolean, String) = {
+          val e = Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), col("embedding")).localCheckpoint()
+          val n = e.count()
+          val step = math.ceil(math.sqrt(n.toDouble)).toLong
+          val tmp = java.nio.file.Files
+            .createTempDirectory("stress-heal").toString
+          val t0 = System.nanoTime()
+          // 1. learn the √N geometry (q216's recipe) + build the index
+          val seeds = e.filter(col("vec_id") % step === 0)
+            .select(col("vec_id"),
+              transform(col("embedding").cast("array<double>"),
+                x => round(x, 6)).as("c"))
+            .orderBy(col("vec_id")).collect()
+            .zipWithIndex
+            .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+            .toDF("cluster", "centroid")
+          val cent0 = Clustering.kmeansFrom(e, seeds, rounds = 1)
+            .withColumnRenamed("cluster", "label").localCheckpoint()
+          val idx1 = s"$tmp/idx1"
+          Similarity.writeIvfIndex(
+            e.join(Clustering.assignUnder(e, cent0)
+              .select(col("vec_id"), col("cluster").as("label")),
+              Seq("vec_id")), idx1)
+          // 2. the ingest distribution moves: a 20%-of-corpus batch of
+          // NEGATED vectors arrives and is appended via the live route
+          val shifted = e.filter(col("vec_id") % 5 === 0)
+            .select((col("vec_id") + lit(n)).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding"))
+            .localCheckpoint()
+          Similarity.appendIvfIndex(shifted, cent0, idx1)
+          // 3. the refit gate must TRIP on the drifted batch
+          val before = Similarity.ivfRefitCheck(spark, idx1, cent0, shifted)
+            .select(col("ks_stat"), col("refit"))
+            .as[(Double, Boolean)].head()
+          require(before._2,
+            f"drifted ingest did not trip the refit gate (ks=${before._1}%.3f)")
+          // probe recall before heal: 20 drifted queries, nprobe=1,
+          // vs the exact top-10 over the live (appended) index
+          val queries = shifted
+            .filter((col("vec_id") - lit(n)) % lit(math.max(1L, n / 100)) === 0)
+            .limit(20).localCheckpoint()
+          val union = spark.read.parquet(idx1)
+            .select(col("vec_id"), col("embedding")).localCheckpoint()
+          val truth = Similarity.bruteForceTopK(queries, union, k = 10)
+            .select(col("q_id"), col("vec_id")).localCheckpoint()
+          val nTruth = truth.count()
+          def recallOf(idxDir: String, cent: DataFrame): (Double, Boolean) = {
+            val probed = Similarity.ivfTopKIndexed(
+              spark, idxDir, queries, cent, k = 10, nprobe = 1)
+            // ≥ spark.sql.optimizer.inSetConversionThreshold (10)
+            // probed labels render as INSET, fewer as IN — accept both
+            val pruned = "PartitionFilters: \\[[^\\]]*label[^\\]]* (IN|INSET) ".r
+              .findFirstIn(probed.queryExecution.executedPlan.toString)
+              .nonEmpty
+            val hit = probed.select(col("q_id"), col("vec_id"))
+              .join(truth, Seq("q_id", "vec_id"), "left_semi").count()
+            (hit.toDouble / nTruth, pruned)
+          }
+          val (recBefore, prunedBefore) = recallOf(idx1, cent0)
+          // 4. HEAL: warm-start Lloyd from the live centroids — ids
+          // must not renumber (a renumber orphans the partition dirs)
+          val healed = Clustering.kmeansFrom(union, cent0, rounds = 2)
+            .withColumnRenamed("cluster", "label").localCheckpoint()
+          require(healed.select("label").as[Long].collect().sorted.toSeq ==
+            cent0.select(col("label").cast("long")).as[Long]
+              .collect().sorted.toSeq,
+            "healing renumbered the clusters")
+          val idx2 = s"$tmp/idx2"
+          Similarity.writeIvfIndex(
+            union.join(Clustering.assignUnder(union, healed)
+              .select(col("vec_id"), col("cluster").as("label")),
+              Seq("vec_id")), idx2)
+          // 5. the SAME batch no longer reads as drift, and the probe
+          // through the healed index stays partition-pruned
+          val after = Similarity.ivfRefitCheck(spark, idx2, healed, shifted)
+            .select(col("ks_stat"), col("refit"))
+            .as[(Double, Boolean)].head()
+          require(!after._2 && after._1 < before._1,
+            f"heal did not clear the gate (ks ${before._1}%.3f -> ${after._1}%.3f)")
+          val (recAfter, prunedAfter) = recallOf(idx2, healed)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val nUnion = union.count()
+          cleanup()
+          (sec, nUnion,
+            prunedBefore && prunedAfter,
+            f"ks ${before._1}%.3f->${after._1}%.3f recall@10 " +
+              f"${recBefore * 100}%.0f%%->${recAfter * 100}%.0f%%")
+        }
+        val srcRuns = Seq.fill(2)(chapter(srcDir))
+        val scaledRuns = Seq.fill(2)(chapter(outDir))
+        val srcSec = srcRuns.map(_._1).min
+        val scaledSec = scaledRuns.map(_._1).min
+        val pruned = (srcRuns ++ scaledRuns).forall(_._3)
+        System.err.println(f"[stress] stress_ivf_heal src=$srcSec%.2fs " +
+          f"scaled=$scaledSec%.2fs factor=${scaledSec / srcSec}%.1f " +
+          f"pruned=$pruned src[${srcRuns.head._4}] scaled[${scaledRuns.head._4}]")
+        Some(("stress_ivf_heal", srcSec, scaledSec, scaledRuns.head._2,
+          pruned, scaledRuns.head._4))
+      } else None
+
+    val all = results ++ degenArm ++ largeKArm ++ doorArm ++ healArm
     val qs = all.map { case (n, s, sc, rows, same, _) =>
       f""""$n":{"src_sec":$s%.3f,"scaled_sec":$sc%.3f,"factor":${sc / s}%.2f,"rows":$rows,"plan_same":$same}"""
     }.mkString("{", ",", "}")

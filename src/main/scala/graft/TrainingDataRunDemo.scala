@@ -19,17 +19,24 @@ import org.apache.spark.sql.functions._
   *   3. CURATE   — the q212 CCNet terciles per language over the
   *                 train slice's own bigram LM; the tail bucket is
   *                 dropped (the CCNet recipe's default);
-  *   4. TOKENIZE — learn the BPE vocabulary on exactly the kept
-  *                 corpus (never on text that was filtered away);
+  *   3.5 FIM     — the q223 fill-in-the-middle transform on the kept
+  *                 corpus (objective-side data prep runs AFTER
+  *                 curation, BEFORE tokenization — the sentinel tags
+  *                 must be in-distribution for the vocabulary);
+  *   4. TOKENIZE — learn the BPE vocabulary on exactly the kept,
+  *                 TRANSFORMED corpus (never on text that was
+  *                 filtered away);
   *   5. PACK     — q197's advisor sizes seqLen over the kept corpus,
   *                 then q190/q194's machinery cuts the shard rows +
   *                 attention manifests.
   *
   * Printed invariants (each `require`d, not just shown): split is
   * exhaustive and disjoint; curation drops exactly the per-lang tail
-  * counts; packed token total equals the kept corpus's encode length
-  * (+1 eos per doc); the manifest's per-sequence token counts
-  * re-aggregate to the rows'.
+  * counts; every FIM-applied doc's segment lengths cover its original
+  * text exactly (+15 tag chars in the output) and every pass-through
+  * doc is byte-identical; packed token total equals the kept corpus's
+  * encode length (+1 eos per doc); the manifest's per-sequence token
+  * counts re-aggregate to the rows'.
   */
 object TrainingDataRunDemo {
   def main(args: Array[String]): Unit = {
@@ -103,9 +110,37 @@ object TrainingDataRunDemo {
       s"middle=${perBucket.getOrElse("middle", 0L)} kept, " +
       s"tail=${perBucket.getOrElse("tail", 0L)} dropped")
 
-    // ---- 4. TOKENIZE on exactly the kept corpus
-    val (merges, vocab) = Bpe.learn(Bpe.wordFreq(kept), nMerges = 6)
-    val enc = Bpe.encodeTokens(kept, vocab).localCheckpoint()
+    // ---- 3.5 FIM: the q223 transform on the kept corpus — applied
+    // AFTER curation (never burn transform work on docs a gate will
+    // drop) and BEFORE tokenization (the <PRE>/<SUF>/<MID> tags must
+    // be in-distribution for the learned vocabulary)
+    val fim = TextOps.fimTransform(kept, ratePermille = 500)
+      .localCheckpoint()
+    val fimAudit = fim.join(kept.select(col("doc_id"),
+        col("text"), length(col("text")).cast("bigint").as("n_orig")),
+        Seq("doc_id"))
+      .agg(
+        coalesce(sum(when(col("fim_applied"), 1L)), lit(0L)).as("n_fim"),
+        coalesce(sum(when(col("fim_applied") &&
+          (col("n_prefix") + col("n_middle") + col("n_suffix") =!=
+            col("n_orig") ||
+           length(col("training_text")) =!= col("n_orig") + 15), 1L)),
+          lit(0L)).as("n_bad_cover"),
+        coalesce(sum(when(!col("fim_applied") &&
+          col("training_text") =!= col("text"), 1L)), lit(0L))
+          .as("n_bad_pass")).head()
+    require(fimAudit.getLong(1) == 0L,
+      "a FIM-applied doc's segments must cover its original text exactly")
+    require(fimAudit.getLong(2) == 0L,
+      "a pass-through doc must be byte-identical")
+    println(s"[run] fim: ${fimAudit.getLong(0)}/${kept.count()} docs " +
+      "PSM-reordered, segments cover exactly, pass-through verbatim")
+    val trainText = fim.select(col("doc_id"),
+      col("training_text").as("text")).localCheckpoint()
+
+    // ---- 4. TOKENIZE on exactly the kept, transformed corpus
+    val (merges, vocab) = Bpe.learn(Bpe.wordFreq(trainText), nMerges = 6)
+    val enc = Bpe.encodeTokens(trainText, vocab).localCheckpoint()
     println(s"[run] tokenize: ${merges.size} merges learned on the kept corpus")
 
     // ---- 5. PACK: advisor picks seqLen, then rows + manifests
@@ -127,8 +162,8 @@ object TrainingDataRunDemo {
     val nSeqs = rows.agg(countDistinct(col("seq_id"))).head().getLong(0)
     println(s"[run] pack: $nTokens tokens -> $nSeqs sequences of $seqLen " +
       s"(manifest re-aggregates exactly)")
-    println("[run] done — clean -> split -> curate -> tokenize -> pack, " +
-      "every invariant held")
+    println("[run] done — clean -> split -> curate -> fim -> tokenize -> " +
+      "pack, every invariant held")
     spark.stop()
   }
 }

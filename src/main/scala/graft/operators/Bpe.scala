@@ -541,6 +541,48 @@ object Bpe {
         x => x.getField("graft_syms"))).as("tokens"))
   }
 
+  /** [[encodeTokens]] with the Sennrich et al. 2016 end-of-word
+    * convention: each word's LAST symbol carries a `</w>` marker, so
+    * the flat token stream keeps word boundaries and
+    * [[decodeTokens]] can reassemble the exact text — the property
+    * the unmarked stream (which [[graft.operators.SeqPack]] shards)
+    * deliberately trades away for packing density. Same memoized
+    * one-scan shape as [[encodeTokens]]; the marker is appended by an
+    * indexed array lambda, never a re-fold. */
+  def encodeTokensMarked(docs: DataFrame, vocabSyms: DataFrame,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val v0 = vocabSyms.select(col("w"), col("syms"))
+    val v = if (broadcastVocab) broadcast(v0) else v0
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .join(v, Seq("w"), "left")
+      .withColumn("graft_syms", coalesce(col("syms"),
+        filter(split(col("w"), ""), x => x =!= lit(""))))
+      .withColumn("graft_marked",
+        transform(col("graft_syms"), (s, i) =>
+          when(i === size(col("graft_syms")) - 1, concat(s, lit("</w>")))
+            .otherwise(s)))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("graft_marked")))),
+        x => x.getField("graft_marked"))).as("tokens"))
+  }
+
+  /** Detokenization: reassemble text from a `</w>`-marked token
+    * stream ([[encodeTokensMarked]]'s output) — concatenate, turn
+    * each marker back into a space, trim the trailing one. Pure
+    * column expressions, scan-local; round-trip law
+    * `decode(encodeMarked(text)) == text` for single-spaced text is
+    * spec-pinned (BpeSpec) for in-vocab AND OOV words (the char
+    * fallback marks its last char the same way). The inspection /
+    * debugging half of the tokenizer: shards pack the unmarked
+    * stream, audits read it back. Output: (doc_id, text). */
+  def decodeTokens(tokens: DataFrame): DataFrame =
+    tokens.select(col("doc_id"),
+      rtrim(regexp_replace(concat_ws("", col("tokens")),
+        lit("</w>"), lit(" "))).as("text"))
+
   def encodeStats(docs: DataFrame, vocabSyms: DataFrame,
       broadcastVocab: Boolean = true): DataFrame = {
     val v0 = vocabSyms.select(col("w"),

@@ -271,12 +271,22 @@ object Similarity {
       indexDir: String,
       cent: DataFrame,
       newVectors: DataFrame,
-      ksThreshold: Double = 0.2): DataFrame = {
+      ksThreshold: Double = 0.2,
+      sampleEvery: Long = 1): DataFrame = {
     // the index side scores against its OWN partition's centroid (an
     // equi-join on the partition label — no argmax rescan of k
     // centroids); the batch side is scored by the same assignment the
-    // append path would use
-    val idx = spark.read.parquet(indexDir)
+    // append path would use. `sampleEvery = m` keeps every m-th
+    // vec_id of the INDEX side — the deterministic upstream sample a
+    // very large index audits with (the csim distribution is what KS
+    // compares, and a 1/m systematic sample preserves it; the gate's
+    // n_a records the sampled size honestly). The batch side is never
+    // sampled — it is already batch-sized.
+    require(sampleEvery >= 1, "sampleEvery must be >= 1")
+    val idxRaw = spark.read.parquet(indexDir)
+    val idx = (if (sampleEvery > 1)
+        idxRaw.filter(col("vec_id") % sampleEvery === 0)
+      else idxRaw)
       .select(col("label"), asDouble(col("embedding")).as("graft_v"))
       .join(broadcast(cent), "label")
       .select(round(cosine(col("graft_v"), col("centroid")), 6).as("csim"))

@@ -105,6 +105,29 @@ class BpeSpec extends SparkSpec {
     assert(toks === Seq("low", "er", "h", "e", "low"))
   }
 
+  test("marked encode + decode round-trips exactly, OOV and testdata included") {
+    val train = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(train), nMerges = 3)
+    val docs = Seq((0L, "lower he low")).toDF("doc_id", "text")
+    val toks = Bpe.encodeTokensMarked(docs, vocab)
+      .select(col("tokens")).as[Seq[String]].collect().head
+    // each word's LAST symbol carries the marker — in-vocab and the
+    // OOV char fallback alike
+    assert(toks === Seq("low", "er</w>", "h", "e</w>", "low</w>"))
+    assert(Bpe.decodeTokens(Bpe.encodeTokensMarked(docs, vocab))
+      .select(col("text")).as[String].collect().head === "lower he low")
+    // the round-trip LAW over real testdata under a vocab learned
+    // elsewhere (plenty of OOV): decode ∘ encodeMarked is identity on
+    // single-spaced text
+    val td = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val back = Bpe.decodeTokens(Bpe.encodeTokensMarked(td, vocab))
+    val diff = td.join(back.withColumnRenamed("text", "graft_back"),
+      Seq("doc_id"))
+      .filter(col("text") =!= col("graft_back")).count()
+    assert(diff === 0L, "round-trip must be identity on the corpus")
+  }
+
   test("learnBatched(k, 1) ≡ learn(k): batch size one is sequential BPE") {
     for (corpus <- Seq("low low lower", "xy yx xy yx", "aaaaaa aaaaa ab")) {
       val docs = Seq((0L, corpus)).toDF("doc_id", "text")

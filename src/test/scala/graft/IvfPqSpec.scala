@@ -74,6 +74,39 @@ class IvfPqSpec extends SparkSpec {
       s"learned index scan is not partition-pruned:\n$plan")
   }
 
+  test("sampled refit gate: the 1/m index sample preserves the KS verdict, n_a records it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 8 index vectors in two tight ±x clusters (even/odd vec_ids in
+    // both, so the every-2nd sample keeps both clusters' geometry)
+    val corpus = (0L until 8L).map(i =>
+      (i, Array((if (i % 2 == 0) 1.0f else -1.0f), 0.05f * (i % 3)),
+        (i % 2).toInt)).toDF("vec_id", "embedding", "label")
+    val cent = Similarity.centroids(corpus).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-sampled-gate").toString + "/idx"
+    Similarity.writeIvfIndex(corpus, dir)
+    val shifted = Seq(
+      (20L, Array(0.0f, 1.0f)), (21L, Array(0.05f, 1.0f)),
+      (22L, Array(0.0f, -1.0f)), (23L, Array(0.05f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.ivfRefitCheck(spark, dir, cent, shifted)
+      .select("n_a", "refit").as[(Long, Boolean)].head()
+    val sampled = Similarity.ivfRefitCheck(spark, dir, cent, shifted,
+      sampleEvery = 2)
+      .select("n_a", "refit").as[(Long, Boolean)].head()
+    assert(full._1 === 8L && sampled._1 === 4L,
+      "n_a must record the audited (sampled) index size")
+    assert(full._2 && sampled._2,
+      "the drifted batch must trip the gate under both audit sizes")
+    // an in-distribution batch stays below threshold under the sample
+    val same = corpus.select(col("vec_id") + 100, col("embedding"))
+      .toDF("vec_id", "embedding")
+    assert(!Similarity.ivfRefitCheck(spark, dir, cent, same, sampleEvery = 2)
+      .select("refit").as[Boolean].head(),
+      "an in-distribution batch must not trip the sampled gate")
+  }
+
   test("index heal: kmeansFrom re-fits in place — ids stable, rebuilt index clears the gate") {
     import graft.operators.Clustering
     import org.apache.spark.sql.functions.col

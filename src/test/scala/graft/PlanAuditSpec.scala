@@ -183,6 +183,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"k-means argmax uses a window:\n$p")
   }
 
+  test("q223/q224: objective-side transforms are one scan-local projection") {
+    for (q <- Seq("q223_fim_transform", "q224_span_corrupt")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles a pure map stage:\n$p")
+      assert(!p.contains("Window"), s"$q windows a pure map stage:\n$p")
+      assert(p.contains("WholeStageCodegen"), s"$q fell out of codegen:\n$p")
+    }
+  }
+
   test("q173/q174: compressed-domain and re-rank ANN never shuffle the corpus side") {
     val adc = plan("q173_pq_recall")
     assert(adc.contains("BroadcastNestedLoopJoin"),

@@ -498,7 +498,10 @@ object TextOps {
     * stream as the target — the (inputs, targets) pair a denoising
     * pretraining run consumes. Pure array lambdas over the word
     * split (transform / filter / array_join): scan-local, no explode,
-    * no shuffle — the per-doc work is one pass over its words.
+    * no shuffle — the per-doc work is one pass over its words. (Spark
+    * higher-order functions are CodegenFallback, so this is ONE
+    * interpreted projection over the scan — still a single map stage,
+    * plan-audited as such.)
     * Output: (doc_id, corrupted, targets, n_words, n_masked,
     * n_spans). */
   def spanCorrupt(docs: DataFrame, every: Int = 20, spanLen: Int = 3): DataFrame = {

@@ -42,6 +42,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                 near-dup collapse within the batch and against the
   *                 corpus ingested so far (first-arrival keepers),
   *                 survivors appended to the corpus + band index,
+  *   3.5 objective — OPTIONAL (`fimPermille`): the q223 FIM transform
+  *                 ([[graft.operators.TextOps.fimTransform]]) applied
+  *                 to the admitted docs at PACK time — the corpus
+  *                 stays raw (canonical, re-packable under a different
+  *                 objective tomorrow), only the shard stream carries
+  *                 the re-ordering; deterministic in doc_id, so replay
+  *                 packs identical rows,
   *   4. pack     — [[StreamingShardPack.applyBatch]] over the ADMITTED
   *                 docs tokenized under the FROZEN vocabulary: the
   *                 shard log continues exactly where it stopped,
@@ -109,7 +116,8 @@ object IngestDoor {
       lmGate: Option[(DataFrame, DataFrame)] = None,
       phashFrameBytes: Int = 64,
       phashStride: Int = 2,
-      normalize: Boolean = false): Unit = {
+      normalize: Boolean = false,
+      fimPermille: Int = 0): Unit = {
     val spark = batch.sparkSession
     val stable = batch.localCheckpoint()
     // 1. guard vs the frozen eval artifact — on RAW text (see class
@@ -210,8 +218,21 @@ object IngestDoor {
     if (mediaCols && admitted.limit(1).count() > 0)
       StreamingPhashDedup.appendIndex(mediaOf(admitted),
         phashIndexPath(root), phashFrameBytes, phashStride)
+    // 3.5 (optional) objective-side transform at PACK time: the q223
+    // FIM re-ordering applied to the admitted docs' text just before
+    // tokenization — the CORPUS stays raw (it is the canonical,
+    // re-packable artifact; a different objective tomorrow re-packs
+    // the same corpus), only the shard stream carries the transform.
+    // Deterministic in doc_id, so a same-batch replay packs identical
+    // rows and the one-shot-pack law holds against the TRANSFORMED
+    // corpus (spec-pinned).
+    val packInput =
+      if (fimPermille > 0)
+        graft.operators.TextOps.fimTransform(admitted, fimPermille)
+          .select(col("doc_id"), col("training_text").as("text"))
+      else admitted
     StreamingShardPack.applyBatch(
-      Bpe.encodeTokens(admitted, vocab), id, shardsPath(root), seqLen)
+      Bpe.encodeTokens(packInput, vocab), id, shardsPath(root), seqLen)
     // audit row — one aggregate action; sums coalesced so an EMPTY
     // batch (offset-gap delivery) writes zeros instead of nulls
     val nIn = stable.count()
@@ -256,7 +277,8 @@ object IngestDoor {
       lmGate: Option[(DataFrame, DataFrame)] = None,
       phashFrameBytes: Int = 64,
       phashStride: Int = 2,
-      normalize: Boolean = false): StreamingQuery =
+      normalize: Boolean = false,
+      fimPermille: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -264,7 +286,7 @@ object IngestDoor {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, root, denyTerms, evalGrams, bloomBytes,
           vocab, seqLen, nGram, threshold, compactEvery, compactTargetBytes,
-          lmGate, phashFrameBytes, phashStride, normalize)
+          lmGate, phashFrameBytes, phashStride, normalize, fimPermille)
         ()
       }
       .start()

@@ -378,6 +378,42 @@ class IngestDoorSpec extends SparkSpec {
     assert(a.toSeq === Seq(2L, 1L, 1L))
   }
 
+  test("optional FIM stage: shards pack the TRANSFORMED text, corpus stays raw, replay exact") {
+    import graft.operators.TextOps
+    val (evalGrams, bloom, vocab) = mediaFixtures()
+    val root = java.nio.file.Files.createTempDirectory("door-fim").toString
+    IngestDoor.applyBatch(b1.toDF("doc_id", "text"), 0L, root,
+      deny, evalGrams, bloom, vocab, seqLen, fimPermille = 1000)
+    IngestDoor.applyBatch(b2.toDF("doc_id", "text"), 1L, root,
+      deny, evalGrams, bloom, vocab, seqLen, fimPermille = 1000)
+    // the corpus is the RAW (scrubbed) text — the transform never
+    // rewrites the canonical artifact
+    val corpus = IngestDoor.readCorpus(spark, root)
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 4L))
+    assert(corpus.filter(col("doc_id") === 1L)
+      .select("text").as[String].head() ===
+      s"$longText mail <EMAIL> <MASKED>")
+    // shard law: accumulated shards == one-shot pack of the
+    // TRANSFORMED corpus (same deterministic doc_id-derived cuts)
+    val oneShot = SeqPack.packTokenStream(
+      Bpe.encodeTokens(
+        TextOps.fimTransform(corpus.orderBy("doc_id"), ratePermille = 1000)
+          .select(col("doc_id"), col("training_text").as("text")),
+        vocab), seqLen)
+    assert(rowSet(IngestDoor.readShards(spark, root)) === rowSet(oneShot))
+    // at permille 1000 every doc transforms, so the shard stream must
+    // actually differ from the raw pack (the stage is not a no-op)
+    val rawShot = SeqPack.packTokenStream(
+      Bpe.encodeTokens(corpus.orderBy("doc_id"), vocab), seqLen)
+    assert(rowSet(oneShot) !== rowSet(rawShot),
+      "FIM-transformed shards should differ from the raw pack")
+    // replay with the stage on: nothing changes
+    IngestDoor.applyBatch(b1.toDF("doc_id", "text"), 0L, root,
+      deny, evalGrams, bloom, vocab, seqLen, fimPermille = 1000)
+    assert(rowSet(IngestDoor.readShards(spark, root)) === rowSet(oneShot))
+  }
+
   test("optional LM quality gate: low-perplexity drop audits as n_lowq, dup attribution exact") {
     import graft.operators.TextOps
     val root = java.nio.file.Files.createTempDirectory("door-lm").toString

@@ -113,6 +113,48 @@ object Decontaminate {
       .distinct()
   }
 
+  /** Span-level decontamination SURGERY (the cut-don't-drop variant
+    * of [[contaminatedIds]], the decontamination member of q188's
+    * span-cut family): every corpus word-position covered by an
+    * `n`-gram present in the FROZEN eval artifact is REMOVED from the
+    * document and the rest survives — the Lee et al. 2022 approach
+    * for long documents where one leaked prompt should not discard a
+    * million clean words. Same bloom-prefilter + hash-exact-verify
+    * probe as [[contaminatedIds]] (false positives never cut
+    * anything), then q188's coverage explode (≤ n positions per hit,
+    * distinct on (doc, position)) and one per-doc reassembly sort of
+    * the doc's own words — no rank window, no corpus-wide sort.
+    * Output: (doc_id, n_words, n_cut, clean_text). */
+  def decontamSurgery(
+      corpus: DataFrame,
+      evalGrams: DataFrame,
+      bloomBytes: Array[Byte],
+      n: Int = 6,
+      literalMaxBytes: Long = 8L << 20): DataFrame = {
+    val probe: Column => Column =
+      if (bloomBytes.length <= literalMaxBytes) bloom_might_contain(bloomBytes, _)
+      else bloom_might_contain_bcast(corpus.sparkSession, bloomBytes, _)
+    val covered = corpus.select(col("doc_id"),
+        posexplode(word_shingles(col("text"), n)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("gh"))
+      .filter(probe(col("gh")))
+      .join(evalGrams, "gh") // hash-exact verify: bloom FPs cut nothing
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("wpos"))
+      .distinct()
+      .withColumn("graft_cov", lit(true))
+    corpus.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+      .join(covered, Seq("doc_id", "wpos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("graft_cov"), 1L).otherwise(0L)).as("n_cut"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("graft_cov").isNull, struct(col("wpos"), col("w"))))),
+          x => x.getField("w")), " ").as("clean_text"))
+  }
+
   /** The corpus rows sharing NO word-`n`-gram with `evalDocs` — the
     * documents safe to train on. One-shot composition of
     * [[evalGramSet]] → [[bloomBytesOf]] → [[contaminatedIds]].

@@ -452,6 +452,33 @@ object TextOps {
     *
     * `denyTerms` must be plain word characters (they are spliced into
     * a word-boundary alternation verbatim). */
+  /** Immediate-repetition (stutter) collapse: runs of the SAME word
+    * reduce to one occurrence — the cleaning pass for OCR/ASR stutter
+    * and degenerate LM-generated loops ("the the the") that q45's
+    * repetition SCORE flags but nothing yet rewrites. Word i survives
+    * iff i = 0 or word i ≠ word i−1, so any run length collapses in
+    * ONE pass (no fixpoint loop) and the survivor order is stable.
+    * Indexed array lambdas over the split — scan-local, no explode,
+    * no shuffle (higher-order functions are CodegenFallback: one
+    * interpreted projection, the q224 shape). Backreference regexes
+    * would be the one-liner alternative, but RE2 (DuckDB) has no
+    * backreferences — array lambdas are the engine-parity form.
+    * Output: (doc_id, n_words, n_collapsed, clean_text). */
+  def collapseRepeats(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    // element_at is 1-based, the lambda index 0-based: element_at(ws, i)
+    // IS the previous word
+    val kept = filter(
+      transform(ws, (w, i) =>
+        when(i === 0 || w =!= element_at(ws, i), w)),
+      x => x.isNotNull)
+    docs.select(
+      col("doc_id"),
+      size(ws).cast("bigint").as("n_words"),
+      (size(ws) - size(kept)).cast("bigint").as("n_collapsed"),
+      array_join(kept, " ").as("clean_text"))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): for a
     * deterministic `ratePermille` share of documents, split the text

@@ -3439,6 +3439,33 @@ object ExtensionQueries {
   val q224SpanCorrupt: Q = (s, dir) =>
     TextOps.spanCorrupt(t(s, dir, "documents"), every = 20, spanLen = 3)
 
+  /** Span-level decontamination surgery
+    * ([[graft.operators.Decontaminate.decontamSurgery]], Lee et al.
+    * 2022): the q43 eval artifact (docs 0–2's 6-gram hashes + bloom)
+    * probed against the train corpus (docs ≥ 3), but contaminated
+    * SPANS are cut and the rest of each document survives — the
+    * long-document alternative to q43's whole-doc drop, where one
+    * leaked prompt must not discard a million clean words. Bloom
+    * prefilter + hash-exact verify (FPs cut nothing), q188's coverage
+    * explode + per-doc reassembly. */
+  val q225DecontamSurgery: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val evalGrams = Decontaminate.evalGramSet(
+      docs.filter(col("doc_id") < 3), n = 6)
+    Decontaminate.decontamSurgery(
+      docs.filter(col("doc_id") >= 3).select(col("doc_id"), col("text")),
+      evalGrams, Decontaminate.bloomBytesOf(evalGrams), n = 6)
+  }
+
+  /** Stutter collapse ([[graft.operators.TextOps.collapseRepeats]]):
+    * immediate word-repetition runs reduced to one occurrence — the
+    * REWRITE twin of q45's repetition score, for OCR/ASR stutter and
+    * degenerate LM loops. One indexed-lambda pass, any run length,
+    * survivor order stable; oracle replays the keep rule over a
+    * 1-based index range. */
+  val q226CollapseRepeats: Q = (s, dir) =>
+    TextOps.collapseRepeats(t(s, dir, "documents"))
+
   /** Streaming-shaped hourly rollup of the events table (batch-equivalent
     * of the windowed streaming agg; see StreamingAggSpec for the
     * readStream form). */
@@ -3656,6 +3683,8 @@ object ExtensionQueries {
     "q222_mixture_delivery" -> q222MixtureDelivery,
     "q223_fim_transform" -> q223FimTransform,
     "q224_span_corrupt" -> q224SpanCorrupt,
+    "q225_decontam_surgery" -> q225DecontamSurgery,
+    "q226_collapse_repeats" -> q226CollapseRepeats,
   )
 
   /** DuckDB re-implementation of [[graft.operators.Bpe]]'s learning
@@ -8061,6 +8090,50 @@ object ExtensionQueries {
         |       CAST((n // 20) * 3 + least(3, n % 20) AS BIGINT) AS n_masked,
         |       CAST((n + 19) // 20 AS BIGINT) AS n_spans
         |FROM p""".stripMargin,
+    // the q188 span-cut shape with the q43 eval artifact as the gram
+    // filter: grams as raw strings (the oracle needs no xxhash64 —
+    // string equality IS the hash-exact verify), coverage via the
+    // 0..5 offset cross, reassembly via the q188-proven ordered
+    // string_agg
+    "q225_decontam_surgery" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        | occ AS (SELECT doc_id, t.pos AS pos, t.g AS g FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(s) - 4), i ->
+        |         struct_pack(pos := i - 1,
+        |                     g := array_to_string(s[i:i+5], ' ')))) AS t
+        |     FROM w WHERE len(s) >= 6)),
+        | ev AS (SELECT DISTINCT g FROM occ WHERE doc_id < 3),
+        | cov AS (SELECT DISTINCT o.doc_id, o.pos + i AS wpos
+        |         FROM occ o JOIN ev USING (g),
+        |              (SELECT unnest(range(0, 6)) AS i)
+        |         WHERE o.doc_id >= 3),
+        | wd AS (SELECT doc_id, t.wpos AS wpos, t.w AS w FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(s) + 1), i ->
+        |         struct_pack(wpos := i - 1, w := s[i]))) AS t
+        |     FROM w WHERE doc_id >= 3))
+        |SELECT wd.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(CASE WHEN cov.wpos IS NULL THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_cut,
+        |       coalesce(string_agg(CASE WHEN cov.wpos IS NULL THEN wd.w END,
+        |                           ' ' ORDER BY wd.wpos), '') AS clean_text
+        |FROM wd LEFT JOIN cov ON cov.doc_id = wd.doc_id
+        |                      AND cov.wpos = wd.wpos
+        |GROUP BY wd.doc_id""".stripMargin,
+    // the keep rule (word 1, or word != its predecessor) replayed
+    // over a 1-based index range
+    "q226_collapse_repeats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        | k AS (SELECT doc_id, len(s) AS n,
+        |    list_filter(list_transform(range(1, len(s) + 1), i ->
+        |      CASE WHEN i = 1 OR s[i] <> s[i - 1] THEN s[i] END),
+        |      x -> x IS NOT NULL) AS kept
+        |  FROM w)
+        |SELECT doc_id,
+        |       CAST(n AS BIGINT) AS n_words,
+        |       CAST(n - len(kept) AS BIGINT) AS n_collapsed,
+        |       array_to_string(kept, ' ') AS clean_text
+        |FROM k""".stripMargin,
     // PROBE 1 (round-10 VERDICT #2): plain multi-group ordered
     // string_agg — groups span many docs; hand-checkable (ids ascend)
     "q206_probe_ordered_agg" ->

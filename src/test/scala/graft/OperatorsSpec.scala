@@ -1235,6 +1235,53 @@ class OperatorsSpec extends SparkSpec {
     assert((survivors ++ masked).sorted.toSeq === words.sorted)
   }
 
+  test("decontamSurgery: the leaked span is cut everywhere, clean words survive") {
+    import graft.operators.Decontaminate
+    val eval = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val evalGrams = Decontaminate.evalGramSet(eval, n = 6)
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    val corpus = Seq(
+      // the 6-word prompt embedded mid-doc: exactly its 6 words cut
+      (10L, "intro words alpha beta gamma delta epsilon zeta outro words"),
+      // clean doc: untouched
+      (11L, "totally clean document with enough words to keep whole"),
+      // shorter than 6 words: no gram can exist, untouched
+      (12L, "short clean doc")).toDF("doc_id", "text")
+    val got = Decontaminate.decontamSurgery(corpus, evalGrams, bloom, n = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(10L) === ((10L, 6L, "intro words outro words")),
+      "the leaked span must be cut, the surrounding words kept")
+    assert(got(11L) === ((9L, 0L,
+      "totally clean document with enough words to keep whole")))
+    assert(got(12L) === ((3L, 0L, "short clean doc")))
+    // unlike spanDedup there is NO first-occurrence keeper: a second
+    // doc carrying the same leak is cut the same way
+    val again = Decontaminate.decontamSurgery(
+      Seq((20L, "alpha beta gamma delta epsilon zeta tail"),
+        (21L, "alpha beta gamma delta epsilon zeta tail"))
+        .toDF("doc_id", "text"), evalGrams, bloom, n = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again === Map(20L -> "tail", 21L -> "tail"))
+  }
+
+  test("collapseRepeats: any run length collapses in one pass, order stable") {
+    val docs = Seq(
+      (1L, "the the the cat sat sat on on on on the mat"),
+      (2L, "no repeats here at all"),
+      (3L, "loop loop loop loop loop"),
+      (4L, "a b a b a")).toDF("doc_id", "text")
+    val got = TextOps.collapseRepeats(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((12L, 6L, "the cat sat on the mat")))
+    assert(got(2L) === ((5L, 0L, "no repeats here at all")))
+    assert(got(3L) === ((5L, 4L, "loop")))
+    // alternation is NOT immediate repetition: untouched
+    assert(got(4L) === ((5L, 0L, "a b a b a")))
+  }
+
   test("spanDedup: duplicated 8-gram cut keeps the first occurrence only") {
     val docs = Seq(
       (0L, "a b c d e f g h x"),                    // first site of abcdefgh

@@ -557,8 +557,14 @@ object ScaleStress {
             f"drifted ingest did not trip the refit gate (ks=${before._1}%.3f)")
           // probe recall before heal: 20 drifted queries, nprobe=1,
           // vs the exact top-10 over the live (appended) index
+          // sample step deliberately MISALIGNED with the fixture's
+          // per-copy key base (+7): a step that divides the copy
+          // offset would pick the SAME original vector out of every
+          // copy (embeddings are copied verbatim), collapsing the
+          // query set to 20 duplicates of one point — seen at 100×,
+          // where step n/100 equalled the 2000-row copy base exactly
           val queries = shifted
-            .filter((col("vec_id") - lit(n)) % lit(math.max(1L, n / 100)) === 0)
+            .filter((col("vec_id") - lit(n)) % lit(math.max(1L, n / 100) + 7) === 0)
             .limit(20).localCheckpoint()
           val union = spark.read.parquet(idx1)
             .select(col("vec_id"), col("embedding")).localCheckpoint()
@@ -569,8 +575,10 @@ object ScaleStress {
             val probed = Similarity.ivfTopKIndexed(
               spark, idxDir, queries, cent, k = 10, nprobe = 1)
             // ≥ spark.sql.optimizer.inSetConversionThreshold (10)
-            // probed labels render as INSET, fewer as IN — accept both
-            val pruned = "PartitionFilters: \\[[^\\]]*label[^\\]]* (IN|INSET) ".r
+            // probed labels render as INSET, fewer as IN, a single
+            // label as an equality — any non-empty label partition
+            // filter is the pruning claim
+            val pruned = "PartitionFilters: \\[[^\\]]*label".r
               .findFirstIn(probed.queryExecution.executedPlan.toString)
               .nonEmpty
             val hit = probed.select(col("q_id"), col("vec_id"))

@@ -72,11 +72,20 @@ object Tables {
     * AQE on, shuffle partitions sized for local[32], UTC timezone.
     */
   def localSession(appName: String = "graft", cores: Int = 32): SparkSession = {
+    // Shuffle parallelism defaults to the core count (the right size
+    // for the driver's sf0.1 volume: no sliver tasks, AQE coalesces
+    // further). At 100×-fixture volume the per-task aggregate state
+    // outgrows one task's share of the single-JVM execution pool —
+    // the cure is the same as on a real cluster: MORE partitions, not
+    // more heap. SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for those
+    // runs (the 100× stress sets 256); unset, behavior is unchanged.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .getOrElse(cores.toString)
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -159,6 +159,19 @@ object ScaleStress {
       t.takeWhile(_.isLetterOrDigit)
     }.filter(_.nonEmpty).toSeq
 
+  /** Recursive temp-root delete: each timed door/heal pass writes a
+    * full door root (corpus + shard log) or two IVF indexes into its
+    * own fresh temp dir — without this, repeated stress runs
+    * accumulate corpus-sized /tmp residue (r13 ADVICE). Run in a
+    * finally so a failed `require` cleans up too. */
+  private def deleteTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   /** Time plan build + execution together (by-name `mk`): the graph /
     * dedup operators run eager localCheckpoints while the plan is
     * BUILT, so clocking only the action would miss most of their work. */
@@ -463,20 +476,24 @@ object ScaleStress {
           val (batch, lm, cuts, evalGrams, bloom, vocab) = inputs(dir)
           val root = java.nio.file.Files
             .createTempDirectory("stress-door").toString
-          val t0 = System.nanoTime()
-          IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom,
-            vocab, seqLen = 512, lmGate = Some((lm, cuts)),
-            normalize = true)
-          val sec = (System.nanoTime() - t0) / 1e9
-          val a = IngestDoor.readAudit(spark, root).head()
-          def l(c: String) = a.getAs[Long](c)
-          val balanced =
-            l("n_in") == l("n_contaminated") + l("n_lowq") +
-              l("n_dup_dropped") + l("n_admitted") &&
-            l("n_dup_phash") + l("n_dup_text") == l("n_dup_dropped")
-          require(balanced, s"door funnel imbalance: ${a.toString}")
-          cleanup()
-          (sec, l("n_admitted"), balanced)
+          try {
+            val t0 = System.nanoTime()
+            IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom,
+              vocab, seqLen = 512, lmGate = Some((lm, cuts)),
+              normalize = true)
+            val sec = (System.nanoTime() - t0) / 1e9
+            val a = IngestDoor.readAudit(spark, root).head()
+            def l(c: String) = a.getAs[Long](c)
+            val balanced =
+              l("n_in") == l("n_contaminated") + l("n_lowq") +
+                l("n_dup_dropped") + l("n_admitted") &&
+              l("n_dup_phash") + l("n_dup_text") == l("n_dup_dropped")
+            require(balanced, s"door funnel imbalance: ${a.toString}")
+            (sec, l("n_admitted"), balanced)
+          } finally {
+            cleanup()
+            deleteTree(root)
+          }
         }
         val srcRuns = Seq.fill(2)(pass(srcDir))
         val scaledRuns = Seq.fill(2)(pass(outDir))
@@ -525,6 +542,7 @@ object ScaleStress {
           val step = math.ceil(math.sqrt(n.toDouble)).toLong
           val tmp = java.nio.file.Files
             .createTempDirectory("stress-heal").toString
+          try {
           val t0 = System.nanoTime()
           // 1. learn the √N geometry (q216's recipe) + build the index
           val seeds = e.filter(col("vec_id") % step === 0)
@@ -609,11 +627,14 @@ object ScaleStress {
           val (recAfter, prunedAfter) = recallOf(idx2, healed)
           val sec = (System.nanoTime() - t0) / 1e9
           val nUnion = union.count()
-          cleanup()
           (sec, nUnion,
             prunedBefore && prunedAfter,
             f"ks ${before._1}%.3f->${after._1}%.3f recall@10 " +
               f"${recBefore * 100}%.0f%%->${recAfter * 100}%.0f%%")
+          } finally {
+            cleanup()
+            deleteTree(tmp)
+          }
         }
         val srcRuns = Seq.fill(2)(chapter(srcDir))
         val scaledRuns = Seq.fill(2)(chapter(outDir))

@@ -553,7 +553,7 @@ object Bpe {
       broadcastVocab: Boolean = true): DataFrame = {
     val v0 = vocabSyms.select(col("w"), col("syms"))
     val v = if (broadcastVocab) broadcast(v0) else v0
-    docs.select(col("doc_id"),
+    val enc = docs.select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
       .join(v, Seq("w"), "left")
@@ -567,6 +567,14 @@ object Bpe {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("graft_marked")))),
         x => x.getField("graft_marked"))).as("tokens"))
+    // an EMPTY-text doc has no words, so the groupBy above never sees
+    // it — rejoin the doc set and emit an empty tokens array instead
+    // of silently dropping the row, so decode(encodeMarked(·)) is
+    // identity on empty docs too (not just non-empty ones)
+    docs.select(col("doc_id"))
+      .join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), typedlit(Seq.empty[String])).as("tokens"))
   }
 
   /** Detokenization: reassemble text from a `</w>`-marked token
@@ -577,7 +585,13 @@ object Bpe {
     * spec-pinned (BpeSpec) for in-vocab AND OOV words (the char
     * fallback marks its last char the same way). The inspection /
     * debugging half of the tokenizer: shards pack the unmarked
-    * stream, audits read it back. Output: (doc_id, text). */
+    * stream, audits read it back. Round-trip PRECONDITIONS (shared
+    * with [[encodeTokensMarked]]): single-spaced text with no leading,
+    * trailing, or doubled spaces (the split/trim conventions), and no
+    * LITERAL `</w>` substring in the text (the marker is in-band, so
+    * an in-text occurrence would decode to a spurious space). Empty
+    * docs round-trip to empty text (empty tokens array → `""`).
+    * Output: (doc_id, text). */
   def decodeTokens(tokens: DataFrame): DataFrame =
     tokens.select(col("doc_id"),
       rtrim(regexp_replace(concat_ws("", col("tokens")),

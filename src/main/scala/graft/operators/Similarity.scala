@@ -281,12 +281,17 @@ object Similarity {
     // very large index audits with (the csim distribution is what KS
     // compares, and a 1/m systematic sample preserves it; the gate's
     // n_a records the sampled size honestly). The batch side is never
-    // sampled — it is already batch-sized.
+    // sampled — it is already batch-sized. The 1/m stride ASSUMES
+    // dense-ish vec_ids: a strided or sharded id scheme (every id
+    // ≡ c mod m with c ≠ 0, or ids all sharing a shard prefix) can
+    // bias the sample or select NOTHING — an empty sample would
+    // degenerate the KS statistic silently, so that case falls back
+    // loudly to the full index scan (one cheap limit-1 probe decides).
     require(sampleEvery >= 1, "sampleEvery must be >= 1")
     val idxRaw = spark.read.parquet(indexDir)
-    val idx = (if (sampleEvery > 1)
-        idxRaw.filter(col("vec_id") % sampleEvery === 0)
-      else idxRaw)
+    val sampled = idxRaw.filter(col("vec_id") % sampleEvery === 0)
+    val useSample = sampleEvery > 1 && sampled.limit(1).count() > 0
+    val idx = (if (useSample) sampled else idxRaw)
       .select(col("label"), asDouble(col("embedding")).as("graft_v"))
       .join(broadcast(cent), "label")
       .select(round(cosine(col("graft_v"), col("centroid")), 6).as("csim"))

@@ -465,18 +465,28 @@ object TextOps {
     * backreferences — array lambdas are the engine-parity form.
     * Output: (doc_id, n_words, n_collapsed, clean_text). */
   def collapseRepeats(docs: DataFrame): DataFrame = {
-    val ws = split(col("text"), " ")
+    // The split is bound ONCE as a materialized column and the lambda
+    // body references the ATTRIBUTE: interpreted HOF lambdas get no
+    // subexpression elimination, so an inline `split(text)` under
+    // `element_at(…, i)` would re-tokenize the whole text per ELEMENT
+    // (O(n²) per document — fatal on exactly the long OCR/ASR docs
+    // this operator targets). The alias is consumed four times by a
+    // non-cheap producer, which keeps CollapseProject from re-inlining
+    // it (asserted in OperatorsSpec: the optimized plan carries one
+    // split, in its own Project below the lambda's).
+    val ws = col("graft_ws")
     // element_at is 1-based, the lambda index 0-based: element_at(ws, i)
     // IS the previous word
     val kept = filter(
       transform(ws, (w, i) =>
         when(i === 0 || w =!= element_at(ws, i), w)),
       x => x.isNotNull)
-    docs.select(
-      col("doc_id"),
-      size(ws).cast("bigint").as("n_words"),
-      (size(ws) - size(kept)).cast("bigint").as("n_collapsed"),
-      array_join(kept, " ").as("clean_text"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("graft_ws"))
+      .select(
+        col("doc_id"),
+        size(ws).cast("bigint").as("n_words"),
+        (size(ws) - size(kept)).cast("bigint").as("n_collapsed"),
+        array_join(kept, " ").as("clean_text"))
   }
 
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
@@ -490,15 +500,32 @@ object TextOps {
     * hashes mod the length), so the transform is replayable and
     * engine-parity-exact — no RNG, no per-partition state. One
     * codegen'd projection: at 100 TB this is a scan-bound map stage
-    * like [[normalizeText]]. ASCII testdata assumed for the char
-    * offsets (the q219 oracle's existing envelope).
+    * like [[normalizeText]]. Cut offsets are CODEPOINT offsets —
+    * Spark's `length`/`substr` and DuckDB's both count codepoints, so
+    * multibyte text is engine-parity-safe (FimUnicodeSpec pins the
+    * law on a multibyte fixture); a cut can still land inside a
+    * grapheme cluster (combining marks, ZWJ emoji) — fine for a
+    * training transform, flagged for anyone rendering the pieces.
+    * doc_id must be ≥ 0 (corpus row ids — the reduced-mod hashes
+    * would go negative otherwise, in both engines identically).
     * Output: (doc_id, fim_applied, n_prefix, n_middle, n_suffix,
     * training_text). */
   def fimTransform(docs: DataFrame, ratePermille: Int = 500): DataFrame = {
     val n = length(col("text")).cast("bigint")
-    val applied = (col("doc_id") * lit(2654435761L)) % 1000 < ratePermille
-    val a = (col("doc_id") * lit(7919L)) % (n + 1)
-    val b = (col("doc_id") * lit(104729L)) % (n + 1)
+    // Multiplicative hashes in REDUCED form: (id·c) mod m ≡
+    // ((id mod m)·(c mod m)) mod m, so the values are unchanged but
+    // the product can no longer overflow Long — the naive id·c wraps
+    // negative for doc_id ≥ ~3.5e9 (flipping the rate semantics) and
+    // DuckDB ERRORS on the overflow instead of wrapping, so the naive
+    // form breaks at exactly the corpus sizes this targets. Bounds:
+    // (id mod 1000)·761 < 2^20; (id mod (n+1))·(c mod (n+1)) ≤ n·c
+    // < 2^48 for int-length strings. doc_id must be ≥ 0 (corpus row
+    // ids; a negative id would make % negative in both engines).
+    val applied =
+      (pmod(col("doc_id"), lit(1000L)) * lit(2654435761L % 1000)) % 1000 <
+        ratePermille
+    val a = (pmod(col("doc_id"), n + 1) * (lit(7919L) % (n + 1))) % (n + 1)
+    val b = (pmod(col("doc_id"), n + 1) * (lit(104729L) % (n + 1))) % (n + 1)
     val lo = least(a, b)
     val hi = greatest(a, b)
     val prefix = col("text").substr(lit(1), lo.cast("int"))

@@ -8042,18 +8042,29 @@ object ExtensionQueries {
         |       coalesce(dv.n_tokens_delivered, 0) > c.n_tokens_target
         |         AS over_delivered
         |FROM cuts c LEFT JOIN dv USING (source)""".stripMargin,
-    // the FIM hashes + substr arithmetic replayed verbatim: % on
-    // non-negative bigints and 1-based substr agree across engines;
-    // ASCII testdata keeps length() codepoint-vs-codeunit moot (the
-    // q219 envelope)
+    // the FIM hashes + substr arithmetic replayed verbatim, in the
+    // engine's REDUCED modular form ((id·c) mod m = ((id mod m)(c mod
+    // m)) mod m — same values, no bigint overflow at any doc_id): % on
+    // non-negative bigints, 1-based substr, and length()/substr()
+    // codepoint semantics all agree across engines (multibyte text is
+    // parity-safe — FimUnicodeSpec pins the codepoint cuts; the
+    // testdata corpus is ASCII anyway)
     "q223_fim_transform" ->
       """WITH b AS (SELECT doc_id, text,
         |    CAST(length(text) AS BIGINT) AS n,
-        |    (doc_id * 2654435761) % 1000 < 500 AS applied,
-        |    least((doc_id * 7919) % (CAST(length(text) AS BIGINT) + 1),
-        |          (doc_id * 104729) % (CAST(length(text) AS BIGINT) + 1)) AS lo,
-        |    greatest((doc_id * 7919) % (CAST(length(text) AS BIGINT) + 1),
-        |             (doc_id * 104729) % (CAST(length(text) AS BIGINT) + 1)) AS hi
+        |    ((doc_id % 1000) * 761) % 1000 < 500 AS applied,
+        |    least(((doc_id % (CAST(length(text) AS BIGINT) + 1))
+        |           * (7919 % (CAST(length(text) AS BIGINT) + 1)))
+        |          % (CAST(length(text) AS BIGINT) + 1),
+        |          ((doc_id % (CAST(length(text) AS BIGINT) + 1))
+        |           * (104729 % (CAST(length(text) AS BIGINT) + 1)))
+        |          % (CAST(length(text) AS BIGINT) + 1)) AS lo,
+        |    greatest(((doc_id % (CAST(length(text) AS BIGINT) + 1))
+        |              * (7919 % (CAST(length(text) AS BIGINT) + 1)))
+        |             % (CAST(length(text) AS BIGINT) + 1),
+        |             ((doc_id % (CAST(length(text) AS BIGINT) + 1))
+        |              * (104729 % (CAST(length(text) AS BIGINT) + 1)))
+        |             % (CAST(length(text) AS BIGINT) + 1)) AS hi
         |  FROM documents)
         |SELECT doc_id, applied AS fim_applied,
         |       CAST(lo AS BIGINT) AS n_prefix,

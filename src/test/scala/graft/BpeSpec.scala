@@ -128,6 +128,22 @@ class BpeSpec extends SparkSpec {
     assert(diff === 0L, "round-trip must be identity on the corpus")
   }
 
+  test("marked encode keeps empty docs: empty tokens array, decode restores empty text") {
+    // an empty-text doc has no words, so a bare groupBy would drop the
+    // row entirely (r13 ADVICE) — the doc-set rejoin keeps it, and the
+    // round-trip law extends to the empty case
+    val train = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.learn(Bpe.wordFreq(train), nMerges = 3)
+    val docs = Seq((0L, "low"), (1L, "")).toDF("doc_id", "text")
+    val toks = Bpe.encodeTokensMarked(docs, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks.keySet === Set(0L, 1L), "empty docs must not vanish")
+    assert(toks(1L) === Seq.empty[String])
+    val back = Bpe.decodeTokens(Bpe.encodeTokensMarked(docs, vocab))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back === Map(0L -> "low", 1L -> ""))
+  }
+
   test("learnBatched(k, 1) ≡ learn(k): batch size one is sequential BPE") {
     for (corpus <- Seq("low low lower", "xy yx xy yx", "aaaaaa aaaaa ab")) {
       val docs = Seq((0L, corpus)).toDF("doc_id", "text")

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** The FIM transform's unicode envelope (r13 verdict Next #5): Spark's
+  * `length`/`substr` and DuckDB's both count CODEPOINTS, so the
+  * doc_id-derived cut offsets land on the same characters in both
+  * engines even on multibyte text — this spec pins the engine side of
+  * that law by recomputing every cut with explicit codepoint arithmetic
+  * (java.lang.String#codePoints) and requiring byte-exact agreement,
+  * including an astral-plane codepoint (🙂, a surrogate PAIR in UTF-16
+  * but ONE codepoint to both engines). The DuckDB side was
+  * cross-checked once by hand (length('héllo wörld 🙂 añ') = 16,
+  * substr codepoint-based) and is exercised per-round by the q223
+  * oracle; what this spec removes is the old "ASCII testdata assumed"
+  * caveat. A cut can still split a GRAPHEME (combining mark, ZWJ
+  * sequence) — documented as acceptable for a training transform. */
+class FimUnicodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cpSlice(text: String, from: Long, len: Long): String = {
+    val cps = text.codePoints().toArray
+    new String(cps, from.toInt, len.toInt)
+  }
+
+  test("fim cuts are codepoint offsets on multibyte text — astral plane included") {
+    val fixtures = Seq(
+      (1L, "héllo wörld 🙂 añ"),            // latin-1 + astral smiley
+      (2L, "日本語のテキストです"),            // CJK, 10 codepoints
+      (3L, "ábc 🙂🙂🙂 déf"),          // combining mark + emoji run
+      (7L, "πρὸς τὸν δῆμον"),               // polytonic greek
+      (9L, ""))                             // empty stays empty
+    val docs = fixtures.toDF("doc_id", "text")
+    val got = TextOps.fimTransform(docs, ratePermille = 1000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    for ((id, text) <- fixtures) {
+      val n = text.codePoints().count()
+      val lo = math.min((id * 7919) % (n + 1), (id * 104729) % (n + 1))
+      val hi = math.max((id * 7919) % (n + 1), (id * 104729) % (n + 1))
+      val (np, nm, ns, out) = got(id)
+      assert((np, nm, ns) === ((lo, hi - lo, n - hi)),
+        s"doc $id: engine length() must count codepoints, not code units")
+      assert(out === "<PRE>" + cpSlice(text, 0, lo) +
+        "<SUF>" + cpSlice(text, hi, n - hi) +
+        "<MID>" + cpSlice(text, lo, hi - lo),
+        s"doc $id: substr must cut at codepoint offsets")
+    }
+  }
+}

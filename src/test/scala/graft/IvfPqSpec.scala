@@ -105,6 +105,19 @@ class IvfPqSpec extends SparkSpec {
     assert(!Similarity.ivfRefitCheck(spark, dir, cent, same, sampleEvery = 2)
       .select("refit").as[Boolean].head(),
       "an in-distribution batch must not trip the sampled gate")
+    // an id scheme the stride never hits (all-odd vec_ids, stride 2)
+    // must fall back to the FULL scan, not silently KS an empty sample
+    val oddDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-odd-gate").toString + "/idx"
+    val odd = corpus.select((col("vec_id") * 2 + 1).as("vec_id"),
+      col("embedding"), col("label"))
+    Similarity.writeIvfIndex(odd, oddDir)
+    val fb = Similarity.ivfRefitCheck(spark, oddDir, cent, shifted,
+      sampleEvery = 2)
+      .select("n_a", "refit").as[(Long, Boolean)].head()
+    assert(fb._1 === 8L,
+      "an empty systematic sample must fall back to the full index scan")
+    assert(fb._2, "the fallback still audits the drifted batch correctly")
   }
 
   test("index heal: kmeansFrom re-fits in place — ids stable, rebuilt index clears the gate") {

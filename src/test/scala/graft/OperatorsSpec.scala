@@ -1214,6 +1214,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("fimTransform: reduced-mod hashes never overflow — huge doc_ids keep rate semantics") {
+    // the naive id·2654435761 wraps negative for id ≥ ~3.5e9, forcing
+    // fim_applied true at ANY rate (r13 ADVICE); the reduced form is
+    // value-identical on small ids and overflow-free on huge ones
+    val docs = Seq(
+      (4000000000L, "abcdefghij"),
+      (Long.MaxValue - 1, "abcdefghij")).toDF("doc_id", "text")
+    // rate 0: nothing may apply, however the hash wraps
+    val none = TextOps.fimTransform(docs, ratePermille = 0).collect()
+    assert(none.forall(!_.getBoolean(1)), "rate 0 must apply to nothing")
+    // rate 1000: everything applies, and the cut offsets stay in [0, n]
+    val all = TextOps.fimTransform(docs, ratePermille = 1000).collect()
+    assert(all.forall(_.getBoolean(1)))
+    for (r <- all) {
+      val (np, nm, ns) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np >= 0 && nm >= 0 && ns >= 0 && np + nm + ns === 10L,
+        s"offsets must stay non-negative and cover the text: $r")
+      // reduced form ≡ the mathematical (id·c) mod m, computed exactly
+      val id = BigInt(r.getLong(0))
+      val lo = ((id * 7919) % 11).min((id * 104729) % 11).toLong
+      assert(np === lo, "cuts must equal the exact modular product")
+    }
+  }
+
+  test("collapseRepeats: the split is bound once, not re-evaluated per element") {
+    // the O(n²) regression guard (r13 ADVICE): the optimized plan must
+    // carry exactly ONE split(text), in its own projection below the
+    // lambda's — CollapseProject must not re-inline it into the
+    // element_at lookup (interpreted HOF bodies get no subexpression
+    // elimination, so an inlined split re-tokenizes per ELEMENT)
+    // spark.range (not a local Seq) so ConvertToLocalRelation can't
+    // constant-fold the whole plan away before the shape is visible
+    val docs = spark.range(3).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id").cast("string"), lit(" a a b")).as("text"))
+    val plan = TextOps.collapseRepeats(docs)
+      .queryExecution.optimizedPlan.toString
+    val nSplits = "split\\(".r.findAllIn(plan).length
+    assert(nSplits === 1, s"expected one bound split, got $nSplits in:\n$plan")
+  }
+
   test("spanCorrupt: sentinels number sequentially, targets hold exactly the masked words") {
     // 23 words: spans at 0-2 and 20-22 → 6 masked, 2 sentinels
     val words = (0 until 23).map(i => s"w$i")

@@ -94,8 +94,43 @@ object Bench {
     val total = results.map(_._2).sum
     val filt = only.map(f =>
       s""","filter":"${f.toSeq.sorted.mkString(",")}"""").getOrElse("")
+    // Comparable-subset figure (r13 verdict Next #7): new queries make
+    // raw round-over-round totals incomparable, so read the PREVIOUS
+    // capture (the committed BENCH.json by default — last round's
+    // close; overridable via SPARK_GRAFT_BENCH_PREV) BEFORE this run
+    // overwrites it and emit the shared-query subtotal of both sides
+    // plus their ratio. A consumer of one artifact line can then
+    // separate "this round added queries" from "this capture ran under
+    // load" without the git history.
+    def prevQueries(path: String): Map[String, Double] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        val i = s.indexOf("\"queries\":{")
+        if (i < 0) Map.empty
+        else s.substring(i + 11, s.indexOf("}", i)).split(",").flatMap { kv =>
+          val p = kv.split(":")
+          if (p.length == 2)
+            scala.util.Try(
+              p(0).trim.stripPrefix("\"").stripSuffix("\"") ->
+                p(1).trim.toDouble).toOption
+          else None
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
+    val prev = prevQueries(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH.json"))
+    val shared = results.collect {
+      case (k, v, _) if v >= 0 && prev.get(k).exists(_ >= 0) =>
+        (v, prev(k))
+    }
+    val sharedJson = if (shared.isEmpty) "" else {
+      val cur = shared.map(_._1).sum
+      val pv = shared.map(_._2).sum
+      f""","shared_prev":{"n":${shared.size},"cur_sec":$cur%.3f,""" +
+        f""""prev_sec":$pv%.3f,"ratio":${cur / pv}%.3f}"""
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","load_avg":$loadAvg$filt}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","load_avg":$loadAvg$sharedJson$filt}"""
     // The full object also lands in an artifact file: ten rounds of
     // driver captures proved the tail window it records cuts a ~10 KB
     // stdout line mid-string ("parsed": null every round), so stdout
@@ -114,7 +149,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARNING: could not write $benchOut: $e") }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_avg":$loadAvg,"queries_file":"$benchOut"$filt}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_avg":$loadAvg$sharedJson,"queries_file":"$benchOut"$filt}""")
     spark.stop()
   }
 }

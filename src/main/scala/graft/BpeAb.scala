@@ -1,6 +1,8 @@
 package graft
 
 import graft.operators.Bpe
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** BPE learning-cost A/B: sequential [[Bpe.learn]] vs batched
   * [[Bpe.learnBatched]] at the same target merge count, over a table
@@ -13,9 +15,43 @@ import graft.operators.Bpe
   * (run against sf0.01/sf0.1/a ScaleStress dir to see the data axis
   * stay flat next to the round axis).
   *
-  *   runMain graft.BpeAb [tableDir] [nMerges] [batch] [passes]
+  * The testdata corpus is a 31-word alphabet that exhausts at 89
+  * merges, so REAL merge depth (r13 verdict Next #4: ≥1k executed
+  * merges, not an extrapolated envelope) needs a character-diverse
+  * corpus: pass `synth:<vocab>:<docs>:<wordsPerDoc>` as the dir and
+  * [[synthDocs]] builds one deterministically.
+  *
+  *   runMain graft.BpeAb [tableDir|synth:V:D:W] [nMerges] [batch] [passes]
   */
 object BpeAb {
+
+  /** Deterministic character-diverse corpus for merge-depth runs:
+    * `vocab` distinct words over the 36-char base-36 alphabet, each
+    * word the rendering of a hash of its RANK (8–13 chars), ranks
+    * drawn with a squared-uniform skew so frequencies are Zipf-ish
+    * (BPE's natural regime: a frequent head to merge deep, a long
+    * tail of singletons). No RNG, no timestamps — pure column
+    * arithmetic like the ScaleStress fixture. */
+  def synthDocs(spark: SparkSession, vocab: Int, nDocs: Int,
+      wordsPerDoc: Int): DataFrame = {
+    val words = (0 until wordsPerDoc).map { j =>
+      val u = pmod(xxhash64(lit(j), col("id")), lit(1000000L))
+      val rank = least((u * u) / lit(1000000L), lit(vocab - 1L))
+      conv(pmod(xxhash64(lit("w"), rank), lit(Long.MaxValue))
+        .cast("string"), 10, 36)
+    }
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+  }
+
+  /** `synth:V:D:W` → the synthetic corpus; anything else → the dir's
+    * documents table. */
+  def docsOf(spark: SparkSession, dir: String): DataFrame =
+    if (dir.startsWith("synth:")) {
+      val p = dir.split(":")
+      synthDocs(spark, p(1).toInt, p(2).toInt, p(3).toInt)
+    } else Tables.load(spark, dir, "documents")
+
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val nMerges = args.lift(1).map(_.toInt).getOrElse(64)
@@ -29,7 +65,7 @@ object BpeAb {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    def words() = Bpe.wordFreq(Tables.load(spark, dir, "documents"))
+    def words() = Bpe.wordFreq(docsOf(spark, dir))
     def timed(f: () => Int): (Double, Int) = {
       val t0 = System.nanoTime()
       val n = f()
@@ -37,7 +73,13 @@ object BpeAb {
       cleanup()
       (sec, n)
     }
-    def seqArm() = timed(() => Bpe.learn(words(), nMerges)._1.size)
+    // SPARK_GRAFT_BPE_SKIP_SEQ=1 skips the sequential arm (reported as
+    // -1): at real merge depth (≥1k) the sequential arm is nMerges
+    // rounds of fixed cost — measure it ONCE per corpus, then sweep
+    // batch sizes against that anchor without re-paying it.
+    val skipSeq = sys.env.get("SPARK_GRAFT_BPE_SKIP_SEQ").contains("1")
+    def seqArm() = if (skipSeq) (-1.0, -1)
+      else timed(() => Bpe.learn(words(), nMerges)._1.size)
     def batArm() = timed(() =>
       Bpe.learnBatched(words(), rounds, batch)._1.size)
 

@@ -36,7 +36,9 @@ object BpeDeltaAb {
       System.gc()
     }
     def words() = {
-      val base = Bpe.wordFreq(Tables.load(spark, dir, "documents"))
+      // `synth:V:D:W` builds the character-diverse corpus (see
+      // [[BpeAb.synthDocs]]) — the ≥1k-merge-depth fixture
+      val base = Bpe.wordFreq(BpeAb.docsOf(spark, dir))
       if (inflate <= 1) base
       else base.crossJoin(spark.range(inflate))
         .select(concat(col("w"), lit("~"), col("id")).as("w"), col("freq"))

@@ -138,13 +138,16 @@ object Projection {
     * with deterministic sign-LSH cells instead of learned k-means
     * cells so the DuckDB oracle can replay every cell assignment.
     *
-    * Scale shape: the codebook is m·2^bits rows — collected once and
-    * re-issued as a literal — so scoring is SCAN-LOCAL: one array
-    * lookup + m subDim-wide dot products per corpus row against the
-    * broadcast query set; the corpus is never shuffled and never needs
-    * its raw embeddings after encoding (the bandwidth win: rank 100 TB
-    * of vectors by reading 2-byte codes). The only shuffle is the
-    * per-query top-k window over scored pairs, same as
+    * Scale shape: the codebook is m·2^bits rows — collected once, then
+    * re-issued as LITERAL per-sub tables under [[cbLiteralMaxEntries]]
+    * entries or shipped as one BROADCAST data row above it (production
+    * PQ: m=16/bits=8 = 4096 entries would blow the expression/codegen
+    * ceiling as literals) — so scoring is SCAN-LOCAL either way: one
+    * array lookup + m subDim-wide dot products per corpus row against
+    * the broadcast query set; the corpus is never shuffled and never
+    * needs its raw embeddings after encoding (the bandwidth win: rank
+    * 100 TB of vectors by reading 2-byte codes). The only shuffle is
+    * the per-query top-k window over scored pairs, same as
     * [[Similarity.bruteForceTopK]]. Output: (q_id, vec_id, sim_adc,
     * rank). */
   /** Collected codebook rows → the per-subspace literal table ADC
@@ -160,8 +163,54 @@ object Projection {
     }
   }
 
+  /** Above this many codebook entries (m·2^bits) the ADC score stops
+    * baking the codebook into per-subspace LITERAL expressions — ideal
+    * at the tested m=4/bits=4 (64 entries: whole-stage codegen, zero
+    * joins) but an expression-size/codegen ceiling at production PQ
+    * (m=16/bits=8 → 4096 entries × subDim doubles) — and ships it as
+    * DATA instead: one broadcast row holding the packed
+    * array<array<array<double>>>, indexed per row by two element_at
+    * lookups. The exact cure [[Clustering.assignBroadcastK]] applied
+    * to the same ceiling in the k-means E-step; both paths share the
+    * rounding/tie rules verbatim, so they are bit-equal
+    * (equivalence-asserted in IvfPqSpec). */
+  private[graft] val cbLiteralMaxEntries = 256
+
+  /** The per-row ADC score Σ_sub ⟨q_sub, cb[sub][code_sub]⟩ with the
+    * per-subspace codebook table supplied by `cb` — a literal array
+    * (small codebooks) or an element_at into the broadcast data column
+    * (large ones). Expects `qn` (unit query) and `codes` columns. */
+  private def adcScore(cb: Int => Column, m: Int, subDim: Int): Column =
+    (0 until m).map { sub =>
+      Similarity.dot(
+        slice(col("qn"), sub * subDim + 1, subDim),
+        element_at(cb(sub),
+          element_at(col("codes"), sub + 1).cast("int") + 1))
+    }.reduce(_ + _)
+
+  /** Dispatch the codebook representation: under [[cbLiteralMaxEntries]]
+    * (or when `asData` forces a side) return the frame unchanged with
+    * literal per-sub tables; above it, crossJoin ONE broadcast row
+    * carrying the packed codebook (no row expansion — each scoring row
+    * gains one array column) and index into the data. `asData` exists
+    * for the equivalence spec and as a tuning override. */
+  private def withCodebook(
+      df: DataFrame, cbSub: Seq[Seq[Seq[Double]]],
+      asData: Option[Boolean]): (DataFrame, Int => Column) = {
+    val entries = cbSub.map(_.size).sum
+    if (!asData.getOrElse(entries > cbLiteralMaxEntries))
+      (df, sub => typedlit(cbSub(sub)))
+    else {
+      import df.sparkSession.implicits._
+      val cbDf = Seq(Tuple1(cbSub)).toDF("graft_cb")
+      (df.crossJoin(broadcast(cbDf)),
+        sub => element_at(col("graft_cb"), sub + 1))
+    }
+  }
+
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-      m: Int = 4, dim: Int = 64, bits: Int = 4): DataFrame = {
+      m: Int = 4, dim: Int = 64, bits: Int = 4,
+      cbAsData: Option[Boolean] = None): DataFrame = {
     val subDim = dim / m
     val cbSub = cbLiteral(pqCodebook(corpus, m, dim, bits).collect(),
       m, subDim, bits)
@@ -175,17 +224,13 @@ object Projection {
         col("embedding").cast("array<double>").as("qv")),
       "qv", "qn")
       .select(col("q_id"), col("qn"))
-    val adc = (0 until m).map { sub =>
-      Similarity.dot(
-        slice(col("qn"), sub * subDim + 1, subDim),
-        element_at(typedlit(cbSub(sub)),
-          element_at(col("codes"), sub + 1).cast("int") + 1))
-    }.reduce(_ + _)
+    val (scoring, cb) = withCodebook(cn.crossJoin(broadcast(q)), cbSub, cbAsData)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim_adc").desc, col("vec_id"))
-    cn.crossJoin(broadcast(q))
+    scoring
       // + 0.0: −0.0 ADC scores must not order below +0.0 across engines
-      .select(col("q_id"), col("vec_id"), (round(adc, 6) + lit(0.0)).as("sim_adc"))
+      .select(col("q_id"), col("vec_id"),
+        (round(adcScore(cb, m, subDim), 6) + lit(0.0)).as("sim_adc"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
@@ -208,17 +253,13 @@ object Projection {
       shortlist: Int,
       m: Int,
       subDim: Int): DataFrame = {
-    val adc = (0 until m).map { sub =>
-      Similarity.dot(
-        slice(col("qn"), sub * subDim + 1, subDim),
-        element_at(typedlit(cbSub(sub)),
-          element_at(col("codes"), sub + 1).cast("int") + 1))
-    }.reduce(_ + _)
     val slW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim_adc").desc, col("vec_id"))
-    val cand = coded.join(broadcast(probes), Seq("probe_label"))
+    val (scoring, cb) = withCodebook(
+      coded.join(broadcast(probes), Seq("probe_label")), cbSub, None)
+    val cand = scoring
       .select(col("q_id"), col("vec_id"),
-        (round(adc, 6) + lit(0.0)).as("sim_adc"))
+        (round(adcScore(cb, m, subDim), 6) + lit(0.0)).as("sim_adc"))
       .withColumn("graft_srank", row_number().over(slW))
       .filter(col("graft_srank") <= shortlist)
       .select(col("q_id"), col("vec_id"))

@@ -56,7 +56,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * plus one audit row per batch (n_in / n_pii / n_denied /
   * n_contaminated / n_lowq / n_dup_phash / n_dup_text /
   * n_dup_dropped / n_admitted) into a replay-idempotent `batch_id`
-  * partition.
+  * partition — and, for batches carrying a `source` column, a
+  * per-source delivery row (source, n_docs, n_tokens) into
+  * `audit_source/batch_id=N`, token counts from the same encode the
+  * pack consumed (see [[readSourceAudit]]).
   *
   * Replay + redelivery safety of the COMPOSITION: stages 1-2 are pure
   * per-doc functions of frozen artifacts; stage 3 is idempotent by
@@ -83,6 +86,7 @@ object IngestDoor {
   def corpusPath(root: String): String = s"$root/corpus"
   def shardsPath(root: String): String = s"$root/shards"
   def auditPath(root: String): String = s"$root/audit"
+  def auditSourcePath(root: String): String = s"$root/audit_source"
   def admittedPath(root: String): String = s"$root/admitted"
   def phashIndexPath(root: String): String = s"$root/phash_bands"
 
@@ -231,8 +235,31 @@ object IngestDoor {
         graft.operators.TextOps.fimTransform(admitted, fimPermille)
           .select(col("doc_id"), col("training_text").as("text"))
       else admitted
-    StreamingShardPack.applyBatch(
-      Bpe.encodeTokens(packInput, vocab), id, shardsPath(root), seqLen)
+    val hasSource = stable.columns.contains("source")
+    val enc0 = Bpe.encodeTokens(packInput, vocab)
+    // checkpointed only when the per-source audit will read it too —
+    // one encode pass feeds BOTH the pack and the accounting
+    val enc = if (hasSource) enc0.localCheckpoint() else enc0
+    StreamingShardPack.applyBatch(enc, id, shardsPath(root), seqLen)
+    // per-source token accounting (batches carrying a `source`
+    // column): the DELIVERED tokens per source, taken from the SAME
+    // encode frame the pack consumed — no batch re-scan — so a live
+    // ingest compares its mixture directly against a q221 token-budget
+    // plan (the batch world's q222 audit, maintained at the door).
+    // One row per source per batch: (source, n_docs, n_tokens), in a
+    // replay-idempotent batch_id partition like the main audit.
+    // Token counts are of the PACKED text (post-FIM when fimPermille
+    // is on) — delivery accounting measures what reached the shards.
+    if (hasSource)
+      enc.select(col("doc_id"),
+          coalesce(size(col("tokens")).cast("bigint"), lit(0L))
+            .as("graft_nt"))
+        .join(stable.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("graft_nt")), lit(0L)).as("n_tokens"))
+        .write.mode("overwrite")
+        .parquet(s"${auditSourcePath(root)}/batch_id=$id")
     // audit row — one aggregate action; sums coalesced so an EMPTY
     // batch (offset-gap delivery) writes zeros instead of nulls
     val nIn = stable.count()
@@ -302,4 +329,14 @@ object IngestDoor {
   /** Per-batch admission audit. */
   def readAudit(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(auditPath(root))
+
+  /** Per-(batch, source) delivery accounting — written only for
+    * batches that carried a `source` column: (source, n_docs,
+    * n_tokens) of the docs ADMITTED and PACKED that batch, token
+    * counts from the same encode the shards consumed. Sum over batches
+    * and compare per source against a [[graft.operators.Sampling
+    * .tokenBudgetPlan]] to audit a live mixture without re-scanning
+    * the corpus (spec-pinned ≡ batch-side aggregation). */
+  def readSourceAudit(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(auditSourcePath(root))
 }

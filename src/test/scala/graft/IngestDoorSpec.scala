@@ -414,6 +414,52 @@ class IngestDoorSpec extends SparkSpec {
     assert(rowSet(IngestDoor.readShards(spark, root)) === rowSet(oneShot))
   }
 
+  test("per-source delivery audit: door token sums ≡ batch-side encode aggregation") {
+    val (evalGrams, bloom, vocab) = mediaFixtures()
+    val root = java.nio.file.Files.createTempDirectory("door-src").toString
+    val batch1 = Seq(
+      (1L, s"$longText mail bob@x.co secret", "web"),
+      // guard drop: contributes to NO source row (delivery ≠ intake)
+      (2L, s"intro alpha beta gamma delta epsilon zeta outro", "web"),
+      (5L, "another admitted document from the books source", "books"))
+      .toDF("doc_id", "text", "source")
+    IngestDoor.applyBatch(batch1, 0L, root, deny, evalGrams, bloom,
+      vocab, seqLen)
+    val src = IngestDoor.readSourceAudit(spark, root)
+      .select("source", "n_docs", "n_tokens").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(src.keySet === Set("web", "books"))
+    assert(src("web")._1 === 1L && src("books")._1 === 1L,
+      "only ADMITTED docs are accounted per source")
+    // the pinned law: audit sums ≡ a batch-side tokenCount aggregation
+    // over the admitted docs (same encode, same vocab)
+    val expected = Bpe.encodeTokens(IngestDoor.readCorpus(spark, root), vocab)
+      .select(col("doc_id"), size(col("tokens")).cast("bigint").as("nt"))
+      .join(batch1.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(src.map { case (s, (_, t)) => s -> t } === expected)
+    assert(src.values.map(_._2).forall(_ > 0L))
+    // source doc counts reconcile with the main audit
+    val nAdm = IngestDoor.readAudit(spark, root)
+      .select("n_admitted").as[Long].head()
+    assert(src.values.map(_._1).sum === nAdm)
+    // a batch WITHOUT a source column writes no source-audit partition
+    IngestDoor.applyBatch(b2.toDF("doc_id", "text"), 1L, root,
+      deny, evalGrams, bloom, vocab, seqLen)
+    assert(IngestDoor.readSourceAudit(spark, root)
+      .select(col("batch_id").cast("bigint")).distinct()
+      .as[Long].collect().toSeq === Seq(0L))
+    // replaying batch 0 rewrites its partition with identical rows
+    IngestDoor.applyBatch(batch1, 0L, root, deny, evalGrams, bloom,
+      vocab, seqLen)
+    val again = IngestDoor.readSourceAudit(spark, root)
+      .filter(col("batch_id") === 0)
+      .select("source", "n_docs", "n_tokens").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === src, "source-audit replay must be idempotent")
+  }
+
   test("optional LM quality gate: low-perplexity drop audits as n_lowq, dup attribution exact") {
     import graft.operators.TextOps
     val root = java.nio.file.Files.createTempDirectory("door-lm").toString

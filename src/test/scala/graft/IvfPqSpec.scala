@@ -74,6 +74,34 @@ class IvfPqSpec extends SparkSpec {
       s"learned index scan is not partition-pruned:\n$plan")
   }
 
+  test("ADC codebook-as-data ≡ codebook-as-literal; production PQ auto-dispatches to data") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 5)
+    // forced both ways at the SAME config: the packed broadcast row
+    // and the baked literals must rank identically, score for score
+    val lit4 = rowSet(Projection.pqAdcTopK(q, e, k = 10,
+      cbAsData = Some(false)))
+    val data4 = rowSet(Projection.pqAdcTopK(q, e, k = 10,
+      cbAsData = Some(true)))
+    assert(lit4.nonEmpty && data4 === lit4,
+      "broadcast-codebook ADC diverged from the literal path")
+    // default dispatch: m=4/bits=4 (64 entries) stays literal — no
+    // broadcast join in the plan; m=16/bits=8 (4096 entries) must NOT
+    // bake 4096×4 doubles into expressions — the plan carries the
+    // one-row codebook broadcast instead
+    val small = Projection.pqAdcTopK(q, e, k = 10)
+      .queryExecution.executedPlan.toString
+    val large = Projection.pqAdcTopK(q, e, k = 10, m = 16, bits = 8)
+      .queryExecution.executedPlan.toString
+    assert(!small.contains("graft_cb"),
+      s"small codebook must stay literal:\n$small")
+    assert(large.contains("graft_cb"),
+      s"production-PQ codebook must travel as broadcast data:\n$large")
+    // and the production config still returns a sane top-k
+    val big = Projection.pqAdcTopK(q, e, k = 10, m = 16, bits = 8)
+    assert(big.count() === 5L * 10)
+  }
+
   test("sampled refit gate: the 1/m index sample preserves the KS verdict, n_a records it") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -26,12 +26,16 @@ import org.apache.spark.sql.functions._
 object BpeAb {
 
   /** Deterministic character-diverse corpus for merge-depth runs:
-    * `vocab` distinct words over the 36-char base-36 alphabet, each
-    * word the rendering of a hash of its RANK (8–13 chars), ranks
-    * drawn with a squared-uniform skew so frequencies are Zipf-ish
-    * (BPE's natural regime: a frequent head to merge deep, a long
-    * tail of singletons). No RNG, no timestamps — pure column
-    * arithmetic like the ScaleStress fixture. */
+    * words over the 36-char base-36 alphabet, each word the rendering
+    * of a hash of its RANK (8–13 chars), ranks drawn with a
+    * squared-uniform skew so frequencies are Zipf-ish (BPE's natural
+    * regime: a frequent head to merge deep, a long tail of
+    * singletons). `vocab` SIZES the rank space rather than counting
+    * words exactly — the skew division is a fractional grid, so
+    * distinct words land around 2·vocab (measured 57 060 at
+    * vocab = 30 000; every run's JSON records the exact
+    * `vocab_words`). No RNG, no timestamps — pure column arithmetic
+    * like the ScaleStress fixture. */
   def synthDocs(spark: SparkSession, vocab: Int, nDocs: Int,
       wordsPerDoc: Int): DataFrame = {
     val words = (0 until wordsPerDoc).map { j =>

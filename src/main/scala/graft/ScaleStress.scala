@@ -500,7 +500,7 @@ object ScaleStress {
         }
         // inputs rebuilt per pass: cleanup() unpersists every
         // checkpoint block, so nothing may survive across passes
-        def pass(dir: String): (Double, Long, Boolean) = {
+        def pass(dir: String): (Double, Long, Boolean, Long) = {
           val (batch, lm, cuts, evalGrams, bloom, vocab) = inputs(dir)
           val root = java.nio.file.Files
             .createTempDirectory("stress-door").toString
@@ -517,7 +517,7 @@ object ScaleStress {
                 l("n_dup_dropped") + l("n_admitted") &&
               l("n_dup_phash") + l("n_dup_text") == l("n_dup_dropped")
             require(balanced, s"door funnel imbalance: ${a.toString}")
-            (sec, l("n_admitted"), balanced)
+            (sec, l("n_admitted"), balanced, l("n_dup_phash"))
           } finally {
             cleanup()
             deleteTree(root)
@@ -529,9 +529,12 @@ object ScaleStress {
         val scaledSec = scaledRuns.map(_._1).min
         val rows = scaledRuns.head._2
         val ok = (srcRuns ++ scaledRuns).forall(_._3)
+        // the phash-diversity claim is auditable from the log: the
+        // perceptual stage must drop ≪ volume (the old fixture read
+        // ~92% here), or the downstream stages measure collapsed flow
         System.err.println(f"[stress] $name src=$srcSec%.2fs " +
           f"scaled=$scaledSec%.2fs factor=${scaledSec / srcSec}%.1f " +
-          f"admitted=$rows balanced=$ok")
+          f"admitted=$rows n_dup_phash=${scaledRuns.head._4} balanced=$ok")
         Some((name, srcSec, scaledSec, rows, ok, ""))
       } else None
     val doorArms =

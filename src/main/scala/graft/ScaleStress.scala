@@ -444,7 +444,16 @@ object ScaleStress {
     // n_dup_phash stays ≪ volume and the phash stage (signing, 2×30
     // band self-join, admitted-index append) is measured carrying the
     // full linear corpus, alongside the text dedup + pack tail.
-    def doorArm(name: String, media: Boolean)
+    // THIRD variant `stress_phash_probe` (warmProbe): the fresh-root
+    // passes above never exercise the probe-AGAINST-PERSISTED-INDEX
+    // path (the index doesn't exist yet when dupIds runs), so this arm
+    // ingests the even-doc_id HALF untimed to warm the root — corpus,
+    // text band index, phash signature index — then TIMES the odd half
+    // through the same door: its phash probe scans the full warm
+    // signature index, its text dedup probes the warm band index, and
+    // its pack continues the live shard log. The incremental-ingest
+    // cost law, measured end to end.
+    def doorArm(name: String, media: Boolean, warmProbe: Boolean = false)
         : Option[(String, Double, Double, Long, Boolean, String)] =
       if (only.forall(_.contains(name))) {
         import graft.operators.{Bpe, Decontaminate, TextOps}
@@ -505,12 +514,27 @@ object ScaleStress {
           val root = java.nio.file.Files
             .createTempDirectory("stress-door").toString
           try {
+            // warmProbe: the even half lands FIRST (untimed) so the
+            // timed half probes warm corpus + band + signature indexes
+            if (warmProbe)
+              IngestDoor.applyBatch(
+                batch.filter(col("doc_id") % 2 === 0).localCheckpoint(),
+                0L, root, deny, evalGrams, bloom,
+                vocab, seqLen = 512, lmGate = Some((lm, cuts)),
+                normalize = true)
+            val timedBatch =
+              if (warmProbe)
+                batch.filter(col("doc_id") % 2 === 1).localCheckpoint()
+              else batch
+            val timedId = if (warmProbe) 1L else 0L
             val t0 = System.nanoTime()
-            IngestDoor.applyBatch(batch, 0L, root, deny, evalGrams, bloom,
+            IngestDoor.applyBatch(timedBatch, timedId, root, deny,
+              evalGrams, bloom,
               vocab, seqLen = 512, lmGate = Some((lm, cuts)),
               normalize = true)
             val sec = (System.nanoTime() - t0) / 1e9
-            val a = IngestDoor.readAudit(spark, root).head()
+            val a = IngestDoor.readAudit(spark, root)
+              .filter(col("batch_id").cast("bigint") === timedId).head()
             def l(c: String) = a.getAs[Long](c)
             val balanced =
               l("n_in") == l("n_contaminated") + l("n_lowq") +
@@ -539,7 +563,8 @@ object ScaleStress {
       } else None
     val doorArms =
       doorArm("stress_ingest_door", media = true) ++
-      doorArm("stress_ingest_door_text", media = false)
+      doorArm("stress_ingest_door_text", media = false) ++
+      doorArm("stress_phash_probe", media = true, warmProbe = true)
 
     // the full IVF index LIFECYCLE at scale under the LEARNED √N
     // geometry (r12 verdict Next #7): learn + build → a drifted ingest

@@ -42,6 +42,29 @@ object Bench {
     SparkEntry.queries.get("q01_agg")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
 
+    // Machine-speed anchor (r14 verdict Next #2): two rounds of
+    // cross-machine drift (r13's hot driver box, r14's uniformly
+    // ~1.4-1.6×-slow box) made raw floors incomparable across rounds.
+    // This times a DETERMINISTIC, CPU-bound, I/O-free aggregate — 600M
+    // xxhash64 over an in-memory range, parallelism pinned to the same
+    // thread count as the queries — so any capture carries its own
+    // speed unit. Drift-watch floors divide by calib_sec to re-base:
+    // (q_sec / calib_sec) is comparable across boxes, q_sec alone is
+    // not. min-of-3 after one warm pass, same policy as the queries.
+    val calibSec = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        // pmod keeps the 600M-term sum ≤ 6e14 — raw xxhash64 values
+        // overflow Long under ANSI and kill the run
+        spark.range(0L, 600000000L, 1L, cpus.toInt)
+          .selectExpr("sum(pmod(xxhash64(id), 1000000)) AS s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass()
+      (1 to 3).map(_ => pass()).min
+    }
+
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     // dev-only subset filter (unset by the driver), same as Verify's.
     // Recorded in the emitted JSON ("filter" key) so a leaked filter
@@ -123,14 +146,18 @@ object Bench {
       case (k, v, _) if v >= 0 && prev.get(k).exists(_ >= 0) =>
         (v, prev(k))
     }
-    val sharedJson = if (shared.isEmpty) "" else {
+    // Guard pv > 0 (r14 ADVICE): a zero previous subtotal would emit
+    // NaN/Infinity — invalid JSON — so the degenerate case folds into
+    // the no-trailer branch alongside the empty-overlap case.
+    val sharedJson = {
       val cur = shared.map(_._1).sum
       val pv = shared.map(_._2).sum
-      f""","shared_prev":{"n":${shared.size},"cur_sec":$cur%.3f,""" +
+      if (shared.isEmpty || pv <= 0) ""
+      else f""","shared_prev":{"n":${shared.size},"cur_sec":$cur%.3f,""" +
         f""""prev_sec":$pv%.3f,"ratio":${cur / pv}%.3f}"""
     }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","load_avg":$loadAvg$sharedJson$filt}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$raw,"sf":"$sfDir","load_avg":$loadAvg,"calib_sec":$calibSec%.3f$sharedJson$filt}"""
     // The full object also lands in an artifact file: ten rounds of
     // driver captures proved the tail window it records cuts a ~10 KB
     // stdout line mid-string ("parsed": null every round), so stdout
@@ -149,7 +176,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARNING: could not write $benchOut: $e") }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_avg":$loadAvg$sharedJson,"queries_file":"$benchOut"$filt}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_avg":$loadAvg,"calib_sec":$calibSec%.3f$sharedJson,"queries_file":"$benchOut"$filt}""")
     spark.stop()
   }
 }

@@ -30,17 +30,21 @@ object BpeAb {
     * of a hash of its RANK (8–13 chars), ranks drawn with a
     * squared-uniform skew so frequencies are Zipf-ish (BPE's natural
     * regime: a frequent head to merge deep, a long tail of
-    * singletons). `vocab` SIZES the rank space rather than counting
-    * words exactly — the skew division is a fractional grid, so
-    * distinct words land around 2·vocab (measured 57 060 at
-    * vocab = 30 000; every run's JSON records the exact
-    * `vocab_words`). No RNG, no timestamps — pure column arithmetic
+    * singletons; density ∝ 1/√rank). The squared draw is RESCALED
+    * into [0, vocab) — u²·vocab/10¹² — rather than capped with
+    * least() (r14 ADVICE: the cap collapsed ~83% of draws at
+    * vocab = 30 000 onto the single top rank, a one-word corpus in
+    * disguise). Ranks now hit the full grid, so distinct words land
+    * near vocab itself; every run's JSON records the exact
+    * `vocab_words`. No RNG, no timestamps — pure column arithmetic
     * like the ScaleStress fixture. */
   def synthDocs(spark: SparkSession, vocab: Int, nDocs: Int,
       wordsPerDoc: Int): DataFrame = {
     val words = (0 until wordsPerDoc).map { j =>
       val u = pmod(xxhash64(lit(j), col("id")), lit(1000000L))
-      val rank = least((u * u) / lit(1000000L), lit(vocab - 1L))
+      // u ∈ [0,1e6) ⇒ u² ≤ 1e12; ·vocab ≤ ~3e16 for vocab ≤ 30k —
+      // no Long overflow — then /1e12 lands in [0, vocab).
+      val rank = (u * u * lit(vocab.toLong)) / lit(1000000000000L)
       conv(pmod(xxhash64(lit("w"), rank), lit(Long.MaxValue))
         .cast("string"), 10, 36)
     }

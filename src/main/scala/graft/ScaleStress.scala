@@ -166,10 +166,14 @@ object ScaleStress {
     * finally so a failed `require` cleans up too. */
   private def deleteTree(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    if (java.nio.file.Files.exists(p)) {
+      // close the walk stream (r14 ADVICE: an unclosed Files.walk
+      // leaks a directory handle per timed pass)
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
   }
 
   /** Time plan build + execution together (by-name `mk`): the graph /

@@ -250,11 +250,18 @@ object IngestDoor {
     // replay-idempotent batch_id partition like the main audit.
     // Token counts are of the PACKED text (post-FIM when fimPermille
     // is on) — delivery accounting measures what reached the shards.
+    // LEFT-join from the ADMITTED doc set (r14 ADVICE): encodeTokens
+    // emits no row for a doc that tokenizes to zero words, and an
+    // inner join would silently drop it — per-source n_docs must sum
+    // to n_admitted for the documented reconciliation, so empty docs
+    // count with n_tokens = 0.
     if (hasSource)
-      enc.select(col("doc_id"),
-          coalesce(size(col("tokens")).cast("bigint"), lit(0L))
-            .as("graft_nt"))
+      admitted.select(col("doc_id"))
         .join(stable.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(enc.select(col("doc_id"),
+            size(col("tokens")).cast("bigint").as("graft_nt")),
+          Seq("doc_id"), "left")
+        .withColumn("graft_nt", coalesce(col("graft_nt"), lit(0L)))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("graft_nt")), lit(0L)).as("n_tokens"))

@@ -421,16 +421,25 @@ class IngestDoorSpec extends SparkSpec {
       (1L, s"$longText mail bob@x.co secret", "web"),
       // guard drop: contributes to NO source row (delivery ≠ intake)
       (2L, s"intro alpha beta gamma delta epsilon zeta outro", "web"),
-      (5L, "another admitted document from the books source", "books"))
+      (5L, "another admitted document from the books source", "books"),
+      // tokenizes to ZERO words (whitespace-only): encodeTokens emits
+      // no row for it, so the audit must LEFT-join from the admitted
+      // set or this doc silently vanishes from n_docs (r14 ADVICE) —
+      // if admitted it counts with n_tokens = 0
+      (7L, " ", "books"))
       .toDF("doc_id", "text", "source")
     IngestDoor.applyBatch(batch1, 0L, root, deny, evalGrams, bloom,
       vocab, seqLen)
+    val emptyAdmitted = IngestDoor.readCorpus(spark, root)
+      .filter(col("doc_id") === 7L).count() === 1L
     val src = IngestDoor.readSourceAudit(spark, root)
       .select("source", "n_docs", "n_tokens").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(src.keySet === Set("web", "books"))
-    assert(src("web")._1 === 1L && src("books")._1 === 1L,
-      "only ADMITTED docs are accounted per source")
+    assert(src("web")._1 === 1L &&
+      src("books")._1 === (if (emptyAdmitted) 2L else 1L),
+      "only ADMITTED docs are accounted per source — including " +
+        "admitted docs with zero tokens")
     // the pinned law: audit sums ≡ a batch-side tokenCount aggregation
     // over the admitted docs (same encode, same vocab)
     val expected = Bpe.encodeTokens(IngestDoor.readCorpus(spark, root), vocab)

@@ -86,10 +86,17 @@ object BpeAb {
     // rounds of fixed cost — measure it ONCE per corpus, then sweep
     // batch sizes against that anchor without re-paying it.
     val skipSeq = sys.env.get("SPARK_GRAFT_BPE_SKIP_SEQ").contains("1")
+    // the deepest merge table any arm produced, kept for the fold A/B
+    // below (the sequential arm's table reaches the full nMerges)
+    var deepTable: Seq[Bpe.Merge] = Nil
+    def stash(t: Seq[Bpe.Merge]): Int = {
+      if (t.size > deepTable.size) deepTable = t
+      t.size
+    }
     def seqArm() = if (skipSeq) (-1.0, -1)
-      else timed(() => Bpe.learn(words(), nMerges)._1.size)
+      else timed(() => stash(Bpe.learn(words(), nMerges)._1))
     def batArm() = timed(() =>
-      Bpe.learnBatched(words(), rounds, batch)._1.size)
+      stash(Bpe.learnBatched(words(), rounds, batch)._1))
 
     // JIT/scan warmup for both code paths, then alternating min-of-passes
     Bpe.learn(words(), 2); Bpe.learnBatched(words(), 1, 2); cleanup()
@@ -100,11 +107,45 @@ object BpeAb {
     val seqSec = results.map(_._1._1).min
     val batSec = results.map(_._2._1).min
     val (seqN, batN) = (results.head._1._2, results.head._2._2)
+    // Fold A/B at the learned depth (r14 verdict Next #3 "measured
+    // s/round improvement"): rebuild the final state from the DEEPEST
+    // table an arm produced (the sequential arm reaches the full
+    // nMerges) twice — (a) the native single-expression bpe_fold
+    // (what applyMerges runs since r15) and (b) the legacy
+    // chained-aggregate spelling, checkpointed every 8 merges (the
+    // pre-r15 applyMerges body — the path that logged `Code grows
+    // beyond 64 KB` and fell back to interpreted eval at depth). Both
+    // materialize via count; min-of-2 each. The legacy arm is built
+    // from the spec-pinned slow-sibling applyMerge so the comparison
+    // survives the code change it measures.
+    import org.apache.spark.sql.functions.col
+    val table = deepTable
+    cleanup()
+    def foldNative() = timed { () =>
+      Bpe.applyMerges(words(), table).count().toInt
+    }._1
+    def foldLegacy() = timed { () =>
+      var syms = words().select(col("w"), col("freq"),
+        org.apache.spark.sql.functions.filter(
+          org.apache.spark.sql.functions.split(col("w"), ""),
+          x => x =!= org.apache.spark.sql.functions.lit(""))
+          .as("syms")).localCheckpoint()
+      table.sortBy(_.rank).grouped(8).foreach { g =>
+        syms = g.foldLeft(syms) { case (df, m) =>
+          df.withColumn("syms", Bpe.applyMerge(m.lhs, m.rhs))
+        }.localCheckpoint()
+      }
+      syms.count().toInt
+    }._1
+    val natSec = Seq.fill(2)(foldNative()).min
+    val legSec = Seq.fill(2)(foldLegacy()).min
     println(s"""{"dir":"$dir","n_merges":$nMerges,"batch":$batch,""" +
       s""""rounds_seq":$seqN,"rounds_batched":$rounds,""" +
       s""""merges_seq":$seqN,"merges_batched":$batN,""" +
       f""""seq_sec":$seqSec%.3f,"batched_sec":$batSec%.3f,""" +
-      f""""speedup":${seqSec / batSec}%.2f}""")
+      f""""speedup":${seqSec / batSec}%.2f,""" +
+      f""""fold_native_sec":$natSec%.3f,"fold_legacy_sec":$legSec%.3f,""" +
+      f""""fold_speedup":${legSec / natSec}%.2f,"table_depth":${table.size}}""")
     spark.stop()
   }
 }

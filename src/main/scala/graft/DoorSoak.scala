@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sustained multi-batch ingest-door soak (r14 verdict Next #7): every
+  * door law so far is per-batch or two-batch; this runs a LONG
+  * ingest — `nBatches` equal slices of the documents table through
+  * ONE door root with compaction on — and records, per batch, the
+  * wall time and the FILE COUNTS of every persisted artifact (corpus,
+  * text band index, shards, admitted log, audit). The steady-state
+  * claims under test:
+  *
+  *   - per-batch wall time stays ~flat (the probe cost tracks the
+  *     batch, not the accumulated corpus — each batch pays an index
+  *     SCAN whose size grows linearly but whose bucket-join output is
+  *     batch-sized; a superlinear drift here is the long-running-door
+  *     failure mode no two-batch law can see),
+  *   - corpus + band-index file counts stay BOUNDED by `compactEvery`
+  *     (without compaction a door accumulates one small parquet file
+  *     set per batch forever — the small-files death at 100 TB),
+  *   - the admitted total reconciles across all batches (funnel
+  *     balance per batch, sum ≡ corpus rows at the end).
+  *
+  * Output: one JSON line per batch
+  *   {"batch":i,"sec":…,"n_admitted":…,"files_corpus":…,
+  *    "files_bands":…,"files_shards":…}
+  * and one summary line with the first-5/last-5 mean wall-time ratio
+  * ("flat" ⇒ ~1; compaction batches excluded from both windows) and
+  * max file counts.
+  *
+  *   runMain graft.DoorSoak [tableDir] [nBatches] [compactEvery]
+  */
+object DoorSoak {
+
+  private def countFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      var n = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    import graft.operators.{Bpe, Decontaminate}
+    import graft.streaming.IngestDoor
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(50)
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Tables.localSession("graft-door-soak")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // frozen artifacts from a small source sample — dimension-sized,
+    // the ScaleStress doorArm recipe
+    val deny = Seq("quux", "zzyzx")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val evalGrams = Decontaminate.evalGramSet(
+      docs.filter(col("doc_id") < 10).select(col("doc_id"), col("text")),
+      n = 6).localCheckpoint()
+    val bloom = Decontaminate.bloomBytesOf(evalGrams)
+    val (_, vocab0) = Bpe.learn(
+      Bpe.wordFreq(docs.filter(col("doc_id") < 200)), nMerges = 20)
+    val vocab = vocab0.localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("door-soak").toString
+    // release each batch's internal checkpoint blocks WITHOUT touching
+    // the frozen artifacts above (they are localCheckpoints too — a
+    // blanket unpersist severs their truncated lineage and batch 2
+    // dies on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
+        if (!keep.contains(rddId)) rdd.unpersist(blocking = false)
+      }
+      System.gc()
+    }
+    val results = (0 until nBatches).map { i =>
+      val batch = docs
+        .filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      IngestDoor.applyBatch(batch, i.toLong, root, deny, evalGrams, bloom,
+        vocab, seqLen = 512, compactEvery = compactEvery,
+        normalize = true)
+      val sec = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      val adm = IngestDoor.readAudit(spark, root)
+        .filter(col("batch_id").cast("bigint") === i.toLong)
+        .select(col("n_admitted")).head().getLong(0)
+      val fc = countFiles(spark, IngestDoor.corpusPath(root))
+      val fb = countFiles(spark, IngestDoor.corpusPath(root) + "_bands")
+      val fsh = countFiles(spark, IngestDoor.shardsPath(root))
+      println(f"""{"batch":$i,"sec":$sec%.2f,"n_admitted":$adm,""" +
+        s""""files_corpus":$fc,"files_bands":$fb,"files_shards":$fsh}""")
+      (i, sec, adm, fc, fb)
+    }
+    // flat-law readout: exclude compaction batches (they pay the
+    // rewrite by design) from both windows
+    val noncompact = results.filter { case (i, _, _, _, _) =>
+      compactEvery == 0 || (i + 1) % compactEvery != 0 }
+    val head5 = noncompact.take(5).map(_._2)
+    val tail5 = noncompact.takeRight(5).map(_._2)
+    val admSum = results.map(_._3).sum
+    val corpusRows = IngestDoor.readCorpus(spark, root).count()
+    val drift = (tail5.sum / tail5.size) / (head5.sum / head5.size)
+    println(f"""{"n_batches":$nBatches,"compact_every":$compactEvery,""" +
+      f""""head5_mean_sec":${head5.sum / head5.size}%.2f,""" +
+      f""""tail5_mean_sec":${tail5.sum / tail5.size}%.2f,""" +
+      f""""tail_over_head":$drift%.2f,""" +
+      s""""max_files_corpus":${results.map(_._4).max},""" +
+      s""""max_files_bands":${results.map(_._5).max},""" +
+      s""""admitted_total":$admSum,"corpus_rows":$corpusRows,""" +
+      s""""reconciled":${admSum == corpusRows}}""")
+    // soak roots are corpus-sized — clean up like ScaleStress does
+    val p = java.nio.file.Paths.get(root)
+    val s = java.nio.file.Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally s.close()
+    spark.stop()
+  }
+}

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native BPE merge fold: applies a whole merge TABLE to a symbol
+  * array in one tight JVM pass — rank order, each merge a greedy
+  * left-to-right sweep, exactly the `aggregate(syms, …)` lambda
+  * spelling in [[graft.operators.Bpe]] chained per merge
+  * (equivalence spec-pinned against that slow sibling, which remains
+  * the oracle-replayable SQL form).
+  *
+  * Why an expression and not the chained folds: at real vocabulary
+  * depth the chain is the bottleneck twice over. A 16-merge batched
+  * round builds 16 stacked Catalyst `aggregate` lambdas whose
+  * generated code crosses the JVM's 64 KB method ceiling around
+  * ~1024-merge symbol depth (Janino logs `Code grows beyond 64 KB`
+  * and Spark drops the WHOLE stage to interpreted eval — the r14
+  * depth run's one honest ceiling), and every chained lambda
+  * materializes a fresh UnsafeArrayData per merge per row. Here the
+  * table lives in one array, the word's symbols are copied into ONE
+  * working buffer, each merge is an in-place two-pointer sweep with
+  * an early length-1 exit, and code size is CONSTANT in table depth —
+  * the [[LangHitsExpr]] playbook applied to the tokenizer hot path.
+  * Merge tables are dimension-sized driver state (≤32k rows, the
+  * production vocabulary scale), so baking them into the expression
+  * ships ~the table's bytes per task closure, same order as the
+  * broadcast the join-based encode path already pays. */
+case class BpeFoldExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  // the fold is type-preserving: array<string> in, array<string> out
+  override def dataType: DataType = child.dataType
+
+  // (lhs, rhs, lhs||rhs) in rank order, decoded once per task
+  @transient private lazy val table: Array[Array[UTF8String]] =
+    merges.map { case (l, r) =>
+      Array(UTF8String.fromString(l), UTF8String.fromString(r),
+        UTF8String.fromString(l + r))
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = arr.numElements()
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { buf(i) = arr.getUTF8String(i); i += 1 }
+    var m = 0
+    while (m < table.length && n >= 2) {
+      val l = table(m)(0); val r = table(m)(1); val merged = table(m)(2)
+      // greedy left-to-right, identical to the fold lambda: if the
+      // last written symbol is lhs and the incoming one is rhs, they
+      // merge (and the MERGED symbol becomes the new last — eligible
+      // as lhs for the next incoming symbol, never re-split)
+      var w = 0
+      var j = 0
+      while (j < n) {
+        val x = buf(j)
+        if (w > 0 && l == buf(w - 1) && r == x) buf(w - 1) = merged
+        else { buf(w) = x; w += 1 }
+        j += 1
+      }
+      n = w
+      m += 1
+    }
+    val out = new Array[AnyRef](n)
+    System.arraycopy(buf, 0, out, 0, n)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeFoldExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_fold"
+}
+
+/** Native batch form of [[graft.operators.Bpe]]'s `hasAdjacent`
+  * guard: true iff the symbol array contains an adjacent occurrence
+  * of ANY of the given pairs — one scan of the word instead of a
+  * B-way OR of `exists(transform(sequence(…)))` lambdas (the other
+  * depth-growing codegen term in a batched round). */
+case class BpeHasAdjacentExpr(child: Expression, pairs: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val table: Array[Array[UTF8String]] =
+    pairs.map { case (l, r) =>
+      Array(UTF8String.fromString(l), UTF8String.fromString(r))
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return false
+    var prev = arr.getUTF8String(0)
+    var j = 1
+    while (j < n) {
+      val x = arr.getUTF8String(j)
+      var m = 0
+      while (m < table.length) {
+        if (table(m)(0) == prev && table(m)(1) == x) return true
+        m += 1
+      }
+      prev = x
+      j += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeHasAdjacentExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_has_adjacent"
+}
+
+object BpeFold {
+  /** Apply `merges` (in the given order) to an `array<string>` symbol
+    * column, each merge a greedy left-to-right adjacent-pair sweep. */
+  def bpe_fold(syms: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeFoldExpr(ColumnBridge.expression(syms), merges))
+
+  /** True iff the symbol column holds an adjacent occurrence of any
+    * of `pairs`. */
+  def bpe_has_adjacent(syms: Column, pairs: Seq[(String, String)]): Column =
+    ColumnBridge.column(
+      BpeHasAdjacentExpr(ColumnBridge.expression(syms), pairs))
+}

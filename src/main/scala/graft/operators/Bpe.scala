@@ -65,8 +65,14 @@ object Bpe {
     s.replace("\\", "\\\\").replace("'", "\\'")
 
   /** Greedy left-to-right merge of adjacent (lhs, rhs) occurrences in
-    * the `syms` array — one codegen-friendly fold, no UDF. */
-  private def applyMerge(lhs: String, rhs: String): Column = {
+    * the `syms` array as a Catalyst `aggregate` fold — the
+    * oracle-replayable SQL spelling. Since round 15 the learn/apply
+    * hot paths run [[graft.functions.BpeFold]] instead (one native
+    * expression for a whole merge table: constant code size at any
+    * depth, no 64 KB codegen fallback, no per-merge array copies);
+    * this form stays as the equivalence-tested slow sibling
+    * (BpeSpec pins `bpe_fold ≡ chained aggregate folds`). */
+  private[graft] def applyMerge(lhs: String, rhs: String): Column = {
     val l = sqlStr(lhs); val r = sqlStr(rhs); val m = sqlStr(lhs + rhs)
     expr(
       s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
@@ -99,8 +105,10 @@ object Bpe {
     * exact condition under which [[applyMerge]] is NOT the identity on
     * the word. The short row is guarded with a lazy IF (sequence(1, 0)
     * is DESCENDING in Spark, so the unguarded transform would probe
-    * element_at(syms, 0) and throw on single-symbol words). */
-  private def hasAdjacent(lhs: String, rhs: String): Column = {
+    * element_at(syms, 0) and throw on single-symbol words). Like
+    * [[applyMerge]], the SQL spelling is now the spec-pinned slow
+    * sibling of [[graft.functions.BpeFold.bpe_has_adjacent]]. */
+  private[graft] def hasAdjacent(lhs: String, rhs: String): Column = {
     val l = sqlStr(lhs); val r = sqlStr(rhs)
     expr(
       s"""IF(size(syms) < 2, false, exists(
@@ -174,8 +182,8 @@ object Bpe {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, c)
-        val (next, nextIds) =
-          checkpointTracked(syms.withColumn("syms", applyMerge(l, r)))
+        val (next, nextIds) = checkpointTracked(syms.withColumn("syms",
+          graft.functions.BpeFold.bpe_fold(col("syms"), Seq((l, r)))))
         // the new round is materialized; the superseded round's blocks
         // are dead weight (never referenced again) — release them now
         releaseBlocks(syms, symsIds)
@@ -212,27 +220,22 @@ object Bpe {
   }
 
   /** Rebuild the (w, freq, syms) encoder state of a FRESH (w, freq)
-    * vocabulary under a frozen merge table: chained greedy folds in
-    * rank order, checkpointed every 8 merges so the codegen tree stays
-    * bounded at any table depth. The state twin of [[encodeTokens]]'s
-    * memoized join — use it when only the merge table was persisted,
-    * or to bring a NEW corpus slice (tomorrow's crawl, a new source)
-    * under the production vocabulary before [[learnContinue]] /
-    * [[encodeStats]]. `applyMerges(wordFreq(docs), learn(k).merges)`
-    * reproduces learn(k)'s final state exactly (BpeSpec law). */
-  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame = {
-    var (syms, symsIds) = checkpointTracked(initialSymbols(words))
-    merges.sortBy(_.rank).grouped(8).foreach { g =>
-      val applied = g.foldLeft(syms) { case (df, m) =>
-        df.withColumn("syms", applyMerge(m.lhs, m.rhs))
-      }
-      val (cp, ids) = checkpointTracked(applied)
-      releaseBlocks(syms, symsIds)
-      syms = cp
-      symsIds = ids
-    }
-    syms
-  }
+    * vocabulary under a frozen merge table: the WHOLE table as one
+    * native greedy fold in rank order ([[graft.functions.BpeFold]] —
+    * constant code size at any depth; the pre-r15 chained-lambda
+    * spelling checkpointed every 8 merges and still hit the 64 KB
+    * codegen ceiling at ~1024-merge depth). One scan, one checkpoint.
+    * The state twin of [[encodeTokens]]'s memoized join — use it when
+    * only the merge table was persisted, or to bring a NEW corpus
+    * slice (tomorrow's crawl, a new source) under the production
+    * vocabulary before [[learnContinue]] / [[encodeStats]].
+    * `applyMerges(wordFreq(docs), learn(k).merges)` reproduces
+    * learn(k)'s final state exactly (BpeSpec law). */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    initialSymbols(words)
+      .withColumn("syms", graft.functions.BpeFold.bpe_fold(col("syms"),
+        merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))))
+      .localCheckpoint()
 
   /** Persist a learned tokenizer — the merge table and the encoded
     * vocabulary state — as two parquet tables under `path`. The state
@@ -350,10 +353,11 @@ object Bpe {
           merges += Merge(rank, l, r, c)
           rank += 1
         }
-        val (next, nextIds) = checkpointTracked(
-          batch.foldLeft(syms) { case (df, (l, r, _)) =>
-            df.withColumn("syms", applyMerge(l, r))
-          })
+        // whole batch in ONE native fold (rank order) — the chained
+        // aggregate lambdas here were the depth run's 64 KB ceiling
+        val (next, nextIds) = checkpointTracked(syms.withColumn("syms",
+          graft.functions.BpeFold.bpe_fold(col("syms"),
+            batch.map { case (l, r, _) => (l, r) })))
         releaseBlocks(syms, symsIds)
         syms = next
         symsIds = nextIds
@@ -430,13 +434,13 @@ object Bpe {
           merges += Merge(rank, l, r, c)
           rank += 1
         }
-        val affectedPred = batch
-          .map { case (l, r, _) => hasAdjacent(l, r) }.reduce(_ || _)
+        val batchPairs = batch.map { case (l, r, _) => (l, r) }
+        val affectedPred =
+          graft.functions.BpeFold.bpe_has_adjacent(col("syms"), batchPairs)
         val affected = syms.filter(affectedPred)
           .select(col("freq"), col("syms"))
-        val after = batch.foldLeft(affected) { case (df, (l, r, _)) =>
-          df.withColumn("syms", applyMerge(l, r))
-        }
+        val after = affected.withColumn("syms",
+          graft.functions.BpeFold.bpe_fold(col("syms"), batchPairs))
         // exact per-pair delta of the round, materialized once (it is
         // read by three joins below) and released with the round
         val (delta, deltaIds) = checkpointTracked(
@@ -468,13 +472,12 @@ object Bpe {
                   coalesce(col("d"), lit(0L))).as("pair_count"))
               .filter(col("pair_count") > 0)
           }
-        // the guarded fold: unaffected words short-circuit past every
-        // merge expression instead of running k identity folds
-        val flagged = syms.withColumn("graft_aff", affectedPred)
-        val nextSyms = batch.foldLeft(flagged) { case (df, (l, r, _)) =>
-          df.withColumn("syms",
-            when(col("graft_aff"), applyMerge(l, r)).otherwise(col("syms")))
-        }.drop("graft_aff")
+        // the guarded fold: unaffected words short-circuit past the
+        // merge fold instead of running k identity sweeps
+        val nextSyms = syms.withColumn("syms",
+          when(affectedPred,
+            graft.functions.BpeFold.bpe_fold(col("syms"), batchPairs))
+            .otherwise(col("syms")))
         val (cpCounts, cpCountIds) = checkpointTracked(nextCounts)
         val (cpSyms, cpSymsIds) = checkpointTracked(nextSyms)
         releaseBlocks(counts, countIds)

@@ -47,18 +47,118 @@ object Multimodal {
   case class MediaFrames(
       doc_id: Long, n_frames: Int, frames: Array[Array[Byte]])
 
-  /** Frame-sampling stub: split the payload into fixed-size "frames"
-    * and keep every `stride`-th one — the deterministic stand-in for
+  /** True iff the payload's magic bytes name a format the JDK's
+    * ImageIO decodes out of the box (PNG / JPEG / GIF / BMP) — the
+    * cheap gate in front of [[decodeImagePixels]] so arbitrary binary
+    * never pays a reader probe. JVM-side twin of [[sniffFormat]]'s
+    * column expression (which stays untouched — its q218 oracle
+    * replays the column form verbatim). */
+  private def imageioMagic(p: Array[Byte]): Boolean =
+    (p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G') ||
+      (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+        (p(2) & 0xff) == 0xff) ||
+      (p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8') ||
+      (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+
+  /** REAL pixel decode (r14 verdict Next #6): ImageIO (PNG/JPEG/GIF/
+    * BMP — in the JDK, no new dependency) → (width, height, row-major
+    * luma ints, BT.601 integer weights). None when the magic doesn't
+    * match or the decode fails — callers fall back to the byte path,
+    * so a corrupt image degrades to byte-frame behavior instead of
+    * killing the batch. This closes the one seam the multimodal
+    * chapter had stubbed for images; video/audio codecs stay honestly
+    * out of scope (no codecs in the JDK). */
+  private[graft] def decodeImagePixels(
+      payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (!imageioMagic(payload)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val luma = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            luma(y * w + x) =
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, luma))
+      }
+    } catch { case _: Throwable => None }
+
+  /** 60-bit perceptual hash over DECODED pixels: a 10×6 grid of
+    * area-averaged luma cells, bit = cell mean above the global mean
+    * (strict, integer-exact by cross-multiplication — no float in the
+    * bit decision, so the signature is stable across JVMs). The pixel
+    * twin of the byte-frame average hash, emitted into the SAME 2×30
+    * band plumbing — index, bucket join, popcount verify all reused. */
+  private[graft] def pixelSignature(
+      w: Int, h: Int, luma: Array[Int]): Long = {
+    val gx = 10; val gy = 6
+    var total = 0L
+    var i = 0
+    while (i < luma.length) { total += luma(i); i += 1 }
+    val nPix = w.toLong * h
+    var sig = 0L
+    var cy = 0
+    while (cy < gy) {
+      val y0 = cy * h / gy; val y1 = (cy + 1) * h / gy
+      var cx = 0
+      while (cx < gx) {
+        val x0 = cx * w / gx; val x1 = (cx + 1) * w / gx
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(y * w + x); x += 1 }
+          y += 1
+        }
+        val cells = (y1 - y0).toLong * (x1 - x0)
+        // cell mean > global mean ⇔ s·nPix > total·cells (exact)
+        if (cells > 0 && s * nPix > total * cells)
+          sig |= (1L << (cy * gx + cx))
+        cx += 1
+      }
+      cy += 1
+    }
+    sig
+  }
+
+  /** Frame sampling: split the payload into fixed-size "frames" and
+    * keep every `stride`-th one — the deterministic stand-in for
     * video frame extraction (the real decoder would replace the
-    * chunking, the sampling logic and batch shape stay). */
+    * chunking; the sampling logic and batch shape stay). With
+    * `decodePixels` on, image payloads ImageIO can decode frame over
+    * their LUMA PIXELS instead of their encoded bytes, so two
+    * encodings of the same image produce identical frames — the dup
+    * class the byte path cannot see; everything else falls back to
+    * byte frames. */
   def sampleFrames(
-      media: DataFrame, frameBytes: Int, stride: Int): Dataset[MediaFrames] = {
+      media: DataFrame, frameBytes: Int, stride: Int,
+      decodePixels: Boolean = false): Dataset[MediaFrames] = {
     implicit val enc = Encoders.product[MediaFrames]
     implicit val inEnc = Encoders.product[Media]
     media.select(col("doc_id"), col("payload"), col("media_type")).as[Media]
       .mapPartitions { rows =>
         rows.map { m =>
-          val frames = m.payload.grouped(frameBytes).toArray
+          val src =
+            if (decodePixels)
+              decodeImagePixels(m.payload) match {
+                case Some((_, _, luma)) => luma.map(_.toByte)
+                case None => m.payload
+              }
+            else m.payload
+          val frames = src.grouped(frameBytes).toArray
           val sampled = frames.zipWithIndex.collect {
             case (f, i) if i % stride == 0 => f
           }
@@ -100,25 +200,39 @@ object Multimodal {
     * semantics); default 60 = 2 bands × 30 bits. */
   def frameSignatures(
       media: DataFrame, frameBytes: Int, stride: Int,
-      sigBits: Int = 60): Dataset[FrameSig] = {
+      sigBits: Int = 60, decodePixels: Boolean = false): Dataset[FrameSig] = {
     require(sigBits >= 2 && sigBits <= 62 && sigBits <= frameBytes,
       s"sigBits must be in [2, min(62, frameBytes)]: $sigBits")
+    require(!decodePixels || sigBits == 60,
+      "the pixel path's 10×6 grid hash is 60-bit; decodePixels needs sigBits=60")
     implicit val enc = Encoders.product[FrameSig]
     implicit val inEnc = Encoders.product[Media]
     media.select(col("doc_id"), col("payload"), col("media_type")).as[Media]
       .mapPartitions { rows =>
         rows.flatMap { m =>
-          m.payload.grouped(frameBytes).zipWithIndex.collect {
-            case (f, i) if i % stride == 0 && f.length == frameBytes =>
-              val bytes = f.take(sigBits).map(_ & 0xff)
-              val tot = bytes.map(_.toLong).sum
-              var sig = 0L
-              var j = 0
-              while (j < sigBits) {
-                if (bytes(j).toLong * sigBits > tot) sig |= (1L << j)
-                j += 1
+          // pixel path: one whole-image signature over decoded luma
+          // (frame_idx 0) — two ENCODINGS of the same pixels sign
+          // identically; non-images / failed decodes fall through to
+          // the byte-frame path below
+          val pixelSig =
+            if (decodePixels)
+              decodeImagePixels(m.payload).map { case (w, h, luma) =>
+                FrameSig(m.doc_id, 0, pixelSignature(w, h, luma))
               }
-              FrameSig(m.doc_id, i, sig)
+            else None
+          pixelSig.map(Iterator.single).getOrElse {
+            m.payload.grouped(frameBytes).zipWithIndex.collect {
+              case (f, i) if i % stride == 0 && f.length == frameBytes =>
+                val bytes = f.take(sigBits).map(_ & 0xff)
+                val tot = bytes.map(_.toLong).sum
+                var sig = 0L
+                var j = 0
+                while (j < sigBits) {
+                  if (bytes(j).toLong * sigBits > tot) sig |= (1L << j)
+                  j += 1
+                }
+                FrameSig(m.doc_id, i, sig)
+            }
           }
         }
       }
@@ -148,8 +262,10 @@ object Multimodal {
     * ([[graft.streaming.StreamingPhashDedup]]) — probe and index MUST
     * band identically or incremental recall silently decays. */
   def bandedSignatures(
-      media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
-    frameSignatures(media, frameBytes, stride).toDF()
+      media: DataFrame, frameBytes: Int, stride: Int,
+      decodePixels: Boolean = false): DataFrame =
+    frameSignatures(media, frameBytes, stride, decodePixels = decodePixels)
+      .toDF()
       .select(col("doc_id"), col("frame_idx"), col("sig"),
         explode(expr("transform(sequence(0, 1), b -> " +
           "struct(b as band, shiftright(sig, b * 30) & 1073741823 as key))"))
@@ -159,9 +275,10 @@ object Multimodal {
 
   def phashNearDupPairs(
       media: DataFrame, frameBytes: Int, stride: Int,
-      maxHamming: Int = 1): DataFrame = {
+      maxHamming: Int = 1, decodePixels: Boolean = false): DataFrame = {
     require(maxHamming <= 1, "2 bands of 30 bits guarantee recall only to distance 1")
-    val banded = bandedSignatures(media, frameBytes, stride)
+    val banded = bandedSignatures(media, frameBytes, stride,
+        decodePixels = decodePixels)
       .localCheckpoint() // both join sides; don't re-sign the corpus
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"),
       col("frame_idx").as("fa"), col("sig").as("sig_a"))

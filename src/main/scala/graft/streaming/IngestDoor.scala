@@ -120,6 +120,7 @@ object IngestDoor {
       lmGate: Option[(DataFrame, DataFrame)] = None,
       phashFrameBytes: Int = 64,
       phashStride: Int = 2,
+      phashDecodePixels: Boolean = false,
       normalize: Boolean = false,
       fimPermille: Int = 0): Unit = {
     val spark = batch.sparkSession
@@ -177,7 +178,8 @@ object IngestDoor {
     val phashDrop =
       if (mediaCols)
         StreamingPhashDedup.dupIds(mediaOf(guarded), phashIndexPath(root),
-          phashFrameBytes, phashStride).localCheckpoint()
+          phashFrameBytes, phashStride,
+          decodePixels = phashDecodePixels).localCheckpoint()
       else guarded.select(col("doc_id")).limit(0)
     val nPhash = if (mediaCols) phashDrop.count() else 0L
     val postPhash =
@@ -221,7 +223,8 @@ object IngestDoor {
     // (doc_id-anti-joined inside, so replay/redelivery appends nothing)
     if (mediaCols && admitted.limit(1).count() > 0)
       StreamingPhashDedup.appendIndex(mediaOf(admitted),
-        phashIndexPath(root), phashFrameBytes, phashStride)
+        phashIndexPath(root), phashFrameBytes, phashStride,
+        decodePixels = phashDecodePixels)
     // 3.5 (optional) objective-side transform at PACK time: the q223
     // FIM re-ordering applied to the admitted docs' text just before
     // tokenization — the CORPUS stays raw (it is the canonical,
@@ -311,6 +314,7 @@ object IngestDoor {
       lmGate: Option[(DataFrame, DataFrame)] = None,
       phashFrameBytes: Int = 64,
       phashStride: Int = 2,
+      phashDecodePixels: Boolean = false,
       normalize: Boolean = false,
       fimPermille: Int = 0): StreamingQuery =
     docs.writeStream
@@ -320,7 +324,8 @@ object IngestDoor {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, root, denyTerms, evalGrams, bloomBytes,
           vocab, seqLen, nGram, threshold, compactEvery, compactTargetBytes,
-          lmGate, phashFrameBytes, phashStride, normalize, fimPermille)
+          lmGate, phashFrameBytes, phashStride, phashDecodePixels,
+          normalize, fimPermille)
         ()
       }
       .start()

@@ -34,9 +34,11 @@ object StreamingPhashDedup {
     * media_type). Output: one (doc_id) row per dropped doc. */
   def dupIds(
       media: DataFrame, indexPath: String,
-      frameBytes: Int, stride: Int): DataFrame = {
+      frameBytes: Int, stride: Int,
+      decodePixels: Boolean = false): DataFrame = {
     val spark = media.sparkSession
-    val banded = Multimodal.bandedSignatures(media, frameBytes, stride)
+    val banded = Multimodal.bandedSignatures(media, frameBytes, stride,
+        decodePixels = decodePixels)
       .localCheckpoint() // probe side of both joins; sign the batch once
     val a = banded.select(col("band"), col("key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -71,7 +73,8 @@ object StreamingPhashDedup {
     * a ghost that is not in the corpus. */
   def appendIndex(
       media: DataFrame, indexPath: String,
-      frameBytes: Int, stride: Int): Unit = {
+      frameBytes: Int, stride: Int,
+      decodePixels: Boolean = false): Unit = {
     val spark = media.sparkSession
     val idxHadoopPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idxHadoopPath.getFileSystem(
@@ -81,7 +84,8 @@ object StreamingPhashDedup {
         media.join(spark.read.parquet(indexPath).select(col("doc_id")),
           Seq("doc_id"), "left_anti")
       else media
-    Multimodal.bandedSignatures(fresh, frameBytes, stride)
+    Multimodal.bandedSignatures(fresh, frameBytes, stride,
+        decodePixels = decodePixels)
       .write.mode("append").partitionBy("band").parquet(indexPath)
   }
 }

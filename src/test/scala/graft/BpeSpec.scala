@@ -39,6 +39,41 @@ class BpeSpec extends SparkSpec {
     assert(state("aaaaa") === Seq("aa", "aa", "a"))
   }
 
+  test("native bpe_fold ≡ chained aggregate folds; bpe_has_adjacent ≡ SQL guard") {
+    import graft.functions.BpeFold
+    // adversarial shapes: repeat chains (greedy non-overlap), a merge
+    // whose OUTPUT feeds a later merge, singles, and an empty array
+    val syms = Seq(
+      Seq("a", "a", "a", "a", "a"),
+      Seq("l", "o", "w", "e", "r"),
+      Seq("a", "b", "a", "b", "c"),
+      Seq("x"),
+      Seq.empty[String]).toDF("syms")
+    val table = Seq(("a", "a"), ("aa", "a"), ("a", "b"), ("ab", "c"),
+      ("l", "o"), ("lo", "w"), ("e", "r"))
+    val chained = table.foldLeft(syms) { case (df, (l, r)) =>
+      df.withColumn("syms", Bpe.applyMerge(l, r))
+    }
+    val native = syms.withColumn("syms", BpeFold.bpe_fold(col("syms"), table))
+    assert(native.as[Seq[String]].collect().toSeq ===
+      chained.as[Seq[String]].collect().toSeq)
+    // the fold is what the hand-law says, not just self-consistent
+    // hand-law: [a×5] →(a,a) [aa,aa,a] →(aa,a) [aa,aaa];
+    // [a,b,a,b,c] →(a,b) [ab,ab,c] →(ab,c) [ab,abc]
+    assert(native.as[Seq[String]].collect().toSeq === Seq(
+      Seq("aa", "aaa"), Seq("low", "er"), Seq("ab", "abc"),
+      Seq("x"), Seq.empty[String]))
+    val pairs = Seq(("a", "a"), ("e", "r"))
+    val sqlGuard = syms.withColumn("g",
+      pairs.map { case (l, r) => Bpe.hasAdjacent(l, r) }.reduce(_ || _))
+    val nativeGuard = syms.withColumn("g",
+      BpeFold.bpe_has_adjacent(col("syms"), pairs))
+    assert(nativeGuard.select("g").as[Boolean].collect().toSeq ===
+      sqlGuard.select("g").as[Boolean].collect().toSeq)
+    assert(nativeGuard.select("g").as[Boolean].collect().toSeq ===
+      Seq(true, true, false, false, false))
+  }
+
   test("learn stops early when no adjacent pair remains") {
     val docs = Seq((0L, "ab ab")).toDF("doc_id", "text")
     val (merges, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 10)

@@ -40,16 +40,25 @@ object BpeAb {
     * like the ScaleStress fixture. */
   def synthDocs(spark: SparkSession, vocab: Int, nDocs: Int,
       wordsPerDoc: Int): DataFrame = {
-    val words = (0 until wordsPerDoc).map { j =>
-      val u = pmod(xxhash64(lit(j), col("id")), lit(1000000L))
+    // ONE array lambda evaluated wordsPerDoc times — the earlier
+    // per-slot column spelling inlined the whole word expression
+    // wordsPerDoc× into a single generated method and ITSELF tripped
+    // the 64 KB codegen fallback at 200 words/doc (same values: the
+    // lambda's j is the same IntegerType the lit(j) was)
+    val words = transform(sequence(lit(0), lit(wordsPerDoc - 1)), j => {
+      val u = pmod(xxhash64(j, col("id")), lit(1000000L))
       // u ∈ [0,1e6) ⇒ u² ≤ 1e12; ·vocab ≤ ~3e16 for vocab ≤ 30k —
-      // no Long overflow — then /1e12 lands in [0, vocab).
-      val rank = (u * u * lit(vocab.toLong)) / lit(1000000000000L)
+      // no Long overflow — then floor(/1e12) lands on the INTEGER
+      // grid [0, vocab) (Column `/` is double division; without the
+      // floor the rank would be a near-unique fractional per draw and
+      // the "vocab-sized rank space" claim would be off by ~30×)
+      val rank = floor((u * u * lit(vocab.toLong)) / lit(1.0e12))
+        .cast("long")
       conv(pmod(xxhash64(lit("w"), rank), lit(Long.MaxValue))
         .cast("string"), 10, 36)
-    }
+    })
     spark.range(nDocs).select(col("id").as("doc_id"),
-      concat_ws(" ", words: _*).as("text"))
+      array_join(words, " ").as("text"))
   }
 
   /** `synth:V:D:W` → the synthetic corpus; anything else → the dir's
@@ -139,7 +148,9 @@ object BpeAb {
     }._1
     val natSec = Seq.fill(2)(foldNative()).min
     val legSec = Seq.fill(2)(foldLegacy()).min
-    println(s"""{"dir":"$dir","n_merges":$nMerges,"batch":$batch,""" +
+    val vocabWords = words().count()
+    println(s"""{"dir":"$dir","vocab_words":$vocabWords,""" +
+      s""""n_merges":$nMerges,"batch":$batch,""" +
       s""""rounds_seq":$seqN,"rounds_batched":$rounds,""" +
       s""""merges_seq":$seqN,"merges_batched":$batN,""" +
       f""""seq_sec":$seqSec%.3f,"batched_sec":$batSec%.3f,""" +

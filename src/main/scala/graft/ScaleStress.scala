@@ -526,9 +526,18 @@ object ScaleStress {
                 0L, root, deny, evalGrams, bloom,
                 vocab, seqLen = 512, lmGate = Some((lm, cuts)),
                 normalize = true)
+            // warmProbe times TWO fresh deliveries against the same
+            // warm root: the odd half MINUS a 1/16 slice (big), then
+            // that slice alone (small, ~1/8 the big batch). If the
+            // probe cost tracks the BATCH, big/small wall-clock reads
+            // ~the size ratio; if it were index-size-bound the two
+            // would read ~equal — the separation the cross-scale
+            // factor can't make (batch and index both grow with
+            // copies). Reported on stderr as probe_small.
             val timedBatch =
               if (warmProbe)
-                batch.filter(col("doc_id") % 2 === 1).localCheckpoint()
+                batch.filter(col("doc_id") % 2 === 1 &&
+                  col("doc_id") % 16 =!= 15).localCheckpoint()
               else batch
             val timedId = if (warmProbe) 1L else 0L
             val t0 = System.nanoTime()
@@ -537,6 +546,17 @@ object ScaleStress {
               vocab, seqLen = 512, lmGate = Some((lm, cuts)),
               normalize = true)
             val sec = (System.nanoTime() - t0) / 1e9
+            val smallSec =
+              if (warmProbe) {
+                val small = batch.filter(col("doc_id") % 16 === 15)
+                  .localCheckpoint()
+                val t1 = System.nanoTime()
+                IngestDoor.applyBatch(small, 2L, root, deny,
+                  evalGrams, bloom,
+                  vocab, seqLen = 512, lmGate = Some((lm, cuts)),
+                  normalize = true)
+                (System.nanoTime() - t1) / 1e9
+              } else -1.0
             val a = IngestDoor.readAudit(spark, root)
               .filter(col("batch_id").cast("bigint") === timedId).head()
             def l(c: String) = a.getAs[Long](c)
@@ -545,6 +565,10 @@ object ScaleStress {
                 l("n_dup_dropped") + l("n_admitted") &&
               l("n_dup_phash") + l("n_dup_text") == l("n_dup_dropped")
             require(balanced, s"door funnel imbalance: ${a.toString}")
+            if (warmProbe)
+              System.err.println(f"[stress] $name@$dir probe_small " +
+                f"sec=$smallSec%.2f vs big=$sec%.2f " +
+                f"ratio=${sec / smallSec}%.1f (size ratio ~7)")
             (sec, l("n_admitted"), balanced, l("n_dup_phash"))
           } finally {
             cleanup()

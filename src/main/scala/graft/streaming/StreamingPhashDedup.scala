@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * index, so a crash-replayed batch appends nothing twice, and the
   * self-pair guard (doc_new ≠ doc_old) keeps a doc's own already-landed
   * rows from matching it mid-replay.
+  *
+  * `decodePixels` (r15): signatures come from DECODED image pixels
+  * ([[Multimodal.decodeImagePixels]] — catches re-encoded duplicates)
+  * instead of payload bytes. Probe and index MUST use the same flag —
+  * a pixel probe against a byte index (or vice versa) compares
+  * different hash families and silently loses recall (the same
+  * band-identically contract the byte path already documents).
   */
 object StreamingPhashDedup {
 

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pixel-decode throughput A/B: the same generated image corpus
+  * signed via the DECODED-pixel path (`decodePixels = true` — ImageIO
+  * decode + 10×6 grid luma hash per image) vs the byte-frame path —
+  * the per-image cost of the real decode the r15 seam added, measured
+  * instead of assumed. Images are deterministic doc_id-seeded 48×32
+  * PNGs built with java.awt off-heap (no RNG, no fonts), generated in
+  * a mapPartitions stage and checkpointed OUTSIDE the timed region so
+  * both arms read the same materialized payloads.
+  *
+  *   runMain graft.PixelAb [nImages] [passes]
+  */
+object PixelAb {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Multimodal
+    val n = args.lift(0).map(_.toInt).getOrElse(20000)
+    val passes = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = Tables.localSession("graft-pixel-ab")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val media = spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 48) {
+            val v = (x * 5 + y * 3 + (id % 251).toInt) % 256
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray, "image/png")
+      }
+    }.toDF("doc_id", "payload", "media_type").localCheckpoint()
+    media.count()
+
+    def timed(decode: Boolean): Double = {
+      val t0 = System.nanoTime()
+      Multimodal.bandedSignatures(media, 64, 2, decodePixels = decode)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timed(true); timed(false) // JIT warmup
+    val pix = (1 to passes).map(_ => timed(true)).min
+    val byt = (1 to passes).map(_ => timed(false)).min
+    println(f"""{"n_images":$n,"pixel_sec":$pix%.3f,"byte_sec":$byt%.3f,""" +
+      f""""pixel_images_per_sec":${n / pix}%.0f,""" +
+      f""""decode_overhead":${pix / byt}%.2f}""")
+    spark.stop()
+  }
+}

@@ -134,15 +134,31 @@ object BpeAb {
       Bpe.applyMerges(words(), table).count().toInt
     }._1
     def foldLegacy() = timed { () =>
+      // mirror the pre-r15 applyMerges body EXACTLY, including its
+      // per-group release of superseded checkpoint blocks (r15 ADVICE:
+      // without the release this arm holds ~nMerges/8 live copies of
+      // the symbol table, and the extra memory pressure inflates
+      // fold_legacy_sec — biasing fold_speedup upward)
+      def blockIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+        df.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        }.toSet
+      def release(ids: Set[Int]): Unit =
+        ids.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false)))
       var syms = words().select(col("w"), col("freq"),
         org.apache.spark.sql.functions.filter(
           org.apache.spark.sql.functions.split(col("w"), ""),
           x => x =!= org.apache.spark.sql.functions.lit(""))
           .as("syms")).localCheckpoint()
+      var symsIds = blockIds(syms)
       table.sortBy(_.rank).grouped(8).foreach { g =>
-        syms = g.foldLeft(syms) { case (df, m) =>
+        val next = g.foldLeft(syms) { case (df, m) =>
           df.withColumn("syms", Bpe.applyMerge(m.lhs, m.rhs))
         }.localCheckpoint()
+        release(symsIds)
+        syms = next
+        symsIds = blockIds(syms)
       }
       syms.count().toInt
     }._1

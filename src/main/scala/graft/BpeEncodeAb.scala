@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** OOV-encode cost at PRODUCTION table depth (r15 verdict Next #6):
+  * encoding a corpus under a frozen vocabulary is a state-table join
+  * for known words (the right design — the fold ran once per distinct
+  * word at learn time), but a word the state table has never seen
+  * pays [[graft.operators.Bpe.applyMerges]]' full-table fold. With
+  * the flat [[graft.functions.BpeFoldExpr]] that is O(len × depth)
+  * per distinct OOV word — 32k mostly-identity sweeps at production
+  * depth — so this A/B times the flat fold against the pair-indexed
+  * sibling ([[graft.functions.BpeFoldIndexedExpr]], identical output,
+  * spec-pinned) over a ~1M-distinct-word frame at depth 32k.
+  *
+  * The merge table is SYNTHETIC but well-formed and adversarially
+  * DENSE for the word distribution: every 2-char pair over the
+  * base-36 alphabet merges (1296 ranks — so every adjacent bigram of
+  * every word hits the table, like a real 32k vocabulary where the
+  * frequent bigrams all merged), then (2-char-product, char) 3-char
+  * merges fill the remaining ranks in deterministic order (each lhs
+  * an earlier product, each rhs a base char — a valid BPE recurrence
+  * shape). Provenance doesn't matter for the cost law (the flat
+  * fold's cost is the sweep count, the indexed fold's is the pairs
+  * present), but density does — a sparse random table would flatter
+  * the indexed arm by giving it nothing to do. Words come from
+  * [[BpeAb.synthDocs]]' base-36 hash corpus, so every word is OOV by
+  * construction relative to any learned vocabulary.
+  *
+  *   runMain graft.BpeEncodeAb [depth] [vocab] [docs] [wordsPerDoc] [passes]
+  *
+  * Output: one JSON line with per-arm seconds, words/s, and the
+  * speedup. Both arms materialize via noop write; min-of-`passes`.
+  * An in-run equivalence guard diffs the two outputs on the full
+  * frame (count of mismatching words must be 0).
+  */
+object BpeEncodeAb {
+
+  /** The deterministic dense table: all 36² 2-char merges, then
+    * (product, char) 3-char merges to `depth`. */
+  private[graft] def synthTable(depth: Int): Seq[(String, String)] = {
+    val alpha = "0123456789abcdefghijklmnopqrstuvwxyz"
+    val two = for (a <- alpha; b <- alpha) yield (a.toString, b.toString)
+    val three = for ((l, r) <- two; c <- alpha) yield (l + r, c.toString)
+    (two ++ three).take(depth)
+  }
+
+  def main(args: Array[String]): Unit = {
+    import graft.functions.BpeFold
+    val depth = args.lift(0).map(_.toInt).getOrElse(32768)
+    val vocab = args.lift(1).map(_.toInt).getOrElse(1200000)
+    val nDocs = args.lift(2).map(_.toInt).getOrElse(50000)
+    val wordsPerDoc = args.lift(3).map(_.toInt).getOrElse(60)
+    val passes = args.lift(4).map(_.toInt).getOrElse(1)
+    val spark = Tables.localSession("graft-bpe-encode-ab")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val table = synthTable(depth)
+    val words = graft.operators.Bpe
+      .wordFreq(BpeAb.synthDocs(spark, vocab, nDocs, wordsPerDoc))
+      .localCheckpoint()
+    val nWords = words.count()
+    val syms = words.select(col("w"), col("freq"),
+      filter(split(col("w"), ""), x => x =!= lit("")).as("syms"))
+      .localCheckpoint()
+    syms.count()
+
+    def cleanup(): Unit = {
+      // release nothing persistent beyond the fixed inputs; just GC
+      System.gc()
+    }
+    def timed(mk: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      s
+    }
+    def flatArm() = timed(
+      syms.withColumn("syms", BpeFold.bpe_fold(col("syms"), table)))
+    def idxArm() = timed(
+      syms.withColumn("syms", BpeFold.bpe_fold_indexed(col("syms"), table)))
+
+    // SPARK_GRAFT_BPE_SKIP_FLAT=1 reports the flat arm as -1 (at depth
+    // 32k it is the ~known-slow O(len × depth) baseline — measure once,
+    // then sweep the indexed arm without re-paying it)
+    val skipFlat = sys.env.get("SPARK_GRAFT_BPE_SKIP_FLAT").contains("1")
+
+    // equivalence guard before any timing (also serves as JIT warmup
+    // for both expression paths): full frame normally; under SKIP_FLAT
+    // a deterministic 5% word sample — the guard's own flat column
+    // costs the same O(words × depth) as the arm being skipped, and
+    // BpeFoldIndexedSpec already pins equivalence exhaustively at
+    // unit size (incl. the duplicate-pair divergence fixture)
+    val guardFrame =
+      if (skipFlat) syms.filter(pmod(xxhash64(col("w")), lit(20)) === 0)
+      else syms
+    val mismatches = guardFrame
+      .withColumn("a", BpeFold.bpe_fold(col("syms"), table))
+      .withColumn("b", BpeFold.bpe_fold_indexed(col("syms"), table))
+      .filter(col("a") =!= col("b")).count()
+    require(mismatches == 0,
+      s"bpe_fold and bpe_fold_indexed diverged on $mismatches words")
+    val idxSec = (1 to passes).map(_ => idxArm()).min
+    val flatSec = if (skipFlat) -1.0 else (1 to passes).map(_ => flatArm()).min
+    println(f"""{"depth":$depth,"n_distinct_words":$nWords,""" +
+      f""""flat_sec":$flatSec%.2f,"indexed_sec":$idxSec%.2f,""" +
+      f""""flat_words_per_sec":${if (flatSec > 0) nWords / flatSec else -1.0}%.0f,""" +
+      f""""indexed_words_per_sec":${nWords / idxSec}%.0f,""" +
+      f""""speedup":${if (flatSec > 0) flatSec / idxSec else -1.0}%.1f}""")
+    spark.stop()
+  }
+}

@@ -21,14 +21,28 @@ import org.apache.spark.sql.functions._
   *   - the admitted total reconciles across all batches (funnel
   *     balance per batch, sum ≡ corpus rows at the end).
   *
-  * Output: one JSON line per batch
-  *   {"batch":i,"sec":…,"n_admitted":…,"files_corpus":…,
-  *    "files_bands":…,"files_shards":…}
-  * and one summary line with the first-5/last-5 mean wall-time ratio
-  * ("flat" ⇒ ~1; compaction batches excluded from both windows) and
-  * max file counts.
+  * MEDIA mode (r15 verdict Next #1 — the two r15 features, real pixel
+  * decode and sustained-door steady state, had never run TOGETHER
+  * under volume): `media=1` gives every doc a deterministic
+  * doc_id-seeded random-pixel PNG payload (SHA-256 keystream luma,
+  * 128×96 — signature-diverse by construction, so the phash stage
+  * carries full volume instead of collapsing the flow), and
+  * `decodePixels=1` signs batches through the REAL ImageIO decode
+  * path against the persisted pixel-mode signature index. The decode
+  * premium must read as a flat per-batch constant; a drift would mean
+  * the pixel index probe is corpus-bound.
   *
-  *   runMain graft.DoorSoak [tableDir] [nBatches] [compactEvery]
+  * Output: one JSON line per batch
+  *   {"batch":i,"sec":…,"n_admitted":…,"n_dup_phash":…,
+  *    "files_corpus":…,"files_bands":…,"files_shards":…,"files_phash":…}
+  * and one summary line with the first-5/last-5 mean wall-time ratio
+  * ("flat" ⇒ ~1; compaction batches excluded from both windows; -1
+  * when fewer than 10 non-compaction batches exist or the windows
+  * would overlap — a 5-batch smoke run must not emit NaN or a
+  * meaningless ratio, r15 ADVICE) and max file counts.
+  *
+  *   runMain graft.DoorSoak [tableDir] [nBatches] [compactEvery] \
+  *     [media 0|1] [decodePixels 0|1]
   */
 object DoorSoak {
 
@@ -48,14 +62,59 @@ object DoorSoak {
     }
   }
 
+  /** Deterministic doc_id-seeded random-COLOR PNG: 3 independent
+    * keystream bytes per pixel, so BOTH signature families stay
+    * diverse — the pixel path's 10×6 grid luma hash is pseudo-random
+    * per doc (the phash-diversity requirement the ScaleStress door arm
+    * documents), AND the byte path's frame signatures are full-entropy
+    * (a grayscale fixture stores [v,v,v] triplets whose 60-bit frame
+    * sigs collapse to ~20 effective bits and flood the band buckets —
+    * the PixelRecall smoke measured ~94 % false dups on such a
+    * corpus). java.awt off-heap, no fonts, no RNG. */
+  private[graft] def seededPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val n = w * h
+    val bytes = new Array[Int](n * 3)
+    var block = 0
+    var i = 0
+    while (i < n * 3) {
+      md.reset()
+      md.update(s"$docId:$block".getBytes("UTF-8"))
+      val d = md.digest()
+      var j = 0
+      while (j < d.length && i < n * 3) {
+        bytes(i) = d(j) & 0xff
+        i += 1; j += 1
+      }
+      block += 1
+    }
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      rgb(i) = (bytes(3 * i) << 16) | (bytes(3 * i + 1) << 8) |
+        bytes(3 * i + 2)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     import graft.operators.{Bpe, Decontaminate}
     import graft.streaming.IngestDoor
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(50)
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(10)
+    val media = args.lift(3).contains("1")
+    val decodePixels = args.lift(4).contains("1")
+    require(!decodePixels || media, "decodePixels=1 needs media=1")
     val spark = Tables.localSession("graft-door-soak")
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     // frozen artifacts from a small source sample — dimension-sized,
     // the ScaleStress doorArm recipe
@@ -82,40 +141,66 @@ object DoorSoak {
       System.gc()
     }
     val results = (0 until nBatches).map { i =>
-      val batch = docs
+      val slice = docs
         .filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
-        .localCheckpoint()
+      // media mode: attach the PNG payload in a typed map stage — the
+      // batch carries (doc_id, text, lang, payload, media_type) like a
+      // real crawled-media delivery; generation is batch-sized, so the
+      // soak never materializes the whole image corpus at once
+      val batch = (if (media)
+        slice.as[(Long, String, String)].mapPartitions { rows =>
+          rows.map { case (id, text, lang) =>
+            (id, text, lang, seededPng(id, 128, 96), "image/png")
+          }
+        }.toDF("doc_id", "text", "lang", "payload", "media_type")
+      else slice).localCheckpoint()
       val t0 = System.nanoTime()
+      // byte-mode media: skip the container-header frame, or every
+      // same-format PNG false-merges on its shared signature+IHDR
+      // bytes (the PixelRecall-measured confound)
       IngestDoor.applyBatch(batch, i.toLong, root, deny, evalGrams, bloom,
         vocab, seqLen = 512, compactEvery = compactEvery,
+        phashDecodePixels = decodePixels,
+        phashSkipFrames = if (media && !decodePixels) 1 else 0,
         normalize = true)
       val sec = (System.nanoTime() - t0) / 1e9
       cleanup()
-      val adm = IngestDoor.readAudit(spark, root)
+      val a = IngestDoor.readAudit(spark, root)
         .filter(col("batch_id").cast("bigint") === i.toLong)
-        .select(col("n_admitted")).head().getLong(0)
+        .select(col("n_admitted"), col("n_dup_phash")).head()
+      val (adm, nPhash) = (a.getLong(0), a.getLong(1))
       val fc = countFiles(spark, IngestDoor.corpusPath(root))
       val fb = countFiles(spark, IngestDoor.corpusPath(root) + "_bands")
       val fsh = countFiles(spark, IngestDoor.shardsPath(root))
+      val fph = countFiles(spark, IngestDoor.phashIndexPath(root))
       println(f"""{"batch":$i,"sec":$sec%.2f,"n_admitted":$adm,""" +
-        s""""files_corpus":$fc,"files_bands":$fb,"files_shards":$fsh}""")
-      (i, sec, adm, fc, fb)
+        s""""n_dup_phash":$nPhash,""" +
+        s""""files_corpus":$fc,"files_bands":$fb,"files_shards":$fsh,""" +
+        s""""files_phash":$fph}""")
+      (i, sec, adm, fc, fb, fph)
     }
     // flat-law readout: exclude compaction batches (they pay the
-    // rewrite by design) from both windows
-    val noncompact = results.filter { case (i, _, _, _, _) =>
+    // rewrite by design) from both windows; the ratio is meaningful
+    // only when both 5-batch windows exist and don't overlap
+    val noncompact = results.filter { case (i, _, _, _, _, _) =>
       compactEvery == 0 || (i + 1) % compactEvery != 0 }
     val head5 = noncompact.take(5).map(_._2)
     val tail5 = noncompact.takeRight(5).map(_._2)
     val admSum = results.map(_._3).sum
     val corpusRows = IngestDoor.readCorpus(spark, root).count()
-    val drift = (tail5.sum / tail5.size) / (head5.sum / head5.size)
+    val drift =
+      if (noncompact.size >= 10) (tail5.sum / 5) / (head5.sum / 5)
+      else -1.0
+    val headMean = if (head5.nonEmpty) head5.sum / head5.size else -1.0
+    val tailMean = if (tail5.nonEmpty) tail5.sum / tail5.size else -1.0
     println(f"""{"n_batches":$nBatches,"compact_every":$compactEvery,""" +
-      f""""head5_mean_sec":${head5.sum / head5.size}%.2f,""" +
-      f""""tail5_mean_sec":${tail5.sum / tail5.size}%.2f,""" +
+      s""""media":$media,"decode_pixels":$decodePixels,""" +
+      f""""head5_mean_sec":$headMean%.2f,""" +
+      f""""tail5_mean_sec":$tailMean%.2f,""" +
       f""""tail_over_head":$drift%.2f,""" +
       s""""max_files_corpus":${results.map(_._4).max},""" +
       s""""max_files_bands":${results.map(_._5).max},""" +
+      s""""max_files_phash":${results.map(_._6).max},""" +
       s""""admitted_total":$admSum,"corpus_rows":$corpusRows,""" +
       s""""reconciled":${admSum == corpusRows}}""")
     // soak roots are corpus-sized — clean up like ScaleStress does

@@ -2,14 +2,18 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Pixel-decode throughput A/B: the same generated image corpus
-  * signed via the DECODED-pixel path (`decodePixels = true` — ImageIO
-  * decode + 10×6 grid luma hash per image) vs the byte-frame path —
-  * the per-image cost of the real decode the r15 seam added, measured
-  * instead of assumed. Images are deterministic doc_id-seeded 48×32
-  * PNGs built with java.awt off-heap (no RNG, no fonts), generated in
-  * a mapPartitions stage and checkpointed OUTSIDE the timed region so
-  * both arms read the same materialized payloads.
+/** Pixel-decode throughput A/B, PER FORMAT: the same generated image
+  * corpus signed via the DECODED-pixel path (`decodePixels = true` —
+  * ImageIO header check + bulk-raster decode + 10×6 grid luma hash
+  * per image) vs the byte-frame path — the per-image cost of the real
+  * decode the r15 seam added, measured instead of assumed, now with
+  * one row per container format (r15 verdict Next #3: the r15 corpus
+  * was PNG-only, but JPEG is the dominant crawl format and its decode
+  * cost profile is different). Images are deterministic doc_id-seeded
+  * 48×32 gradients built with java.awt off-heap (no RNG, no fonts),
+  * encoded per format in a mapPartitions stage and checkpointed
+  * OUTSIDE the timed region so both arms read the same materialized
+  * payloads.
   *
   *   runMain graft.PixelAb [nImages] [passes]
   */
@@ -22,39 +26,51 @@ object PixelAb {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val media = spark.range(n).as[Long].mapPartitions { ids =>
-      ids.map { id =>
-        val img = new java.awt.image.BufferedImage(
-          48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < 32) {
-          var x = 0
-          while (x < 48) {
-            val v = (x * 5 + y * 3 + (id % 251).toInt) % 256
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            x += 1
+    def corpus(fmt: String) = {
+      val media = spark.range(n).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = new Array[Int](48 * 32)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 48) {
+              val v = (x * 5 + y * 3 + (id % 251).toInt) % 256
+              rgb(y * 48 + x) = (v << 16) | (v << 8) | v
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          img.setRGB(0, 0, 48, 32, rgb, 0, 48)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          (id, bos.toByteArray, s"image/$fmt")
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        (id, bos.toByteArray, "image/png")
-      }
-    }.toDF("doc_id", "payload", "media_type").localCheckpoint()
-    media.count()
-
-    def timed(decode: Boolean): Double = {
-      val t0 = System.nanoTime()
-      Multimodal.bandedSignatures(media, 64, 2, decodePixels = decode)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      }.toDF("doc_id", "payload", "media_type").localCheckpoint()
+      media.count()
+      media
     }
-    timed(true); timed(false) // JIT warmup
-    val pix = (1 to passes).map(_ => timed(true)).min
-    val byt = (1 to passes).map(_ => timed(false)).min
-    println(f"""{"n_images":$n,"pixel_sec":$pix%.3f,"byte_sec":$byt%.3f,""" +
-      f""""pixel_images_per_sec":${n / pix}%.0f,""" +
-      f""""decode_overhead":${pix / byt}%.2f}""")
+
+    val rows = Seq("png", "jpeg", "gif", "bmp").map { fmt =>
+      val media = corpus(fmt)
+      def timed(decode: Boolean): Double = {
+        val t0 = System.nanoTime()
+        Multimodal.bandedSignatures(media, 64, 2, decodePixels = decode)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      timed(true); timed(false) // JIT warmup
+      val pix = (1 to passes).map(_ => timed(true)).min
+      val byt = (1 to passes).map(_ => timed(false)).min
+      val r = f""""$fmt":{"pixel_sec":$pix%.3f,"byte_sec":$byt%.3f,""" +
+        f""""pixel_images_per_sec":${n / pix}%.0f,""" +
+        f""""decode_overhead":${pix / byt}%.2f}"""
+      media.unpersist()
+      System.gc()
+      r
+    }
+    println(s"""{"n_images":$n,"formats":${rows.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pixel-dedup RECALL under planted re-encoded duplicates (r15 verdict
+  * Next #2): PixelDecodeSpec proves the PNG-vs-BMP same-pixels pair at
+  * unit size; this arm measures the decoded path CARRYING VOLUME. The
+  * corpus is `nBase` deterministic doc_id-seeded random-COLOR PNGs
+  * (3 independent keystream channel bytes per pixel — full-entropy
+  * payload bytes AND pseudo-random grid signatures), and for
+  * `dupPermille`‰ of them a second doc is planted whose payload is
+  * the SAME pixels re-encoded as BMP — pixel-identical, byte-disjoint,
+  * the exact dup class the byte path cannot see. All arms run the
+  * DOOR's dedup stage ([[graft.streaming.StreamingPhashDedup.dupIds]],
+  * within-batch + fresh index — the q210 plumbing):
+  *
+  *   - `pixel` (decodePixels = true): must catch ~all plants
+  *     (recall ≈ 1: identical pixels ⇒ identical 60-bit grid hash ⇒
+  *     Hamming 0) with drops ≈ the plant count;
+  *   - `byte_naive` (skipFrames = 0): the r15 configuration on REAL
+  *     container files — frame 0 signs the shared PNG/BMP HEADER, so
+  *     same-format docs false-merge wholesale (this arm DISCOVERED
+  *     the confound: 93 % of the corpus dropped, band buckets flooded
+  *     65k candidates from 87k rows). Recorded as the hazard row;
+  *   - `byte_skip` (skipFrames = 1, headers unsigned): the honest
+  *     control — content frames are encoding-disjoint, so plant
+  *     recall must be ≈ 0 and total drops ≈ chance collisions.
+  *
+  * Run at two sizes (e.g. 50000 = 10× the sf0.1 doc count, 150000 =
+  * 30×) for the scale factors; timing covers signing + band self-join
+  * + popcount verify, min-of-`passes`.
+  *
+  *   runMain graft.PixelRecall [nBase] [dupPermille] [passes]
+  */
+object PixelRecall {
+
+  /** Deterministic doc_id-seeded random-COLOR image, encoded as `fmt`.
+    * The pixels depend ONLY on the seed — the planted BMP twin of a
+    * PNG re-encodes the identical pixels. Channels are INDEPENDENTLY
+    * random (3 keystream bytes per pixel): a grayscale fixture stores
+    * [v,v,v] triplets in both PNG and BMP, collapsing each 60-bit
+    * frame signature to ~20 effective bits on top of the header
+    * confound. */
+  private def seededImage(seed: Long, fmt: String): Array[Byte] = {
+    val w = 64; val h = 48
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val n = w * h
+    val bytes = new Array[Int](n * 3)
+    var block = 0
+    var i = 0
+    while (i < n * 3) {
+      md.reset()
+      md.update(s"$seed:$block".getBytes("UTF-8"))
+      val d = md.digest()
+      var j = 0
+      while (j < d.length && i < n * 3) {
+        bytes(i) = d(j) & 0xff
+        i += 1; j += 1
+      }
+      block += 1
+    }
+    val rgb = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      rgb(i) = (bytes(3 * i) << 16) | (bytes(3 * i + 1) << 8) |
+        bytes(3 * i + 2)
+      i += 1
+    }
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    import graft.streaming.StreamingPhashDedup
+    val nBase = args.lift(0).map(_.toInt).getOrElse(50000)
+    val dupPermille = args.lift(1).map(_.toInt).getOrElse(100)
+    val passes = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = Tables.localSession("graft-pixel-recall")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // base docs: doc_id ∈ [0, nBase) as PNG; planted re-encodes:
+    // doc_id = base + nBase (HIGHER id ⇒ the dup is the one dropped,
+    // the min-id-keeper convention) as BMP of the SAME pixels
+    val media = spark.range(nBase).as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        val base = (id, seededImage(id, "png"), "image/png")
+        if (id % 1000 < dupPermille)
+          Iterator(base, (id + nBase, seededImage(id, "bmp"), "image/bmp"))
+        else Iterator(base)
+      }
+    }.toDF("doc_id", "payload", "media_type").localCheckpoint()
+    val nPlanted = media.filter(col("doc_id") >= nBase).count()
+    media.count()
+
+    def arm(decode: Boolean, skipFrames: Int): (Double, Long, Long) = {
+      def pass(): (Double, Long, Long) = {
+        // fresh, never-created index path: within-batch dedup only —
+        // the door's stage 2.75 exactly as a first batch runs it
+        val idx = java.nio.file.Files
+          .createTempDirectory("pixel-recall").toString + "/idx"
+        val t0 = System.nanoTime()
+        val dropped = StreamingPhashDedup
+          .dupIds(media, idx, frameBytes = 64, stride = 2,
+            decodePixels = decode, skipFrames = skipFrames)
+          .localCheckpoint()
+        val nDropped = dropped.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val caught = dropped.filter(col("doc_id") >= nBase).count()
+        dropped.unpersist()
+        System.gc()
+        (sec, nDropped, caught)
+      }
+      pass() // JIT warmup
+      val runs = (1 to passes).map(_ => pass())
+      (runs.map(_._1).min, runs.head._2, runs.head._3)
+    }
+    def row(name: String, r: (Double, Long, Long)): String =
+      f""""$name":{"sec":${r._1}%.2f,"n_dropped":${r._2},""" +
+        f""""recall":${r._3.toDouble / nPlanted}%.3f}"""
+    val pixel = arm(decode = true, skipFrames = 0)
+    val byteSkip = arm(decode = false, skipFrames = 1)
+    val byteNaive = arm(decode = false, skipFrames = 0)
+    println(s"""{"n_base":$nBase,"n_planted":$nPlanted,""" +
+      row("pixel", pixel) + "," + row("byte_skip", byteSkip) + "," +
+      row("byte_naive", byteNaive) + "}")
+    spark.stop()
+  }
+}

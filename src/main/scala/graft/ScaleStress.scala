@@ -589,10 +589,16 @@ object ScaleStress {
           f"admitted=$rows n_dup_phash=${scaledRuns.head._4} balanced=$ok")
         Some((name, srcSec, scaledSec, rows, ok, ""))
       } else None
+    // stress_text_probe (r15 verdict Next #5): the warm-root big/small
+    // split for the TEXT door — stress_phash_probe measured the media
+    // door's warm-index law, but the text arm's factors were all
+    // fresh-root, so the text band-index probe path had no warm-root
+    // measurement of its own
     val doorArms =
       doorArm("stress_ingest_door", media = true) ++
       doorArm("stress_ingest_door_text", media = false) ++
-      doorArm("stress_phash_probe", media = true, warmProbe = true)
+      doorArm("stress_phash_probe", media = true, warmProbe = true) ++
+      doorArm("stress_text_probe", media = false, warmProbe = true)
 
     // the full IVF index LIFECYCLE at scale under the LEARNED √N
     // geometry (r12 verdict Next #7): learn + build → a drifted ingest

@@ -119,11 +119,155 @@ case class BpeHasAdjacentExpr(child: Expression, pairs: Seq[(String, String)])
   override def prettyName: String = "bpe_has_adjacent"
 }
 
+/** Pair-INDEXED BPE merge fold (r15 verdict Next #6) — semantically
+  * identical to [[BpeFoldExpr]] (spec-pinned), but the cost per word
+  * tracks the pairs PRESENT in the word instead of the table depth.
+  * [[BpeFoldExpr]] sweeps the word once per table row — O(len × depth)
+  * even when almost every sweep is the identity, which is exactly the
+  * out-of-vocabulary regime: a word none of whose pairs ever merged
+  * still pays 32k sweeps at production depth. Here a hash index
+  * (lhs → rhs → rank) finds each adjacent pair's rank in O(1), and a
+  * min-heap of PRESENT ranks drives the same rank-ascending iteration
+  * the full scan performs — the textbook tokenizer inner loop
+  * (subword-nmt / HF tokenizers' encode), re-expressed under the
+  * repo's rank-order-full-sweep semantics:
+  *
+  *   - ranks are processed STRICTLY ASCENDING (heap pop order), each
+  *     as the identical greedy left-to-right sweep [[BpeFoldExpr]]
+  *     runs — so applying rank j here equals rank j's turn in the
+  *     full scan;
+  *   - a rank absent from the heap corresponds to a sweep that would
+  *     have been the identity (its pair is not present) — skipping it
+  *     changes nothing;
+  *   - a pair CREATED by rank j's sweep is queued only when its rank
+  *     k > j: in the full scan, rank k's turn is still to come. A
+  *     created pair with rank i < j is deliberately NOT applied — rank
+  *     i's turn already passed (the full scan would never see it
+  *     either; a min-present-rank loop WOULD, which is why this is a
+  *     heap over the rank ORDER, not a priority tokenizer).
+  *
+  * Equivalence is therefore exact for every table, including tables
+  * where a later merge's product collides with an earlier merge's
+  * operand (the divergence case BpeFoldIndexedSpec pins). Per word
+  * the cost is O(len · lookups + applied · len) — independent of
+  * table depth; BpeEncodeAb measures the A/B at depth 32k. */
+case class BpeFoldIndexedExpr(
+    child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = child.dataType
+
+  // rank-indexed (lhs, rhs, merged), decoded once per task
+  @transient private lazy val table: Array[Array[UTF8String]] =
+    merges.map { case (l, r) =>
+      Array(UTF8String.fromString(l), UTF8String.fromString(r),
+        UTF8String.fromString(l + r))
+    }.toArray
+
+  // lhs → (rhs → ascending ranks). ALL ranks per pair, not just the
+  // first: a learned table can legitimately hold the same (lhs, rhs)
+  // twice — the pair merges at rank j, a later merge re-creates
+  // adjacent instances (e.g. ("a","b")→"ab" re-forming ("ab","c")),
+  // and the pair is re-learned at rank k > j. The full scan would
+  // apply rank k's sweep; so must the index.
+  @transient private lazy val rankOf
+      : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Array[Int]]] = {
+    val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Array[Int]]]()
+    var i = 0
+    while (i < table.length) {
+      val inner = m.computeIfAbsent(table(i)(0),
+        _ => new java.util.HashMap[UTF8String, Array[Int]]())
+      val prev = inner.get(table(i)(1))
+      inner.put(table(i)(1),
+        if (prev == null) Array(i) else prev :+ i) // table order = ascending
+      i += 1
+    }
+    m
+  }
+
+  /** Smallest rank of (l, r) strictly greater than `after`, or -1.
+    * `after = -1` for the initial scan (first rank); `after = m` when
+    * rescanning after rank m's sweep (earlier turns already passed —
+    * the rank-order-semantics invariant). */
+  private def lookup(l: UTF8String, r: UTF8String, after: Int): Int = {
+    val inner = rankOf.get(l)
+    if (inner == null) return -1
+    val ranks = inner.get(r)
+    if (ranks == null) return -1
+    var i = 0
+    while (i < ranks.length) { // duplicate lists are 1-2 long; linear
+      if (ranks(i) > after) return ranks(i)
+      i += 1
+    }
+    -1
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = arr.numElements()
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { buf(i) = arr.getUTF8String(i); i += 1 }
+    if (n >= 2 && table.nonEmpty) {
+      val heap = new java.util.PriorityQueue[Integer]()
+      val queued = new java.util.BitSet(table.length)
+      i = 1
+      while (i < n) {
+        val rk = lookup(buf(i - 1), buf(i), -1)
+        if (rk >= 0 && !queued.get(rk)) { queued.set(rk); heap.add(rk) }
+        i += 1
+      }
+      while (!heap.isEmpty && n >= 2) {
+        val m = heap.poll().intValue()
+        val l = table(m)(0); val r = table(m)(1); val merged = table(m)(2)
+        // the identical greedy left-to-right sweep as BpeFoldExpr
+        var w = 0
+        var j = 0
+        while (j < n) {
+          val x = buf(j)
+          if (w > 0 && l == buf(w - 1) && r == x) buf(w - 1) = merged
+          else { buf(w) = x; w += 1 }
+          j += 1
+        }
+        if (w < n) {
+          n = w
+          // the sweep changed the word — queue newly-present pairs,
+          // but only ranks AFTER m (rank order: earlier turns passed)
+          j = 1
+          while (j < n) {
+            val rk = lookup(buf(j - 1), buf(j), m)
+            if (rk >= 0 && !queued.get(rk)) { queued.set(rk); heap.add(rk) }
+            j += 1
+          }
+        }
+      }
+    }
+    val out = new Array[AnyRef](n)
+    System.arraycopy(buf, 0, out, 0, n)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeFoldIndexedExpr = copy(child = newChild)
+
+  override def prettyName: String = "bpe_fold_indexed"
+}
+
 object BpeFold {
   /** Apply `merges` (in the given order) to an `array<string>` symbol
     * column, each merge a greedy left-to-right adjacent-pair sweep. */
   def bpe_fold(syms: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeFoldExpr(ColumnBridge.expression(syms), merges))
+
+  /** [[bpe_fold]] through the pair index — identical output for every
+    * table (spec-pinned), cost per word independent of table depth.
+    * The production spelling for DEEP frozen tables (32k merges over
+    * an unseen vocabulary); [[bpe_fold]] stays cheaper for the
+    * shallow per-round folds of learning (no index to build, and a
+    * 1-16 pair table is faster to sweep than to hash). */
+  def bpe_fold_indexed(syms: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(
+      BpeFoldIndexedExpr(ColumnBridge.expression(syms), merges))
 
   /** True iff the symbol column holds an adjacent occurrence of any
     * of `pairs`. */

@@ -230,12 +230,34 @@ object Bpe {
     * slice (tomorrow's crawl, a new source) under the production
     * vocabulary before [[learnContinue]] / [[encodeStats]].
     * `applyMerges(wordFreq(docs), learn(k).merges)` reproduces
-    * learn(k)'s final state exactly (BpeSpec law). */
-  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    * learn(k)'s final state exactly (BpeSpec law).
+    *
+    * Tables at or past [[indexedFoldThreshold]] run the PAIR-INDEXED
+    * fold ([[graft.functions.BpeFold.bpe_fold_indexed]] — identical
+    * output, spec-pinned): the flat fold sweeps every word once per
+    * table row, so an unseen word at production depth paid
+    * O(len × 32k) mostly-identity sweeps; the index makes per-word
+    * cost track the pairs actually present (BpeEncodeAb at depth 32k
+    * over a 141k-distinct-word OOV frame under an adversarially DENSE
+    * table: flat 3.5k words/s → indexed 156k words/s, 44.9×; parity
+    * already at depth 64 — crossover measured 1.1×). Shallow
+    * per-round learning folds stay on the flat sweep (a 1-16 pair
+    * table is cheaper to sweep than to hash). */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
+    val fold =
+      if (pairs.size >= indexedFoldThreshold)
+        graft.functions.BpeFold.bpe_fold_indexed(col("syms"), pairs)
+      else graft.functions.BpeFold.bpe_fold(col("syms"), pairs)
     initialSymbols(words)
-      .withColumn("syms", graft.functions.BpeFold.bpe_fold(col("syms"),
-        merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))))
+      .withColumn("syms", fold)
       .localCheckpoint()
+  }
+
+  /** Depth at which [[applyMerges]] switches from the flat fold to the
+    * pair-indexed one — BpeEncodeAb measured the indexed form already
+    * ~at parity by depth 64 and two orders of magnitude ahead at 32k. */
+  private[graft] val indexedFoldThreshold = 64
 
   /** Persist a learned tokenizer — the merge table and the encoded
     * vocabulary state — as two parquet tables under `path`. The state

@@ -121,6 +121,7 @@ object IngestDoor {
       phashFrameBytes: Int = 64,
       phashStride: Int = 2,
       phashDecodePixels: Boolean = false,
+      phashSkipFrames: Int = 0,
       normalize: Boolean = false,
       fimPermille: Int = 0): Unit = {
     val spark = batch.sparkSession
@@ -179,7 +180,8 @@ object IngestDoor {
       if (mediaCols)
         StreamingPhashDedup.dupIds(mediaOf(guarded), phashIndexPath(root),
           phashFrameBytes, phashStride,
-          decodePixels = phashDecodePixels).localCheckpoint()
+          decodePixels = phashDecodePixels,
+          skipFrames = phashSkipFrames).localCheckpoint()
       else guarded.select(col("doc_id")).limit(0)
     val nPhash = if (mediaCols) phashDrop.count() else 0L
     val postPhash =
@@ -224,7 +226,7 @@ object IngestDoor {
     if (mediaCols && admitted.limit(1).count() > 0)
       StreamingPhashDedup.appendIndex(mediaOf(admitted),
         phashIndexPath(root), phashFrameBytes, phashStride,
-        decodePixels = phashDecodePixels)
+        decodePixels = phashDecodePixels, skipFrames = phashSkipFrames)
     // 3.5 (optional) objective-side transform at PACK time: the q223
     // FIM re-ordering applied to the admitted docs' text just before
     // tokenization — the CORPUS stays raw (it is the canonical,
@@ -315,6 +317,7 @@ object IngestDoor {
       phashFrameBytes: Int = 64,
       phashStride: Int = 2,
       phashDecodePixels: Boolean = false,
+      phashSkipFrames: Int = 0,
       normalize: Boolean = false,
       fimPermille: Int = 0): StreamingQuery =
     docs.writeStream
@@ -325,7 +328,7 @@ object IngestDoor {
         applyBatch(batch, batchId, root, denyTerms, evalGrams, bloomBytes,
           vocab, seqLen, nGram, threshold, compactEvery, compactTargetBytes,
           lmGate, phashFrameBytes, phashStride, phashDecodePixels,
-          normalize, fimPermille)
+          phashSkipFrames, normalize, fimPermille)
         ()
       }
       .start()

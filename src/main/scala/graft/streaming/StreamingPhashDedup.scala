@@ -29,10 +29,45 @@ import org.apache.spark.sql.functions._
   * ([[Multimodal.decodeImagePixels]] — catches re-encoded duplicates)
   * instead of payload bytes. Probe and index MUST use the same flag —
   * a pixel probe against a byte index (or vice versa) compares
-  * different hash families and silently loses recall (the same
-  * band-identically contract the byte path already documents).
+  * different hash families and silently loses recall. Since r16 the
+  * contract is ENFORCED, not just documented (r15 ADVICE): the index
+  * persists a `_sig_mode` marker file (underscore-prefixed, so
+  * parquet readers skip it like `_SUCCESS`) recording which family
+  * built it, and both [[dupIds]] and [[appendIndex]] fail fast when
+  * the flag disagrees with the stored mode — flipping `decodePixels`
+  * on a live door root is a rebuild, never a silent recall loss.
   */
 object StreamingPhashDedup {
+
+  private def sigMode(decodePixels: Boolean): String =
+    if (decodePixels) "pixel" else "byte"
+
+  private def markerPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_sig_mode")
+
+  /** Fail fast when `decodePixels` disagrees with the family the
+    * persisted index was built with; adopt (write the marker) for a
+    * pre-r16 index that has band rows but no marker yet. */
+  private def checkOrAdoptMode(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      decodePixels: Boolean, writeIfAbsent: Boolean): Unit = {
+    val mp = markerPath(indexPath)
+    if (fs.exists(mp)) {
+      val in = fs.open(mp)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(stored == sigMode(decodePixels),
+        s"phash index at $indexPath was built with sig_mode=$stored; " +
+          s"probing/appending with sig_mode=${sigMode(decodePixels)} would " +
+          "mix hash families and silently lose dedup recall — rebuild the " +
+          "index to change decodePixels")
+    } else if (writeIfAbsent) {
+      val out = fs.create(mp, true)
+      try out.write(sigMode(decodePixels).getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 
   /** Batch docs that perceptually near-dup an EARLIER doc: a
     * smaller-id doc in the same batch (first-arrival keeper by min
@@ -42,10 +77,10 @@ object StreamingPhashDedup {
   def dupIds(
       media: DataFrame, indexPath: String,
       frameBytes: Int, stride: Int,
-      decodePixels: Boolean = false): DataFrame = {
+      decodePixels: Boolean = false, skipFrames: Int = 0): DataFrame = {
     val spark = media.sparkSession
     val banded = Multimodal.bandedSignatures(media, frameBytes, stride,
-        decodePixels = decodePixels)
+        decodePixels = decodePixels, skipFrames = skipFrames)
       .localCheckpoint() // probe side of both joins; sign the batch once
     val a = banded.select(col("band"), col("key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -60,6 +95,9 @@ object StreamingPhashDedup {
       spark.sparkContext.hadoopConfiguration)
     val vsIndex =
       if (fs.exists(idxHadoopPath)) {
+        // probe-vs-index family contract (see class doc): mismatched
+        // flags throw here, before any recall is silently lost
+        checkOrAdoptMode(fs, indexPath, decodePixels, writeIfAbsent = false)
         // band is a PARTITION column of the persisted index — pin its
         // inferred int read-back to the probe's bigint
         val idx = spark.read.parquet(indexPath)
@@ -81,18 +119,21 @@ object StreamingPhashDedup {
   def appendIndex(
       media: DataFrame, indexPath: String,
       frameBytes: Int, stride: Int,
-      decodePixels: Boolean = false): Unit = {
+      decodePixels: Boolean = false, skipFrames: Int = 0): Unit = {
     val spark = media.sparkSession
     val idxHadoopPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idxHadoopPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val fresh =
-      if (fs.exists(idxHadoopPath))
+      if (fs.exists(idxHadoopPath)) {
+        checkOrAdoptMode(fs, indexPath, decodePixels, writeIfAbsent = true)
         media.join(spark.read.parquet(indexPath).select(col("doc_id")),
           Seq("doc_id"), "left_anti")
-      else media
+      } else media
     Multimodal.bandedSignatures(fresh, frameBytes, stride,
-        decodePixels = decodePixels)
+        decodePixels = decodePixels, skipFrames = skipFrames)
       .write.mode("append").partitionBy("band").parquet(indexPath)
+    // first append creates the dir — record the family that built it
+    checkOrAdoptMode(fs, indexPath, decodePixels, writeIfAbsent = true)
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch instrumentation: print CC round counts for the CC-using
+  * queries' pair graphs (r16 optimization evidence; not a query). */
+object CcRounds {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Tables.localSession("cc-rounds", cores = 32)
+    spark.sparkContext.setLogLevel("WARN")
+    def rounds(pairs: org.apache.spark.sql.DataFrame, shortcutAfter: Int): Int = {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("group_id", col("doc_id")).localCheckpoint()
+      var round = 0
+      var converged = false
+      while (!converged && round < 40) {
+        val viaNeighbor = edges
+          .join(labels.select(col("doc_id").as("dst"), col("group_id")), Seq("dst"))
+          .select(col("src").as("doc_id"), col("group_id"), lit(false).as("own"))
+        val viaShortcut =
+          if (round < shortcutAfter) Nil
+          else Seq(labels.select(col("doc_id"), col("group_id").as("m"))
+            .join(labels.select(col("doc_id").as("m"), col("group_id")), Seq("m"))
+            .select(col("doc_id"), col("group_id"), lit(false).as("own")))
+        val next = (Seq(labels.withColumn("own", lit(true)), viaNeighbor) ++ viaShortcut)
+          .reduce(_ union _)
+          .groupBy(col("doc_id"))
+          .agg(min(col("group_id")).as("group_id"),
+            min(when(col("own"), col("group_id"))).as("prev"))
+          .localCheckpoint()
+        converged = next.filter(col("group_id") =!= col("prev")).isEmpty
+        labels = next.drop("prev")
+        round += 1
+      }
+      round
+    }
+    val fuzzy = graft.queries.ExtensionQueries.q77FuzzyPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    println(s"q101 fuzzy CC rounds sc0=${rounds(fuzzy, 0)} sc2=${rounds(fuzzy, 2)} sc4=${rounds(fuzzy, 4)}")
+    spark.stop()
+  }
+}

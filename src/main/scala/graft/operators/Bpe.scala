@@ -133,8 +133,20 @@ object Bpe {
     * getPersistentRDDs delta, which under a concurrent persist (a
     * parallel suite, a streaming query) would catch an unrelated live
     * RDD and releaseBlocks would unpersist it. */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val cp = df.localCheckpoint()
+  /** `eager = false` (the r16 hot-loop default) defers materialization
+    * into the NEXT job that reads the frame — per round the dedicated
+    * checkpoint job disappears and the round's one argmax collect
+    * forces everything (guide §1/§2: each action is a full
+    * driver round-trip + cluster barrier; the loops here were
+    * action-bound, not compute-bound, in the r16 profile). Lazy
+    * checkpoints shift the release discipline: a lazily-checkpointed
+    * RDD must NOT be unpersisted before it materializes (truncated
+    * lineage = unrecomputable), so superseded blocks are released one
+    * collect AFTER the collect that materialized their successor —
+    * see the relAfter queues in the loops below. */
+  private def checkpointTracked(
+      df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
+    val cp = df.localCheckpoint(eager)
     val ids = cp.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }.toSet
@@ -150,8 +162,9 @@ object Bpe {
   def learn(words: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, "Bpe.learn needs nMerges >= 1")
     // vocab-sized; checkpoint so each round's jobs start from
-    // materialized state instead of re-deriving every earlier fold
-    val (syms, symsIds) = checkpointTracked(initialSymbols(words))
+    // materialized state instead of re-deriving every earlier fold.
+    // Lazy: round 1's argmax collect materializes it.
+    val (syms, symsIds) = checkpointTracked(initialSymbols(words), eager = false)
     learnLoop(syms, symsIds, prior = Nil, nMore = nMerges)
   }
 
@@ -168,25 +181,32 @@ object Bpe {
       nMore: Int): (Seq[Merge], DataFrame) = {
     var syms = syms0
     var symsIds = symsIds0
+    // ids of the round-before-last's state: its successor materialized
+    // in the collect that just ran, so it is now safe to release (a
+    // LAZY checkpoint released before its dependents materialize would
+    // be unrecomputable — lineage is truncated)
+    var relAfter: Set[Int] = Set.empty
     val merges = Seq.newBuilder[Merge]
     merges ++= prior
     var rank = prior.size + 1
     val maxRank = prior.size + nMore
     var exhausted = false
     while (rank <= maxRank && !exhausted) {
+      // the ONE action per round: forces the (lazy) current state too
       val top = pairCounts(syms)
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
+      releaseBlocks(syms, relAfter)
+      relAfter = Set.empty
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, c)
         val (next, nextIds) = checkpointTracked(syms.withColumn("syms",
-          graft.functions.BpeFold.bpe_fold(col("syms"), Seq((l, r)))))
-        // the new round is materialized; the superseded round's blocks
-        // are dead weight (never referenced again) — release them now
-        releaseBlocks(syms, symsIds)
+          graft.functions.BpeFold.bpe_fold(col("syms"), Seq((l, r)))),
+          eager = false)
+        relAfter = symsIds
         syms = next
         symsIds = nextIds
         rank += 1
@@ -215,7 +235,7 @@ object Bpe {
       nMore: Int): (Seq[Merge], DataFrame) = {
     require(nMore >= 1, "Bpe.learnContinue needs nMore >= 1")
     val (syms, symsIds) = checkpointTracked(
-      state.select(col("w"), col("freq"), col("syms")))
+      state.select(col("w"), col("freq"), col("syms")), eager = false)
     learnLoop(syms, symsIds, prior, nMore)
   }
 
@@ -251,7 +271,7 @@ object Bpe {
       else graft.functions.BpeFold.bpe_fold(col("syms"), pairs)
     initialSymbols(words)
       .withColumn("syms", fold)
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the caller's first job materializes
   }
 
   /** Depth at which [[applyMerges]] switches from the flat fold to the
@@ -358,7 +378,10 @@ object Bpe {
     require(batchSize >= 1, "Bpe.learnBatched needs batchSize >= 1")
     val pool = if (poolSize > 0) poolSize else 4 * batchSize
     require(pool >= batchSize, s"poolSize $pool < batchSize $batchSize")
-    var (syms, symsIds) = checkpointTracked(initialSymbols(words))
+    var (syms, symsIds) =
+      checkpointTracked(initialSymbols(words), eager = false)
+    // lazy-checkpoint release discipline — see learnLoop
+    var relAfter: Set[Int] = Set.empty
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var round = 0
@@ -368,6 +391,8 @@ object Bpe {
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(pool).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      releaseBlocks(syms, relAfter)
+      relAfter = Set.empty
       if (top.isEmpty) exhausted = true
       else {
         val batch = acceptBatch(top, batchSize)
@@ -379,8 +404,8 @@ object Bpe {
         // aggregate lambdas here were the depth run's 64 KB ceiling
         val (next, nextIds) = checkpointTracked(syms.withColumn("syms",
           graft.functions.BpeFold.bpe_fold(col("syms"),
-            batch.map { case (l, r, _) => (l, r) })))
-        releaseBlocks(syms, symsIds)
+            batch.map { case (l, r, _) => (l, r) })), eager = false)
+        relAfter = symsIds
         syms = next
         symsIds = nextIds
       }
@@ -438,8 +463,17 @@ object Bpe {
     require(batchSize >= 1, "Bpe.learnDelta needs batchSize >= 1")
     val pool = if (poolSize > 0) poolSize else 4 * batchSize
     require(pool >= batchSize, s"poolSize $pool < batchSize $batchSize")
-    var (syms, symsIds) = checkpointTracked(initialSymbols(words))
-    var (counts, countIds) = checkpointTracked(pairCounts(syms))
+    var (syms, symsIds) = checkpointTracked(initialSymbols(words), eager = false)
+    var (counts, countIds) = checkpointTracked(pairCounts(syms), eager = false)
+    // Lazy-checkpoint release queues (see checkpointTracked). The one
+    // action per round is the pool collect, which reads the maintained
+    // count table; the delta and the NEXT count table materialize
+    // inside the FOLLOWING round's collect, and the next symbol state
+    // only inside the collect after THAT (its first reader is that
+    // round's delta). Hence two delays: counts/delta ids release one
+    // collect after being superseded, syms ids two collects after.
+    var relAfter1: Set[Int] = Set.empty // release after the next collect
+    var relAfter2: Set[Int] = Set.empty // ... after the collect after that
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var round = 0
@@ -449,6 +483,9 @@ object Bpe {
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(pool).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      releaseBlocks(counts, relAfter1)
+      relAfter1 = relAfter2
+      relAfter2 = Set.empty
       if (top.isEmpty) exhausted = true
       else {
         val batch = acceptBatch(top, batchSize)
@@ -463,13 +500,14 @@ object Bpe {
           .select(col("freq"), col("syms"))
         val after = affected.withColumn("syms",
           graft.functions.BpeFold.bpe_fold(col("syms"), batchPairs))
-        // exact per-pair delta of the round, materialized once (it is
-        // read by three joins below) and released with the round
+        // exact per-pair delta of the round, checkpointed once (it is
+        // read by three joins below — all inside the next count
+        // table's plan, so the next round's collect materializes it)
         val (delta, deltaIds) = checkpointTracked(
           signedPairs(after, 1).union(signedPairs(affected, -1))
             .groupBy(col("lhs"), col("rhs"))
             .agg(sum(col("freq")).as("d"))
-            .filter(col("d") =!= 0))
+            .filter(col("d") =!= 0), eager = false)
         val nextCounts =
           if (broadcastDelta) {
             val updated = counts
@@ -500,11 +538,10 @@ object Bpe {
           when(affectedPred,
             graft.functions.BpeFold.bpe_fold(col("syms"), batchPairs))
             .otherwise(col("syms")))
-        val (cpCounts, cpCountIds) = checkpointTracked(nextCounts)
-        val (cpSyms, cpSymsIds) = checkpointTracked(nextSyms)
-        releaseBlocks(counts, countIds)
-        releaseBlocks(syms, symsIds)
-        releaseBlocks(delta, deltaIds)
+        val (cpCounts, cpCountIds) = checkpointTracked(nextCounts, eager = false)
+        val (cpSyms, cpSymsIds) = checkpointTracked(nextSyms, eager = false)
+        relAfter1 ++= countIds ++ deltaIds
+        relAfter2 ++= symsIds
         counts = cpCounts
         countIds = cpCountIds
         syms = cpSyms

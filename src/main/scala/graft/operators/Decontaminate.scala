@@ -79,7 +79,7 @@ object Decontaminate {
     * batch — batch or streaming — probes it without touching the eval
     * docs again. */
   def evalGramSet(evalDocs: DataFrame, n: Int = 6): DataFrame =
-    gramHashes(evalDocs, n).select(col("gh")).distinct().localCheckpoint()
+    gramHashes(evalDocs, n).select(col("gh")).distinct().localCheckpoint(false)
 
   /** Serialized bloom filter over an [[evalGramSet]] — sized from the
     * eval gram count at `fpp`, independent of any corpus. */

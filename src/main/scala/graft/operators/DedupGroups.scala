@@ -37,9 +37,30 @@ object DedupGroups {
     * cannot finish within its round budget). The result is
     * bit-identical (still min doc_id over the component; spec-pinned).
     * Default stays off: real near-dup components are hops-shallow and
-    * the extra per-round join would cost more than it saves. */
+    * the extra per-round join would cost more than it saves.
+    *
+    * `shortcutAfter` (r16) makes that trade ADAPTIVE: a loop still
+    * unconverged after that many plain rounds is propagating through a
+    * deep component, so doubling switches on mid-loop — shallow dedup
+    * graphs (2-4 rounds, the common case) never pay the extra join,
+    * and chain-shaped graphs (q101's prefix-edit chains ran to ~19 of
+    * the 20-round cap, ~90 driver round-trips) collapse to
+    * O(log diameter) remaining rounds. The fixpoint is the same
+    * labels either way — only the number of rounds to reach it
+    * changes, which the convergence check already owns. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20,
-      shortcut: Boolean = false): DataFrame = {
+      shortcut: Boolean = false, shortcutAfter: Int = 4): DataFrame = {
+    // ONE job per round (r16 — the loop was action-bound, ~50 ms per
+    // driver round-trip at bench scale and a full barrier at cluster
+    // scale): the round's eager checkpoint is the round's only action,
+    // and convergence rides it as an `observe` metric (CollectMetrics
+    // is collected by the checkpoint job itself) instead of the old
+    // separate `isEmpty`, whose incremental limit ran up to
+    // log₄(partitions) probe jobs per converged round. Eager, not
+    // lazy: `labels` is scanned by 2-3 legs per round (own-flag union,
+    // neighbor join, shortcut self-join), and lazy frames under
+    // concurrent legs recompute their tail per leg (measured — see
+    // MinHashLsh.nearDuplicates). Blocks release via ContextCleaner.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -56,19 +77,22 @@ object DedupGroups {
         .join(labels.select(col("doc_id").as("dst"), col("group_id")), Seq("dst"))
         .select(col("src").as("doc_id"), col("group_id"), lit(false).as("own"))
       val viaShortcut =
-        if (!shortcut) Nil
+        if (!(shortcut || round >= shortcutAfter)) Nil
         else Seq(labels.select(col("doc_id"), col("group_id").as("graft_mid"))
           .join(labels.select(col("doc_id").as("graft_mid"),
             col("group_id")), Seq("graft_mid"))
           .select(col("doc_id"), col("group_id"), lit(false).as("own")))
+      val obs = new org.apache.spark.sql.Observation(s"graft_cc_$round")
       val next = (Seq(labels.withColumn("own", lit(true)), viaNeighbor)
         ++ viaShortcut)
         .reduce(_ union _)
         .groupBy(col("doc_id"))
         .agg(min(col("group_id")).as("group_id"),
           min(when(col("own"), col("group_id"))).as("prev"))
+        .observe(obs,
+          count(when(col("group_id") =!= col("prev"), lit(1))).as("changed"))
         .localCheckpoint()
-      converged = next.filter(col("group_id") =!= col("prev")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.drop("prev")
       round += 1
     }

@@ -231,13 +231,22 @@ object Graph {
     * same node key, the join against `edges` is src-keyed — K rounds of
     * co-partitioned shuffles, partial-aggregated map-side. The edge
     * list is referenced K+1 times (K joins + degrees), so it is
-    * materialized ONCE via an eager `localCheckpoint` — without it
-    * every iteration re-runs the edge derivation from source (for a
+    * materialized ONCE via `localCheckpoint` — without it every
+    * iteration re-runs the edge derivation from source (for a
     * fact-table-derived graph that is K extra scans AND K extra
     * distinct shuffles; measured 5.2s → 1.6s on the q87 bipartite
-    * graph at sf0.1). Blocks are ContextCleaner-released when the
-    * frame is GC'd; on a cluster with executor churn, a persisted/
-    * bucketed edge TABLE (the ANN index-build split) replaces this. */
+    * graph at sf0.1). Checkpoint laziness is deliberate per loop
+    * (r16 measured both): the convergence-checked loops
+    * ([[pageRankDirected]]/[[pageRankPersonalized]]) use LAZY
+    * `localCheckpoint(false)` — their per-round delta collect forces
+    * each round serially, so the dedicated checkpoint job fuses away
+    * (q158 2.15→1.6s class win) — while the FUSED fixed-round ops
+    * here stay EAGER: a lazy frame scanned by several concurrent
+    * plan legs races ahead of the block cache and recomputes its
+    * tail per leg (q87 read 1.45× slower all-lazy). Blocks are
+    * ContextCleaner-released when the frame is GC'd; on a cluster
+    * with executor churn, a persisted/bucketed edge TABLE (the ANN
+    * index-build split) replaces this. */
   def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame =
     // contrib with w ≡ 1 reduces to rank·d div (100·deg) exactly
     pageRankWeighted(edges.withColumn("w", lit(1L)), iterations, dampingPct)
@@ -352,10 +361,10 @@ object Graph {
       if (edges.columns.contains("w")) edges else edges.withColumn("w", lit(1L))
     // repartition before the checkpoint (see pageRankWeighted): keeps
     // the frozen edge scan at full parallelism under AQE coalescing
-    val e0 = withW.repartition(col("src")).localCheckpoint()
+    val e0 = withW.repartition(col("src")).localCheckpoint(false)
     val nodes = e0.select(col("src").as("node"))
       .unionAll(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val nNodes = nodes.count() // iteration-invariant scalar
     // empty graph: no recurrence to run, and nNodes=0 would turn the
     // dangling-share division into an ANSI error (and the convergence
@@ -364,10 +373,10 @@ object Graph {
     if (nNodes == 0L)
       return (nodes.withColumn("rank", lit(1000000L)), 0)
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val e = e0.join(nodeSide(outW), "src").localCheckpoint()
-    val outNodes = outW.select(col("src").as("node")).localCheckpoint()
+    val e = e0.join(nodeSide(outW), "src").localCheckpoint(false)
+    val outNodes = outW.select(col("src").as("node")).localCheckpoint(false)
     val baseRank = (100L - dampingPct) * 10000L
-    var ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint(false)
     var rounds = 0
     var converged = false
     while (rounds < maxIterations && !converged) {
@@ -388,7 +397,7 @@ object Graph {
         .select(col("node"),
           (lit(baseRank) + coalesce(col("csum"), lit(0L)) +
             expr(s"(dmass * $dampingPct) div (100 * ${nNodes}L)")).as("rank"))
-        .localCheckpoint() // read twice: the delta check and next round
+        .localCheckpoint(false) // read twice: the delta check and next round
       rounds += 1
       if (convergedDeltaMicro >= 0L) {
         val delta = next
@@ -439,30 +448,30 @@ object Graph {
       if (broadcastNodes) broadcast(df) else df
     val withW =
       if (edges.columns.contains("w")) edges else edges.withColumn("w", lit(1L))
-    val e0 = withW.repartition(col("src")).localCheckpoint()
+    val e0 = withW.repartition(col("src")).localCheckpoint(false)
     val nodes = e0.select(col("src").as("node"))
       .unionAll(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val nNodes = nodes.count()
     if (nNodes == 0L) return (nodes.withColumn("rank", lit(0L)), 0)
     val sd = seeds.select(col("node")).distinct()
-      .join(nodes, Seq("node"), "left_semi").localCheckpoint()
+      .join(nodes, Seq("node"), "left_semi").localCheckpoint(false)
     val nSeeds = sd.count()
     require(nSeeds > 0L, "no seed is a node of the graph")
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val e = e0.join(nodeSide(outW), "src").localCheckpoint()
-    val outNodes = outW.select(col("src").as("node")).localCheckpoint()
+    val e = e0.join(nodeSide(outW), "src").localCheckpoint(false)
+    val outNodes = outW.select(col("src").as("node")).localCheckpoint(false)
     // per-seed teleport and initial mass: driver-side exact int div
     val baseSeed = (100L - dampingPct) * 10000L * nNodes / nSeeds
     val initSeed = 1000000L * nNodes / nSeeds
     // the seed indicator rides the node frame through every round
     val nodeFlags = nodes
       .join(sd.withColumn("is_seed", lit(1)), Seq("node"), "left")
-      .localCheckpoint()
+      .localCheckpoint(false)
     var ranks = nodeFlags
       .select(col("node"),
         when(col("is_seed") === 1, lit(initSeed)).otherwise(lit(0L)).as("rank"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var rounds = 0
     var converged = false
     while (rounds < maxIterations && !converged) {
@@ -484,7 +493,7 @@ object Graph {
               lit(baseSeed) +
                 expr(s"(dmass * $dampingPct) div (100 * ${nSeeds}L)"))
               .otherwise(lit(0L))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       rounds += 1
       if (convergedDeltaMicro >= 0L) {
         val delta = next

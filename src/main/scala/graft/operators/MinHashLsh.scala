@@ -157,6 +157,13 @@ object MinHashLsh {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.2): DataFrame = {
+    // EAGER checkpoints, deliberately (r16 measured the lazy form and
+    // reverted it): `hs` is read by TWO concurrent verify legs and
+    // `pairs` by a self-union — under a lazy checkpoint those legs
+    // race ahead of the block cache and re-run the expensive
+    // shingle/sign kernels per leg (q35 isolated: 1.69 s eager vs
+    // 2.78 s lazy). Serial materialization costs one job and keeps
+    // the kernels single-run.
     val pairs = candidatePairs(
       bandBucketsDirect(docs, numHashes, rowsPerBand)).localCheckpoint()
     // both pair sides draw from the SAME corpus: shingle each candidate
@@ -237,7 +244,7 @@ object MinHashLsh {
       // band rows already landed) must not pair a doc with itself
       .filter(col("doc_new") =!= col("doc_old"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // eager — see nearDuplicates (two verify legs)
     val hn = hashedShingles(newDocs, pairs.select(col("doc_new").as("doc_id")))
     val ho = hashedShingles(corpus, pairs.select(col("doc_old").as("doc_id")))
     verifyPairs(pairs, "doc_new", hn, "doc_old", ho, threshold)

@@ -361,7 +361,7 @@ object Projection {
       dim: Int = 64,
       bits: Int = 4): DataFrame = {
     val subDim = dim / m
-    val probes = Similarity.routeProbes(queries, cent, nprobe).localCheckpoint()
+    val probes = Similarity.routeProbes(queries, cent, nprobe).localCheckpoint(false)
     val labels = probes.select(col("probe_label")).distinct()
       .collect().map(_.get(0))
     val cbSub = cbLiteral(spark.read.parquet(s"$dir/codebook").collect(),

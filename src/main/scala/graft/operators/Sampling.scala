@@ -222,7 +222,7 @@ object Sampling {
       .select(col("source"), TextOps.tokenCount(col("text")).as("graft_t"))
       .groupBy(col("source"))
       .agg(sum(col("graft_t")).as("n_tokens_avail"))
-      .localCheckpoint() // scanned for the scalars AND joined below
+      .localCheckpoint(false) // scanned for the scalars AND joined below
     val uncovered = avail.join(broadcast(weights), Seq("source"), "left_anti")
       .select(col("source")).collect().map(_.getString(0)).sorted
     require(uncovered.isEmpty,
@@ -233,7 +233,7 @@ object Sampling {
     val joined = avail.join(broadcast(weights), Seq("source"))
       .select(col("source"), col("n_tokens_avail"),
         col("weight").cast("bigint").as("weight"))
-      .localCheckpoint() // wSum scalar + the plan projection below
+      .localCheckpoint(false) // wSum scalar + the plan projection below
     val wSum = joined.agg(sum(col("weight"))).head().getLong(0)
     require(wSum > 0, s"covered weights must sum positive: $wSum")
     joined

@@ -117,7 +117,7 @@ object SeqPack {
     val withEos = docTokens.select(orderKey.cast("bigint").as("graft_ok"),
         concat(col("tokens"), array(lit(eos))).as("graft_toks"))
       .withColumn("graft_n", size(col("graft_toks")).cast("bigint"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // band width from the key's MEASURED span: `orderKey` is caller-
     // supplied (doc_id, a quality rank, a shuffle hash…), and a sparse
     // wide key under fixed 16-bit bands sends the prefix sum's band
@@ -158,7 +158,7 @@ object SeqPack {
         orderKey.cast("bigint").as("graft_ok"),
         concat(col("tokens"), array(lit(eos))).as("graft_toks"))
       .withColumn("graft_n", size(col("graft_toks")).cast("bigint"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // see packTokenStream: band width from the measured key span
     Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off",
         bandBits = Ranks.autoKeyBandBits(withEos, col("graft_ok")))
@@ -205,7 +205,7 @@ object SeqPack {
         orderKey.cast("bigint").as("graft_ok"),
         concat(col("tokens"), array(lit(eos))).as("graft_toks"))
       .withColumn("graft_n", size(col("graft_toks")).cast("bigint"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // see packTokenStream: band width from the measured key span
     Ranks.withPrefixSum(withEos, col("graft_ok"), col("graft_n"), "graft_off",
         bandBits = Ranks.autoKeyBandBits(withEos, col("graft_ok")))
@@ -258,7 +258,7 @@ object SeqPack {
     // join's re-execution exactly like packTokenStream does
     val lens = docTokens.select(orderKey.cast("bigint").as("graft_ok"),
         (size(col("tokens")) + 1).cast("bigint").as("len"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val off = Ranks.withPrefixSum(lens, col("graft_ok"), col("len"), "off",
       bandBits = Ranks.autoKeyBandBits(lens, col("graft_ok")))
     off.join(broadcast(seqLens.toDF("seq_len")))
@@ -310,7 +310,7 @@ object SeqPack {
     packDepth2Lens(
       docTokens.select(col("doc_id").cast("bigint").as("doc_id"),
           least(size(col("tokens")), lit(seqLen)).cast("bigint").as("len"))
-        .localCheckpoint(),
+        .localCheckpoint(false),
       seqLen)
   }
 

@@ -314,7 +314,7 @@ object Similarity {
       cent: DataFrame,
       k: Int = 10,
       nprobe: Int = 1): DataFrame = {
-    val probes = routeProbes(queries, cent, nprobe).localCheckpoint()
+    val probes = routeProbes(queries, cent, nprobe).localCheckpoint(false)
     val labels = probes.select(col("probe_label")).distinct()
       .collect().map(_.get(0))
     val corpus = spark.read.parquet(indexDir)
@@ -718,7 +718,7 @@ object Similarity {
     // pruning collect and the probe) — without the checkpoint the
     // broadcast-centroid argmax would run for both subtrees
     val assigned = assignClusters(newVecs, cent)
-      .select(col("vec_id"), col("cluster")).localCheckpoint()
+      .select(col("vec_id"), col("cluster")).localCheckpoint(false)
     val clusters = assigned.select(col("cluster")).distinct()
       .collect().map(_.get(0))
     val kept = spark.read.parquet(indexDir)

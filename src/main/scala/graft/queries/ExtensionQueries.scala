@@ -2523,7 +2523,7 @@ object ExtensionQueries {
     * [[graft.operators.QualityModel]]. */
   val q189QualityModel: Q = (s, dir) => {
     val f = QualityModel.standardize(
-      QualityModel.features(t(s, dir, "documents"))).localCheckpoint()
+      QualityModel.features(t(s, dir, "documents"))).localCheckpoint(false)
     QualityModel.score(f, QualityModel.train(f, lr = 2.0, iters = 5))
   }
 
@@ -2554,7 +2554,7 @@ object ExtensionQueries {
   val q191LearnedCuration: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val f = QualityModel.standardize(
-      QualityModel.features(docs)).localCheckpoint()
+      QualityModel.features(docs)).localCheckpoint(false)
     val scored = QualityModel
       .score(f, QualityModel.train(f, lr = 2.0, iters = 5))
       .join(docs.select(col("doc_id"),
@@ -2602,7 +2602,7 @@ object ExtensionQueries {
     val (_, vocab) = Bpe.learn(Bpe.wordFreq(docs), nMerges = 6)
     // localCheckpoint: the encode feeds both the offset scalar and the
     // pack; without the cut the vocab join + token reassembly runs twice
-    val enc = Bpe.encodeTokens(docs, vocab).localCheckpoint()
+    val enc = Bpe.encodeTokens(docs, vocab).localCheckpoint(false)
     val off = SeqPack.streamLength(enc.filter(col("doc_id") % 2 === 0))
     SeqPack.packTokenStreamRows(
       enc.filter(col("doc_id") % 2 === 1), seqLen = 128, startOffset = off)
@@ -2784,7 +2784,7 @@ object ExtensionQueries {
       col("doc_id").cast("bigint").as("doc_id"),
       size(col("tokens")).cast("bigint").as("raw"),
       least(size(col("tokens")), lit(seqLen)).cast("bigint").as("cap"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val chunkRow = lens.agg(sum(col("raw") + 1).as("total"))
       .select(lit("chunk").as("method"),
         expr(s"(total + $seqLen - 1) div $seqLen").as("n_seqs"),
@@ -2848,7 +2848,7 @@ object ExtensionQueries {
     * sort. */
   val q204BoundarySampling: Q = (s, dir) => {
     val f = QualityModel.standardize(
-      QualityModel.features(t(s, dir, "documents"))).localCheckpoint()
+      QualityModel.features(t(s, dir, "documents"))).localCheckpoint(false)
     QualityModel.score(f, QualityModel.train(f, lr = 2.0, iters = 5))
       .select(col("doc_id"), col("score_bp"),
         abs(col("score_bp") - 5000L).as("margin_bp"))
@@ -3167,7 +3167,7 @@ object ExtensionQueries {
     val seeds = seedRows.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
       .toDF("cluster", "centroid")
-    val cent = Clustering.kmeansFrom(e, seeds, rounds = 1).localCheckpoint()
+    val cent = Clustering.kmeansFrom(e, seeds, rounds = 1).localCheckpoint(false)
     val asg = Clustering.assignUnder(e, cent).localCheckpoint()
     (e, cent, cent.count(), asg, n)
   }
@@ -3188,7 +3188,7 @@ object ExtensionQueries {
       .select(explode(array(Seq(2L, 5L, 10L, 20L, 40L).map(lit): _*)).as("pct"))
       .select(col("pct"),
         expr(s"greatest(CAST(1 AS BIGINT), ($kc * pct) div 100)").as("nprobe"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val probes = sweep.join(routed, col("prn") <= col("nprobe"))
       .select(col("pct"), col("cluster"))
     val scanned = probes
@@ -3397,7 +3397,7 @@ object ExtensionQueries {
         (regexp_extract(col("source"), "([0-9]+)", 1).cast("bigint") % 4 + 1)
           .as("weight"))
     val plan = Sampling.tokenBudgetPlan(docs, weights, budgetNum = 1,
-      budgetDen = 2).localCheckpoint()
+      budgetDen = 2).localCheckpoint(false)
     val epochs: Map[String, Double] = plan
       .select(col("source"), col("epochs_e4")).collect()
       .map(r => r.getString(0) -> r.getLong(1) / 10000.0).toMap

@@ -29,9 +29,11 @@ class DedupGroupsSpec extends SparkSpec {
     val n = 300L
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     // plain min-label propagation moves the min one hop per round:
-    // a 300-deep chain cannot converge in 12 rounds
+    // a 300-deep chain cannot converge in 12 rounds (shortcutAfter
+    // disabled so the r16 adaptive doubling stays out of the way)
     intercept[IllegalArgumentException] {
-      DedupGroups.connectedComponents(chain, maxRounds = 12)
+      DedupGroups.connectedComponents(chain, maxRounds = 12,
+        shortcutAfter = Int.MaxValue)
     }
     // label-of-label doubling closes it in O(log n) rounds
     val got = DedupGroups.connectedComponents(chain, maxRounds = 12,
@@ -39,5 +41,9 @@ class DedupGroupsSpec extends SparkSpec {
     assert(got.count() === n)
     assert(got.filter(col("group_id") =!= 0L).count() === 0,
       "every chain member must collapse to the min doc_id 0")
+    // the r16 ADAPTIVE default (doubling after 4 unconverged plain
+    // rounds) also closes it, with the identical fixpoint
+    val adaptive = rowSet(DedupGroups.connectedComponents(chain, maxRounds = 12))
+    assert(adaptive === rowSet(got))
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch A/B (r16 optimization evidence; not a query): single-row-group
+  * testdata parquet files plan every scan at 1 input partition, so
+  * scan-local kernel queries serialize on one task. Measures
+  * representative kernels with and without a post-read round-robin
+  * repartition to the session parallelism — the guide §2.5 unsplittable-
+  * input remedy — to size the win before wiring it into operators. */
+object SpreadAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Tables.localSession("spread-ab", cores = 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, sfDir, "documents")
+    println(s"documents scan partitions: ${docs.rdd.getNumPartitions}, " +
+      s"defaultParallelism: ${spark.sparkContext.defaultParallelism}")
+
+    def time(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass()
+      val best = (1 to 3).map(_ => pass()).min
+      println(f"$tag%-34s $best%7.3f")
+    }
+
+    val spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    time("spanDedup plain") { operators.TextOps.spanDedup(docs, l = 8) }
+    time("spanDedup spread") { operators.TextOps.spanDedup(spread, l = 8) }
+    time("hashEmbed plain") { operators.TextOps.hashEmbed(docs) }
+    time("hashEmbed spread") { operators.TextOps.hashEmbed(spread) }
+    time("qualityFeatures plain") { operators.TextOps.qualityFeatures(docs) }
+    time("qualityFeatures spread") { operators.TextOps.qualityFeatures(spread) }
+    time("minhash sigs plain") { operators.MinHashLsh.signatures(docs) }
+    time("minhash sigs spread") { operators.MinHashLsh.signatures(spread) }
+    time("wordFreq plain") { operators.Bpe.wordFreq(docs) }
+    time("wordFreq spread") { operators.Bpe.wordFreq(spread) }
+    val ev = Tables.load(spark, sfDir, "events")
+    println(s"events scan partitions: ${ev.rdd.getNumPartitions}")
+    val evs = ev.repartition(spark.sparkContext.defaultParallelism)
+    time("events agg plain") {
+      ev.groupBy(col("event_type")).agg(count(lit(1)), sum(col("value")))
+    }
+    time("events agg spread") {
+      evs.groupBy(col("event_type")).agg(count(lit(1)), sum(col("value")))
+    }
+    spark.stop()
+  }
+}

@@ -60,7 +60,7 @@ object MinHashLsh {
     * but with no (doc × shingle × seed) row explosion and no
     * aggregation shuffle at all. */
   def signatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
-    docs.select(col("doc_id"),
+    Spread.scan(docs).select(col("doc_id"),
       posexplode(graft.functions.MinHashSigs.minhash_sigs(col("text"), 3, numHashes))
         .as(Seq("seed", "minhash")))
 
@@ -84,7 +84,9 @@ object MinHashLsh {
     // bandBuckets' floor(seed/r) grouping (slice tolerates short tails)
     val bands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val sigsArr = graft.functions.MinHashSigs.minhash_sigs(col("text"), 3, numHashes)
-    docs
+    // Spread: the sign kernel is the family's dominant per-row cost and
+    // serializes on the testdata's single-row-group scan (guide §2.5)
+    Spread.scan(docs)
       .select(col("doc_id"), sigsArr.as("sigs"))
       .filter(size(col("sigs")) > 0)
       .select(col("doc_id"),

@@ -68,7 +68,10 @@ object NgramJaccard {
       docs: DataFrame, blockCols: Seq[String], n: Int): DataFrame = {
     import graft.functions.SortedIntersect.sorted_intersect_count
     val hashes = graft.functions.NgramHashes.ngram_hashes(col("text"), n)
-    val e = docs.select(
+    // Spread (guide §2.5): the gram-hash kernel AND the per-pair
+    // merge-scan intersect below both run at the a-side scan's
+    // parallelism — 1 task on the single-row-group testdata files
+    val e = Spread.scan(docs).select(
       (col("doc_id") +: blockCols.map(col)) :+ hashes.as("gh"): _*)
       .withColumn("ng", size(col("gh")).cast("bigint"))
       .filter(col("ng") > 0)

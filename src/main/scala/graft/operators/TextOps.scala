@@ -61,6 +61,8 @@ object TextOps {
     * lines — the same key space the 8-gram passes already shuffle).
     * Output: (doc_id, n_lines, n_dropped, clean_hash). */
   def lineDedup(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    // NOT spread (r16 measured 2.05× SLOWER): the line explode is
+    // cheap; the re-spread exchange only added stages
     val lines = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
       .toDF("doc_id", "pos", "line")
@@ -99,7 +101,11 @@ object TextOps {
     * (doc, position); reassembly is one per-doc sort of its own words.
     * Output: (doc_id, n_words, n_cut, clean_text) — clean_text pins
     * the exact surviving words in order. */
-  def spanDedup(docs: DataFrame, l: Int = 8): DataFrame = {
+  def spanDedup(docs0: DataFrame, l: Int = 8): DataFrame = {
+    // both scans of the doc frame carry the shingle/word explode
+    // kernels — re-spread once (guide §2.5 unsplittable-input remedy;
+    // no-op at production scan sizes, see Spread)
+    val docs = Spread.scan(docs0)
     val occ = docs.select(col("doc_id"),
       posexplode(graft.functions.WordShingles.word_shingles(col("text"), l))
         .as(Seq("pos", "g")))
@@ -134,6 +140,10 @@ object TextOps {
     * across engines but round() half-way semantics are not (Spark
     * HALF_UP vs half-even), so floor keeps the oracle exact. */
   def qualityFeatures(docs: DataFrame): DataFrame = {
+    // NOT spread (r16 measured): the 3-regex kernel alone wins 1.6×
+    // re-spread, but most callers join this output straight back to
+    // the doc frame, and the extra exchange in those composite DAGs
+    // cost more than the kernel win (q163 +30%, q42 +25%)
     val n = wordCount(col("text"))
     val chars = length(col("text")).cast("bigint")
     val punct = size(regexp_extract_all(col("text"),
@@ -256,6 +266,8 @@ object TextOps {
     * hash agg (map-side combine keeps the shuffle at one row per
     * (doc, word)); everything else is scan-local. */
   def gopherRules(docs: DataFrame): DataFrame = {
+    // NOT spread (r16 measured 1.36× slower — two doc-frame consumers
+    // each re-pay the exchange)
     val n = wordCount(col("text"))
     val chars = length(col("text")).cast("bigint")
     val stopForms = size(array_distinct(regexp_extract_all(col("text"),
@@ -307,6 +319,7 @@ object TextOps {
     * mean (the cross-engine add-order discipline), the mean to 4. Docs
     * with fewer than 2 words have no bigrams and score null. */
   def bigramLogprob(docs: DataFrame, lm: DataFrame = null): DataFrame = {
+    // NOT spread (r16 measured 1.63× slower — cheap explode, extra stages)
     val bg = docs.select(col("doc_id"),
       explode(graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bg"))
     val model = Option(lm).getOrElse(bigramLm(docs))
@@ -376,7 +389,7 @@ object TextOps {
     * count-distinct-free shape a 100-TB boilerplate pass needs. */
   def boilerplateGrams(
       docs: DataFrame, n: Int = 8, minDf: Long = 2, topK: Int = 20): DataFrame =
-    docs
+    Spread.scan(docs) // 8-gram shingle explode; see Spread
       .select(explode(array_distinct(
         graft.functions.WordShingles.word_shingles(col("text"), n))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -597,7 +610,7 @@ object TextOps {
       .foldLeft(col("text")) { case (c, (p, r)) => regexp_replace(c, p, r) }
     def nHits(p: String): Column =
       size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("bigint")
-    docs.select(col("doc_id"), redacted.as("redacted"),
+    Spread.scan(docs).select(col("doc_id"), redacted.as("redacted"),
       piiPatterns.map(p => nHits(p._1)).reduce(_ + _).as("n_pii"),
       nHits(deny).as("n_denied"))
   }

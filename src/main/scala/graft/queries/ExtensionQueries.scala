@@ -295,7 +295,7 @@ object ExtensionQueries {
       TextOps.piiPatterns.map(_._1)
     def n(p: String) =
       size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("bigint")
-    t(s, dir, "documents")
+    Spread.scan(t(s, dir, "documents")) // 7-regex kernel
       .select(col("doc_id"), n(email).as("n_emails"),
         n(phone).as("n_phones"), n(ipv4).as("n_ipv4"),
         n(ipv6).as("n_ipv6"), n(ssn).as("n_ssn"),
@@ -1211,7 +1211,7 @@ object ExtensionQueries {
     * limit (ties at the cut break on the word pair). */
   val q113Pmi: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val dw = docs.select(col("doc_id"),
+    val dw = Spread.scan(docs).select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
     val top = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(100)
@@ -1658,7 +1658,7 @@ object ExtensionQueries {
     * keys; exact integer counts, floor-bp ratio. */
   val q137NgramNovelty: Q = (s, dir) => {
     import graft.functions.WordShingles.word_shingles
-    val grams = t(s, dir, "documents")
+    val grams = Spread.scan(t(s, dir, "documents")) // 8-gram explode
       .select(col("doc_id"),
         explode(array_distinct(word_shingles(col("text"), 8))).as("g"))
     val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))

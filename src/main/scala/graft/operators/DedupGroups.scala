@@ -61,8 +61,15 @@ object DedupGroups {
     // neighbor join, shortcut self-join), and lazy frames under
     // concurrent legs recompute their tail per leg (measured — see
     // MinHashLsh.nearDuplicates). Blocks release via ContextCleaner.
+    // The edge frame is STATIC across rounds but joined on `dst` every
+    // round — hash-partition it by the join key ONCE before the
+    // checkpoint (localCheckpoint preserves outputPartitioning), so
+    // each round exchanges only the (node-sized) label frame, never
+    // the edge set (guide §2.4: establish the partitioning once; the
+    // same trick pageRankWeighted applies to its frozen edge scan).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("group_id", col("doc_id"))

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Tracked localCheckpoint block release — the discipline Bpe's learn
+  * loops established in r16, shared so every iterative operator
+  * (connected components, the graph loops) can release EXACTLY its
+  * superseded round's blocks instead of waiting on the ContextCleaner.
+  *
+  * Why explicit release matters (guide §5 caching): an iterative loop
+  * that re-checkpoints per round pins ~nRounds copies of its state
+  * frame until a JVM GC lets the ContextCleaner notice the dead refs.
+  * At 32-way local parallelism that residue is 32 small blocks per
+  * round per frame crowding the block manager; the r16 driver bench
+  * measured the dedup family's SECOND pass 1.6-2.7× slower than its
+  * first purely from running inside the first pass's residue
+  * (BENCH_r16 queries_raw), a pathology absent at 8 cores. Releasing
+  * round N-1 the moment round N is materialized keeps the loop's
+  * footprint at two generations regardless of round count.
+  *
+  * The pinned RDD is read off the checkpointed frame's OWN plan
+  * (localCheckpoint rewrites it to a LogicalRDD wrapping the persisted
+  * RDD) — never a global getPersistentRDDs delta, which under a
+  * concurrent persist (a parallel suite, a streaming query) would
+  * catch an unrelated live RDD and release would unpersist it.
+  *
+  * Laziness contract: a lazily-checkpointed RDD must NOT be released
+  * before it materializes (truncated lineage = unrecomputable), so
+  * callers using `eager = false` may only release a generation after
+  * an action has provably forced its successor (see Bpe's relAfter
+  * queues). Eager callers can release the predecessor immediately
+  * after the checkpoint call returns.
+  */
+private[operators] object Blocks {
+
+  /** Checkpoint `df` and return it with the ids of the blocks the
+    * checkpoint pinned, so a later round can release exactly them. */
+  def checkpointTracked(
+      df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
+    val cp = df.localCheckpoint(eager)
+    val ids = cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    (cp, ids)
+  }
+
+  /** Unpersist the tracked blocks (non-blocking). */
+  def release(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+}

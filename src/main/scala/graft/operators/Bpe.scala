@@ -145,19 +145,11 @@ object Bpe {
     * collect AFTER the collect that materialized their successor —
     * see the relAfter queues in the loops below. */
   private def checkpointTracked(
-      df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
-    val cp = df.localCheckpoint(eager)
-    val ids = cp.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.toSet
-    (cp, ids)
-  }
+      df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) =
+    Blocks.checkpointTracked(df, eager) // shared tracked-release (r17)
 
-  private def releaseBlocks(df: DataFrame, ids: Set[Int]): Unit = {
-    val sc = df.sparkSession.sparkContext
-    ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-  }
+  private def releaseBlocks(df: DataFrame, ids: Set[Int]): Unit =
+    Blocks.release(df, ids)
 
   def learn(words: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, "Bpe.learn needs nMerges >= 1")

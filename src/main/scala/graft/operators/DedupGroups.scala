@@ -60,20 +60,25 @@ object DedupGroups {
     // lazy: `labels` is scanned by 2-3 legs per round (own-flag union,
     // neighbor join, shortcut self-join), and lazy frames under
     // concurrent legs recompute their tail per leg (measured — see
-    // MinHashLsh.nearDuplicates). Blocks release via ContextCleaner.
-    // The edge frame is STATIC across rounds but joined on `dst` every
-    // round — hash-partition it by the join key ONCE before the
-    // checkpoint (localCheckpoint preserves outputPartitioning), so
-    // each round exchanges only the (node-sized) label frame, never
-    // the edge set (guide §2.4: establish the partitioning once; the
-    // same trick pageRankWeighted applies to its frozen edge scan).
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("group_id", col("doc_id"))
-      .localCheckpoint()
+    // MinHashLsh.nearDuplicates). Superseded round frames are released
+    // EXPLICITLY the moment their successor is materialized (r17 —
+    // relying on the ContextCleaner let ~rounds×partitions blocks
+    // pile up for the whole query; the r16 driver bench measured the
+    // family's second pass 1.6-2.7× slower inside that residue).
+    // the r16 snapshot commit hash-partitioned this frame by the join
+    // key (exchange-labels-only, guide §2.4) — REMOVED in r17 after
+    // measuring it in isolation: pinning the bench-scale edge set to
+    // spark.sql.shuffle.partitions partitions for every round's join
+    // defeats AQE coalescing and costs per-task overhead (q42 3.01 s
+    // with vs 2.64 s without, q101 4.85 vs 4.48; plans/r17 notes). At
+    // 100 TB the same idea belongs in a BUCKETED edge table, not a
+    // per-query repartition.
+    val (edges, edgeIds) = Blocks.checkpointTracked(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var (labels, labelIds) = Blocks.checkpointTracked(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("group_id", col("doc_id")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -89,20 +94,30 @@ object DedupGroups {
           .join(labels.select(col("doc_id").as("graft_mid"),
             col("group_id")), Seq("graft_mid"))
           .select(col("doc_id"), col("group_id"), lit(false).as("own")))
-      val obs = new org.apache.spark.sql.Observation(s"graft_cc_$round")
-      val next = (Seq(labels.withColumn("own", lit(true)), viaNeighbor)
-        ++ viaShortcut)
-        .reduce(_ union _)
-        .groupBy(col("doc_id"))
-        .agg(min(col("group_id")).as("group_id"),
-          min(when(col("own"), col("group_id"))).as("prev"))
-        .observe(obs,
-          count(when(col("group_id") =!= col("prev"), lit(1))).as("changed"))
-        .localCheckpoint()
+      // no-arg Observation: UUID-named, so two concurrent CC loops in
+      // one session can never cross-match metrics by name
+      val obs = new org.apache.spark.sql.Observation()
+      val (next, nextIds) = Blocks.checkpointTracked(
+        (Seq(labels.withColumn("own", lit(true)), viaNeighbor)
+          ++ viaShortcut)
+          .reduce(_ union _)
+          .groupBy(col("doc_id"))
+          .agg(min(col("group_id")).as("group_id"),
+            min(when(col("own"), col("group_id"))).as("prev"))
+          .observe(obs,
+            count(when(col("group_id") =!= col("prev"), lit(1))).as("changed")))
       converged = obs.get("changed").asInstanceOf[Long] == 0L
+      // the eager checkpoint above materialized `next`, so round N-1's
+      // blocks are garbage NOW — release them instead of letting them
+      // ride to the end of the query
+      Blocks.release(labels, labelIds)
       labels = next.drop("prev")
+      labelIds = nextIds
       round += 1
     }
+    // the returned frame is a self-contained eager checkpoint — the
+    // (larger) edge blocks are dead weight from here
+    Blocks.release(edges, edgeIds)
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     labels
   }

@@ -85,7 +85,11 @@ object MinHashLsh {
     val bands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val sigsArr = graft.functions.MinHashSigs.minhash_sigs(col("text"), 3, numHashes)
     // Spread: the sign kernel is the family's dominant per-row cost and
-    // serializes on the testdata's single-row-group scan (guide §2.5)
+    // serializes on the testdata's single-row-group scan (guide §2.5).
+    // Re-measured in r17 ON THE COMPOSITE paths (q26/q35/q42/q119/q44
+    // through nearDuplicates), not just the isolated kernel: removing
+    // it cost 1.3-1.6× across the family (q42 3.88 s vs 2.64 s,
+    // q119 2.81 vs 1.71 — plans/r17 notes), so it stays.
     Spread.scan(docs)
       .select(col("doc_id"), sigsArr.as("sigs"))
       .filter(size(col("sigs")) > 0)

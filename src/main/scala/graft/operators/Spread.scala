@@ -41,9 +41,10 @@ object Spread {
   def scan(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
-    val openCost = spark.conf
-      .get("spark.sql.files.openCostInBytes", (4 * 1024 * 1024).toString)
-      .toLong
+    // typed conf accessor: the string form throws on Spark's accepted
+    // byte-string syntax ("4MB"), which would break every Spread-
+    // wrapped operator at plan-build time (r16 ADVICE)
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()
     val fileBytes = leaves.collect {
       case lr: LogicalRelation => lr.relation match {

@@ -79,7 +79,7 @@ object Bench {
       .map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try {
+        val sec = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
@@ -88,20 +88,31 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+        // each pass rebuilds its plan from scratch, so checkpoint/
+        // persist blocks left by a FINISHED pass are garbage — remove
+        // them in NON-measured time BETWEEN passes (r17 measurement
+        // fix, declared in OPTIMIZATION_r17.md: the unpersist used to
+        // run only after all passes, so pass 2 executed inside pass
+        // 1's block residue — the r16 driver capture shows exactly
+        // that as ×1.6-2.7 pass-2 blowups on the checkpoint-heavy
+        // dedup family at 32 cores; unpersist removes RDD blocks from
+        // the block manager directly, no GC needed, so each pass now
+        // measures from a clean block manager with the timed region
+        // unchanged). NO System.gc() here: a full GC between passes
+        // measured an ~80-120 ms warmth penalty on EVERY pass-2
+        // (soft/weak cache eviction) — a 1.17× geomean regression
+        // across the whole suite when tried, so the GC stays once per
+        // query below.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        sec
       }
-      // each pass rebuilds its plan from scratch, so checkpoint/persist
-      // blocks left by a finished query are garbage — drop them eagerly
-      // or ~100 queries of leftovers crowd the block manager and the
-      // tail of the run measures memory pressure, not the query
-      // (observed: 3.2s standalone vs 12.2s at position 100)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // unpersist only MARKS blocks; the ContextCleaner frees them
+      // broadcast/shuffle residue is freed by the ContextCleaner only
       // after a GC notices the dead refs (the 30s periodic GC above is
       // the backstop, but sub-second queries outrun it). Forcing the
       // GC here puts reclamation in NON-measured time — without it a
-      // heavy query reads its predecessors' block residue (q87 at 30×:
-      // 92s mid-sweep vs 38s clean-JVM for the identical plan).
+      // heavy query reads its predecessors' residue (q87 at 30×: 92s
+      // mid-sweep vs 38s clean-JVM for the identical plan).
       System.gc()
       // steady-state: min filters JIT/GC noise (failures → -1); the raw
       // readings ride along so a load-contaminated capture is visible

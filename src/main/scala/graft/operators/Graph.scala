@@ -299,25 +299,40 @@ object Graph {
     // repartition before the checkpoint: AQE coalesces the (small at
     // test scale) edge derivation to a handful of partitions, and a
     // checkpoint frozen that way caps every round's scan parallelism
-    val e0 = edges.repartition(col("src")).localCheckpoint()
+    val (e0, e0Ids) = Blocks.checkpointTracked(edges.repartition(col("src")))
     val perRound = perRoundCheckpoint.getOrElse(
       if (statsKnown) statsBytes > PerRoundCheckpointStatsBytes
       else e0.count() > 2000000L)
-    def roundEnd(df: DataFrame): DataFrame =
-      if (perRound) df.localCheckpoint() else df
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val e = e0.join(nodeSide(outW), "src").localCheckpoint()
+    val (e, eIds) = Blocks.checkpointTracked(e0.join(nodeSide(outW), "src"))
     val baseRank = (100L - dampingPct) * 10000L
     val init = outW.select(col("src").as("node"), lit(1000000L).as("rank"))
-    (1 to iterations).foldLeft(init) { (ranks, _) =>
-      roundEnd(e
+    var ranks = init
+    var rankIds: Set[Int] = Set.empty // init is not checkpointed
+    for (_ <- 1 to iterations) {
+      val body = e
         .join(nodeSide(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst"),
           expr(s"(rank * $dampingPct * w) div (100 * wsum)").as("contrib"))
         .groupBy(col("dst"))
         .agg((sum(col("contrib")) + lit(baseRank)).as("rank"))
-        .select(col("dst").as("node"), col("rank")))
+        .select(col("dst").as("node"), col("rank"))
+      if (perRound) {
+        // eager round checkpoint — the superseded round's blocks are
+        // garbage the moment it materializes (r17 tracked release)
+        val (next, nextIds) = Blocks.checkpointTracked(body)
+        Blocks.release(ranks, rankIds)
+        ranks = next
+        rankIds = nextIds
+      } else ranks = body
     }
+    if (perRound) {
+      // the returned frame is a self-contained eager checkpoint; the
+      // (edge-sized) stationary frames are dead weight from here
+      Blocks.release(e, eIds)
+      Blocks.release(e0, e0Ids)
+    }
+    ranks
   }
 
   /** Full PageRank semantics for DIRECTED graphs: dangling-node mass
@@ -762,9 +777,10 @@ object Graph {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, "kCorePeel needs k >= 1")
     require(rounds >= -1, "rounds must be >= 0, or -1 for fixpoint")
-    var sym = edges.select(col("a").as("s"), col("b").as("d"))
-      .unionAll(edges.select(col("b").as("s"), col("a").as("d")))
-      .repartition(col("s")).localCheckpoint()
+    var (sym, symIds) = Blocks.checkpointTracked(
+      edges.select(col("a").as("s"), col("b").as("d"))
+        .unionAll(edges.select(col("b").as("s"), col("a").as("d")))
+        .repartition(col("s")))
     val toFixpoint = rounds == -1
     // the edge count drives the convergence check only — fixed-round
     // mode never touches the driver between rounds
@@ -774,11 +790,16 @@ object Graph {
     while (!done && (toFixpoint || r < rounds)) {
       val keep = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("s"))
-      sym = sym
+      val (next, nextIds) = Blocks.checkpointTracked(sym
         .join(keep, Seq("s"), "left_semi")
         .join(keep.select(col("s").as("d")), Seq("d"), "left_semi")
-        .select(col("s"), col("d"))
-        .localCheckpoint()
+        .select(col("s"), col("d")))
+      // the eager checkpoint materialized `next` — the superseded
+      // round's edge blocks are garbage now (r17 tracked release, see
+      // DedupGroups.connectedComponents)
+      Blocks.release(sym, symIds)
+      sym = next
+      symIds = nextIds
       r += 1
       if (toFixpoint) {
         val after = sym.count()
@@ -821,6 +842,12 @@ object Graph {
     // distinct: the old min()-merge form collapsed duplicate source
     // rows; the frontier form's anti-join only blocks RE-discovery,
     // so duplicates in `sources` would survive into every output row
+    // `visited` is a LAZY UNION of per-round eager checkpoints (r17):
+    // the old form re-checkpointed the whole accumulated frame every
+    // round — one extra job per round plus an O(visited) copy whose
+    // superseded blocks piled up. Each round now runs exactly ONE job
+    // (the fringe checkpoint); the anti-join and the returned frame
+    // scan the materialized leaves through the cheap union.
     var visited = sources.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("hop"))
       .localCheckpoint()
@@ -831,8 +858,8 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(nodeSide(visited.select(col("node"))), Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("hop"))
-        .localCheckpoint() // read twice below (union + next anti join)
-      visited = visited.unionAll(next).localCheckpoint()
+        .localCheckpoint() // read thrice (union + anti joins); all leaves live in the result
+      visited = visited.unionAll(next)
       frontier = next.select(col("node"))
     }
     visited

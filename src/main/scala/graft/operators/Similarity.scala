@@ -542,6 +542,11 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, cent: DataFrame, threshold: Double,
       broadcastBlocks: Boolean = true): DataFrame = {
+    // NOT checkpointed (r17 measured): the assignment subtree is
+    // copied 3× into the plan (both pair legs + the kept join), but
+    // AQE's exchange reuse already dedups it at runtime — an eager
+    // checkpoint here cost 10-25% across the family (q164 0.76×,
+    // q165 0.82×, q163 0.90× in a same-conditions A/B)
     val assigned = assignClusters(corpus, cent)
       .select(col("vec_id"), col("cluster"))
     val e = withUnit(

@@ -33,6 +33,8 @@ object TextOps {
     * vector width is a constant `dim`. Output: (doc_id, embedding). */
   def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
     require(256 % dim == 0, s"hashEmbed dim must divide 256, got $dim")
+    // NOT spread (r17 measured: q177 composite 0.92× — the md5 kernel
+    // sits under a broadcast-join DAG whose extra exchange eats the win)
     val per = 256 / dim
     val b = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -140,10 +142,12 @@ object TextOps {
     * across engines but round() half-way semantics are not (Spark
     * HALF_UP vs half-even), so floor keeps the oracle exact. */
   def qualityFeatures(docs: DataFrame): DataFrame = {
-    // NOT spread (r16 measured): the 3-regex kernel alone wins 1.6×
-    // re-spread, but most callers join this output straight back to
-    // the doc frame, and the extra exchange in those composite DAGs
-    // cost more than the kernel win (q163 +30%, q42 +25%)
+    // NOT spread (r16 measured, r17 re-measured after the block-release
+    // fix — still 1.4-1.7× SLOWER composite: q192 0.57×, q163 0.66×,
+    // q122 0.58×, q189 0.62× vs only q21's isolated 1.7× win): the
+    // 3-regex kernel alone wins re-spread, but most callers join this
+    // output straight back to the doc frame, and the extra exchange in
+    // those composite DAGs costs more than the kernel win
     val n = wordCount(col("text"))
     val chars = length(col("text")).cast("bigint")
     val punct = size(regexp_extract_all(col("text"),
@@ -185,6 +189,8 @@ object TextOps {
     * passes; the explode(array(…)) keeps the kernel behind a Generate
     * boundary so CollapseProject can't inline it 7× into the argmax. */
   def langId(docs: DataFrame): DataFrame =
+    // NOT spread (r16 + r17 both measured composite losses; q22's
+    // isolated kernel is already sub-0.2 s)
     docs
       .select(col("doc_id"), col("lang"),
         explode(array(graft.functions.LangHits.lang_hits(col("text")))).as("h"))

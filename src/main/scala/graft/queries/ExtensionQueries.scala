@@ -2712,10 +2712,15 @@ object ExtensionQueries {
     // copy*2^48 + first 48 md5 bits: epoch-major, shuffled-within-epoch,
     // one bigint — 12 lowercase hex chars order identically as string
     // (the oracle) and as value (here); copy ≤ 3 keeps it well under 2^63
+    // LAZY cut, forced by autoKeyBandBits' min/max scan right below
+    // (no extra job): the ranked pipeline reads this frame three more
+    // times (two histograms + the row frame), and without the cut each
+    // read re-ran the mixture resample + md5 key derivation (r17)
     val keyed = mix.withColumn("graft_sk",
       col("copy") * lit(281474976710656L) + expr(
         "cast(conv(substring(md5(concat('graft-shuffle198:', " +
           "cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
+      .localCheckpoint(false)
     // band width matched to the key DENSITY, not the default: these
     // are uniform 50-bit keys, so the default 16-bit bands would give
     // each key its own band and the band-offset triangular join goes
